@@ -1,0 +1,418 @@
+package graft.operators
+
+import graft.{Num, QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / BI core — the reference's Impala query surface plus the
+  * per-key "entity" aggregation its streaming jobs maintain.
+  *
+  * Origins (reference file:line):
+  *  - q1:  impala/ny_taxi/bi_payment_type_roll_up.impala:1-31 (multi-measure
+  *         sum/max/avg rollup by two category keys)
+  *  - q2:  impala/ny_taxi/bi_top_ten_venders_in_trips.impala (top-N by count)
+  *  - q3:  impala/ny_taxi/bi_pull_up_vender_trip_history.impala (key scan)
+  *  - q4/q12: impala/ny_taxi/bi_trip_per_time_of_day.impala (dow × hod)
+  *  - q5:  ny_taxi/pojo/NyTaxiYellowEntity.scala:31-60 (conditional sums and
+  *         counters gated by payment type; max distance; grand totals)
+  *  - q9:  Kudu sink insert-vs-update key split
+  *         (ny_taxi/NyTaxiYellowTripStreaming.scala:223-229)
+  *  - q18: NyTaxiYellowEntity max_distance_of_trip → arg-max generalization
+  *
+  * All floating aggregates use [[graft.Num]] exact cent-scaled arithmetic
+  * so results are bit-identical to the DuckDB oracle. Every query ends in
+  * a deterministic total ORDER BY.
+  */
+object Relational extends QueryPack {
+  import Num.{cents, moneySum, moneyAvg}
+
+  private def centsWhen(cond: Column, c: Column): Column =
+    sum(when(cond, cents(c)).otherwise(0L))
+  private def cntWhen(cond: Column): Column =
+    sum(when(cond, 1L).otherwise(0L))
+
+  def q1RollupMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(cents(col("l_quantity"))) / 100.0 / count(lit(1))).as("avg_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneySum(col("l_discount")).as("sum_disc"),
+        moneyAvg(col("l_discount")).as("avg_disc"),
+        moneySum(col("l_tax")).as("sum_tax"),
+        moneyAvg(col("l_tax")).as("avg_tax"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def q2TopkByAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("trip_cnt"), moneySum(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("trip_cnt").desc, col("o_custkey"))
+      .limit(10)
+
+  def q3HistoryLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") === 7L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def q4TimeOfDay(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(s, dir)
+      .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
+        col("value"))
+      .filter(col("day_of_week") === 3)
+      .groupBy(col("day_of_week"), col("hour_of_day"))
+      .agg(count(lit(1)).as("cnt"), moneyAvg(col("value")).as("avg_value"))
+      .orderBy(col("hour_of_day"))
+
+  /** The NyTaxiYellowEntity wide conditional aggregate, per customer over
+    * orders; o_orderstatus plays the reference's payment_type. */
+  def q5EntityAggregate(s: SparkSession, dir: String): DataFrame = {
+    val st = col("o_orderstatus")
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        moneySum(col("o_totalprice")).as("total_amount"),
+        max(col("o_totalprice")).as("max_amount"),
+        (centsWhen(st === "O", col("o_totalprice")) / 100.0).as("open_amount"),
+        (centsWhen(st === "F", col("o_totalprice")) / 100.0).as("fulfilled_amount"),
+        (centsWhen(st === "P", col("o_totalprice")) / 100.0).as("pending_amount"),
+        cntWhen(st === "O").as("open_trips"),
+        cntWhen(st === "F").as("fulfilled_trips"),
+        cntWhen(st === "P").as("pending_trips"))
+      .orderBy(col("o_custkey"))
+  }
+
+  def q6FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= to_timestamp(lit("1995-06-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1995-09-01")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def q7JoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("order_cnt"),
+        moneySum(col("o_totalprice")).as("revenue"),
+        max(col("o_totalprice")).as("max_price"),
+        moneyAvg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def q8MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    // revenue at 4-decimal exact scale: price*(1-disc) has <= 4 decimals
+    val rev = round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000).cast("long")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(rev) / 10000.0).as("revenue"), count(lit(1)).as("line_cnt"))
+      .orderBy(col("n_name"))
+  }
+
+  def q9aSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("active_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** "New keys" side of the Kudu insert-vs-update split: customers with
+    * no fulfilled order yet (the store subset), i.e. rows the sink would
+    * INSERT rather than UPDATE. */
+  def q9bAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("new_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def q10WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  def q11WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsTs(s, dir)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("running_value", sum(cents(col("value"))).over(w) / 100.0)
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(s, dir)
+      .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
+        col("value"))
+      .groupBy(col("day_of_week"), col("hour_of_day"))
+      .agg(count(lit(1)).as("cnt"),
+        moneyAvg(col("value")).as("avg_value"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("day_of_week"), col("hour_of_day"))
+
+  def q13DistinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** rows-only: approx distinct (HLL) — cardinality sketch for 100 TB scale. */
+  def q13bApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  def q14UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val buys = e.filter(col("event_type") === "purchase").select(lit("buy").as("tag"), col("value"))
+    val errs = e.filter(col("event_type") === "error").select(lit("err").as("tag"), col("value"))
+    buys.unionAll(errs)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("tag"))
+  }
+
+  def q15CubeRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Discrete percentiles via explicit rank formula (identical both engines,
+    * avoiding engine-specific interpolation). */
+  def q16Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.5), col("l_extendedprice"))).as("median_price"),
+        max(when(col("rn") === ceil(col("cnt") * 0.95), col("l_extendedprice"))).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def q17ConditionalCounters(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        cntWhen(col("l_quantity") > 25.0).as("big_qty_cnt"),
+        cntWhen(col("l_discount") === 0.0).as("no_disc_cnt"),
+        cntWhen(col("l_tax") > 0.05).as("high_tax_cnt"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** Arg-max via rank-1 window (deterministic tie-break), the
+    * max_distance_of_trip "which trip was it" generalization. */
+  def q18MinmaxBy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderpriority"), col("o_custkey").as("top_custkey"),
+        col("o_totalprice").as("top_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---- oracle SQL ----
+
+  private val S = Num.sql
+
+  val queries: Map[String, Q] = Map(
+    "q1_rollup_measures" -> (q1RollupMeasures _),
+    "q2_topk_by_agg" -> (q2TopkByAgg _),
+    "q3_history_lookup" -> (q3HistoryLookup _),
+    "q4_time_of_day" -> (q4TimeOfDay _),
+    "q5_entity_aggregate" -> (q5EntityAggregate _),
+    "q6_filter_project" -> (q6FilterProject _),
+    "q7_join_enrich" -> (q7JoinEnrich _),
+    "q8_multi_join" -> (q8MultiJoin _),
+    "q9a_semi_join" -> (q9aSemiJoin _),
+    "q9b_anti_join" -> (q9bAntiJoin _),
+    "q10_window_rank" -> (q10WindowRank _),
+    "q11_window_running" -> (q11WindowRunning _),
+    "q12_dow_hod_speed" -> (q12DowHodSpeed _),
+    "q13_distinct_count" -> (q13DistinctCount _),
+    "q13b_approx_distinct" -> (q13bApproxDistinct _),
+    "q14_union_all" -> (q14UnionAll _),
+    "q15_cube_rollup" -> (q15CubeRollup _),
+    "q16_percentiles" -> (q16Percentiles _),
+    "q17_conditional_counters" -> (q17ConditionalCounters _),
+    "q18_minmax_by" -> (q18MinmaxBy _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_rollup_measures" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${S.moneySum("l_quantity")} AS sum_qty,
+         |  max(l_quantity) AS max_qty,
+         |  ${S.moneyAvg("l_quantity")} AS avg_qty,
+         |  ${S.moneySum("l_extendedprice")} AS sum_price,
+         |  max(l_extendedprice) AS max_price,
+         |  ${S.moneyAvg("l_extendedprice")} AS avg_price,
+         |  ${S.moneySum("l_discount")} AS sum_disc,
+         |  ${S.moneyAvg("l_discount")} AS avg_disc,
+         |  ${S.moneySum("l_tax")} AS sum_tax,
+         |  ${S.moneyAvg("l_tax")} AS avg_tax,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_topk_by_agg" ->
+      s"""SELECT o_custkey, count(*) AS trip_cnt, ${S.moneySum("o_totalprice")} AS sum_total
+         |FROM orders GROUP BY 1 ORDER BY trip_cnt DESC, o_custkey LIMIT 10""".stripMargin,
+    "q3_history_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice,
+        |  l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_suppkey = 7 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q4_time_of_day" ->
+      s"""SELECT CAST(dayofweek(ts)+1 AS INTEGER) AS day_of_week,
+         |  CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         |  count(*) AS cnt, ${S.moneyAvg("value")} AS avg_value
+         |FROM events WHERE dayofweek(ts)+1 = 3 GROUP BY 1, 2 ORDER BY hour_of_day""".stripMargin,
+    "q5_entity_aggregate" ->
+      s"""SELECT o_custkey, count(*) AS total_trips,
+         |  ${S.moneySum("o_totalprice")} AS total_amount,
+         |  max(o_totalprice) AS max_amount,
+         |  sum(CASE WHEN o_orderstatus='O' THEN ${S.cents("o_totalprice")} ELSE 0 END)/100.0 AS open_amount,
+         |  sum(CASE WHEN o_orderstatus='F' THEN ${S.cents("o_totalprice")} ELSE 0 END)/100.0 AS fulfilled_amount,
+         |  sum(CASE WHEN o_orderstatus='P' THEN ${S.cents("o_totalprice")} ELSE 0 END)/100.0 AS pending_amount,
+         |  CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_trips,
+         |  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_trips,
+         |  CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_trips
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate < TIMESTAMP '1995-09-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q7_join_enrich" ->
+      s"""SELECT c_mktsegment, count(*) AS order_cnt,
+         |  ${S.moneySum("o_totalprice")} AS revenue,
+         |  max(o_totalprice) AS max_price,
+         |  ${S.moneyAvg("o_totalprice")} AS avg_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_multi_join" ->
+      """SELECT n_name,
+        |  sum(CAST(round((l_extendedprice*(1.0-l_discount))*10000) AS BIGINT))/10000.0 AS revenue,
+        |  count(*) AS line_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9a_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS active_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9b_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS new_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q11_window_running" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(${S.cents("value")}) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts), event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)/100.0 AS running_value
+         |FROM events WHERE user_id < 5 ORDER BY user_id, event_id""".stripMargin,
+    "q12_dow_hod_speed" ->
+      s"""SELECT CAST(dayofweek(ts)+1 AS INTEGER) AS day_of_week,
+         |  CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         |  count(*) AS cnt, ${S.moneyAvg("value")} AS avg_value,
+         |  ${S.moneySum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_union_all" ->
+      s"""SELECT tag, count(*) AS cnt, ${S.moneySum("value")} AS sum_value FROM (
+         |  SELECT 'buy' AS tag, value FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT 'err' AS tag, value FROM events WHERE event_type = 'error') t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_cube_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+         |  ${S.moneySum("l_quantity")} AS sum_qty, count(*) AS cnt
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(ceil(cnt*0.5) AS BIGINT) THEN l_extendedprice END) AS median_price,
+        |  max(CASE WHEN rn = CAST(ceil(cnt*0.95) AS BIGINT) THEN l_extendedprice END) AS p95_price
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_conditional_counters" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt,
+        |  CAST(sum(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS no_disc_cnt,
+        |  CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_tax_cnt,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_minmax_by" ->
+      """SELECT o_orderpriority, o_custkey AS top_custkey, o_totalprice AS top_price FROM (
+        |  SELECT o_orderpriority, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin)
+}

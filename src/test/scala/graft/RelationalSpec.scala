@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracleSql keys without queries: $extra")
+  }
+
+  test("q1 rollup has exact group structure") {
+    val rows = operators.Relational.q1RollupMeasures(spark, sf).collect()
+    assert(rows.length >= 3)
+    val flags = rows.map(_.getString(0)).distinct
+    assert(flags.sorted.sameElements(flags.sorted.distinct))
+  }
+
+  test("q2 topk returns at most 10 ordered by count desc") {
+    val rows = operators.Relational.q2TopkByAgg(spark, sf).collect()
+    assert(rows.length <= 10)
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.sameElements(cnts.sortBy(-_)))
+  }
+
+  test("q9b new-customers complements customers-with-fulfilled-orders") {
+    import org.apache.spark.sql.functions.col
+    val c = Tables.customer(spark, sf).count()
+    val withF = Tables.customer(spark, sf).join(
+      Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = operators.Relational.q9bAntiJoin(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(withF + anti == c)
+  }
+}
