@@ -27,7 +27,7 @@ def main(sfdir, outdir):
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1

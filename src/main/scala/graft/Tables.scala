@@ -26,7 +26,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
 
   /** events with ts normalized: raw ns long → `ts_us` (long, floored like
-    * DuckDB's parquet-ns read) and `tstamp` (TIMESTAMP at micros). */
+    * DuckDB's parquet-ns read) and `tstamp` (TIMESTAMP at micros).
+    * `div` truncates toward zero, which equals DuckDB's floor only for
+    * post-epoch (>= 1970) timestamps — true for all driver testdata. */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     events(s, d)

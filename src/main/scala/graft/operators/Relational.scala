@@ -152,13 +152,19 @@ object Relational extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Top-5 per segment via the bounded [[TopKByScore]] aggregate (partial-
+    * aggregable, O(k) state) instead of a window over a 5-value partition
+    * key — the map side reduces to k rows per (task, segment) before the
+    * shuffle, so the plan survives 100× data. */
   def q10WindowRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val topk = udaf(new TopKByScore(5))
     Tables.customer(s, dir)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
+      .groupBy(col("c_mktsegment"))
+      .agg(topk(col("c_acctbal"), col("c_custkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("c_mktsegment"), col("t.key").as("c_custkey"),
+        col("t.score").as("c_acctbal"), (col("pos") + 1).cast("long").as("rn"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
@@ -221,18 +227,27 @@ object Relational extends QueryPack {
       .orderBy(col("rf"), col("ls"))
 
   /** Discrete percentiles via explicit rank formula (identical both engines,
-    * avoiding engine-specific interpolation). */
+    * avoiding engine-specific interpolation).
+    *
+    * Scale shape: instead of sorting every row through a 3-task window
+    * (full shuffle of lineitem into 3 partitions), first hash-aggregate to
+    * per-(flag, price) counts — partial-aggregable, output bounded by the
+    * price domain, not the row count — then run the cumulative window over
+    * the distinct values only. The value at rank ceil(n*q) is the smallest
+    * price whose cumulative count reaches the rank. */
   def q16Percentiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("l_returnflag"))
     Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cnt", sum(col("c")).over(wAll))
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("rn") === ceil(col("cnt") * 0.5), col("l_extendedprice"))).as("median_price"),
-        max(when(col("rn") === ceil(col("cnt") * 0.95), col("l_extendedprice"))).as("p95_price"))
+        min(when(col("cum") >= ceil(col("cnt") * 0.5), col("l_extendedprice"))).as("median_price"),
+        min(when(col("cum") >= ceil(col("cnt") * 0.95), col("l_extendedprice"))).as("p95_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -246,19 +261,21 @@ object Relational extends QueryPack {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
-  /** Arg-max via rank-1 window (deterministic tie-break), the
-    * max_distance_of_trip "which trip was it" generalization. */
-  def q18MinmaxBy(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  /** Arg-max (max_distance_of_trip "which trip was it" generalization,
+    * NyTaxiYellowEntity.scala) as a partial-aggregable `max_by` with a
+    * struct ordering key — one hash-aggregate pass with map-side combine,
+    * no per-key global sort. Tie-break: highest price, then lowest
+    * orderkey (negated key inside the max ordering). */
+  def q18MinmaxBy(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderpriority"), col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_orderpriority"), col("o_custkey").as("top_custkey"),
-        col("o_totalprice").as("top_price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(
+        struct(col("o_custkey"), col("o_totalprice")),
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("nk"))).as("top"))
+      .select(col("o_orderpriority"), col("top.o_custkey").as("top_custkey"),
+        col("top.o_totalprice").as("top_price"))
       .orderBy(col("o_orderpriority"))
-  }
 
   // ---- oracle SQL ----
 

@@ -25,8 +25,10 @@ class RelationalSpec extends AnyFunSuite {
   test("q1 rollup has exact group structure") {
     val rows = operators.Relational.q1RollupMeasures(spark, sf).collect()
     assert(rows.length >= 3)
-    val flags = rows.map(_.getString(0)).distinct
-    assert(flags.sorted.sameElements(flags.sorted.distinct))
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate (returnflag, linestatus) group")
+    val flags = pairs.map(_._1).toSet
+    assert(Set("A", "N", "R").subsetOf(flags), s"expected flags A/N/R present, got $flags")
   }
 
   test("q2 topk returns at most 10 ordered by count desc") {
