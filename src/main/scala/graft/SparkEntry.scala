@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    operators.Relational, operators.Ingest, operators.Entity)
+    operators.Relational, operators.Ingest, operators.Entity,
+    operators.Text)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

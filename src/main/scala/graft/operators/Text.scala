@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C text analysis over the documents table — the LLM-data-pipeline
+  * surface (token counting, quality scoring, language ID, fingerprints,
+  * shingles). All operators are per-row column expressions: one parquet
+  * scan, one codegen stage, output proportional to input — the shape that
+  * survives 100 TB because no shuffle exists at all (the only exchange is
+  * the final presentation ORDER BY, which a real pipeline would drop).
+  */
+object Text extends QueryPack {
+
+  private def tokens: Column = TextOps.toks(lower(col("text")))
+
+  /** Whitespace + regex token counts (the BPE-ish count is alpha runs,
+    * digit runs, and single non-alnum marks counted separately). */
+  def q30TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Quality score from length, stopword ratio and punctuation ratio —
+    * same deterministic double formula both engines. */
+  def q31QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(tokens).cast("long")
+    val stopCnt = size(filter(tokens, t => t.isin(stopwords: _*))).cast("long")
+    val punctCnt = regexp_count(col("text"), lit("[.,!?;:]")).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nToks.as("n_tokens"), stopCnt.as("stop_cnt"),
+        punctCnt.as("punct_cnt"),
+        (stopCnt.cast("double") / nToks).as("stop_ratio"),
+        (least(lit(1.0), nToks.cast("double") / 100.0) * 0.7 +
+          (stopCnt.cast("double") / nToks) * 0.2 +
+          (lit(1.0) - punctCnt.cast("double") / length(col("text"))) * 0.1)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-token language ID. A real deployment scores char-trigram
+    * profiles per language; the rule here is the same shape (per-language
+    * marker counts, argmax with a deterministic preference order) but the
+    * driver's synthetic corpus shares one vocabulary across its `lang`
+    * labels, so markers for non-English languages simply never fire and
+    * the honest output is en/und. Accuracy against the stored label is
+    * reported, not asserted. */
+  def q32LangId(s: SparkSession, dir: String): DataFrame = {
+    def cnt(ws: Seq[String]): Column =
+      size(filter(tokens, t => t.isin(ws: _*))).cast("long")
+    val cEn = cnt(Seq("the", "a", "and", "of"))
+    val cDe = cnt(Seq("der", "die", "und", "das"))
+    val cFr = cnt(Seq("le", "la", "et", "les"))
+    val cEs = cnt(Seq("el", "los", "y", "las"))
+    val best = greatest(cEn, cDe, cFr, cEs)
+    val pred = when(best === 0, "und")
+      .when(cEn === best, "en").when(cDe === best, "de")
+      .when(cFr === best, "fr").otherwise("es")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pred.as("pred_lang"), best.as("score"),
+        col("lang"), (pred === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling polynomial fingerprint over the full text (oracle-portable
+    * 61-bit hash). */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.polyHash61(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Word 3-gram shingle profile per document. */
+  def q34NgramShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles3(tokens)
+    val dsh = array_distinct(sh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(sh).cast("long").as("n_shingles"),
+        size(dsh).cast("long").as("n_distinct"),
+        array_min(dsh).as("min_shingle"),
+        array_max(dsh).as("max_shingle"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val T = TextOps
+  private def sqlToks = "string_split(lower(text), ' ')"
+  private def sqlCnt(ws: Seq[String]): String =
+    s"CAST(len(list_filter($sqlToks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    "q30_token_count" -> (q30TokenCount _),
+    "q31_quality_score" -> (q31QualityScore _),
+    "q32_lang_id" -> (q32LangId _),
+    "q33_fingerprint" -> (q33Fingerprint _),
+    "q34_ngram_shingles" -> (q34NgramShingles _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_quality_score" -> {
+      val nToks = s"CAST(len($sqlToks) AS BIGINT)"
+      val stop = sqlCnt(stopwords)
+      val punct = "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)"
+      s"""SELECT doc_id, $nToks AS n_tokens, $stop AS stop_cnt, $punct AS punct_cnt,
+         |  CAST($stop AS DOUBLE) / $nToks AS stop_ratio,
+         |  least(1.0, CAST($nToks AS DOUBLE) / 100.0) * 0.7
+         |    + (CAST($stop AS DOUBLE) / $nToks) * 0.2
+         |    + (1.0 - CAST($punct AS DOUBLE) / length(text)) * 0.1 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q32_lang_id" -> {
+      val cEn = sqlCnt(Seq("the", "a", "and", "of"))
+      val cDe = sqlCnt(Seq("der", "die", "und", "das"))
+      val cFr = sqlCnt(Seq("le", "la", "et", "les"))
+      val cEs = sqlCnt(Seq("el", "los", "y", "las"))
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, $cEn AS c_en, $cDe AS c_de, $cFr AS c_fr, $cEs AS c_es,
+         |    greatest($cEn, $cDe, $cFr, $cEs) AS best
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+         |       WHEN c_fr = best THEN 'fr' ELSE 'es' END AS pred_lang,
+         |  best AS score, lang,
+         |  (CASE WHEN best = 0 THEN 'und'
+         |        WHEN c_en = best THEN 'en' WHEN c_de = best THEN 'de'
+         |        WHEN c_fr = best THEN 'fr' ELSE 'es' END = lang) AS is_match
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "q33_fingerprint" ->
+      s"""SELECT doc_id, ${T.sqlPolyHash61("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_ngram_shingles" -> {
+      val sh = T.sqlShingles3("ws")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS ws FROM documents),
+         |s AS (SELECT doc_id, $sh AS sh, list_distinct($sh) AS dsh FROM t)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(dsh) AS BIGINT) AS n_distinct,
+         |  list_aggregate(dsh, 'min') AS min_shingle,
+         |  list_aggregate(dsh, 'max') AS max_shingle
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+}
