@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.{TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.D deduplication over the documents / embeddings tables.
+  *
+  * Scale shapes (the point of each variant):
+  *  - q40 exact: hash-groupBy on a content digest — one shuffle keyed by
+  *    digest, perfectly partition-parallel.
+  *  - q41 n-gram Jaccard: inverted shingle index self-join — candidates
+  *    are pairs sharing >= 1 shingle (a superset of every pair with
+  *    jac >= t), never the O(n^2) cross product.
+  *  - q42 minhash-LSH: 126 minhashes, 42 bands x 3 rows — the shuffle key
+  *    is the band bucket, candidate volume ~0.5% of all pairs at j~0.05,
+  *    miss probability at the 0.6 threshold <= 3.6e-5 (and ~1e-15 for the
+  *    corpus's actual >= 0.9 near-dups), then exact-Jaccard verification
+  *    within buckets only.
+  *  - q43 simhash: 48-bit portable simhash, 4 bands x 12 bits; pigeonhole
+  *    guarantees every pair at hamming <= 3 shares a band, so banded
+  *    candidate generation is EXACTLY equivalent to the all-pairs filter
+  *    the oracle runs — no probabilistic recall at all.
+  *  - q44 embedding cosine: exact threshold join. Dense exact similarity
+  *    join is inherently O(n^2); this is the verification tier — the ANN
+  *    scale path is q51's random-hyperplane LSH.
+  */
+object Dedup extends QueryPack {
+
+  private val jacT = 0.6
+
+  private def docTokens: Column = TextOps.toks(lower(col("text")))
+
+  /** (doc_id, sh = distinct word-3-gram set, n = |sh|). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      array_distinct(TextOps.shingles3(docTokens)).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+
+  /** Exact dedup across two ingest feeds of the same corpus (the
+    * re-ingest scenario: one topic replayed into two stores — reference
+    * CsvKafkaPublisher re-publishing a file). Keep the smallest doc_id
+    * per content digest. */
+  def q40DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val feed1 = d.select(col("doc_id"), col("text"))
+    val feed2 = d.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    feed1.unionAll(feed2)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Near-dup pairs by exact shingle-set Jaccard >= 0.6 via an inverted
+    * shingle index (explode -> self-join on shingle -> count common).
+    * Equivalent to all-pairs for any threshold > 0 because jac > 0
+    * requires a shared shingle. */
+  def q41DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = shingleSets(s, dir)
+    val ex = d.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("jac") >= jacT)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Banded minhash-LSH near-dup detection with exact verification:
+    * per-seed signatures minimize xxhash64(shingle_hash, seed) (hash
+    * re-keying instead of an affine remix — ANSI mode forbids wrapping
+    * multiplication), band buckets as the shuffle key, candidate pairs
+    * deduplicated, then the true Jaccard recomputed within candidates
+    * only. Output is identical to q41 (same threshold) up to the ~1e-15
+    * miss probability of the banding for this corpus's >= 0.9 near-dups. */
+  def q42DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = shingleSets(s, dir)
+      .withColumn("hs", transform(col("sh"), sh => xxhash64(sh)))
+    val sig: Seq[Column] = (0 until 126).map { i =>
+      array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
+    }
+    val bandKeys = array((0 until 42).map { j =>
+      xxhash64(sig(3 * j), sig(3 * j + 1), sig(3 * j + 2), lit(j))
+    }: _*)
+    val bands = d.select(col("doc_id"), explode(bandKeys).as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = shingleSets(s, dir)
+    cand
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a"), col("n").as("na")),
+        col("id_a") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh").as("sh_b"), col("n").as("nb")),
+        col("id_b") === col("doc_id")).drop("doc_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("jac") >= jacT)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 48-bit simhash over the token multiset (portable polynomial token
+    * hashes), near-dup = hamming distance <= 3. Banded candidate
+    * generation (4 x 12 bits) is exactly complete by pigeonhole. */
+  def q43DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val th = transform(docTokens, t => TextOps.polyHash61(t))
+    val simhash: Column = (0 until 48).map { b =>
+      val bitSum = aggregate(col("th"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"), simhash.as("sim"))
+    val bandKeys = array((0 until 4).map { j =>
+      struct(lit(j).as("j"),
+        shiftright(col("sim"), 12 * j).bitwiseAND(lit(0xFFFL)).as("v"))
+    }: _*)
+    val bands = d.select(col("doc_id"), col("sim"), explode(bandKeys).as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact cosine near-dup pairs over embeddings (threshold 0.4; this
+    * corpus's embeddings are near-orthogonal so higher thresholds are
+    * empty). Norms computed once per vector; the pair dot product is the
+    * only per-pair work. */
+  def q44DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      .withColumn("n2", VectorOps.norm2(col("e")))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorOps.cosineFrom(
+          VectorOps.dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- oracle SQL ----
+
+  private val sqlToks = "string_split(lower(text), ' ')"
+  private def sqlShingleSets =
+    s"""SELECT doc_id, list_distinct(${TextOps.sqlShingles3("ws")}) AS sh
+       |FROM (SELECT doc_id, $sqlToks AS ws FROM documents) t""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH sh AS ($sqlShingleSets),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jac FROM p WHERE jac >= $jacT ORDER BY id_a, id_b""".stripMargin
+
+  private val simhashSql: String = {
+    val th = s"list_transform($sqlToks, w -> ${TextOps.sqlPolyHash61("w")})"
+    val terms = (0 until 48).map { b =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
+       |s AS (SELECT doc_id, $terms AS sim FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> (q40DedupExact _),
+    "q41_dedup_ngram_jaccard" -> (q41DedupNgramJaccard _),
+    "q42_dedup_minhash_lsh" -> (q42DedupMinhashLsh _),
+    "q43_dedup_simhash" -> (q43DedupSimhash _),
+    "q44_dedup_embedding" -> (q44DedupEmbedding _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents) t
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q41_dedup_ngram_jaccard" -> jaccardPairsSql,
+    "q42_dedup_minhash_lsh" -> jaccardPairsSql,
+    "q43_dedup_simhash" -> simhashSql,
+    "q44_dedup_embedding" -> {
+      val V = VectorOps
+      s"""WITH v AS (
+         |  SELECT vec_id, ${V.sqlAsDouble("embedding")} AS e,
+         |    ${V.sqlNorm2(V.sqlAsDouble("embedding"))} AS n2
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${V.sqlDot("a.e", "b.e")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    })
+}
