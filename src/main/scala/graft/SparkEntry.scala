@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Relational, operators.Ingest, operators.Entity,
-    operators.Text, operators.Dedup, operators.Similarity)
+    operators.Text, operators.Dedup, operators.Similarity,
+    operators.MlStats, operators.Binary)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

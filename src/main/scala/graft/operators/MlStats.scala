@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{Num, QueryPack, Tables}
+import graft.functions.VectorOps
+import graft.ml.KMeans
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.F ML / stats surface — colStats, Pearson correlation, KMeans.
+  *
+  * Origin: ny_taxi/MlLibNyTaxiExamples.scala:69-87,117 (Statistics
+  * .colStats / Statistics.corr / KMeans.train on trip feature vectors).
+  * Re-expressed as single-pass DataFrame aggregates over exact
+  * scaled-integer sums: every statistic is derived from exact BIGINT /
+  * DECIMAL sums via one fixed double expression, so both engines produce
+  * bit-identical results (determinism by construction, not by tolerance).
+  */
+object MlStats extends QueryPack {
+  import Num.cents
+
+  private case class ColSpec(name: String, c: String)
+  private val statCols = Seq(
+    ColSpec("l_quantity", "l_quantity"),
+    ColSpec("l_discount", "l_discount"),
+    ColSpec("l_tax", "l_tax"))
+
+  /** Per-column min/max/mean/var_pop/nnz/L1 in one aggregate pass, then
+    * unpivoted. Cent-scaled sums and sums of squares stay exactly inside
+    * BIGINT for these bounded columns (max |cents| = 5000 -> S2 <= 1.5e13
+    * at sf0.1), so the derived doubles are deterministic. */
+  def q60Colstats(s: SparkSession, dir: String): DataFrame = {
+    val aggs = statCols.flatMap { cs =>
+      val x = cents(col(cs.c))
+      Seq(
+        count(lit(1)).as(s"${cs.name}__n"),
+        sum(when(x =!= 0, 1L).otherwise(0L)).as(s"${cs.name}__nnz"),
+        min(col(cs.c)).as(s"${cs.name}__mn"),
+        max(col(cs.c)).as(s"${cs.name}__mx"),
+        sum(x).as(s"${cs.name}__s1"),
+        sum(x * x).as(s"${cs.name}__s2"),
+        sum(abs(x)).as(s"${cs.name}__l1c"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = statCols.map { cs =>
+      val p = cs.name
+      val n = col(s"${p}__n")
+      val s1d = col(s"${p}__s1").cast("double")
+      val s2d = col(s"${p}__s2").cast("double")
+      struct(
+        lit(cs.name).as("col_name"), n.as("n"), col(s"${p}__nnz").as("nnz"),
+        col(s"${p}__mn").as("mn"), col(s"${p}__mx").as("mx"),
+        (s1d / 100.0 / n).as("mean"),
+        (((s2d - s1d * s1d / n) / n) / 10000.0).as("var_pop"),
+        (col(s"${p}__l1c") / 100.0).as("l1"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Pearson correlation of three column pairs from exact sums; the
+    * price-squared sums exceed BIGINT at scale, so those accumulate in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both cast to double with
+    * correct rounding, keeping the final expression deterministic. */
+  def q61Corr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_extendedprice", "l_discount"))
+    def dsum(e: Column): Column = sum(e.cast("decimal(38,0)")).cast("double")
+    val cols = pairs.map { case (a, b) => (a, b, cents(col(a)), cents(col(b))) }
+    val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap {
+      case ((_, _, xa, xb), i) =>
+        Seq(dsum(xa).as(s"sx_$i"), dsum(xb).as(s"sy_$i"),
+          dsum(xa * xa).as(s"sxx_$i"), dsum(xb * xb).as(s"syy_$i"),
+          dsum(xa * xb).as(s"sxy_$i"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case ((a, b, _, _), i) =>
+      val n = col("n").cast("double")
+      val (sx, sy) = (col(s"sx_$i"), col(s"sy_$i"))
+      val num = n * col(s"sxy_$i") - sx * sy
+      val den = sqrt(n * col(s"sxx_$i") - sx * sx) * sqrt(n * col(s"syy_$i") - sy * sy)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** KMeans over embeddings (k=8, 5 Lloyd iterations, deterministic
+    * seed): per-cluster size and inertia. Rows-only — float means across
+    * rows are order-dependent, so no cross-engine oracle; convergence is
+    * spec-tested in MlSpec. */
+  def q62Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+    val cents = KMeans.fit(vecs, k = 8, iters = 5)
+    KMeans.profile(vecs, cents)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q60_colstats" -> (q60Colstats _),
+    "q61_corr" -> (q61Corr _),
+    "q62_kmeans" -> (q62Kmeans _))
+
+  private val S = Num.sql
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_colstats" -> {
+      val selects = statCols.map { cs =>
+        val x = S.cents(cs.c)
+        s"""SELECT '${cs.name}' AS col_name, count(*) AS n,
+           |  CAST(sum(CASE WHEN $x <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           |  min(${cs.c}) AS mn, max(${cs.c}) AS mx,
+           |  CAST(sum($x) AS DOUBLE) / 100.0 / count(*) AS mean,
+           |  ((CAST(sum($x * $x) AS DOUBLE)
+           |    - CAST(sum($x) AS DOUBLE) * CAST(sum($x) AS DOUBLE) / count(*))
+           |   / count(*)) / 10000.0 AS var_pop,
+           |  CAST(sum(abs($x)) AS BIGINT) / 100.0 AS l1
+           |FROM lineitem""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q61_corr" -> {
+      val selects = Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount")).map { case (a, b) =>
+        val (xa, xb) = (S.cents(a), S.cents(b))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  (CAST(count(*) AS DOUBLE) * CAST(sum($xa * $xb) AS DOUBLE)
+           |     - CAST(sum($xa) AS DOUBLE) * CAST(sum($xb) AS DOUBLE))
+           |  / (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum($xa * $xa) AS DOUBLE)
+           |        - CAST(sum($xa) AS DOUBLE) * CAST(sum($xa) AS DOUBLE))
+           |     * sqrt(CAST(count(*) AS DOUBLE) * CAST(sum($xb * $xb) AS DOUBLE)
+           |        - CAST(sum($xb) AS DOUBLE) * CAST(sum($xb) AS DOUBLE))) AS corr
+           |FROM lineitem""".stripMargin
+      }
+      selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    })
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.ml.KMeans
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def vecs = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+
+  test("kmeans inertia is non-increasing across Lloyd iterations") {
+    def inertia(iters: Int): Double = {
+      val cents = KMeans.fit(vecs, k = 4, iters = iters)
+      KMeans.profile(vecs, cents).collect().map(_.getDouble(2)).sum
+    }
+    val i1 = inertia(1)
+    val i3 = inertia(3)
+    val i6 = inertia(6)
+    assert(i3 <= i1 + 1e-9, s"inertia rose: iter1=$i1 iter3=$i3")
+    assert(i6 <= i3 + 1e-9, s"inertia rose: iter3=$i3 iter6=$i6")
+  }
+
+  test("kmeans assigns every vector to a valid cluster") {
+    val n = vecs.count()
+    val prof = operators.MlStats.q62Kmeans(spark, sf).collect()
+    assert(prof.map(_.getLong(1)).sum == n)
+    assert(prof.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+  }
+
+  test("q61 correlations are in [-1, 1] and corr(x, x) would be 1") {
+    val rows = operators.MlStats.q61Corr(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+    }
+  }
+}
