@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.B stateful streaming — Structured Streaming twins of the
+  * reference's DStream jobs. Each builder takes a typed input Dataset
+  * (MemoryStream in specs, Kafka/file readStream in production — the
+  * seam is the Dataset, exactly where Spark wants it) and returns the
+  * transformed streaming Dataset.
+  *
+  * Origins (reference file:line):
+  *  - s1: ny_taxi/NyTaxiYellowTripStreaming.scala:139-161 —
+  *    updateStateByKey folding trips into a per-vendor entity with
+  *    New/Modified state. Structured Streaming calls the state function
+  *    only for keys present in the micro-batch, so Untouched entities
+  *    simply emit nothing — which is also exactly what the reference's
+  *    sink writes for them (sendEntityToKudu skips state "Untouched").
+  *  - s2: connected_car/ConnectedCarStreaming.scala:50-75 — per-VIN
+  *    profile with incremental averages, insert-vs-update flag, and the
+  *    store-seeded initial state (:217 loadOriginalKuduProfilesData →
+  *    initialRDD) mapped to flatMapGroupsWithState's initialState.
+  *  - s3: the windowed micro-batch counting every DStream job does
+  *    implicitly, as an event-time tumbling window with a watermark.
+  */
+object Streams {
+
+  // ---- s1: entity stream ----
+
+  case class OrderEvent(custkey: Long, amount: Double, status: String)
+  case class EntityState(totalTrips: Long, totalAmountC: Long, maxAmount: Double,
+      openTrips: Long, fulfilledTrips: Long)
+  case class EntityUpdate(custkey: Long, state: String, totalTrips: Long,
+      totalAmount: Double, maxAmount: Double, openTrips: Long, fulfilledTrips: Long)
+
+  private def cents(x: Double): Long = math.round(x * 100)
+
+  private def foldEntity(st: EntityState, e: OrderEvent): EntityState =
+    EntityState(
+      st.totalTrips + 1,
+      st.totalAmountC + cents(e.amount),
+      math.max(st.maxAmount, e.amount),
+      st.openTrips + (if (e.status == "O") 1 else 0),
+      st.fulfilledTrips + (if (e.status == "F") 1 else 0))
+
+  val emptyEntity: EntityState = EntityState(0L, 0L, Double.MinValue, 0L, 0L)
+
+  /** The updateStateByKey fold: New on first sight, Modified after. */
+  def updateEntity(key: Long, events: Iterator[OrderEvent],
+      gs: GroupState[EntityState]): Iterator[EntityUpdate] = {
+    val had = gs.exists
+    val st = events.foldLeft(gs.getOption.getOrElse(emptyEntity))(foldEntity)
+    gs.update(st)
+    Iterator.single(EntityUpdate(key, if (had) "Modified" else "New",
+      st.totalTrips, st.totalAmountC / 100.0, st.maxAmount,
+      st.openTrips, st.fulfilledTrips))
+  }
+
+  def entityStream(in: Dataset[OrderEvent]): Dataset[EntityUpdate] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.custkey)
+      .flatMapGroupsWithState[EntityState, EntityUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateEntity)
+  }
+
+  // ---- s2: profile stream with seeded initial state ----
+
+  case class Reading(vin: String, accel: Double, brake: Double)
+  case class Profile(n: Long, accelScore: Double, brakeScore: Double)
+  case class ProfileUpdate(vin: String, isInsert: Boolean, n: Long,
+      accelScore: Double, brakeScore: Double, maintenancePeriod: Long)
+
+  /** Incremental average, the ConnectedCarProfile.addReading fold. */
+  private def foldProfile(p: Profile, r: Reading): Profile =
+    Profile(p.n + 1,
+      (p.accelScore * p.n + r.accel) / (p.n + 1),
+      (p.brakeScore * p.n + r.brake) / (p.n + 1))
+
+  /** Derived maintenance period: aggressive profiles halve the base
+    * period (the oilReplacementPeriod rule family). */
+  private def maintenance(p: Profile): Long =
+    if (p.accelScore > 2.0 || p.brakeScore > 2.0) 2500L else 5000L
+
+  def updateProfile(vin: String, rs: Iterator[Reading],
+      gs: GroupState[Profile]): Iterator[ProfileUpdate] = {
+    val had = gs.exists
+    val p = rs.foldLeft(gs.getOption.getOrElse(Profile(0L, 0.0, 0.0)))(foldProfile)
+    gs.update(p)
+    Iterator.single(ProfileUpdate(vin, !had, p.n, p.accelScore, p.brakeScore,
+      maintenance(p)))
+  }
+
+  /** `initial` is the store-loaded profile snapshot (the reference's
+    * initialRDD from Kudu); keys present there are updates, never
+    * inserts, from the first batch on. */
+  def profileStream(in: Dataset[Reading],
+      initial: KeyValueGroupedDataset[String, Profile]): Dataset[ProfileUpdate] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.vin)
+      .flatMapGroupsWithState[Profile, ProfileUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial)(updateProfile)
+  }
+
+  // ---- s3: watermarked tumbling-window counts ----
+
+  case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)
+
+  /** Event-time tumbling window with a 1h watermark: the state store
+    * drops windows older than the watermark, so state is bounded at
+    * scale; counts and exact cent sums per (window, type). */
+  def windowedCounts(in: Dataset[TimedEvent]): Dataset[org.apache.spark.sql.Row] = {
+    in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("eventType"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("eventType"),
+        col("cnt"), col("sum_value"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{EntityUpdate, OrderEvent, Profile, ProfileUpdate, Reading, TimedEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_sink_$qn" }
+
+  test("s1 entity stream: New on first batch, Modified with accumulated totals after") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[OrderEvent]
+    val sink = nextName()
+    val q = Streams.entityStream(in.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(OrderEvent(1, 10.0, "O"), OrderEvent(1, 5.5, "F"), OrderEvent(2, 7.25, "O"))
+      q.processAllAvailable()
+      val b1 = spark.table(sink).as[EntityUpdate].collect().map(u => u.custkey -> u).toMap
+      assert(b1(1).state == "New" && b1(1).totalTrips == 2 && b1(1).totalAmount == 15.5)
+      assert(b1(1).openTrips == 1 && b1(1).fulfilledTrips == 1)
+      assert(b1(2).state == "New" && b1(2).totalAmount == 7.25)
+
+      in.addData(OrderEvent(1, 4.5, "F"))
+      q.processAllAvailable()
+      val b2 = spark.table(sink).as[EntityUpdate].collect()
+        .filter(_.state == "Modified")
+      assert(b2.length == 1)
+      val u = b2.head
+      assert(u.custkey == 1 && u.totalTrips == 3 && u.totalAmount == 20.0)
+      assert(u.maxAmount == 10.0 && u.fulfilledTrips == 2)
+    } finally q.stop()
+  }
+
+  test("s2 profile stream: store-seeded keys are updates, unseen keys are inserts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Reading]
+    val initial = Seq("X" -> Profile(2L, 1.0, 1.0)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val sink = nextName()
+    val q = Streams.profileStream(in.toDS(), initial)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Reading("X", 4.0, 1.0), Reading("Y", 3.0, 0.5))
+      q.processAllAvailable()
+      val out = spark.table(sink).as[ProfileUpdate].collect().map(u => u.vin -> u).toMap
+      // X: seeded n=2 avg 1.0 -> (1.0*2 + 4.0)/3 = 2.0
+      assert(!out("X").isInsert, "seeded key must be an update")
+      assert(out("X").n == 3 && out("X").accelScore == 2.0)
+      assert(out("Y").isInsert && out("Y").n == 1 && out("Y").accelScore == 3.0)
+      // X is not aggressive (scores at 2.0 boundary are not > 2.0); Y is
+      assert(out("X").maintenancePeriod == 5000L)
+      assert(out("Y").maintenancePeriod == 2500L)
+    } finally q.stop()
+  }
+
+  test("s3 windowed counts: tumbling hour windows with exact sums") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[TimedEvent]
+    val sink = nextName()
+    val q = Streams.windowedCounts(in.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        TimedEvent(ts(10, 5), "purchase", 1.25),
+        TimedEvent(ts(10, 55), "purchase", 2.50),
+        TimedEvent(ts(11, 10), "purchase", 4.00),
+        TimedEvent(ts(10, 30), "error", 0.75))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("win_start", "eventType", "cnt", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "purchase", 2L, 3.75),
+        ("2024-01-01 11:00:00.0", "purchase", 1L, 4.0),
+        ("2024-01-01 10:00:00.0", "error", 1L, 0.75)))
+    } finally q.stop()
+  }
+}
