@@ -1,0 +1,13 @@
+package graft
+// temporary plan-audit driver (deleted after use)
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("local[4]", 4)
+    val dir = "/root/testdata/sf0.001"
+    args.foreach { name =>
+      println(s"===== $name =====")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   * list_reduce.
   */
 object VectorOps {
-  /** Elementwise dot product of two array<double> columns. */
+  /** Elementwise dot product of two array<double> columns — the native
+    * codegen'd [[DoubleDot]] expression (identical fold semantics to the
+    * zip_with/aggregate composition, ~10x cheaper in the pair loop). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(DoubleDot(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(a),
+      org.apache.spark.sql.GraftSqlBridge.toExpression(b)))
+
+  /** Builtin-composition twin of [[dot]] (kept as the portable reference
+    * implementation; DotSpec asserts both agree bit-for-bit). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Squared L2 norm. */

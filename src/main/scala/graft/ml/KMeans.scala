@@ -30,7 +30,9 @@ object KMeans {
 
   /** Run `iters` Lloyd iterations from the deterministic seed (the k
     * lowest vec_ids). Returns final centroids. */
-  def fit(vecs: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+  def fit(vecs0: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    // each Lloyd iteration re-scans the vectors; persist once
+    val vecs = vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("e")).collect()
       .map(_.getSeq[Double](0).toArray)

@@ -251,6 +251,17 @@ object Relational extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  /** rows-only: the 100 TB percentile path — approx_percentile is a
+    * partial-aggregable sketch (one pass, no sort, no wide shuffle);
+    * exact q16 stays as the oracle tier. */
+  def q16bApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
+      .orderBy(col("l_returnflag"))
+
   def q17ConditionalCounters(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -300,6 +311,7 @@ object Relational extends QueryPack {
     "q14_union_all" -> (q14UnionAll _),
     "q15_cube_rollup" -> (q15CubeRollup _),
     "q16_percentiles" -> (q16Percentiles _),
+    "q16b_approx_quantiles" -> (q16bApproxQuantiles _),
     "q17_conditional_counters" -> (q17ConditionalCounters _),
     "q18_minmax_by" -> (q18MinmaxBy _))
 

@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryPack {
   import VectorOps._
 
-  /** (vec_id, label, e: array<double>, n2). */
+  /** (vec_id, label, e: array<double>, n2). Persisted: every §2.E query
+    * reuses the decoded vectors several times (query side, candidate
+    * side, rescoring); Spark's CacheManager dedupes the identical plans
+    * into one cache entry. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
       .withColumn("n2", norm2(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     vecs(s, dir).filter(col("vec_id") === 0)
