@@ -14,6 +14,7 @@ object Engine {
     val s = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  /** Naive reference: all-pairs Jaccard on the driver (sf0.001 is small). */
+  private def naivePairs(threshold: Double): Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').sliding(3).map(_.mkString(" ")).toSet)
+    (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  test("q41 prefix-filtered pairs equal naive all-pairs Jaccard (losslessness)") {
+    val got = operators.Dedup.q41DedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naivePairs(0.6), "PPJoin prefix filter lost or invented pairs")
+    assert(got.nonEmpty, "no near-dup pairs at sf0.001 — spec is vacuous")
+  }
+
+  test("q42 minhash-LSH recovers the exact near-dup pairs") {
+    val exact = naivePairs(0.6)
+    val lsh = operators.Dedup.q42DedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH diverged: missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("q43 banded simhash candidates equal the all-pairs hamming filter") {
+    // independent recomputation of the simhash pairs via the same portable
+    // hash, driver-side, to pin the pigeonhole-completeness claim
+    val th = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(TextOps.toks(lower(col("text"))), t => TextOps.polyHash61(t)).as("th"))
+    val sims = th.select(col("doc_id"), col("th")).collect().map { r =>
+      val hs = r.getSeq[Long](1)
+      var sim = 0L
+      for (b <- 0 until 48) {
+        val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (s >= 0) sim |= (1L << b)
+      }
+      r.getLong(0) -> sim
+    }
+    val expected = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = operators.Dedup.q43DedupSimhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+}
