@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * trip feature vectors).
   */
 object KMeans {
-  /** Squared L2 distance between a vector column and a literal centroid. */
-  private def sqDist(e: Column, c: Array[Double]): Column =
-    aggregate(zip_with(e, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Squared L2 distance between a vector column and a literal centroid,
+    * via ||e||^2 + ||c||^2 - 2 e.c with the native codegen'd dot — one
+    * tight loop per centroid instead of a zipped-array fold. ||e||^2 is
+    * shared across all k distances (argmin is invariant to it but keeping
+    * it makes the profile() inertia a true squared distance). */
+  private def sqDist(e: Column, c: Array[Double]): Column = {
+    val cc = c.map(x => x * x).sum
+    graft.functions.VectorOps.norm2(e) + lit(cc) -
+      lit(2.0) * graft.functions.VectorOps.dot(e, array(c.map(lit): _*))
+  }
 
   /** Deterministic argmin over k centroids (ties -> lowest cluster id). */
   def assignExpr(e: Column, cents: Array[Array[Double]]): Column = {

@@ -86,6 +86,7 @@ object Dedup extends QueryPack {
           .as("pref"))
       .select(col("doc_id"), explode(col("pref")).as("p"))
       .select(col("doc_id"), col("p.s").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -118,7 +119,10 @@ object Dedup extends QueryPack {
     val bandKeys = array((0 until 42).map { j =>
       xxhash64(sig(3 * j), sig(3 * j + 1), sig(3 * j + 2), lit(j))
     }: _*)
+    // persist the tiny (doc_id, band) relation: the self-join would
+    // otherwise evaluate the 126-signature pipeline once per side
     val bands = d.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
