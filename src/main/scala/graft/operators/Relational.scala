@@ -262,6 +262,22 @@ object Relational extends QueryPack {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Skew-safe aggregation: a groupBy on a handful of hot keys (event
+    * types here) funnels every row of a hot key through one reducer at
+    * 100 TB. Salting splits each hot key into 32 deterministic sub-keys
+    * (partial aggregate), then the tiny salted result re-aggregates on
+    * the real key — the classic two-phase skew pattern, on top of the
+    * map-side combine Spark already does. Result is identical to the
+    * direct groupBy (the oracle states it directly). */
+  def q24SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(32)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum(cents(col("value"))).as("vc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("cnt"), (sum(col("vc")) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+
   def q17ConditionalCounters(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
@@ -312,6 +328,7 @@ object Relational extends QueryPack {
     "q15_cube_rollup" -> (q15CubeRollup _),
     "q16_percentiles" -> (q16Percentiles _),
     "q16b_approx_quantiles" -> (q16bApproxQuantiles _),
+    "q24_salted_agg" -> (q24SaltedAgg _),
     "q17_conditional_counters" -> (q17ConditionalCounters _),
     "q18_minmax_by" -> (q18MinmaxBy _))
 
@@ -430,6 +447,9 @@ object Relational extends QueryPack {
         |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
         |  FROM lineitem) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_salted_agg" ->
+      s"""SELECT event_type, count(*) AS cnt, ${S.moneySum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_conditional_counters" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt,

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.streaming.Streams.EntityUpdate
+import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+
+/** Keyed upsert sink: the store side of ingest→process→store.
+  *
+  * Reference origin: ny_taxi/NyTaxiYellowTripStreaming.scala:214-266
+  * sendEntityToKudu (newInsert for New, newUpdate for Modified) and the
+  * kudu client session around it. Kudu is replaced by a parquet "store"
+  * directory maintained through Structured Streaming's foreachBatch:
+  * every micro-batch's entity updates are merged into the store by key,
+  * newest state wins (the stream emits full merged entities, so the merge
+  * is a keyed replace — idempotent per batch, safe under foreachBatch's
+  * at-least-once replay).
+  *
+  * At scale the store write would target a table format with real upsert
+  * (the merge below is the same plan those formats run: full-outer keyed
+  * anti/replace). The store is re-written per batch here because plain
+  * parquet has no row-level update — the merge itself is the operator
+  * under test.
+  */
+object UpsertSink {
+
+  /** Merge one micro-batch of entity updates into the parquet store. */
+  def mergeBatch(batch: Dataset[EntityUpdate], storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch.toDF()
+      .select(col("custkey"), col("totalTrips"), col("totalAmount"),
+        col("maxAmount"), col("openTrips"), col("fulfilledTrips"))
+    val existing =
+      try spark.read.parquet(storeDir)
+      catch { case _: Throwable => null } // first batch: no store yet
+    val merged =
+      if (existing == null) incoming
+      else existing.join(incoming.select(col("custkey")).distinct(),
+          Seq("custkey"), "left_anti") // keep untouched keys
+        .unionByName(incoming)         // replace touched keys with new state
+    // write to a tmp dir then swap: the source of the read above must not
+    // be clobbered mid-job
+    val tmp = storeDir + "_tmp"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(storeDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Attach the upsert sink to an entity-update stream. */
+  def writeTo(updates: Dataset[EntityUpdate], storeDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val w: DataStreamWriter[EntityUpdate] = updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[EntityUpdate], _: Long) =>
+        mergeBatch(batch, storeDir))
+    w.start()
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.streaming.{Streams, UpsertSink}
+import graft.streaming.Streams.OrderEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class UpsertSinkSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("foreachBatch upsert store holds the latest merged entity per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_store_").toString
+    val store = s"$base/entities"
+    val ckpt = s"$base/ckpt"
+    val in = MemoryStream[OrderEvent]
+    val q = UpsertSink.writeTo(Streams.entityStream(in.toDS()), store, ckpt)
+    try {
+      in.addData(OrderEvent(1, 10.0, "O"), OrderEvent(2, 3.0, "F"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(store).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after1 == Map(1L -> 1L, 2L -> 1L)) // one trip each
+
+      in.addData(OrderEvent(1, 6.0, "F"), OrderEvent(3, 1.0, "P"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(store)
+        .select("custkey", "totalTrips", "totalAmount").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // key 1 updated in place (2 trips, 16.0), key 2 untouched, key 3 inserted
+      assert(after2 == Map(
+        1L -> (2L, 16.0), 2L -> (1L, 3.0), 3L -> (1L, 1.0)))
+    } finally q.stop()
+  }
+}
