@@ -32,7 +32,37 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Map[String, Q] = Map("q70_binary_meta" -> (q70BinaryMeta _))
+  /** Typed partition-batched decode seam — the Scala analog of a
+    * mapInPandas media decoder: binary payloads stream through
+    * mapPartitions in partition-sized batches, the decoder emits a
+    * fixed-shape feature vector per item. The decoder body is a STUB
+    * (deterministic bytes -> 8 floats; a real one would call an image/
+    * audio library unavailable in this environment) but the plumbing —
+    * schema, encoders, partitioning, batch iteration — is the real
+    * production shape. Rows-only (spec-checked for shape/determinism). */
+  def q71BinaryDecodeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          // STUB decode: deterministic per-byte-stride means, not a real codec
+          val features = Array.tabulate(8) { i =>
+            var acc = 0L; var j = i
+            while (j < bytes.length) { acc += bytes(j) & 0xFF; j += 8 }
+            (acc.toDouble / math.max(1, (bytes.length + 7 - i) / 8)).toFloat
+          }
+          (id, bytes.length.toLong, features)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "features")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q70_binary_meta" -> (q70BinaryMeta _),
+    "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _))
 
   val oracleSql: Map[String, String] = Map(
     "q70_binary_meta" ->

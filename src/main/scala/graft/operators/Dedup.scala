@@ -184,6 +184,46 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dup-cluster resolution: the step after pair detection — connect the
+    * near-dup pairs into clusters and elect a canonical doc (min id) per
+    * cluster, so a pipeline can keep one representative. Iterative
+    * min-label propagation over the (tiny) verified edge list: labels
+    * converge in diameter iterations (dup clusters are pairs/triples, so
+    * 2-4 rounds); each round is one partial-aggregable join+min, the
+    * driver only checks the converged count. Docs outside any pair map to
+    * themselves. */
+  def q45DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q42DedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
+      val next = labels.join(prop, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("lbl", "canonical_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracle SQL ----
 
   private val sqlToks = "string_split(lower(text), ' ')"
@@ -220,7 +260,8 @@ object Dedup extends QueryPack {
     "q41_dedup_ngram_jaccard" -> (q41DedupNgramJaccard _),
     "q42_dedup_minhash_lsh" -> (q42DedupMinhashLsh _),
     "q43_dedup_simhash" -> (q43DedupSimhash _),
-    "q44_dedup_embedding" -> (q44DedupEmbedding _))
+    "q44_dedup_embedding" -> (q44DedupEmbedding _),
+    "q45_dup_clusters" -> (q45DupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -232,6 +273,24 @@ object Dedup extends QueryPack {
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q41_dedup_ngram_jaccard" -> jaccardPairsSql,
     "q42_dedup_minhash_lsh" -> jaccardPairsSql,
+    "q45_dup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($sqlShingleSets),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $jacT),
+         |edges(a, b) AS (
+         |  SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(s, t) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+         |lbl AS (SELECT s AS doc_id, min(t) AS mn FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(l.mn, d.doc_id)) AS canonical_id
+         |FROM documents d LEFT JOIN lbl l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q43_dedup_simhash" -> simhashSql,
     "q44_dedup_embedding" -> {
       val V = VectorOps
