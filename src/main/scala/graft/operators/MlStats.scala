@@ -97,10 +97,40 @@ object MlStats extends QueryPack {
     KMeans.profile(vecs, cents)
   }
 
+  /** Depth-2 greedy decision tree on lineitem features predicting the
+    * "returned" flag — the MlLibNyTaxiExamples decision-tree classifier,
+    * DataFrame-native (split search = one aggregate pass per node; the
+    * driver holds split statistics only). Output: the node table plus
+    * training accuracy vs the majority baseline. Rows-only (greedy-tree
+    * structure has no SQL oracle); MlSpec asserts accuracy >= baseline. */
+  def q63DecisionTree(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.DecisionTree
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val df = Tables.lineitem(s, dir)
+      .select((col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = DecisionTree.fit(df, feats, col("y"), maxDepth = 2)
+    val acc = df.agg(
+      (sum(when(DecisionTree.predictExpr(nodes) === col("y"), 1L).otherwise(0L))
+        / count(lit(1)).cast("double")).as("acc"),
+      (greatest(sum(col("y")), count(lit(1)) - sum(col("y")))
+        / count(lit(1)).cast("double")).as("baseline"))
+      .collect().head
+    import s.implicits._
+    nodes.map(nd => (nd.id.toLong, nd.depth.toLong, Option(nd.feature),
+        nd.threshold, nd.n, nd.gini, nd.prediction.toLong,
+        acc.getDouble(0), acc.getDouble(1)))
+      .toDF("node_id", "depth", "feature", "threshold", "n", "gini",
+        "prediction", "train_acc", "majority_baseline")
+      .orderBy(col("node_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_colstats" -> (q60Colstats _),
     "q61_corr" -> (q61Corr _),
-    "q62_kmeans" -> (q62Kmeans _))
+    "q62_kmeans" -> (q62Kmeans _),
+    "q63_decision_tree" -> (q63DecisionTree _))
 
   private val S = Num.sql
 

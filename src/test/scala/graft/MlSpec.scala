@@ -30,6 +30,17 @@ class MlSpec extends AnyFunSuite {
     assert(prof.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
   }
 
+  test("q63 decision tree beats (or ties) the majority baseline on training data") {
+    val rows = operators.MlStats.q63DecisionTree(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val acc = rows.head.getDouble(7)
+    val baseline = rows.head.getDouble(8)
+    assert(acc >= baseline - 1e-12, s"tree acc $acc below majority $baseline")
+    // pre-order node table: root first, leaves have null feature
+    assert(rows.head.getLong(0) == 0L)
+    assert(rows.exists(_.isNullAt(2)), "tree has no leaves?")
+  }
+
   test("q61 correlations are in [-1, 1] and corr(x, x) would be 1") {
     val rows = operators.MlStats.q61Corr(spark, sf).collect()
     assert(rows.length == 3)
