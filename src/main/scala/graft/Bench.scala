@@ -21,8 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // Cache hygiene: several operators persist multi-pass intermediates;
+    // dropping them between queries keeps measurements independent (no
+    // cross-query cache reuse from the warm-up pass) and prevents cache
+    // pressure from skewing later queries in the run.
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
     // warm-up: every query once (also JIT-compiles shared scan/codegen paths)
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOne(fn) catch { case _: Throwable => () }
