@@ -186,39 +186,71 @@ object Dedup extends QueryPack {
 
   /** Dup-cluster resolution: the step after pair detection — connect the
     * near-dup pairs into clusters and elect a canonical doc (min id) per
-    * cluster, so a pipeline can keep one representative. Iterative
-    * min-label propagation over the (tiny) verified edge list: labels
-    * converge in diameter iterations (dup clusters are pairs/triples, so
-    * 2-4 rounds); each round is one partial-aggregable join+min, the
-    * driver only checks the converged count. Docs outside any pair map to
-    * themselves. */
-  def q45DupClusters(s: SparkSession, dir: String): DataFrame = {
+    * cluster, so a pipeline can keep one representative. Hybrid solver:
+    * the verified pair list is tiny relative to the corpus (dup rate x
+    * cluster size), so below [[DriverCcThreshold]] pairs the connected
+    * components run as driver-side union-find on the collected edges
+    * (collecting PAIRS, not data — the same small-side rule as a
+    * broadcast dim); above it, distributed iterative min-label
+    * propagation (converges in diameter rounds, each one
+    * partial-aggregable join+min). DedupSpec runs both paths and asserts
+    * identical output. Docs outside any pair map to themselves. */
+  def q45DupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir, DriverCcThreshold)
+
+  val DriverCcThreshold = 1000000L
+
+  private[graft] def dupClusters(s: SparkSession, dir: String,
+      driverThreshold: Long): DataFrame = {
     val pairs = q42DedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "dst_id"),
-          col("dst") === col("dst_id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
-      val next = labels.join(prop, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
-      rounds += 1
-    }
+    val nPairs = pairs.count()
+    val labels =
+      if (nPairs <= driverThreshold) {
+        // driver-side union-find over the edge list
+        import s.implicits._
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.collect().foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val resolved = parent.keys.map(k => (k, find(k))).toSeq
+        resolved.toDF("doc_id", "canonical_id")
+      } else {
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("lbl", col("doc_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val prop = edges
+            .join(labels.withColumnRenamed("doc_id", "dst_id"),
+              col("dst") === col("dst_id"))
+            .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
+          val next = labels.join(prop, col("doc_id") === col("src"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(col("lbl") =!= col("old")).isEmpty
+          labels = next
+          rounds += 1
+        }
+        labels.withColumnRenamed("lbl", "canonical_id")
+      }
     Tables.documents(s, dir).select(col("doc_id"))
-      .join(labels.withColumnRenamed("lbl", "canonical_id"), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
       .orderBy(col("doc_id"))

@@ -34,6 +34,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH diverged: missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("q45 driver union-find and distributed label propagation agree") {
+    val driver = operators.Dedup.dupClusters(spark, sf, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = operators.Dedup.dupClusters(spark, sf, -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(driver == dist, "hybrid CC paths diverge")
+    assert(driver.exists { case (d, c) => d != c }, "no clusters found — vacuous")
+  }
+
   test("q43 banded simhash candidates equal the all-pairs hamming filter") {
     // independent recomputation of the simhash pairs via the same portable
     // hash, driver-side, to pin the pigeonhole-completeness claim
