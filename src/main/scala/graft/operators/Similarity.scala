@@ -50,19 +50,13 @@ object Similarity extends QueryPack {
     Array.fill(72)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  private def signBit(e: Column, h: Array[Double]): Column = {
-    val hc = array(h.map(lit): _*)
-    when(dot(e, hc) >= 0, 1L).otherwise(0L)
-  }
-
-  /** 12 (table, code) keys per vector. */
+  /** 12 LSH codes per vector via the native [[graft.functions.HyperplaneCodes]]
+    * expression (the builtin composition needs ~4600 literal nodes and
+    * falls out of codegen). Join key = (array position, code). */
   private def lshCodes(e: Column): Column =
-    array((0 until 12).map { t =>
-      val code = (0 until 6).map { i =>
-        shiftleft(signBit(e, Hyperplanes(6 * t + i)), i)
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), code.as("code"))
-    }: _*)
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.HyperplaneCodes(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(e), Hyperplanes, 6))
 
   /** ANN: candidates share an LSH code with the query in >= 1 table; exact
     * cosine only on candidates (~17% of vectors for near-orthogonal data).
@@ -77,10 +71,11 @@ object Similarity extends QueryPack {
   def q51KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     val codes = v.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), explode(lshCodes(col("e"))).as("ck"))
+      .select(col("vec_id"), posexplode(lshCodes(col("e"))).as(Seq("t", "code")))
     val qCodes = queryVec(s, dir)
-      .select(explode(lshCodes(col("qe"))).as("qk"))
-    val candIds = codes.join(broadcast(qCodes), col("ck") === col("qk"))
+      .select(posexplode(lshCodes(col("qe"))).as(Seq("qt", "qcode")))
+    val candIds = codes.join(broadcast(qCodes),
+        col("t") === col("qt") && col("code") === col("qcode"))
       .select(col("vec_id")).distinct()
     v.join(candIds, Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(queryVec(s, dir)))
