@@ -112,12 +112,17 @@ object Dedup extends QueryPack {
     * miss probability of the banding for this corpus's >= 0.9 near-dups. */
   def q42DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val d = sets.withColumn("hs", transform(col("sh"), sh => xxhash64(sh)))
-    val sig: Seq[Column] = (0 until 126).map { i =>
-      array_min(transform(col("hs"), h => xxhash64(h, lit(i))))
-    }
+    // all 126 signature minima in one native compiled pass (the builtin
+    // composition is ~2.5k lambda nodes and evaluates interpreted)
+    val sigArr = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.MinhashSignature(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(
+          transform(col("sh"), sh => xxhash64(sh))), 126))
+    val d = sets.select(col("doc_id"), sigArr.as("sig"))
     val bandKeys = array((0 until 42).map { j =>
-      xxhash64(sig(3 * j), sig(3 * j + 1), sig(3 * j + 2), lit(j))
+      xxhash64(element_at(col("sig"), 3 * j + 1),
+        element_at(col("sig"), 3 * j + 2),
+        element_at(col("sig"), 3 * j + 3), lit(j))
     }: _*)
     // persist the tiny (doc_id, band) relation: the self-join would
     // otherwise evaluate the 126-signature pipeline once per side
