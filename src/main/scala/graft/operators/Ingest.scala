@@ -95,12 +95,38 @@ object Ingest extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Semi-structured payload parsing + derived kinematics: extract the
+    * JSON `k` field from event props with a schema'd from_json (pushdown-
+    * friendly, no UDF), then derive the reference's acceleration
+    * magnitude formula exactly as written —
+    * a_a = sqrt(sqrt(ax^2+ay^2)^2 + az^2)
+    * (fed_highway_admin/.../pojo/P1.scala:22, dow/hod derivation at
+    * p1Streaming.scala:101-104) with (ax, ay, az) = (value, k, value-k).
+    * Identical double expression on the oracle side. */
+  def q25JsonKinematics(s: SparkSession, dir: String): DataFrame = {
+    val schema = "k BIGINT"
+    val ax = col("value")
+    val ay = col("k").cast("double")
+    val az = col("value") - col("k").cast("double")
+    val inner = sqrt(ax * ax + ay * ay)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .getField("k").as("k"))
+      // inner*inner, not pow(inner, 2): Java's pow(x,2.0) and libm's
+      // differ by 1 ulp, a bare multiply is identical across engines
+      .select(col("event_id"), col("k"),
+        sqrt(inner * inner + az * az).as("a_a"))
+      .orderBy(col("event_id"))
+  }
+
   private val S = Num.sql
 
   val queries: Map[String, Q] = Map(
     "q19_csv_ingest" -> (q19CsvIngest _),
     "q20_sessionize" -> (q20Sessionize _),
-    "q23_search_docs" -> (q23SearchDocs _))
+    "q23_search_docs" -> (q23SearchDocs _),
+    "q25_json_kinematics" -> (q25JsonKinematics _))
 
   val oracleSql: Map[String, String] = Map(
     // Oracle states the post-tolerance semantics directly over orders:
@@ -129,6 +155,16 @@ object Ingest extends QueryPack {
          |  min(ts_us) AS start_us, max(ts_us) AS end_us,
          |  ${S.moneySum("value")} AS sum_value
          |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q25_json_kinematics" ->
+      """WITH e AS (
+        |  SELECT event_id, value, CAST(props->>'k' AS BIGINT) AS k,
+        |    sqrt(value * value
+        |      + CAST(CAST(props->>'k' AS BIGINT) AS DOUBLE)
+        |        * CAST(CAST(props->>'k' AS BIGINT) AS DOUBLE)) AS inner_m,
+        |    value - CAST(CAST(props->>'k' AS BIGINT) AS DOUBLE) AS az
+        |  FROM events)
+        |SELECT event_id, k, sqrt(inner_m * inner_m + az * az) AS a_a
+        |FROM e ORDER BY event_id""".stripMargin,
     "q23_search_docs" ->
       """SELECT CAST(user_id AS VARCHAR) || ',' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS id,
         |  event_id, user_id,
