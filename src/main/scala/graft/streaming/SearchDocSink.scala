@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Search-index sink — the SolrSupport.indexDStreamOfDocs analog
+  * (reference: common/SolrSupport.java, batch indexer with per-batch
+  * flush; doc shape from NyTaxiYellowTripStreaming.scala:185-212
+  * convertToSolRDocuments).
+  *
+  * Input contract: a streaming DataFrame with columns
+  * `ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE`.
+  * Each micro-batch is projected to search documents (synthesized id
+  * `user_id,iso_ts`, ISO-8601 second-resolution time) and written as
+  * JSON lines under `indexDir/batch_<id>/` — the seam where a
+  * production deployment plugs a search-cluster client; the projection,
+  * batching and checkpoint bookkeeping are the operator.
+  */
+object SearchDocSink {
+
+  /** Row → search-document projection (same shape as q23_search_docs). */
+  def toDocs(events: DataFrame): DataFrame = {
+    val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    events.select(
+      concat(col("user_id").cast("string"), lit(","), iso).as("id"),
+      col("user_id"), iso.as("event_time"), col("event_type"), col("value"))
+  }
+
+  def writeTo(in: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        toDocs(batch).toJSON.write.mode("overwrite")
+          .text(s"$indexDir/batch_$batchId")
+      }
+      .start()
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Streams, UpsertSink}
+import graft.streaming.{SearchDocSink, Streams, UpsertSink}
 import graft.streaming.Streams.OrderEvent
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
@@ -32,6 +32,25 @@ class UpsertSinkSpec extends AnyFunSuite {
       // key 1 updated in place (2 trips, 16.0), key 2 untouched, key 3 inserted
       assert(after2 == Map(
         1L -> (2L, 16.0), 2L -> (1L, 3.0), 3L -> (1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("search-doc sink writes ISO-8601 batch files with synthesized ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_index_").toString
+    case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+    val in = MemoryStream[(Long, String, Double)]
+    val df = in.toDS().toDF("user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56")))
+    val q = SearchDocSink.writeTo(df, s"$base/idx", s"$base/ckpt")
+    try {
+      in.addData((7L, "purchase", 1.25), (9L, "error", 0.5))
+      q.processAllAvailable()
+      val docs = spark.read.json(s"$base/idx/batch_0").collect()
+        .map(r => r.getAs[String]("id")).sorted
+      assert(docs.sameElements(Array(
+        "7,2024-03-01T12:34:56Z", "9,2024-03-01T12:34:56Z")), docs.mkString("|"))
     } finally q.stop()
   }
 }
