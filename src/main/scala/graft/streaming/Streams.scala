@@ -102,6 +102,65 @@ object Streams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout(), initial)(updateProfile)
   }
 
+  // ---- s6: timeout-closed streaming sessions ----
+
+  case class SessEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessState(startUs: Long, endUs: Long, n: Long, sumC: Long)
+  case class SessionOut(userId: Long, startUs: Long, endUs: Long, n: Long,
+      sumValue: Double, closedBy: String)
+
+  /** Streaming twin of q20's gap sessionization, and the trip-closing
+    * semantics of TripSummaryStreaming: a user's open session extends
+    * with each event; when the event-time watermark passes
+    * session_end + gap, the EventTimeTimeout fires and the closed
+    * session is emitted ("timeout"). Gaps observable inside one batch
+    * close immediately ("gap"). State is one small struct per active
+    * user and the store drops it at timeout — bounded by concurrently
+    * active users, not history. */
+  def updateSession(gapUs: Long)(userId: Long, events: Iterator[SessEvent],
+      gs: GroupState[SessState]): Iterator[SessionOut] = {
+    def out(st: SessState, why: String) =
+      SessionOut(userId, st.startUs, st.endUs, st.n, st.sumC / 100.0, why)
+    if (gs.hasTimedOut) {
+      val st = gs.get
+      gs.remove()
+      Iterator.single(out(st, "timeout"))
+    } else {
+      val sorted = events.toVector.sortBy(e => (e.ts.getTime, e.value))
+      var closed = Vector.empty[SessionOut]
+      var cur = gs.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(st) if us - st.endUs > gapUs =>
+            closed :+= out(st, "gap")
+            cur = Some(SessState(us, us, 1, cents(e.value)))
+          case Some(st) =>
+            cur = Some(SessState(st.startUs, math.max(st.endUs, us),
+              st.n + 1, st.sumC + cents(e.value)))
+          case None =>
+            cur = Some(SessState(us, us, 1, cents(e.value)))
+        }
+      }
+      cur.foreach { st =>
+        gs.update(st)
+        gs.setTimeoutTimestamp(st.endUs / 1000 + gapUs / 1000)
+      }
+      closed.iterator
+    }
+  }
+
+  def sessionStream(in: Dataset[SessEvent], gapMinutes: Int,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import in.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    in.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateSession(gapUs))
+  }
+
   // ---- s3: watermarked tumbling-window counts ----
 
   case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)

@@ -62,6 +62,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s6 session stream: sessions close by intra-batch gap and by event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{SessEvent, SessionOut}
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[SessEvent]
+    val sink = nextName()
+    val q = Streams.sessionStream(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 has two close events, then a >30min gap inside
+      // the same batch -> the first session closes immediately ("gap")
+      in.addData(SessEvent(1, ts(10, 0), 1.0), SessEvent(1, ts(10, 10), 2.0),
+        SessEvent(1, ts(12, 0), 4.0))
+      q.processAllAvailable()
+      val gapClosed = spark.table(sink).as[SessionOut].collect()
+      assert(gapClosed.length == 1)
+      assert(gapClosed.head.closedBy == "gap" && gapClosed.head.n == 2
+        && gapClosed.head.sumValue == 3.0)
+
+      // batch 2 advances the watermark far past 12:00+30min; batch 3
+      // gives the engine a batch that evaluates timeouts against it
+      in.addData(SessEvent(2, ts(15, 0), 1.0))
+      q.processAllAvailable()
+      in.addData(SessEvent(2, ts(15, 1), 1.0))
+      q.processAllAvailable()
+      val all = spark.table(sink).as[SessionOut].collect()
+      val timedOut = all.filter(_.closedBy == "timeout")
+      assert(timedOut.length == 1, all.mkString("|"))
+      assert(timedOut.head.userId == 1 && timedOut.head.n == 1
+        && timedOut.head.sumValue == 4.0)
+    } finally q.stop()
+  }
+
   test("s3 windowed counts: tumbling hour windows with exact sums") {
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
