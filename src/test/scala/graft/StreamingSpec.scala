@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("entity stream enriches against a static dim (stream-static broadcast join)") {
+    // the ConnectedCarStreaming Solr-enrich TODO, done the Spark way:
+    // stream side stays incremental, dim side is a static broadcast
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val in = MemoryStream[OrderEvent]
+    val dim = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sink = nextName()
+    val q = Streams.entityStream(in.toDS()).toDF()
+      .join(broadcast(dim), col("custkey") === col("c_custkey"), "left")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(OrderEvent(1, 10.0, "O"), OrderEvent(999999999L, 1.0, "F"))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("custkey", "state", "c_mktsegment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(rows(1L).nonEmpty, "known customer must gain a segment")
+      assert(rows(999999999L).isEmpty, "unknown key must survive the left join unenriched")
+    } finally q.stop()
+  }
+
   test("s6 session stream: sessions close by intra-batch gap and by event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams.{SessEvent, SessionOut}
