@@ -1,5 +1,8 @@
 package graft
-// temporary plan-audit driver (deleted after use)
+
+/** Plan-audit utility: `sbt "runMain graft.Explain <queryKey>..."` prints
+  * the formatted physical plan of each named query (PLANS.md is produced
+  * from this). */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("local[4]", 4)

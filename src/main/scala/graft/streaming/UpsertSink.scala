@@ -39,7 +39,8 @@ object UpsertSink {
           Seq("custkey"), "left_anti") // keep untouched keys
         .unionByName(incoming)         // replace touched keys with new state
     // write to a tmp dir then swap: the source of the read above must not
-    // be clobbered mid-job
+    // be clobbered mid-job. coalesce(1) is demo-store sizing only — a
+    // production store keeps its partitioning (or a real upsert format).
     val tmp = storeDir + "_tmp"
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
