@@ -261,6 +261,28 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Split decontamination: near-dup pairs that CROSS the train/val
+    * boundary (the q35 deterministic split) — the documents a training
+    * pipeline must evict from one side before evaluation means anything.
+    * Composes the LSH near-dup detection with the portable split
+    * assignment; both are oracle-reproducible, so the leak list is
+    * hash-checked end to end. */
+  def q46Contamination(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
+    val split = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    q42DedupMinhashLsh(s, dir)
+      .join(split.select(col("doc_id"), col("split").as("split_a")),
+        col("id_a") === col("doc_id")).drop("doc_id")
+      .join(split.select(col("doc_id"), col("split").as("split_b")),
+        col("id_b") === col("doc_id")).drop("doc_id")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"), col("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- oracle SQL ----
 
   private val sqlToks = "string_split(lower(text), ' ')"
@@ -298,7 +320,8 @@ object Dedup extends QueryPack {
     "q42_dedup_minhash_lsh" -> (q42DedupMinhashLsh _),
     "q43_dedup_simhash" -> (q43DedupSimhash _),
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
-    "q45_dup_clusters" -> (q45DupClusters _))
+    "q45_dup_clusters" -> (q45DupClusters _),
+    "q46_contamination" -> (q46Contamination _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -329,6 +352,25 @@ object Dedup extends QueryPack {
          |FROM documents d LEFT JOIN lbl l USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "q43_dedup_simhash" -> simhashSql,
+    "q46_contamination" -> {
+      val h = TextOps.sqlPolyHash61("'split-salt-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH sh AS ($sqlShingleSets),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split
+         |  FROM documents)
+         |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, jac
+         |FROM p
+         |JOIN sp sa ON p.id_a = sa.doc_id
+         |JOIN sp sb ON p.id_b = sb.doc_id
+         |WHERE jac >= $jacT AND sa.split <> sb.split
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q44_dedup_embedding" -> {
       val V = VectorOps
       s"""WITH v AS (

@@ -108,6 +108,21 @@ object Text extends QueryPack {
         array_max(col("dsh")).as("max_shingle"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic hash-based train/val split — the standard "salt the
+    * id, hash, bucket" assignment every training pipeline uses so splits
+    * are stable across reruns and machines. Portable polynomial hash so
+    * the oracle reproduces the assignment exactly; 80/20 on hash mod
+    * 100. Output: per-split document counts and char volume. */
+  def q35TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
   private val T = TextOps
   private def sqlToks = "string_split(lower(text), ' ')"
   private def sqlCnt(ws: Seq[String]): String =
@@ -115,12 +130,19 @@ object Text extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q30_token_count" -> (q30TokenCount _),
+    "q35_train_split" -> (q35TrainSplit _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
     "q34_ngram_shingles" -> (q34NgramShingles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q35_train_split" -> {
+      val h = T.sqlPolyHash61("'split-salt-' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q30_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
