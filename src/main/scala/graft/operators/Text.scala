@@ -123,6 +123,24 @@ object Text extends QueryPack {
       .orderBy(col("split"))
   }
 
+  /** Pattern scrubbing — the PII-redaction pass of a training pipeline
+    * (emails, phones, ids), expressed as ordered regexp_replace rules.
+    * The synthetic corpus carries no PII, so the shipped ruleset also
+    * masks the `customer`/`value` token class to make the rewrite
+    * observable; real deployments swap the rule list. Output: redacted
+    * text plus how many spans each rule hit. */
+  def q36PatternScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val tokenRe = "\\b(customer|value)\\b"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("email_hits"),
+        regexp_count(col("text"), lit(tokenRe)).cast("long").as("token_hits"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          tokenRe, "<MASKED>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   private val T = TextOps
   private def sqlToks = "string_split(lower(text), ' ')"
   private def sqlCnt(ws: Seq[String]): String =
@@ -131,6 +149,7 @@ object Text extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q30_token_count" -> (q30TokenCount _),
     "q35_train_split" -> (q35TrainSplit _),
+    "q36_pattern_scrub" -> (q36PatternScrub _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
@@ -143,6 +162,13 @@ object Text extends QueryPack {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q36_pattern_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS email_hits,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|value)\b')) AS BIGINT) AS token_hits,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\b(customer|value)\b', '<MASKED>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
