@@ -149,11 +149,11 @@ object Dedup extends QueryPack {
     * generation (4 x 12 bits) is exactly complete by pigeonhole. */
   def q43DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val th = transform(docTokens, t => TextOps.polyHash61(t))
-    val simhash: Column = (0 until 48).map { b =>
-      val bitSum = aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one compiled pass over the token hashes instead of 48 interpreted
+    // aggregate folds (identical bit-sum semantics; see SimhashBits)
+    val simhash = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.SimhashBits(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(col("th")), 48))
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), th.as("th"))
       .select(col("doc_id"), simhash.as("sim"))
