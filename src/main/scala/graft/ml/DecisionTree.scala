@@ -3,20 +3,21 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Greedy CART-style decision tree on DataFrame aggregates.
+/** Greedy CART-style decision tree on DataFrame aggregates, trained
+  * LEVEL-WISE: one aggregate pass scores every (node, feature,
+  * threshold) candidate of the whole level at once (per-node conditional
+  * sums gated on the node's path predicate), so the number of Spark jobs
+  * is the tree depth, not the node count — the shape distributed tree
+  * learners use. The driver only ever sees split statistics, never rows.
   *
   * Reference origin: ny_taxi/MlLibNyTaxiExamples.scala (DecisionTree
-  * .trainClassifier on trip features). Spark-first re-expression: split
-  * search is ONE aggregate pass per node computing, for every candidate
-  * (feature, threshold), the left/right class counts as conditional sums
-  * — partial-aggregable, no shuffle beyond the single-row aggregate, and
-  * the driver only ever sees per-split statistics (never data rows).
-  * Candidate thresholds are feature deciles from approx_percentile.
+  * .trainClassifier on trip features). Candidate thresholds are feature
+  * deciles from approx_percentile over the full input.
   */
 object DecisionTree {
-  /** A trained node: leaf (feature == null) or internal split. */
+  /** A trained node; leftId/rightId are -1 for leaves. */
   case class Node(id: Int, depth: Int, feature: String, threshold: Double,
-      n: Long, gini: Double, prediction: Int)
+      n: Long, gini: Double, prediction: Int, leftId: Int, rightId: Int)
 
   private def gini2(pos: Double, n: Double): Double =
     if (n <= 0) 0.0 else { val p = pos / n; 2.0 * p * (1.0 - p) }
@@ -31,73 +32,69 @@ object DecisionTree {
     }.toMap
   }
 
-  /** One aggregate pass scoring every (feature, threshold) split of `df`. */
-  private def bestSplit(df: DataFrame, features: Seq[String], label: Column,
-      ths: Map[String, Seq[Double]]): Option[(String, Double, Double)] = {
-    val cands = for { f <- features; t <- ths(f) } yield (f, t)
-    if (cands.isEmpty) return None
-    val aggs = Seq(count(lit(1)).as("n"), sum(label).as("pos")) ++
-      cands.zipWithIndex.flatMap { case ((f, t), i) =>
-        Seq(
-          sum(when(col(f) <= t, 1L).otherwise(0L)).as(s"ln_$i"),
-          sum(when(col(f) <= t, label).otherwise(lit(0L))).as(s"lp_$i"))
-      }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-    val n = row.getAs[Long]("n").toDouble
-    val pos = row.getAs[Long]("pos").toDouble
-    val parent = gini2(pos, n)
-    val scored = cands.zipWithIndex.flatMap { case ((f, t), i) =>
-      val ln = row.getAs[Long](s"ln_$i").toDouble
-      val lp = row.getAs[Long](s"lp_$i").toDouble
-      val rn = n - ln
-      val rp = pos - lp
-      if (ln == 0 || rn == 0) None
-      else Some((f, t, (ln / n) * gini2(lp, ln) + (rn / n) * gini2(rp, rn)))
-    }
-    // deterministic arg-min: weighted gini, then feature name, then threshold
-    scored.sortBy { case (f, t, g) => (g, f, t) }.headOption
-      .filter { case (_, _, g) => g < parent - 1e-12 }
-  }
+  private case class Pending(id: Int, depth: Int, pred: Column)
 
-  /** Train to `maxDepth`; returns the node table (pre-order ids). */
+  /** Train to `maxDepth`, level by level. */
   def fit(df: DataFrame, features: Seq[String], label: Column,
       maxDepth: Int): Seq[Node] = {
     val ths = thresholds(df, features)
-    var nextId = 0
-    def grow(part: DataFrame, depth: Int): Seq[Node] = {
-      val id = nextId; nextId += 1
-      val r = part.agg(count(lit(1)).as("n"), sum(label).as("pos")).collect().head
-      val n = r.getAs[Long]("n")
-      val pos = r.getAs[Long]("pos")
-      val g = gini2(pos.toDouble, n.toDouble)
-      val pred = if (2 * pos >= n) 1 else 0
-      val split = if (depth >= maxDepth || g == 0.0) None
-        else bestSplit(part, features, label, ths)
-      split match {
-        case None => Seq(Node(id, depth, null, Double.NaN, n, g, pred))
-        case Some((f, t, _)) =>
-          Node(id, depth, f, t, n, g, pred) +:
-            (grow(part.filter(col(f) <= t), depth + 1) ++
-              grow(part.filter(col(f) > t), depth + 1))
+    val cands = for { f <- features; t <- ths(f) } yield (f, t)
+    val done = scala.collection.mutable.ArrayBuffer.empty[Node]
+    var frontier = List(Pending(0, 0, lit(true)))
+    var nextId = 1
+    while (frontier.nonEmpty) {
+      // ONE aggregate pass for the whole level
+      val aggs = frontier.zipWithIndex.flatMap { case (p, pi) =>
+        Seq(
+          sum(when(p.pred, 1L).otherwise(0L)).as(s"n_$pi"),
+          sum(when(p.pred, label).otherwise(0L)).as(s"pos_$pi")) ++
+          cands.zipWithIndex.flatMap { case ((f, t), ci) =>
+            Seq(
+              sum(when(p.pred && col(f) <= t, 1L).otherwise(0L)).as(s"ln_${pi}_$ci"),
+              sum(when(p.pred && col(f) <= t, label).otherwise(0L)).as(s"lp_${pi}_$ci"))
+          }
       }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      var nextFrontier = List.empty[Pending]
+      frontier.zipWithIndex.foreach { case (p, pi) =>
+        val n = row.getAs[Long](s"n_$pi")
+        val pos = row.getAs[Long](s"pos_$pi")
+        val g = gini2(pos.toDouble, n.toDouble)
+        val pred = if (2 * pos >= n) 1 else 0
+        val best =
+          if (p.depth >= maxDepth || g == 0.0) None
+          else cands.zipWithIndex.flatMap { case ((f, t), ci) =>
+            val ln = row.getAs[Long](s"ln_${pi}_$ci").toDouble
+            val lp = row.getAs[Long](s"lp_${pi}_$ci").toDouble
+            val (rn, rp) = (n - ln, pos - lp)
+            if (ln == 0 || rn == 0) None
+            else Some((f, t, (ln / n) * gini2(lp, ln) + (rn / n) * gini2(rp, rn.toDouble)))
+          }.sortBy { case (f, t, wg) => (wg, f, t) }.headOption
+            .filter { case (_, _, wg) => wg < g - 1e-12 }
+        best match {
+          case None =>
+            done += Node(p.id, p.depth, null, Double.NaN, n, g, pred, -1, -1)
+          case Some((f, t, _)) =>
+            val (l, r) = (nextId, nextId + 1)
+            nextId += 2
+            done += Node(p.id, p.depth, f, t, n, g, pred, l, r)
+            nextFrontier ::= Pending(l, p.depth + 1, p.pred && col(f) <= t)
+            nextFrontier ::= Pending(r, p.depth + 1, p.pred && col(f) > t)
+        }
+      }
+      frontier = nextFrontier.reverse
     }
-    grow(df, 0)
+    done.sortBy(_.id).toSeq
   }
 
   /** Prediction column for a trained tree (nested when-expression). */
   def predictExpr(nodes: Seq[Node]): Column = {
     val byId = nodes.map(nd => nd.id -> nd).toMap
-    // children of a pre-order node: left = id+1, right = id + 1 + size(left subtree)
-    def subtreeSize(id: Int): Int = {
-      val nd = byId(id)
-      if (nd.feature == null) 1
-      else 1 + subtreeSize(id + 1) + subtreeSize(id + 1 + subtreeSize(id + 1))
-    }
     def build(id: Int): Column = {
       val nd = byId(id)
-      if (nd.feature == null) lit(nd.prediction)
-      else when(col(nd.feature) <= nd.threshold, build(id + 1))
-        .otherwise(build(id + 1 + subtreeSize(id + 1)))
+      if (nd.leftId < 0) lit(nd.prediction)
+      else when(col(nd.feature) <= nd.threshold, build(nd.leftId))
+        .otherwise(build(nd.rightId))
     }
     build(0)
   }

@@ -120,9 +120,10 @@ object MlStats extends QueryPack {
     import s.implicits._
     nodes.map(nd => (nd.id.toLong, nd.depth.toLong, Option(nd.feature),
         nd.threshold, nd.n, nd.gini, nd.prediction.toLong,
+        nd.leftId.toLong, nd.rightId.toLong,
         acc.getDouble(0), acc.getDouble(1)))
       .toDF("node_id", "depth", "feature", "threshold", "n", "gini",
-        "prediction", "train_acc", "majority_baseline")
+        "prediction", "left_id", "right_id", "train_acc", "majority_baseline")
       .orderBy(col("node_id"))
   }
 

@@ -33,8 +33,8 @@ class MlSpec extends AnyFunSuite {
   test("q63 decision tree beats (or ties) the majority baseline on training data") {
     val rows = operators.MlStats.q63DecisionTree(spark, sf).collect()
     assert(rows.nonEmpty)
-    val acc = rows.head.getDouble(7)
-    val baseline = rows.head.getDouble(8)
+    val acc = rows.head.getDouble(9)
+    val baseline = rows.head.getDouble(10)
     assert(acc >= baseline - 1e-12, s"tree acc $acc below majority $baseline")
     // pre-order node table: root first, leaves have null feature
     assert(rows.head.getLong(0) == 0L)
