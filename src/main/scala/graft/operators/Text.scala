@@ -141,6 +141,30 @@ object Text extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-statistic quality signal: per-doc mean document-frequency of
+    * its word bigrams — the integer-exact cousin of LM-perplexity
+    * filtering (rare-bigram docs score low / unusual, boilerplate scores
+    * high). Two-pass: global bigram df (partial-aggregable groupBy),
+    * then an inverted join back to docs. All sums are integers, so the
+    * single final division is deterministic — no float-order risk. */
+  def q37BigramRarity(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("df")).as("df_sum"),
+        (sum(col("df")).cast("double") / count(lit(1))).as("mean_df"))
+      .orderBy(col("doc_id"))
+  }
+
   private val T = TextOps
   private def sqlToks = "string_split(lower(text), ' ')"
   private def sqlCnt(ws: Seq[String]): String =
@@ -150,6 +174,7 @@ object Text extends QueryPack {
     "q30_token_count" -> (q30TokenCount _),
     "q35_train_split" -> (q35TrainSplit _),
     "q36_pattern_scrub" -> (q36PatternScrub _),
+    "q37_bigram_rarity" -> (q37BigramRarity _),
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
@@ -162,6 +187,18 @@ object Text extends QueryPack {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q37_bigram_rarity" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM t),
+        |dfreq AS (SELECT bg, count(*) AS df FROM ex GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(df) AS BIGINT) AS df_sum,
+        |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+        |FROM ex JOIN dfreq USING (bg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_pattern_scrub" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS email_hits,
