@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap must match BASELINE.md's environment (48 GiB): the
+  // driver's per-round bench runs `sbt runMain` without SPARK_DRIVER_MEM,
+  // and an 8g default made persist-heavy pipelines thrash (BENCH_r02 was
+  // ~3x the measured baseline for exactly those queries).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen'd dot product over two array<double> columns.
   *
@@ -17,21 +18,42 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * the "custom Catalyst Expression over builtin composition" tradeoff
   * SURVEY §6 reserves for proven hot loops.
   *
-  * Nulls: null if either array is null (standard binary null semantics);
-  * arrays are assumed element-non-null (parquet embeddings), enforced by
-  * the cast upstream.
+  * Nulls: null if either array is null (standard binary null semantics)
+  * and null on mismatched lengths — the same answer the HOF composition
+  * gives there (zip_with pads the short side with nulls, which poisons
+  * the fold). Arrays are assumed element-non-null (parquet embeddings),
+  * enforced by the cast upstream.
   */
 case class DoubleDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must already be array<double> (callers cast; AbstractDataType
-  // is private[sql] in Spark 4, so no ExpectsInputTypes here).
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  // Reject non-array<double> inputs at analysis time: graft_dot is a SQL
+  // surface too, where un-cast arguments would otherwise surface as a
+  // runtime ClassCastException. (ExpectsInputTypes needs AbstractDataType,
+  // private[sql] in Spark 4, so the check is spelled out.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -47,12 +69,16 @@ case class DoubleDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

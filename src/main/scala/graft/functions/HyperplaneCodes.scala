@@ -55,10 +55,11 @@ case class HyperplaneCodes(child: Expression, planes: Array[Array[Double]],
       val d = ctx.freshName("d")
       val h = ctx.freshName("h")
       val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
       s"""
          |long[] $codes = new long[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
-         |  long c = 0L;
+         |  long $c = 0L;
          |  for (int $i = 0; $i < $bits; $i++) {
          |    double[] $h = $p[$t * $bits + $i];
          |    double $d = 0.0;
@@ -66,9 +67,9 @@ case class HyperplaneCodes(child: Expression, planes: Array[Array[Double]],
          |    for (int $j = 0; $j < $n; $j++) {
          |      $d += $e.getDouble($j) * $h[$j];
          |    }
-         |    if ($d >= 0) c |= (1L << $i);
+         |    if ($d >= 0) $c |= (1L << $i);
          |  }
-         |  $codes[$t] = c;
+         |  $codes[$t] = $c;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
        """.stripMargin

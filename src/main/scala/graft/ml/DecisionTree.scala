@@ -43,16 +43,20 @@ object DecisionTree {
     var frontier = List(Pending(0, 0, lit(true)))
     var nextId = 1
     while (frontier.nonEmpty) {
-      // ONE aggregate pass for the whole level
+      // ONE aggregate pass for the whole level; nodes already at maxDepth
+      // are leaves — they only need (n, pos), not the full candidate
+      // split-score block (the deepest level has the most nodes, so this
+      // cuts the widest pass from nodes x candidates to nodes x 2 cols)
       val aggs = frontier.zipWithIndex.flatMap { case (p, pi) =>
         Seq(
           sum(when(p.pred, 1L).otherwise(0L)).as(s"n_$pi"),
           sum(when(p.pred, label).otherwise(0L)).as(s"pos_$pi")) ++
-          cands.zipWithIndex.flatMap { case ((f, t), ci) =>
+          (if (p.depth >= maxDepth) Seq.empty
+           else cands.zipWithIndex.flatMap { case ((f, t), ci) =>
             Seq(
               sum(when(p.pred && col(f) <= t, 1L).otherwise(0L)).as(s"ln_${pi}_$ci"),
               sum(when(p.pred && col(f) <= t, label).otherwise(0L)).as(s"lp_${pi}_$ci"))
-          }
+          })
       }
       // chunk below spark.sql.codegen.maxFields (100): a wider aggregate
       // silently falls back to interpreted rows (measured 2x slower)

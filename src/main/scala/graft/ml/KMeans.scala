@@ -1,38 +1,29 @@
 package graft.ml
 
+import graft.functions.NearestCentroid
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's algorithm over a `(vec_id, e: array<double>)` DataFrame,
   * Spark-first: centroids are driver-held k x dim state (k rows — the
-  * legitimate "small side", like any broadcast dim), assignment is a
-  * codegen'd argmin over k squared-distance expressions, and the
-  * re-estimation is a posexplode + partial-aggregable avg per
-  * (cluster, dim). No MLlib dependency, no RDDs, no per-row driver work.
+  * legitimate "small side", like any broadcast dim), assignment is the
+  * native codegen'd [[NearestCentroid]] argmin (centroid matrix as a
+  * codegen reference object — no k x dim literal trees), and the
+  * re-estimation is one wide partial-aggregable sum per (cluster, dim):
+  * each map task reduces its rows to k partial sums before the shuffle,
+  * so the shuffle carries k rows per task regardless of input size.
+  * No MLlib dependency, no RDDs, no per-row driver work; one Spark job
+  * per Lloyd iteration.
   *
   * Reference origin: ny_taxi/MlLibNyTaxiExamples.scala:69-87 (KMeans on
   * trip feature vectors).
   */
 object KMeans {
-  /** Squared L2 distance between a vector column and a literal centroid,
-    * via ||e||^2 + ||c||^2 - 2 e.c with the native codegen'd dot — one
-    * tight loop per centroid instead of a zipped-array fold. ||e||^2 is
-    * shared across all k distances (argmin is invariant to it but keeping
-    * it makes the profile() inertia a true squared distance). */
-  private def sqDist(e: Column, c: Array[Double]): Column = {
-    val cc = c.map(x => x * x).sum
-    graft.functions.VectorOps.norm2(e) + lit(cc) -
-      lit(2.0) * graft.functions.VectorOps.dot(e, array(c.map(lit): _*))
-  }
 
-  /** Deterministic argmin over k centroids (ties -> lowest cluster id). */
-  def assignExpr(e: Column, cents: Array[Array[Double]]): Column = {
-    val dists = cents.map(c => sqDist(e, c))
-    val m = least(dists: _*)
-    dists.zipWithIndex.tail.foldLeft(when(dists.head === m, 0)) {
-      case (acc, (d, i)) => acc.when(d === m, i)
-    }.cast("int")
-  }
+  /** struct(cluster, d2) of the nearest centroid for a vector column. */
+  def assign(e: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(NearestCentroid(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(e), cents))
 
   /** Run `iters` Lloyd iterations from the deterministic seed (the k
     * lowest vec_ids). Returns final centroids. */
@@ -42,17 +33,22 @@ object KMeans {
     var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("e")).collect()
       .map(_.getSeq[Double](0).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    // element-wise sums: dim narrow aggregate columns (codegen'd, partial
+    // aggregation on the map side), not a posexplode that multiplies every
+    // row by dim before the shuffle
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("e"), i + 1)).as(s"s_$i"))
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cluster", assignExpr(col("e"), cents))
-      val next = assigned
-        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+      val next = vecs
+        .select(assign(col("e"), cents).getField("cluster").as("cluster"), col("e"))
         .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), x => x.getField("m")).as("c"))
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+        }
         .toMap
       // empty clusters keep their previous centroid
       cents = cents.zipWithIndex.map { case (old, i) => next.getOrElse(i, old) }
@@ -62,13 +58,9 @@ object KMeans {
 
   /** Per-cluster size and inertia under the given centroids. */
   def profile(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val assigned = vecs.withColumn("cluster", assignExpr(col("e"), cents))
-    val dist = cents.zipWithIndex.map { case (c, i) =>
-      when(col("cluster") === i, sqDist(col("e"), c))
-    }.reduceRight(_.otherwise(_)) // right-fold: each when-chain closed once
-    assigned.withColumn("d2", coalesce(dist, lit(0.0)))
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"))
+    vecs.select(assign(col("e"), cents).as("a"))
+      .groupBy(col("a.cluster").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("a.d2")).as("inertia"))
       .orderBy(col("cluster"))
   }
 }

@@ -39,7 +39,12 @@ object Binary extends QueryPack {
     * (deterministic bytes -> 8 floats; a real one would call an image/
     * audio library unavailable in this environment) but the plumbing —
     * schema, encoders, partitioning, batch iteration — is the real
-    * production shape. Rows-only (spec-checked for shape/determinism). */
+    * production shape.
+    *
+    * The feature vector is emitted as 8 scalar columns (f0..f7) rather
+    * than one array column: the gate's comparator sorts result columns,
+    * and array cells are unsortable there (r02 crash); scalars also make
+    * the result oracle-checkable cell by cell. */
   def q71BinaryDecodeBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -47,16 +52,18 @@ object Binary extends QueryPack {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          // STUB decode: deterministic per-byte-stride means, not a real codec
+          // STUB decode: deterministic per-byte-stride sums, not a real
+          // codec. Integer accumulators -> exact, engine-portable values.
           val features = Array.tabulate(8) { i =>
             var acc = 0L; var j = i
             while (j < bytes.length) { acc += bytes(j) & 0xFF; j += 8 }
-            (acc.toDouble / math.max(1, (bytes.length + 7 - i) / 8)).toFloat
+            acc
           }
-          (id, bytes.length.toLong, features)
+          (id, bytes.length.toLong, features(0), features(1), features(2),
+            features(3), features(4), features(5), features(6), features(7))
         }
       }
-      .toDF("doc_id", "n_bytes", "features")
+      .toDF("doc_id", "n_bytes", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
       .orderBy(col("doc_id"))
   }
 
@@ -64,7 +71,22 @@ object Binary extends QueryPack {
     "q70_binary_meta" -> (q70BinaryMeta _),
     "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _))
 
+  // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
+  // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
+  // decoder exactly (integer accumulators, so values are engine-portable).
+  private def strideSumSql(k: Int): String =
+    s"COALESCE(list_sum([CAST(('0x' || substring(h, 2*i+1, 2)) AS BIGINT) " +
+      s"for i in range(nb) if i % 8 = $k]), 0) AS f$k"
+
   val oracleSql: Map[String, String] = Map(
+    "q71_binary_decode_batch" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |  FROM documents)
+         |SELECT doc_id, nb AS n_bytes,
+         |  ${(0 until 8).map(strideSumSql).mkString(",\n  ")}
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q70_binary_meta" ->
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -86,22 +86,25 @@ object Similarity extends QueryPack {
   }
 
   /** Per-label top-3 most-similar pairs. Pair identity is encoded as
-    * id_a * 1e6 + id_b for the bounded top-k aggregate (vec_ids stay far
-    * below 1e6 at every driver SF) and decoded on output. */
+    * (id_a << 31) | id_b for the bounded top-k aggregate — exact for any
+    * vec_id below 2^31 (vs the previous *1e6 packing, which silently
+    * decoded to wrong ids past 1e6 rows), and its numeric order is the
+    * (id_a, id_b) lexicographic order, so the tie-break is unchanged. */
   def q52PairwiseTopk(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     val topk = udaf(new TopKByScore(3))
     val pairs = v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
-        (col("a.vec_id") * 1000000L + col("b.vec_id")).as("pk"),
+        (shiftleft(col("a.vec_id").cast("long"), 31)
+          .bitwiseOR(col("b.vec_id").cast("long"))).as("pk"),
         cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos"))
     pairs.groupBy(col("label"))
       .agg(topk(col("cos"), col("pk")).as("top"))
       .select(col("label"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("label"), (col("pos") + 1).cast("long").as("rk"),
-        (col("t.key") / 1000000L).cast("long").as("id_a"),
-        pmod(col("t.key"), lit(1000000L)).cast("long").as("id_b"),
+        shiftright(col("t.key"), 31).cast("long").as("id_a"),
+        col("t.key").bitwiseAND(lit((1L << 31) - 1)).cast("long").as("id_b"),
         col("t.score").as("cos"))
       .orderBy(col("label"), col("rk"))
   }
@@ -165,7 +168,7 @@ object Similarity extends QueryPack {
          |r AS (
          |  SELECT label, id_a, id_b, cos,
          |    CAST(row_number() OVER (PARTITION BY label
-         |      ORDER BY cos DESC, id_a * 1000000 + id_b) AS BIGINT) AS rk
+         |      ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rk
          |  FROM p)
          |SELECT label, rk, id_a, id_b, cos FROM r WHERE rk <= 3
          |ORDER BY label, rk""".stripMargin,

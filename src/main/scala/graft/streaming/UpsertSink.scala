@@ -30,9 +30,18 @@ object UpsertSink {
     val incoming = batch.toDF()
       .select(col("custkey"), col("totalTrips"), col("totalAmount"),
         col("maxAmount"), col("openTrips"), col("fulfilledTrips"))
-    val existing =
-      try spark.read.parquet(storeDir)
-      catch { case _: Throwable => null } // first batch: no store yet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(storeDir)
+    val old = new org.apache.hadoop.fs.Path(storeDir + "_old")
+    // Crash recovery: a previous run may have died between the two swap
+    // renames below, leaving the store only at _old. Restore it first.
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    // Only a genuinely-missing store means "first batch". Any other read
+    // failure (transient FS error, corrupt footer) must propagate: treating
+    // it as first-batch would merge incoming-only and discard every stored
+    // key on the swap below.
+    val existing = if (fs.exists(dst)) spark.read.parquet(storeDir) else null
     val merged =
       if (existing == null) incoming
       else existing.join(incoming.select(col("custkey")).distinct(),
@@ -41,13 +50,15 @@ object UpsertSink {
     // write to a tmp dir then swap: the source of the read above must not
     // be clobbered mid-job. coalesce(1) is demo-store sizing only — a
     // production store keeps its partitioning (or a real upsert format).
-    val tmp = storeDir + "_tmp"
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(storeDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "_tmp")
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Promote by renaming the current store aside first, so no point in
+    // time has zero copies: a crash leaves either dst or _old readable
+    // (foreachBatch replays the batch; the merge is idempotent).
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Attach the upsert sink to an entity-update stream. */
