@@ -26,12 +26,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap targets BASELINE.md's environment (48 GiB — an 8g default
+// made persist-heavy pipelines thrash; BENCH_r02 was ~3x baseline for
+// exactly those queries) but is clamped to ~75% of detected physical RAM
+// so smaller hosts degrade to a smaller heap instead of swap/OOM-kill.
+// SPARK_DRIVER_MEM overrides the computed default either way.
+val defaultHeapGb: Int = {
+  val physGb =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          (l.split("\\s+")(1).toLong / 1024 / 1024).toInt }
+        .getOrElse(Int.MaxValue)
+      finally src.close()
+    } catch { case _: Throwable => Int.MaxValue }
+  math.min(48, math.max(2, physGb * 3 / 4))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Default heap must match BASELINE.md's environment (48 GiB): the
-  // driver's per-round bench runs `sbt runMain` without SPARK_DRIVER_MEM,
-  // and an 8g default made persist-heavy pipelines thrash (BENCH_r02 was
-  // ~3x the measured baseline for exactly those queries).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

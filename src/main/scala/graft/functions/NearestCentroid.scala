@@ -31,18 +31,24 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     StructField("d2", DoubleType, nullable = false)))
 
   private def k: Int = cents.length
+  private def dim: Int = cents(0).length
 
   override protected def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
+    // A vector whose length differs from the centroids' is a caller bug
+    // (the centroids were estimated from these same vectors) — fail loud
+    // rather than silently truncating the distance (DoubleDot policy).
+    if (e.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"NearestCentroid: vector dim ${e.numElements()} != centroid dim $dim")
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < k) {
       val cent = cents(c)
-      val n = math.min(cent.length, e.numElements())
       var d = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         val diff = e.getDouble(i) - cent(i)
         d += diff * diff
         i += 1
@@ -63,15 +69,18 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       val d = ctx.freshName("d")
       val diff = ctx.freshName("diff")
       val cent = ctx.freshName("cent")
-      val n = ctx.freshName("n")
       s"""
+         |if ($e.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "NearestCentroid: vector dim " + $e.numElements() +
+         |    " != centroid dim " + $dim);
+         |}
          |int $best = 0;
          |double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $k; $c++) {
          |  double[] $cent = $p[$c];
-         |  int $n = java.lang.Math.min($cent.length, $e.numElements());
          |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
          |    double $diff = $e.getDouble($i) - $cent[$i];
          |    $d += $diff * $diff;
          |  }

@@ -74,9 +74,11 @@ object Binary extends QueryPack {
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
   // decoder exactly (integer accumulators, so values are engine-portable).
+  // list_sum over BIGINT returns HUGEINT (lands as float64 in the
+  // comparator) — cast back to BIGINT to hash-match Spark's LongType.
   private def strideSumSql(k: Int): String =
-    s"COALESCE(list_sum([CAST(('0x' || substring(h, 2*i+1, 2)) AS BIGINT) " +
-      s"for i in range(nb) if i % 8 = $k]), 0) AS f$k"
+    s"CAST(COALESCE(list_sum([CAST(('0x' || substring(h, 2*i+1, 2)) AS BIGINT) " +
+      s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
     "q71_binary_decode_batch" ->

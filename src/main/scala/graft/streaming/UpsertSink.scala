@@ -36,7 +36,8 @@ object UpsertSink {
     val old = new org.apache.hadoop.fs.Path(storeDir + "_old")
     // Crash recovery: a previous run may have died between the two swap
     // renames below, leaving the store only at _old. Restore it first.
-    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    if (!fs.exists(dst) && fs.exists(old))
+      require(fs.rename(old, dst), s"restore rename $old -> $dst failed")
     // Only a genuinely-missing store means "first batch". Any other read
     // failure (transient FS error, corrupt footer) must propagate: treating
     // it as first-batch would merge incoming-only and discard every stored
@@ -55,9 +56,13 @@ object UpsertSink {
     // Promote by renaming the current store aside first, so no point in
     // time has zero copies: a crash leaves either dst or _old readable
     // (foreachBatch replays the batch; the merge is idempotent).
+    // Hadoop rename/delete signal failure by returning false, not by
+    // throwing — check each result so a failed swap fails the batch and
+    // streaming replays it, instead of completing with a stale store.
     fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst))
+      require(fs.rename(dst, old), s"rename $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
     fs.delete(old, true)
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.{KafkaSource, Streams}
+import graft.streaming.KafkaSource.KafkaSourceOptions
+import graft.streaming.Streams.EntityUpdate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Kafka builder's option mapping and its value→typed-record parse
+  * path, driven file-free through MemoryStream (no connector jar or
+  * broker ships in this container; `raw` only assembles public reader
+  * options, which is what the options test pins). */
+class KafkaSourceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("options map carries brokers, subscription, offsets, rate cap") {
+    val opts = KafkaSourceOptions(
+      bootstrapServers = "broker1:9092,broker2:9092",
+      topics = Seq("orders", "orders_replay"),
+      startingOffsets = "earliest",
+      maxOffsetsPerTrigger = Some(50000L),
+      failOnDataLoss = false,
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    val m = opts.asMap
+    assert(m("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(m("subscribe") == "orders,orders_replay")
+    assert(m("startingOffsets") == "earliest")
+    assert(m("maxOffsetsPerTrigger") == "50000")
+    assert(m("failOnDataLoss") == "false")
+    assert(m("kafka.security.protocol") == "SASL_SSL")
+    // defaults: no rate cap key unless set
+    assert(!KafkaSourceOptions("b:9092", Seq("t")).asMap.contains("maxOffsetsPerTrigger"))
+  }
+
+  test("orderEvents parse: header/short/poison lines drop, empty status defaults") {
+    val lines = Seq(
+      "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderpriority", // header
+      "BAD",                                  // short line
+      "1,101,O,10.50,1-URGENT",               // clean
+      "2,102,,7.25,3-MEDIUM",                 // empty status -> "0"
+      "3,xxx,F,1.00,2-HIGH",                  // unparseable custkey -> poison, skip
+      "4,104,F,abc,2-HIGH")                   // unparseable amount -> poison, skip
+      .toDS()
+    val out = KafkaSource.orderEvents(lines).collect().sortBy(_.custkey)
+    assert(out.length == 2)
+    assert(out(0) == Streams.OrderEvent(101L, 10.50, "O"))
+    assert(out(1) == Streams.OrderEvent(102L, 7.25, "0"))
+  }
+
+  test("parse path composes with entityStream end-to-end over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sink = "kafka_entity_sink"
+    val q = Streams.entityStream(KafkaSource.orderEvents(in.toDS()))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData("1,101,O,10.00,1-URGENT", "BAD", "1,101,F,5.00,1-URGENT")
+      q.processAllAvailable()
+      val u = spark.table(sink).as[EntityUpdate].collect()
+        .find(_.custkey == 101L).get
+      assert(u.state == "New" && u.totalTrips == 2 && u.totalAmount == 15.0)
+      assert(u.openTrips == 1 && u.fulfilledTrips == 1)
+    } finally q.stop()
+  }
+}

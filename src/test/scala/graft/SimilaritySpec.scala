@@ -12,7 +12,10 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ann.nonEmpty, "LSH returned no candidates")
     val recall = (exact & ann).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall@10 too low: $recall (ann=$ann exact=$exact)")
+    // Hamming<=2 multiprobe measures 0.6 here (0.8 at sf0.1) on the
+    // near-orthogonal worst case, up from 0.2 single-probe; threshold
+    // keeps margin for the fixed-seed determinism of the testdata.
+    assert(recall >= 0.5, s"recall@10 too low: $recall (ann=$ann exact=$exact)")
   }
 
   test("q51 probes fewer vectors than brute force") {
@@ -29,6 +32,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val labels = rows.map(_.getInt(1)).toSet
     assert(labels.size <= 2, s"probe leaked outside 2 cells: $labels")
+  }
+
+  test("q52b LSH pair search retrieves planted near-duplicate pairs") {
+    // The scale path's contract is the production regime: real near-dups
+    // (cos ~1) must be retrieved with probability ~1 through the bucketed
+    // candidate join. Plant one jittered duplicate per label on top of
+    // gaussian noise and require it to surface as the label's top pair.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.fill(64)(rnd.nextGaussian())) }
+    val planted = base.take(4).map { case (id, lab, e) =>
+      (1000L + id, lab, e.map(x => x + rnd.nextGaussian() * 0.01)) }
+    val v = (base ++ planted).toDF("vec_id", "label", "e")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val top1 = operators.Similarity.pairwiseTopkLsh(v).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (0 until 4).foreach { lab =>
+      assert(top1.get(lab).contains((lab.toLong, 1000L + lab)),
+        s"label $lab top pair was ${top1.get(lab)}, expected ($lab, ${1000 + lab})")
+    }
   }
 
   test("q52 returns at most 3 ranked pairs per label, ordered") {
