@@ -165,6 +165,63 @@ object Text extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary head: corpus-wide token frequency + document frequency,
+    * top 100 by total count — the first pass of any vocab/BPE build.
+    * Two partial-aggregable shuffles (token counts, then distinct-doc
+    * counts share the same exchange) and a bounded TakeOrdered tail; tok
+    * in the tie-break makes the LIMIT cutoff deterministic. */
+  def q38VocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(100)
+
+  /** Per-document top-3 terms by tf-idf with a RATIONAL idf (tf * N / df
+    * instead of tf * ln(N/df)): libm's ln differs across engines by ulps,
+    * while integer multiply + one IEEE division is bit-identical — same
+    * ranking monotonicity, oracle-exact values. Window partitions on
+    * doc_id (high-cardinality), so the rank sort is per-doc and scales
+    * with executors. */
+  def q39TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).count()
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = ex.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Deterministic stratified sampling — rebalancing an over-represented
+    * stratum (here: lang) with per-stratum keep rates, assigned by the
+    * same salted portable hash as q35 so the sample is stable across
+    * reruns, machines and engines. Output is the per-stratum audit
+    * (total vs kept docs/chars) a curation pipeline logs. */
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.polyHash61(concat(lit("sample-salt-"), col("doc_id").cast("string")))
+    val rate = when(col("lang") === "en", 25L).otherwise(75L)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"), (pmod(h, lit(100L)) < rate).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   private val T = TextOps
   private def sqlToks = "string_split(lower(text), ' ')"
   private def sqlCnt(ws: Seq[String]): String =
@@ -178,7 +235,10 @@ object Text extends QueryPack {
     "q31_quality_score" -> (q31QualityScore _),
     "q32_lang_id" -> (q32LangId _),
     "q33_fingerprint" -> (q33Fingerprint _),
-    "q34_ngram_shingles" -> (q34NgramShingles _))
+    "q34_ngram_shingles" -> (q34NgramShingles _),
+    "q38_vocab_topk" -> (q38VocabTopk _),
+    "q39_tfidf_topterms" -> (q39TfidfTopterms _),
+    "q47_stratified_sample" -> (q47StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_train_split" -> {
@@ -245,6 +305,36 @@ object Text extends QueryPack {
     "q33_fingerprint" ->
       s"""SELECT doc_id, ${T.sqlPolyHash61("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_vocab_topk" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+         |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM ex WHERE tok <> ''
+         |GROUP BY 1 ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
+    "q39_tfidf_topterms" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |fx AS (SELECT doc_id, tok FROM ex WHERE tok <> ''),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM fx GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM fx GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT doc_id, tok, tf, df,
+         |    CAST(tf * n AS DOUBLE) / df AS score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(tf * n AS DOUBLE) / df DESC, tok) AS BIGINT) AS rk
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+         |SELECT doc_id, rk, tok, tf, df, score FROM sc
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q47_stratified_sample" -> {
+      val h = T.sqlPolyHash61("'sample-salt-' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, count(*) AS n_total,
+         |  count(CASE WHEN $h % 100 < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+         |    THEN 1 END) AS n_kept,
+         |  CAST(COALESCE(sum(CASE WHEN $h % 100 < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+         |    THEN n_chars END), 0) AS BIGINT) AS kept_chars
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q34_ngram_shingles" -> {
       val sh = T.sqlShingles3("ws")
       s"""WITH t AS (SELECT doc_id, $sqlToks AS ws FROM documents),

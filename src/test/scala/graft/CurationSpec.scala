@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators (q38/q39/q47): structural invariants the
+  * oracle's exact-hash gate cannot phrase (bounds, monotonicity,
+  * stratification semantics). */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("q38 vocab head is frequency-sorted with df <= tf and df <= corpus size") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = operators.Text.q38VocabTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val tfs = rows.map(_.getLong(1))
+    assert(tfs.sameElements(tfs.sortBy(-_)), "not sorted by tf desc")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"df > tf for ${r.getString(0)}")
+      assert(r.getLong(2) <= nDocs)
+    }
+  }
+
+  test("q39 tf-idf ranks are 1..3 per doc, scores non-increasing") {
+    val rows = operators.Text.q39TfidfTopterms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val byRk = rs.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).sameElements(1L to byRk.length))
+      val scores = byRk.map(_.getDouble(5))
+      assert(scores.sameElements(scores.sortBy(-_)), s"doc $doc scores not ranked")
+    }
+  }
+
+  test("q47 stratified sample keeps every stratum, en downsampled hardest") {
+    val rows = operators.Text.q47StratifiedSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet.contains("en"))
+    rows.foreach { case (lang, (total, kept)) =>
+      assert(kept <= total, s"$lang kept > total")
+      assert(kept > 0, s"$lang sampled to zero")
+    }
+    // en keeps ~25%, others ~75%: en's keep fraction must be the lowest
+    val fracs = rows.map { case (l, (t, k)) => l -> k.toDouble / t }
+    assert(fracs("en") == fracs.values.min,
+      s"en not the most downsampled: $fracs")
+  }
+}
