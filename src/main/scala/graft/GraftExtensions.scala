@@ -1,27 +1,81 @@
 package graft
 
-import graft.functions.DoubleDot
+import graft.functions.{DoubleDot, HyperplaneCodes, MinhashSignature, SimhashBits}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers graft's native
-  * expressions as SQL functions, so `spark.sql("... graft_dot(a, b) ...")`
-  * works for SQL-surface users exactly like the Column API
-  * ([[graft.functions.VectorOps.dot]]).
+  * expressions as SQL functions, so the SQL surface has the same
+  * sketch/similarity vocabulary as the Column API:
+  *
+  *  - `graft_dot(a, b)` — exact double dot product ([[DoubleDot]])
+  *  - `graft_minhash(hashes, k)` — k per-seed minhash minima over an
+  *    array of element hashes ([[MinhashSignature]]; k literal)
+  *  - `graft_simhash(hashes, bits)` — bit-majority simhash over an
+  *    array of element hashes ([[SimhashBits]]; bits literal <= 64)
+  *  - `graft_lsh_codes(e, tables, bits, seed)` — random-hyperplane sign
+  *    codes of a double vector; the plane matrix is generated from the
+  *    (tables, bits, seed) literals, so two sessions with the same
+  *    arguments hash identically ([[HyperplaneCodes]])
   *
   * Install via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — done by
   * [[Engine.session]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DoubleDot].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DoubleDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhash takes (hashes, k)")
+        MinhashSignature(children.head, litInt(children(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_simhash takes (hashes, bits)")
+        val bits = litInt(children(1), "bits")
+        require(bits > 0 && bits <= 64, "bits must be in [1, 64]")
+        SimhashBits(children.head, bits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_codes"),
+      new ExpressionInfo(classOf[HyperplaneCodes].getName, "graft_lsh_codes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_lsh_codes takes (e, tables, bits, seed)")
+        val tables = litInt(children(1), "tables")
+        val bits = litInt(children(2), "bits")
+        val seed = litInt(children(3), "seed")
+        require(tables > 0 && bits > 0 && bits <= 64,
+          "tables must be positive, bits in [1, 64]")
+        // 64-dim planes: the corpus embedding width; a SQL caller with a
+        // different width gets exact codes anyway because the dot loop
+        // bounds itself by min(plane, vector) length.
+        val rnd = new scala.util.Random(seed)
+        val planes = Array.fill(tables * bits)(Array.fill(64)(rnd.nextGaussian()))
+        HyperplaneCodes(children.head, planes, bits)
       }))
   }
 }

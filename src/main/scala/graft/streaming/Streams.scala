@@ -161,6 +161,22 @@ object Streams {
         updateSession(gapUs))
   }
 
+  // ---- s7: streaming exact dedup at the ingest boundary ----
+
+  case class DocEvent(contentHash: Long, ts: java.sql.Timestamp, docId: Long)
+
+  /** Streaming twin of q40's exact dedup — drop re-ingested duplicates
+    * (replayed topics, double-published files) AT the ingest boundary,
+    * keyed by content hash. dropDuplicatesWithinWatermark keeps one
+    * state row per distinct hash only until the event-time watermark
+    * passes it, so state is bounded by the dedup horizon, not corpus
+    * history — the property that makes this runnable forever at 100 TB/
+    * day (an unbounded dropDuplicates would accrete state without
+    * limit). */
+  def dedupStream(in: Dataset[DocEvent], horizon: String): Dataset[DocEvent] =
+    in.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("contentHash")
+
   // ---- s3: watermarked tumbling-window counts ----
 
   case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)

@@ -12,6 +12,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("graft_minhash / graft_simhash / graft_lsh_codes are callable from SQL") {
+    val mh = spark.sql(
+      "SELECT graft_minhash(array(xxhash64('a'), xxhash64('b')), 4) AS sig")
+      .collect().head.getSeq[Long](0)
+    assert(mh.length == 4)
+    // each signature slot is the min over the re-keyed element hashes —
+    // deterministic, so a second evaluation is identical
+    val mh2 = spark.sql(
+      "SELECT graft_minhash(array(xxhash64('a'), xxhash64('b')), 4) AS sig")
+      .collect().head.getSeq[Long](0)
+    assert(mh == mh2)
+
+    val sh = spark.sql(
+      "SELECT graft_simhash(array(1L, 3L, 3L), 2) AS s").collect().head.getLong(0)
+    // bit 0: values 1,1,1 -> majority 1; bit 1: 0,1,1 -> majority 1
+    assert(sh == 3L)
+
+    val codes = spark.sql(
+      "SELECT graft_lsh_codes(array(1.0d, -2.0d, 0.5d), 3, 8, 7) AS c")
+      .collect().head.getSeq[Long](0)
+    assert(codes.length == 3)
+    assert(codes.forall(c => c >= 0 && c < 256), s"codes outside 8 bits: $codes")
+  }
+
+  test("graft_lsh_codes literal-argument contract is enforced") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), cast(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("graft_dot over a table column matches the Column API") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorOps

@@ -120,6 +120,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s7 dedup stream: replayed content is dropped within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.DocEvent
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[DocEvent]
+    val sink = nextName()
+    val q = Streams.dedupStream(in.toDS(), horizon = "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct docs + one intra-batch duplicate of hash 11
+      in.addData(DocEvent(11L, ts(10, 0), 1), DocEvent(22L, ts(10, 1), 2),
+        DocEvent(11L, ts(10, 2), 3))
+      q.processAllAvailable()
+      // batch 2: a replay of hash 11 within the horizon -> dropped too
+      in.addData(DocEvent(11L, ts(10, 30), 4), DocEvent(33L, ts(10, 31), 5))
+      q.processAllAvailable()
+      val ids = spark.table(sink).as[DocEvent].collect().map(_.docId).toSet
+      assert(ids == Set(1L, 2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("s3 windowed counts: tumbling hour windows with exact sums") {
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
