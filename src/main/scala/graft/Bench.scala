@@ -47,18 +47,16 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       case None => SparkEntry.queries
     }
-    // warm-up: every query once (also JIT-compiles shared scan/codegen paths)
-    selected.foreach { case (_, fn) =>
-      try runOne(fn) catch { case _: Throwable => () }
-    }
     // A query that throws must not read as a normal (fast) timing — it is
     // timed anyway but also listed under "errors" so a regression can't
     // masquerade as a speedup in the recorded bench.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    // Best-of-N timing (default 2): the per-query minimum is the number
-    // least contaminated by co-tenant noise on this shared host while
-    // still paying every real cost (cache is cleared before each pass).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // Best-of-N timing (default 3, min reported): pass 1 doubles as the
+    // JIT/scan warm-up (the min discards it), and the per-query minimum
+    // is the number least contaminated by co-tenant noise on this shared
+    // host while still paying every real cost (cache is cleared before
+    // each pass, so every pass rebuilds its own persisted intermediates).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
