@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke test: replicate the sf0.1 documents/embeddings tables
+  * R times (distinct ids, identical content — the re-ingest/replay
+  * regime, which is also the worst case for dedup because every doc
+  * gains R-1 exact near-dups) and measure how the candidate-generation
+  * pipelines scale versus the 1x run.
+  *
+  * This is a harness main, not a gated query: the correctness gates
+  * stay on the driver's testdata; this exists to put numbers behind
+  * the "would the plan survive a big scale-up?" design claims (see
+  * SURVEY §7 scale-smoke table).
+  *
+  * `sbt "runMain graft.ScaleSmoke [replicas]"` (default 16).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(16)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_scale_${replicas}x"
+    val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Build the replicated dir once (doc_id/vec_id offset per replica).
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+
+    val keys = Seq("q30_token_count", "q38_vocab_topk", "q40_dedup_exact",
+      "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
+      "q45_dup_clusters", "q50_knn_brute", "q52b_pairwise_topk_lsh")
+
+    def time(dir: String, key: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(key)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths once, then measure
+    keys.foreach { k => time(src, k); time(dst, k) }
+    println(f"${"query"}%-26s ${"1x"}%8s ${replicas + "x"}%8s ${"ratio"}%7s")
+    keys.foreach { k =>
+      val base = math.min(time(src, k), time(src, k))
+      val big = math.min(time(dst, k), time(dst, k))
+      println(f"$k%-26s $base%8.2f $big%8.2f ${big / base}%7.1f")
+    }
+    spark.stop()
+  }
+}

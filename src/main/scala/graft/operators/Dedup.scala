@@ -57,6 +57,57 @@ object Dedup extends QueryPack {
       .orderBy(col("keep_id"))
   }
 
+  /** (doc_id, rep_id): every document mapped to the smallest doc_id
+    * sharing its exact content digest. The near-dup pipelines run on the
+    * REPRESENTATIVES only and expand pairs back over group members —
+    * lossless (identical text => identical shingle set/simhash => the
+    * rep's pair results transfer verbatim to every member), and it
+    * removes the quadratic blow-up a replay-heavy corpus otherwise
+    * feeds the pair verifiers: R exact copies of a corpus multiply
+    * candidate pairs by R^2 (measured: 16x replication sent the
+    * member-level q41 to 72x its 1x wall-clock; canonicalized, pair
+    * volume on the verify path is back to the unique-content count).
+    * On a dup-free corpus (the driver testdata) every group is a
+    * singleton and this is an identity transform — the oracles are
+    * unchanged. Same digest rule as q40 (md5 of the exact text). */
+  private def digestGroups(s: SparkSession, dir: String): DataFrame = {
+    val dg = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+    // groupBy-agg + join-back (not a window): the partial-aggregable min
+    // halves the shuffle, AQE sees the aggregated side's real size and
+    // broadcasts it when small, and the persisted result serves every
+    // reference in the query (reps + both expansion sides) at one cost.
+    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
+    dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Expand representative-level pairs (id_a, id_b, payload cols) to all
+    * member pairs, plus the within-group pairs with `withinPayload`
+    * (exact copies: jac = 1.0 / hamming = 0). `withinFilter` excludes
+    * degenerate groups whose metric is undefined (empty shingle sets:
+    * the oracle's 0/0 jaccard is NaN, which fails the threshold). */
+  private def expandPairs(repPairs: DataFrame, groups: DataFrame,
+      payload: Seq[String], withinPayload: Seq[Column],
+      withinKeep: DataFrame => DataFrame): DataFrame = {
+    val m = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    val cross = repPairs
+      .join(m.select(col("rep_id").as("ra"), col("doc_id").as("a")),
+        col("id_a") === col("ra"))
+      .join(m.select(col("rep_id").as("rb"), col("doc_id").as("b")),
+        col("id_b") === col("rb"))
+      .select(Seq(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b")) ++ payload.map(col): _*)
+    val within = withinKeep(
+      m.as("x").join(m.as("y"),
+          col("x.rep_id") === col("y.rep_id") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(Seq(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          col("x.rep_id").as("rep_id")): _*))
+      .select(Seq(col("id_a"), col("id_b")) ++ withinPayload: _*)
+    cross.unionByName(within)
+  }
+
   /** Near-dup pairs by exact shingle-set Jaccard >= 0.6, with AllPairs/
     * PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08) for candidate generation:
@@ -71,13 +122,20 @@ object Dedup extends QueryPack {
     * magnitude). Candidates are then verified with the exact Jaccard
     * over the full sets. */
   def q41DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val groups = digestGroups(s, dir)
+    val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
     // The shingle index feeds candidate generation (twice, via the
-    // self-join) and both verify joins; persist the compact per-doc set
+    // self-join) and both verify joins; persist the compact per-rep set
     // once instead of recomputing the text pipeline four times (at 100 TB
     // this intermediate is what you would checkpoint). 23s -> 4s at sf0.1.
-    val d = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // Representatives only: exact copies transfer their rep's pairs.
+    val d = shingleSets(s, dir).join(reps, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Prefix correctness needs only a consistent global shingle order;
+    // df-over-reps ascending is that order AND the candidate-minimizing
+    // heuristic.
     val prefix = ex.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
@@ -91,7 +149,7 @@ object Dedup extends QueryPack {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(d.select(col("doc_id"), col("sh").as("sh_a"), col("n").as("na")),
         col("id_a") === col("doc_id")).drop("doc_id")
       .join(d.select(col("doc_id"), col("sh").as("sh_b"), col("n").as("nb")),
@@ -100,6 +158,9 @@ object Dedup extends QueryPack {
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
       .filter(col("jac") >= jacT)
+    val nonEmpty = d.filter(col("n") > 0).select(col("doc_id").as("ne_rep"))
+    expandPairs(repPairs, groups, Seq("jac"), Seq(lit(1.0).as("jac")),
+      _.join(nonEmpty, col("rep_id") === col("ne_rep"), "left_semi"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -111,7 +172,12 @@ object Dedup extends QueryPack {
     * only. Output is identical to q41 (same threshold) up to the ~1e-15
     * miss probability of the banding for this corpus's >= 0.9 near-dups. */
   def q42DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = digestGroups(s, dir)
+    val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
+    // Representatives only (see digestGroups): signatures, banding and
+    // verification all run per unique content; member pairs expand after.
+    val sets = shingleSets(s, dir).join(reps, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // all 126 signature minima in one native compiled pass (the builtin
     // composition is ~2.5k lambda nodes and evaluates interpreted)
     val sigArr = org.apache.spark.sql.GraftSqlBridge.toColumn(
@@ -132,7 +198,7 @@ object Dedup extends QueryPack {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(sets.select(col("doc_id"), col("sh").as("sh_a"), col("n").as("na")),
         col("id_a") === col("doc_id")).drop("doc_id")
       .join(sets.select(col("doc_id"), col("sh").as("sh_b"), col("n").as("nb")),
@@ -141,6 +207,9 @@ object Dedup extends QueryPack {
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
       .filter(col("jac") >= jacT)
+    val nonEmpty = sets.filter(col("n") > 0).select(col("doc_id").as("ne_rep"))
+    expandPairs(repPairs, groups, Seq("jac"), Seq(lit(1.0).as("jac")),
+      _.join(nonEmpty, col("rep_id") === col("ne_rep"), "left_semi"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -148,13 +217,19 @@ object Dedup extends QueryPack {
     * hashes), near-dup = hamming distance <= 3. Banded candidate
     * generation (4 x 12 bits) is exactly complete by pigeonhole. */
   def q43DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val groups = digestGroups(s, dir)
+    val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
     val th = transform(docTokens, t => TextOps.polyHash61(t))
     // one compiled pass over the token hashes instead of 48 interpreted
     // aggregate folds (identical bit-sum semantics; see SimhashBits)
     val simhash = org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.SimhashBits(
         org.apache.spark.sql.GraftSqlBridge.toExpression(col("th")), 48))
+    // Representatives only: identical text => identical simhash, so
+    // exact copies would land in every band bucket together and feed the
+    // pair join R^2 duplicate work (measured 94x at 16x replication).
     val d = Tables.documents(s, dir)
+      .join(reps, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), th.as("th"))
       .select(col("doc_id"), simhash.as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both band sides + hamming reuse sim
@@ -163,12 +238,16 @@ object Dedup extends QueryPack {
         shiftright(col("sim"), 12 * j).bitwiseAND(lit(0xFFFL)).as("v"))
     }: _*)
     val bands = d.select(col("doc_id"), col("sim"), explode(bandKeys).as("bk"))
-    bands.as("a").join(bands.as("b"),
+    val repPairs = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    // exact copies have hamming 0 and always pass the threshold — no
+    // degenerate-group guard needed (unlike the 0/0 jaccard case)
+    expandPairs(repPairs, groups, Seq("hamming"),
+      Seq(lit(0L).as("hamming")), identity)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -43,6 +43,46 @@ class DedupSpec extends AnyFunSuite {
     assert(driver.exists { case (d, c) => d != c }, "no clusters found — vacuous")
   }
 
+  test("digest canonicalization is lossless on a replay-duplicated corpus") {
+    // Replicate a slice of the corpus 3x (distinct ids, identical text —
+    // the re-ingest regime the canonicalization exists for) and check
+    // q41/q42 against brute-force all-pairs jaccard over the FULL
+    // member-level corpus: cross-group pairs must expand to every member
+    // combination and within-group pairs must appear with jac = 1.0.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup_rep").toFile
+    dir.deleteOnExit()
+    val slice = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    slice.crossJoin(Seq(0L, 1L, 2L).toDF("rep"))
+      .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+
+    val docs = spark.read.parquet(dir.getAbsolutePath + "/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').sliding(3).map(_.mkString(" ")).toSet)
+    val expected = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = (sa & sb).size
+      denom = sa.size + sb.size - inter
+      if denom > 0
+      jac = inter.toDouble / denom
+      if jac >= 0.6
+    } yield (ia, ib)).toSet
+    assert(expected.exists { case (a, b) => b - a == 1000000L },
+      "replication produced no within-group pairs — vacuous")
+
+    for ((name, fn) <- Seq(
+        "q41" -> operators.Dedup.q41DedupNgramJaccard _,
+        "q42" -> operators.Dedup.q42DedupMinhashLsh _)) {
+      val got = fn(spark, dir.getAbsolutePath)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"$name on duplicated corpus: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("q43 banded simhash candidates equal the all-pairs hamming filter") {
     // independent recomputation of the simhash pairs via the same portable
     // hash, driver-side, to pin the pigeonhole-completeness claim
