@@ -216,15 +216,38 @@ object Dedup extends QueryPack {
   /** 48-bit simhash over the token multiset (portable polynomial token
     * hashes), near-dup = hamming distance <= 3. Banded candidate
     * generation (4 x 12 bits) is exactly complete by pigeonhole. */
-  def q43DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def q43DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, dir, bits = 48, bands = 4, maxHamming = 3)
+
+  /** Parametric banded-simhash near-dup pairs, exactly complete whenever
+    * `bands > maxHamming` (pigeonhole: fewer flipped bits than bands
+    * means some band is untouched, so every qualifying pair shares a
+    * band bucket).
+    *
+    * The band width is the SCALE KNOB: random-pair band collisions grow
+    * as n^2 / 2^(bits/bands), so a corpus 16x larger wants ~4 more bits
+    * per band to hold the candidate volume — q43 ships 48/4 (12-bit
+    * bands, matched by the DuckDB oracle); the 16x scale smoke's
+    * residual 9x growth is exactly this term, and a 64-bit/4-band
+    * config (16-bit bands, same pigeonhole guarantee, 16x fewer random
+    * collisions) is spec-proven complete against its own all-pairs
+    * hamming filter in DedupSpec (the wider hash changes the distances,
+    * so it is a different — finer — near-dup relation, not the same
+    * output). */
+  private[graft] def simhashPairs(s: SparkSession, dir: String,
+      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
+    require(bits % bands == 0, "bands must divide bits")
+    val bandBits = bits / bands
+    val bandMask = (1L << bandBits) - 1
     val groups = digestGroups(s, dir)
     val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
     val th = transform(docTokens, t => TextOps.polyHash61(t))
-    // one compiled pass over the token hashes instead of 48 interpreted
-    // aggregate folds (identical bit-sum semantics; see SimhashBits)
+    // one compiled pass over the token hashes instead of `bits`
+    // interpreted aggregate folds (identical bit-sum semantics)
     val simhash = org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.SimhashBits(
-        org.apache.spark.sql.GraftSqlBridge.toExpression(col("th")), 48))
+        org.apache.spark.sql.GraftSqlBridge.toExpression(col("th")), bits))
     // Representatives only: identical text => identical simhash, so
     // exact copies would land in every band bucket together and feed the
     // pair join R^2 duplicate work (measured 94x at 16x replication).
@@ -233,17 +256,17 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), th.as("th"))
       .select(col("doc_id"), simhash.as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both band sides + hamming reuse sim
-    val bandKeys = array((0 until 4).map { j =>
+    val bandKeys = array((0 until bands).map { j =>
       struct(lit(j).as("j"),
-        shiftright(col("sim"), 12 * j).bitwiseAND(lit(0xFFFL)).as("v"))
+        shiftright(col("sim"), bandBits * j).bitwiseAND(lit(bandMask)).as("v"))
     }: _*)
-    val bands = d.select(col("doc_id"), col("sim"), explode(bandKeys).as("bk"))
-    val repPairs = bands.as("a").join(bands.as("b"),
+    val bands_ = d.select(col("doc_id"), col("sim"), explode(bandKeys).as("bk"))
+    val repPairs = bands_.as("a").join(bands_.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
     // exact copies have hamming 0 and always pass the threshold — no
     // degenerate-group guard needed (unlike the 0/0 jaccard case)
     expandPairs(repPairs, groups, Seq("hamming"),

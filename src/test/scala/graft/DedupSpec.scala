@@ -83,27 +83,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("q43 banded simhash candidates equal the all-pairs hamming filter") {
-    // independent recomputation of the simhash pairs via the same portable
-    // hash, driver-side, to pin the pigeonhole-completeness claim
+  /** Driver-side all-pairs simhash filter at `bits` width — the
+    * independent recomputation the banded pipelines must match to pin
+    * the pigeonhole-completeness claim. */
+  private def bruteSimhashPairs(bits: Int): Set[(Long, Long)] = {
     val th = Tables.documents(spark, sf)
       .select(col("doc_id"),
         transform(TextOps.toks(lower(col("text"))), t => TextOps.polyHash61(t)).as("th"))
     val sims = th.select(col("doc_id"), col("th")).collect().map { r =>
       val hs = r.getSeq[Long](1)
       var sim = 0L
-      for (b <- 0 until 48) {
+      for (b <- 0 until bits) {
         val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
         if (s >= 0) sim |= (1L << b)
       }
       r.getLong(0) -> sim
     }
-    val expected = (for {
+    (for {
       (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
       if java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (ia, ib)).toSet
+  }
+
+  test("q43 banded simhash candidates equal the all-pairs hamming filter") {
     val got = operators.Dedup.q43DedupSimhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == expected)
+    assert(got == bruteSimhashPairs(48))
+  }
+
+  test("the 64-bit/4-band scale config is also pigeonhole-complete") {
+    // wider bands = the knob for larger corpora (random band collisions
+    // fall 16x); completeness must hold for that config too
+    val got = operators.Dedup.simhashPairs(spark, sf, bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteSimhashPairs(64))
   }
 }
