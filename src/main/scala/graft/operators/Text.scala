@@ -179,6 +179,22 @@ object Text extends QueryPack {
       .orderBy(col("tf").desc, col("tok"))
       .limit(100)
 
+  /** Sketch tier of q38 (the q13b/q16b pattern): exact count_distinct
+    * doubles the aggregation into an expand + two-phase distinct — at
+    * 100 TB the doc-frequency side is the cost, and an HLL++ sketch
+    * (approx_count_distinct, one mergeable sketch per token, single
+    * shuffle) is what a vocab build actually runs. Rows-only: sketch
+    * estimates are engine-specific. */
+  def q38bVocabTopkApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"),
+        approx_count_distinct(col("doc_id"), 0.02).as("df_approx"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(100)
+
   /** Per-document top-3 terms by tf-idf with a RATIONAL idf (tf * N / df
     * instead of tf * ln(N/df)): libm's ln differs across engines by ulps,
     * while integer multiply + one IEEE division is bit-identical — same
@@ -237,6 +253,7 @@ object Text extends QueryPack {
     "q33_fingerprint" -> (q33Fingerprint _),
     "q34_ngram_shingles" -> (q34NgramShingles _),
     "q38_vocab_topk" -> (q38VocabTopk _),
+    "q38b_vocab_topk_approx" -> (q38bVocabTopkApprox _),
     "q39_tfidf_topterms" -> (q39TfidfTopterms _),
     "q47_stratified_sample" -> (q47StratifiedSample _))
 

@@ -20,6 +20,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q38b sketch df tracks the exact df within HLL tolerance") {
+    val exact = operators.Text.q38VocabTopk(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = operators.Text.q38bVocabTopkApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // same tf ranking => same token set; df within the 2% HLL++ target
+    // (slack for small-cardinality bias)
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (tok, dfA) =>
+      val dfE = exact(tok).toDouble
+      assert(math.abs(dfA - dfE) / dfE <= 0.10,
+        s"token $tok: approx $dfA vs exact ${exact(tok)}")
+    }
+  }
+
   test("q39 tf-idf ranks are 1..3 per doc, scores non-increasing") {
     val rows = operators.Text.q39TfidfTopterms(spark, sf).collect()
     assert(rows.nonEmpty)
