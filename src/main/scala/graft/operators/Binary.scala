@@ -67,9 +67,42 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling over an opaque media payload: split the byte stream
+    * into fixed 64-byte "frames" (the stub stand-in for container frame
+    * boundaries — a real demuxer would emit variable-length frames from
+    * a codec library unavailable here), keep every 4th frame, and emit
+    * per-frame digests + sizes. The Spark-side shape is the real one for
+    * video/audio sampling pipelines: generate frame indices per row
+    * (posexplode over a sequence — no UDF), slice the binary column,
+    * digest per slice; output rows ~ sampled frames, partition-parallel
+    * with zero shuffles before the presentation sort. */
+  def q72FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 64
+    val every = 4
+    val bin = col("text").cast("binary")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), bin.as("payload"),
+        octet_length(bin).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("payload"), col("n_bytes"),
+        posexplode(sequence(lit(0L),
+          ceil(col("n_bytes").cast("double") / frameLen).cast("long") - 1))
+          .as(Seq("pos", "frame_idx")))
+      .filter(col("frame_idx") % every === 0)
+      // expr: functions.substring only takes literal pos; binary input
+      // slices BYTES (the media-true semantics)
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameLen + 1 as int), $frameLen)")
+          .as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_binary_meta" -> (q70BinaryMeta _),
-    "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _))
+    "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _),
+    "q72_frame_sample" -> (q72FrameSample _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -81,6 +114,24 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB has no BLOB substring; the corpus is verified pure ASCII
+    // (octet_length(encode(text)) == length(text) for every row), so
+    // char slicing on the VARCHAR equals the Spark side's byte slicing
+    // and md5(VARCHAR) hashes the same bytes.
+    "q72_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(CAST(nb AS DOUBLE) / 64) AS BIGINT))) AS frame_idx
+        |  FROM b)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+        |    AS frame_bytes,
+        |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q71_binary_decode_batch" ->
       s"""WITH b AS (
          |  SELECT doc_id, hex(encode(text)) AS h,
