@@ -304,6 +304,48 @@ object Relational extends QueryPack {
         col("top.o_totalprice").as("top_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** As-of join — the operator Spark lacks natively: every purchase
+    * event attributed to the same user's most recent click at or before
+    * it (click-to-purchase attribution). Built the SCALABLE way: union
+    * the two tagged event streams, one shuffle keyed by user, and a
+    * per-user ordered window carries the last-seen click forward
+    * (`last(..., ignoreNulls)` over unbounded-preceding..current) — the
+    * sort is per-user (high-cardinality key) and the whole join is one
+    * exchange, where the naive formulation (theta-join on
+    * `ts_click <= ts_purchase` + argmax) plans as an O(n*m)
+    * BroadcastNestedLoop. At equal timestamps the click sorts first
+    * (kind 0 < 1), giving at-or-before semantics — exactly DuckDB's
+    * native `ASOF LEFT JOIN`, which the oracle states directly. */
+  def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsTs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        col("ts_us").as("click_ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"),
+        lit(null).cast("long").as("click_ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("a_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("a_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("a_click_ts", last(col("click_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("a_click_id").as("click_id"),
+        col("a_click_value").as("click_value"),
+        (col("ts_us") - col("a_click_ts")).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- oracle SQL ----
 
   private val S = Num.sql
@@ -330,9 +372,23 @@ object Relational extends QueryPack {
     "q16b_approx_quantiles" -> (q16bApproxQuantiles _),
     "q24_salted_agg" -> (q24SaltedAgg _),
     "q17_conditional_counters" -> (q17ConditionalCounters _),
-    "q18_minmax_by" -> (q18MinmaxBy _))
+    "q18_minmax_by" -> (q18MinmaxBy _),
+    "q26_asof_join" -> (q26AsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q26_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id,
+        |    value AS click_value
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+        |  p.ts_us - c.ts_us AS lag_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
     "q1_rollup_measures" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${S.moneySum("l_quantity")} AS sum_qty,
