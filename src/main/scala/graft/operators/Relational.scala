@@ -346,6 +346,38 @@ object Relational extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Range (interval) join — every error event opens a 1-hour incident
+    * window; aggregate ALL events falling inside each window. Spark
+    * plans a raw `ts >= start AND ts < end` theta join as a nested loop,
+    * so this builds the scale shape instead: bucket time at the window
+    * length, join on the bucket key (an interval of length L overlaps at
+    * most 2 L-sized buckets, so the incident side lists its <= 2 buckets
+    * and the probe side its single bucket — candidates via ONE
+    * equi-shuffle), then apply the exact range predicate and aggregate.
+    * Candidate volume is pairs-per-bucket, not |events| x |incidents|.
+    * The oracle states the plain inequality join (DuckDB's IEJoin
+    * handles it at oracle scale). */
+  def q27RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600L * 1000000 // 1h incident window = bucket length
+    val ev = Tables.eventsTs(s, dir)
+      .select(col("event_id"), col("ts_us"), col("value"), col("event_type"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts_us").as("start_us"))
+      .select(col("incident_id"), col("start_us"),
+        explode(array_distinct(array(
+          floor(col("start_us") / winUs).cast("long"),
+          floor((col("start_us") + winUs - 1) / winUs).cast("long")))).as("bucket"))
+    val probes = ev
+      .select(col("event_id"), col("ts_us"), col("value"),
+        floor(col("ts_us") / winUs).cast("long").as("bucket"))
+    probes.join(incidents, "bucket")
+      .filter(col("ts_us") >= col("start_us") &&
+        col("ts_us") < col("start_us") + winUs)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"), Num.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("incident_id"))
+  }
+
   // ---- oracle SQL ----
 
   private val S = Num.sql
@@ -373,7 +405,8 @@ object Relational extends QueryPack {
     "q24_salted_agg" -> (q24SaltedAgg _),
     "q17_conditional_counters" -> (q17ConditionalCounters _),
     "q18_minmax_by" -> (q18MinmaxBy _),
-    "q26_asof_join" -> (q26AsofJoin _))
+    "q26_asof_join" -> (q26AsofJoin _),
+    "q27_range_join" -> (q27RangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q26_asof_join" ->
@@ -389,6 +422,17 @@ object Relational extends QueryPack {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    "q27_range_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
+         |inc AS (
+         |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us
+         |  FROM events WHERE event_type = 'error')
+         |SELECT incident_id, count(*) AS n_events,
+         |  ${S.moneySum("ev.value")} AS sum_value
+         |FROM inc JOIN ev
+         |  ON ev.ts_us >= inc.start_us AND ev.ts_us < inc.start_us + 3600000000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_rollup_measures" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${S.moneySum("l_quantity")} AS sum_qty,
