@@ -32,16 +32,28 @@ val jdk17AddOpens = Seq(
 // so smaller hosts degrade to a smaller heap instead of swap/OOM-kill.
 // SPARK_DRIVER_MEM overrides the computed default either way.
 val defaultHeapGb: Int = {
-  val physGb =
+  def readLong(path: String, pick: String => Option[Long]): Option[Long] =
     try {
-      val src = scala.io.Source.fromFile("/proc/meminfo")
-      try src.getLines()
-        .collectFirst { case l if l.startsWith("MemTotal:") =>
-          (l.split("\\s+")(1).toLong / 1024 / 1024).toInt }
-        .getOrElse(Int.MaxValue)
-      finally src.close()
-    } catch { case _: Throwable => Int.MaxValue }
-  math.min(48, math.max(2, physGb * 3 / 4))
+      val src = scala.io.Source.fromFile(path)
+      try pick(src.mkString) finally src.close()
+    } catch { case _: Throwable => None }
+  def parseLong(s: String): Option[Long] =
+    scala.util.Try(s.trim.toLong).toOption
+  // host RAM from /proc/meminfo (kB)
+  val hostGb = readLong("/proc/meminfo", s =>
+    s.split("\n").collectFirst { case l if l.startsWith("MemTotal:") =>
+      l.split("\\s+")(1).toLong / 1024 / 1024 })
+  // cgroup limit (v2 then v1) — inside a memory-limited container
+  // /proc/meminfo still shows HOST RAM, so the limit must win
+  val cgroupGb = readLong("/sys/fs/cgroup/memory.max", s =>
+      parseLong(s).map(_ / (1024L * 1024 * 1024)))
+    .orElse(readLong("/sys/fs/cgroup/memory/memory.limit_in_bytes", s =>
+      parseLong(s).map(_ / (1024L * 1024 * 1024))))
+    .filter(g => g > 0 && g < 4096) // "max"/huge sentinel = no limit
+  (hostGb.toSeq ++ cgroupGb.toSeq) match {
+    case Nil => 48 // nothing readable (e.g. macOS) — explicit default
+    case gs => math.min(48L, math.max(2L, gs.min * 3 / 4)).toInt
+  }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -12,16 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Shuffle/spill scratch on tmpfs when available: the box's root disk
-    // is shared-VM virtio whose throughput swings with co-tenant IO, and
-    // that noise lands exactly on the shuffle-heavy queries (observed as
-    // unexplained 2-10x per-query swings across otherwise-identical
-    // runs). The data is tiny relative to RAM, so tmpfs is safe here;
-    // a real cluster provisions local SSDs for the same reason.
-    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark") else None
-    }
+    val localDir = Engine.localScratchDir
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,10 +31,15 @@ object Bench {
       spark.catalog.clearCache()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    // Optional subset for local iteration: SPARK_GRAFT_QUERIES=q42,q52
+    // Optional subset for local iteration: SPARK_GRAFT_QUERIES=q42,q52.
+    // Unknown names are loud — a typo'd subset must not record an empty
+    // bench JSON that reads as a (very fast) successful run.
     val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(list) =>
-        val keep = list.split(",").map(_.trim).toSet
+        val keep = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = keep -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_QUERIES names not in SparkEntry.queries: ${unknown.mkString(", ")}")
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       case None => SparkEntry.queries
     }
@@ -56,7 +52,8 @@ object Bench {
     // is the number least contaminated by co-tenant noise on this shared
     // host while still paying every real cost (cache is cleared before
     // each pass, so every pass rebuilds its own persisted intermediates).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = math.max(1, sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to passes).map { _ =>
         val t0 = System.nanoTime()

@@ -10,6 +10,19 @@ import org.apache.spark.sql.SparkSession
   * per-environment), UTC everywhere (oracle parity).
   */
 object Engine {
+  /** Shuffle/spill scratch directory for the local harnesses: tmpfs when
+    * available (SPARK_GRAFT_LOCAL_DIR overrides). The box's root disk is
+    * shared-VM virtio whose throughput swings with co-tenant IO, and that
+    * noise lands exactly on the shuffle-heavy queries (observed as
+    * unexplained 2-10x per-query swings across otherwise-identical
+    * runs). The data is tiny relative to RAM, so tmpfs is safe here; a
+    * real cluster provisions local SSDs for the same reason. */
+  def localScratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark") else None
+    }
+
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val s = SparkSession.builder()
       .master(master)

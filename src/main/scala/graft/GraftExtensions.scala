@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long => java.lang.Math.toIntExact(l) // reject, don't truncate
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }

@@ -83,6 +83,10 @@ object Binary extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), bin.as("payload"),
         octet_length(bin).cast("long").as("n_bytes"))
+      // empty payloads yield no frames. Without the guard Spark's
+      // sequence(0, -1) would emit [0, -1] (start > stop defaults to
+      // step -1) while the oracle's range(0, 0) emits nothing.
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("payload"), col("n_bytes"),
         posexplode(sequence(lit(0L),
           ceil(col("n_bytes").cast("double") / frameLen).cast("long") - 1))

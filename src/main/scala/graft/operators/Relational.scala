@@ -331,8 +331,13 @@ object Relational extends QueryPack {
         lit(null).cast("long").as("click_id"),
         lit(null).cast("double").as("click_value"),
         lit(null).cast("long").as("click_ts_us"))
+    // click_id as the final sort key makes click-click timestamp ties
+    // deterministic (attribute the highest click id); purchases carry a
+    // null click_id, which sorts first and cannot reorder across kinds.
+    // The driver corpus has no (user, ts) ties, so the oracle's ASOF
+    // (which cannot express a tie-break) still matches exactly.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("kind"))
+      .orderBy(col("ts_us"), col("kind"), col("click_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("a_click_id", last(col("click_id"), ignoreNulls = true).over(w))

@@ -71,12 +71,16 @@ object KafkaSource {
     lines.toDF("line")
       .filter(!col("line").startsWith("o_orderkey") && length(col("line")) >= 10)
       .withColumn("f", split(col("line"), ","))
+      // a long poison line can still have too few comma fields — filter
+      // BEFORE indexing, because under ANSI f[i] out of bounds throws
+      // (and try_cast would not catch its child's error)
+      .filter(size(col("f")) >= 4)
       // try_cast, not cast: under ANSI a poison field would throw and
       // kill the streaming query; null-and-filter is the tolerant rule
       .select(
         expr("try_cast(f[1] AS BIGINT)").as("custkey"),
         expr("try_cast(f[3] AS DOUBLE)").as("amount"),
-        when(size(col("f")) < 3 || element_at(col("f"), 3) === "", "0")
+        when(element_at(col("f"), 3) === "", "0")
           .otherwise(element_at(col("f"), 3)).as("status"))
       .filter(col("custkey").isNotNull && col("amount").isNotNull)
       .as[OrderEvent]

@@ -7,15 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
+  /** Driver-side mirror of TextOps.shingles3: docs under 3 tokens have
+    * NO shingles (sliding(3) alone would emit one short window there,
+    * silently diverging from the pipeline on degenerate docs). */
+  private def shingleSet(text: String): Set[String] = {
+    val toks = text.split(' ')
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
   /** Naive reference: all-pairs Jaccard on the driver (sf0.001 is small). */
   private def naivePairs(threshold: Double): Set[(Long, Long)] = {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), lower(col("text")).as("t")).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(' ').sliding(3).map(_.mkString(" ")).toSet)
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
     (for {
       (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
       inter = (sa & sb).size
-      jac = inter.toDouble / (sa.size + sb.size - inter)
+      denom = sa.size + sb.size - inter
+      if denom > 0
+      jac = inter.toDouble / denom
       if jac >= threshold
     } yield (ia, ib)).toSet
   }
@@ -61,7 +72,7 @@ class DedupSpec extends AnyFunSuite {
 
     val docs = spark.read.parquet(dir.getAbsolutePath + "/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("t")).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(' ').sliding(3).map(_.mkString(" ")).toSet)
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
     val expected = (for {
       (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
       inter = (sa & sb).size

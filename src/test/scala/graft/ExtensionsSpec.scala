@@ -36,11 +36,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(codes.forall(c => c >= 0 && c < 256), s"codes outside 8 bits: $codes")
   }
 
-  test("graft_lsh_codes literal-argument contract is enforced") {
-    val e = intercept[Exception] {
-      spark.sql("SELECT graft_minhash(array(1L), cast(rand() * 4 AS INT))").collect()
+  test("literal-argument contracts are enforced for every sketch function") {
+    for (bad <- Seq(
+        "SELECT graft_minhash(array(1L), cast(rand() * 4 AS INT))",
+        "SELECT graft_simhash(array(1L), cast(rand() * 4 AS INT))",
+        "SELECT graft_lsh_codes(array(1.0d), 3, 8, cast(rand() * 4 AS INT))")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      assert(e.getMessage.contains("literal"), s"$bad -> ${e.getMessage}")
     }
-    assert(e.getMessage.contains("literal"), e.getMessage)
+    // out-of-int-range literals must be rejected, not truncated
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), 4294967300)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("overflow") ||
+      e.getMessage.contains("integer"), e.getMessage)
   }
 
   test("graft_dot over a table column matches the Column API") {

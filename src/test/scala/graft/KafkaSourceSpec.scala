@@ -41,7 +41,9 @@ class KafkaSourceSpec extends AnyFunSuite {
       "1,101,O,10.50,1-URGENT",               // clean
       "2,102,,7.25,3-MEDIUM",                 // empty status -> "0"
       "3,xxx,F,1.00,2-HIGH",                  // unparseable custkey -> poison, skip
-      "4,104,F,abc,2-HIGH")                   // unparseable amount -> poison, skip
+      "4,104,F,abc,2-HIGH",                   // unparseable amount -> poison, skip
+      "corrupted-payload-no-commas-here",     // long line, 1 field -> skip
+      "5,105,LONG-STATUS")                    // long line, only 3 fields -> skip
       .toDS()
     val out = KafkaSource.orderEvents(lines).collect().sortBy(_.custkey)
     assert(out.length == 2)
