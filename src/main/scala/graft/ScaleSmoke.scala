@@ -37,10 +37,23 @@ object ScaleSmoke {
       .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
       .drop("rep")
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+    // events: same users and timestamps, distinct event ids — R times the
+    // traffic per user (the growth axis that stresses the per-user
+    // windows and the as-of union)
+    spark.read.parquet(s"$src/events.parquet")
+      .crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * 100000000L)
+      .drop("rep")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
 
-    val keys = Seq("q30_token_count", "q38_vocab_topk", "q40_dedup_exact",
-      "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
-      "q45_dup_clusters", "q50_knn_brute", "q52b_pairwise_topk_lsh")
+    // q27 is intentionally absent: replicating BOTH interval and probe
+    // sides grows its OUTPUT quadratically (every incident counts every
+    // replica), so wall-clock tracks answer size, not plan quality.
+    val keys = Seq("q30_token_count", "q38_vocab_topk", "q39_tfidf_topterms",
+      "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
+      "q43_dedup_simhash", "q45_dup_clusters", "q50_knn_brute",
+      "q52b_pairwise_topk_lsh", "q20_sessionize", "q25_json_kinematics",
+      "q26_asof_join")
 
     def time(dir: String, key: String): Double = {
       spark.catalog.clearCache()
