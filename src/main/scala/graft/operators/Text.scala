@@ -221,6 +221,39 @@ object Text extends QueryPack {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Intra-document repetition signals — the Gopher repetition rules
+    * (Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    * n-gram" / "fraction in duplicated n-grams"), the quality filter that
+    * catches boilerplate and degenerate generations. Expressed on word
+    * bigrams: the share of a doc's bigram occurrences taken by its single
+    * most frequent bigram (top_frac) and by all bigrams occurring more
+    * than once (dup_frac). Unlike q37 (corpus-level document frequency)
+    * this is per-document state only: explode to (doc, bigram) counts,
+    * re-aggregate per doc — both shuffles keyed by high-cardinality
+    * doc_id and partial-aggregable, so the shape is flat at 100 TB.
+    * Docs with fewer than 2 tokens have no bigrams and are absent, in
+    * both engines. Ratios are one integer->double division each, so the
+    * doubles hash-match the oracle. */
+  def q48RepetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_cnt"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_bigrams")).as("top_frac"),
+        col("dup_cnt"),
+        (col("dup_cnt").cast("double") / col("n_bigrams")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic stratified sampling — rebalancing an over-represented
     * stratum (here: lang) with per-stratum keep rates, assigned by the
     * same salted portable hash as q35 so the sample is stable across
@@ -255,7 +288,8 @@ object Text extends QueryPack {
     "q38_vocab_topk" -> (q38VocabTopk _),
     "q38b_vocab_topk_approx" -> (q38bVocabTopkApprox _),
     "q39_tfidf_topterms" -> (q39TfidfTopterms _),
-    "q47_stratified_sample" -> (q47StratifiedSample _))
+    "q47_stratified_sample" -> (q47StratifiedSample _),
+    "q48_repetition_score" -> (q48RepetitionScore _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_train_split" -> {
@@ -352,6 +386,19 @@ object Text extends QueryPack {
          |    THEN n_chars END), 0) AS BIGINT) AS kept_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q48_repetition_score" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM t),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_cnt,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_frac,
+        |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_cnt,
+        |  CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+        |    / CAST(sum(c) AS BIGINT) AS dup_frac
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_ngram_shingles" -> {
       val sh = T.sqlShingles3("ws")
       s"""WITH t AS (SELECT doc_id, $sqlToks AS ws FROM documents),

@@ -46,6 +46,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 repetition fractions are in (0,1], top <= dup when dups exist") {
+    val rows = operators.Text.q48RepetitionScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, top, topF, dup, dupF) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))
+      assert(top >= 1 && top <= n)
+      assert(topF > 0.0 && topF <= 1.0)
+      assert(dup >= 0 && dup <= n)
+      assert(dupF >= 0.0 && dupF <= 1.0)
+      // the top bigram's occurrences are part of the duplicated mass
+      // whenever it repeats at all
+      if (top > 1) assert(dup >= top, s"doc ${r.getLong(0)}: dup $dup < top $top")
+      assert(math.abs(topF - top.toDouble / n) < 1e-12)
+      assert(math.abs(dupF - dup.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("q48 flags a degenerate repeated-bigram doc above a varied doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q48_docs").toFile
+    dir.deleteOnExit()
+    Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s", 30L),
+      (2L, "one two three four five six seven", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    val out = operators.Text.q48RepetitionScore(spark, dir.getAbsolutePath)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(byId(1L) == 1.0, "all-same-bigram doc must have dup_frac 1")
+    assert(byId(2L) == 0.0, "all-distinct-bigram doc must have dup_frac 0")
+  }
+
   test("q47 stratified sample keeps every stratum, en downsampled hardest") {
     val rows = operators.Text.q47StratifiedSample(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
