@@ -202,6 +202,61 @@ object Similarity extends QueryPack {
     topPairs(rescored)
   }
 
+  /** Integer dot product of two equal-length integer-array columns as a
+    * codegen'd builtin fold — exact (no float order concerns), so the
+    * quantized distance is bit-identical in any engine. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Scalar-quantized (8-bit) brute-force kNN — the memory-compression
+    * scan path for ANN. Brute-force cosine at 100 TB is scan-bound, so
+    * the standard production lever is shrinking the bytes scanned:
+    * per-dimension min/max over the corpus (one partial-aggregable
+    * pass), affine-quantize every component to 0..255 (4x smaller than
+    * float32, 8x smaller than the decoded doubles), and run the same
+    * top-k scan on integer dot products. Quantization error at 8 bits
+    * is ~0.4% of each dim's range, so the cosine ranking is essentially
+    * preserved (recall vs exact q50 is spec-asserted); unlike q51/q52b
+    * the result here is DETERMINISTIC, so this op is oracle-gated
+    * exactly, not rows-only: integer dots are exact, and the one float
+    * division per pair mirrors the oracle bit-for-bit.
+    *
+    * The min/max "codebook" is a 64-row aggregate kept distributed and
+    * broadcast — no driver collect. Degenerate all-zero codes guard the
+    * division (score -2.0 sorts last) identically in both engines. */
+  def q54KnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val mmx = v.select(posexplode(col("e")).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("mns"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
+      .select(transform(col("mns"), x => x.getField("mn")).as("mn"),
+        transform(col("mxs"), x => x.getField("mx")).as("mx"))
+    def quant(e: Column, mn: Column, mx: Column): Column =
+      transform(e, (x, i) => {
+        val lo = element_at(mn, i + 1)
+        val hi = element_at(mx, i + 1)
+        when(hi > lo, round((x - lo) * 255.0 / (hi - lo)).cast("long"))
+          .otherwise(lit(0L))
+      })
+    val qv = v.crossJoin(broadcast(mmx))
+      .select(col("vec_id"), quant(col("e"), col("mn"), col("mx")).as("q"))
+      .withColumn("qn2", intDot(col("q"), col("q")))
+    val qq = qv.filter(col("vec_id") === 0)
+      .select(col("q").as("cq"), col("qn2").as("cqn2"))
+    qv.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        when(col("qn2") === 0 || col("cqn2") === 0, lit(-2.0))
+          .otherwise(intDot(col("q"), col("cq")).cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("cqn2").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** IVF centroid probe: midrange centroid per label cell, query probes
     * the 2 nearest cells, exact top-10 within them. Midrange (not mean)
     * keeps the centroid order-independent → bit-exact across engines. */
@@ -244,7 +299,8 @@ object Similarity extends QueryPack {
     "q51_knn_lsh" -> (q51KnnLsh _),
     "q52_pairwise_topk" -> (q52PairwiseTopk _),
     "q52b_pairwise_topk_lsh" -> (q52bPairwiseTopkLsh _),
-    "q53_centroid_search" -> (q53CentroidSearch _))
+    "q53_centroid_search" -> (q53CentroidSearch _),
+    "q54_knn_quantized" -> (q54KnnQuantized _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_knn_brute" ->
@@ -266,6 +322,32 @@ object Similarity extends QueryPack {
          |  FROM p)
          |SELECT label, rk, id_a, id_b, cos FROM r WHERE rk <= 3
          |ORDER BY label, rk""".stripMargin,
+    "q54_knn_quantized" ->
+      s"""WITH v AS ($vSql),
+         |ex AS (
+         |  SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS val FROM v),
+         |mm AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY 1),
+         |mmx AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+         |  FROM mm),
+         |qv AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, len(e) + 1), i ->
+         |      CASE WHEN mx[i] > mn[i]
+         |        THEN CAST(round((e[i] - mn[i]) * 255.0 / (mx[i] - mn[i])) AS BIGINT)
+         |        ELSE 0 END) AS q
+         |  FROM v CROSS JOIN mmx),
+         |qn AS (
+         |  SELECT vec_id, q,
+         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
+         |  FROM qv),
+         |qq AS (SELECT q AS cq, qn2 AS cqn2 FROM qn WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  CASE WHEN qn2 = 0 OR cqn2 = 0 THEN -2.0
+         |    ELSE CAST(CAST(list_sum(list_transform(list_zip(q, cq),
+         |        p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cqn2 AS DOUBLE))) END AS qcos
+         |FROM qn CROSS JOIN qq WHERE vec_id <> 0
+         |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin,
     "q53_centroid_search" ->
       s"""WITH v AS ($vSql), q AS ($qSql),
          |ex AS (

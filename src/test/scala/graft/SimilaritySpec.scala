@@ -57,6 +57,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q54 8-bit quantized scan tracks the exact top-10 on noise") {
+    val exact = operators.Similarity.q50KnnBrute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rows = operators.Similarity.q54KnnQuantized(spark, sf).collect()
+    assert(rows.length == 10)
+    val got = rows.map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // The testdata's top-10 are near-ties (cos ~0.3 on orthogonal
+    // noise, gaps smaller than the ~0.005 quantization jitter), so set
+    // overlap is genuinely fuzzy at the boundary — 0.6 measured; the
+    // deterministic high-similarity contract is the planted test below.
+    assert(recall >= 0.5, s"quantized recall@10 too low: $recall")
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "not sorted by qcos desc")
+    assert(scores.forall(s => s >= -1.0000001 && s <= 1.0000001),
+      "quantized cosine outside [-1,1]")
+  }
+
+  test("q54 ranks a planted near-duplicate of the query first") {
+    // Production regime: anything truly similar (cos ~1) must survive
+    // quantization with its rank intact — 8-bit jitter (~0.005) cannot
+    // close a 0.7 cosine gap.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("q54_vecs").toFile
+    dir.deleteOnExit()
+    val query = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val dup = query.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+    val noise = (1 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), i % 4))
+    (Seq((0L, query, 0), (999L, dup, 1)) ++ noise)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/embeddings.parquet")
+    val top = operators.Similarity.q54KnnQuantized(spark, dir.getAbsolutePath)
+      .collect().head
+    assert(top.getLong(0) == 999L, s"planted dup not rank 1: $top")
+    assert(top.getDouble(1) > 0.99, s"planted dup qcos suspiciously low: $top")
+  }
+
   test("q52 returns at most 3 ranked pairs per label, ordered") {
     val rows = operators.Similarity.q52PairwiseTopk(spark, sf).collect()
     val byLabel = rows.groupBy(_.getInt(0))
