@@ -177,6 +177,38 @@ object Streams {
     in.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("contentHash")
 
+  // ---- s8: stream-stream interval join (NRT attribution) ----
+
+  case class ClickEv(userId: Long, clickId: Long, ts: java.sql.Timestamp)
+  case class PurchaseEv(userId: Long, purchaseId: Long,
+      ts: java.sql.Timestamp, amount: Double)
+
+  /** Streaming twin of q26's attribution as a watermarked stream-stream
+    * interval join: every purchase pairs with the same user's clicks in
+    * the `lookback` window before it. The time-range join condition plus
+    * the watermark let Spark expire both sides' join state (a click can
+    * stop matching once the purchase watermark passes click_ts +
+    * lookback), so state is bounded by the horizon, not stream history —
+    * the property that makes the join runnable forever. Emits ALL
+    * candidate pairs (append mode); exact last-click attribution is the
+    * batch tier (q26), the same exact-vs-streaming split as q40/s7. */
+  def attributionJoin(clicks: Dataset[ClickEv], purchases: Dataset[PurchaseEv],
+      lookback: String = "1 hour",
+      delay: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", delay)
+      .select(col("userId").as("c_user"), col("clickId"),
+        col("ts").as("click_ts"))
+    val p = purchases.toDF().withWatermark("ts", delay)
+      .select(col("userId"), col("purchaseId"), col("ts").as("purchase_ts"),
+        col("amount"))
+    p.join(c,
+      col("userId") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchaseId"), col("userId"), col("clickId"),
+        col("click_ts"), col("purchase_ts"), col("amount"))
+  }
+
   // ---- s3: watermarked tumbling-window counts ----
 
   case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)

@@ -167,4 +167,34 @@ class StreamingSpec extends AnyFunSuite {
         ("2024-01-01 10:00:00.0", "error", 1L, 0.75)))
     } finally q.stop()
   }
+
+  test("s8 interval join pairs purchases with in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{ClickEv, PurchaseEv}
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val clicks = MemoryStream[ClickEv]
+    val purchases = MemoryStream[PurchaseEv]
+    val sink = nextName()
+    val q = Streams.attributionJoin(clicks.toDS(), purchases.toDS(),
+        lookback = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click inside the window, click outside (2h before), and a
+      // click AFTER the purchase; user 2: purchase with no clicks at all
+      clicks.addData(
+        ClickEv(1L, 100L, ts(9, 30)),
+        ClickEv(1L, 101L, ts(7, 50)),
+        ClickEv(1L, 102L, ts(10, 30)))
+      purchases.addData(
+        PurchaseEv(1L, 500L, ts(10, 0), 19.99),
+        PurchaseEv(2L, 501L, ts(10, 0), 5.00))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("purchaseId", "clickId").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((500L, 100L)),
+        s"expected only the in-window click pair, got $rows")
+    } finally q.stop()
+  }
 }
