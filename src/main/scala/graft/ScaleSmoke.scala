@@ -51,9 +51,9 @@ object ScaleSmoke {
     // replica), so wall-clock tracks answer size, not plan quality.
     val keys = Seq("q30_token_count", "q38_vocab_topk", "q39_tfidf_topterms",
       "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
-      "q43_dedup_simhash", "q45_dup_clusters", "q50_knn_brute",
-      "q52b_pairwise_topk_lsh", "q20_sessionize", "q25_json_kinematics",
-      "q26_asof_join")
+      "q43_dedup_simhash", "q45_dup_clusters", "q48_repetition_score",
+      "q50_knn_brute", "q52b_pairwise_topk_lsh", "q54_knn_quantized",
+      "q20_sessionize", "q25_json_kinematics", "q26_asof_join")
 
     def time(dir: String, key: String): Double = {
       spark.catalog.clearCache()
