@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DoubleDot, HyperplaneCodes, MinhashSignature, SimhashBits}
+import graft.functions.{DoubleDot, HyperplaneCodes, LongDot, MinhashSignature, SimhashBits}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * sketch/similarity vocabulary as the Column API:
   *
   *  - `graft_dot(a, b)` — exact double dot product ([[DoubleDot]])
+  *  - `graft_ldot(a, b)` — exact integer dot product over array<bigint>
+  *    ([[LongDot]]; the quantized-similarity inner op)
   *  - `graft_minhash(hashes, k)` — k per-seed minhash minima over an
   *    array of element hashes ([[MinhashSignature]]; k literal)
   *  - `graft_simhash(hashes, bits)` — bit-majority simhash over an
@@ -42,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DoubleDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ldot takes exactly 2 arguments")
+        LongDot(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

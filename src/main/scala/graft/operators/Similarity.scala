@@ -202,11 +202,15 @@ object Similarity extends QueryPack {
     topPairs(rescored)
   }
 
-  /** Integer dot product of two equal-length integer-array columns as a
-    * codegen'd builtin fold — exact (no float order concerns), so the
-    * quantized distance is bit-identical in any engine. */
+  /** Integer dot product of two equal-length array<bigint> columns via
+    * the native codegen'd [[graft.functions.LongDot]] — exact (integer
+    * arithmetic, no float order concerns), so the quantized distance is
+    * bit-identical in any engine. DotSpec asserts it agrees with the
+    * builtin zip_with/aggregate composition. */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.toColumn(graft.functions.LongDot(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(a),
+      org.apache.spark.sql.GraftSqlBridge.toExpression(b)))
 
   /** Scalar-quantized (8-bit) brute-force kNN — the memory-compression
     * scan path for ANN. Brute-force cosine at 100 TB is scan-bound, so
