@@ -271,6 +271,84 @@ object Text extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** The end-to-end curation funnel — the composition a real training
+    * pipeline runs over a raw crawl, with the per-stage audit every
+    * curation run logs (how many docs/chars survive each gate):
+    *
+    *   0_all      raw corpus
+    *   1_lang     q32's language gate (keep pred_lang = 'en')
+    *   2_quality  q31's quality score >= 0.5
+    *   3_dedup    q40's exact-content dedup (keep the smallest doc_id
+    *              per md5 digest, among the docs still in the funnel)
+    *   4_train    q35's deterministic hash split (keep 'train')
+    *
+    * One scan computes every per-doc flag (the stages reuse the exact
+    * q32/q31/q40/q35 formulas, so each gate is individually
+    * oracle-proven), one digest-keyed window picks dedup reps among
+    * quality survivors, and a single aggregate + stack emits the
+    * 5-row funnel — no per-stage rescans. Every number is integer or a
+    * deterministic double comparison, so the whole funnel is
+    * oracle-exact. */
+  def q49CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    def cnt(ws: Seq[String]): Column =
+      size(filter(col("tk"), t => t.isin(ws: _*))).cast("long")
+    val cEn = cnt(Seq("the", "a", "and", "of"))
+    val cDe = cnt(Seq("der", "die", "und", "das"))
+    val cFr = cnt(Seq("le", "la", "et", "les"))
+    val cEs = cnt(Seq("el", "los", "y", "las"))
+    val best = greatest(col("c_en"), col("c_de"), col("c_fr"), col("c_es"))
+    val pred = when(col("best") === 0, "und")
+      .when(col("c_en") === col("best"), "en")
+      .when(col("c_de") === col("best"), "de")
+      .when(col("c_fr") === col("best"), "fr").otherwise("es")
+    val nToks = col("n_tokens")
+    val quality = least(lit(1.0), nToks.cast("double") / 100.0) * 0.7 +
+      (col("stop_cnt").cast("double") / nToks) * 0.2 +
+      (lit(1.0) - col("punct_cnt").cast("double") / col("n_chars")) * 0.1
+    val splitHash =
+      TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+    val flags = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        tokens.as("tk"), md5(col("text")).as("dg"),
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("punct_cnt"),
+        pmod(splitHash, lit(100L)).as("bucket"))
+      .select(col("doc_id"), col("n_chars"), col("dg"), col("punct_cnt"),
+        col("bucket"), size(col("tk")).cast("long").as("n_tokens"),
+        cnt(stopwords).as("stop_cnt"),
+        cEn.as("c_en"), cDe.as("c_de"), cFr.as("c_fr"), cEs.as("c_es"))
+      .withColumn("best", best)
+      .select(col("doc_id"), col("n_chars"), col("dg"), col("bucket"),
+        (pred === "en").as("lang_ok"), (quality >= 0.5).as("q_ok"))
+      .withColumn("rep_ok",
+        // dedup runs among the docs that reached stage 3: the kept rep
+        // is the smallest doc_id per digest among lang+quality survivors
+        col("doc_id") === min(when(col("lang_ok") && col("q_ok"),
+          col("doc_id"))).over(w))
+    val a = flags.agg(
+      count(lit(1)).as("docs0"), sum(col("n_chars")).as("chars0"),
+      count(when(col("lang_ok"), 1)).as("docs1"),
+      coalesce(sum(when(col("lang_ok"), col("n_chars"))), lit(0L)).as("chars1"),
+      count(when(col("lang_ok") && col("q_ok"), 1)).as("docs2"),
+      coalesce(sum(when(col("lang_ok") && col("q_ok"), col("n_chars"))),
+        lit(0L)).as("chars2"),
+      count(when(col("lang_ok") && col("q_ok") && col("rep_ok"), 1)).as("docs3"),
+      coalesce(sum(when(col("lang_ok") && col("q_ok") && col("rep_ok"),
+        col("n_chars"))), lit(0L)).as("chars3"),
+      count(when(col("lang_ok") && col("q_ok") && col("rep_ok") &&
+        col("bucket") < 80, 1)).as("docs4"),
+      coalesce(sum(when(col("lang_ok") && col("q_ok") && col("rep_ok") &&
+        col("bucket") < 80, col("n_chars"))), lit(0L)).as("chars4"))
+    a.selectExpr(
+      """stack(5,
+        |  '0_all', docs0, chars0,
+        |  '1_lang', docs1, chars1,
+        |  '2_quality', docs2, chars2,
+        |  '3_dedup', docs3, chars3,
+        |  '4_train', docs4, chars4) AS (stage, n_docs, total_chars)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   private val T = TextOps
   private def sqlToks = "string_split(lower(text), ' ')"
   private def sqlCnt(ws: Seq[String]): String =
@@ -289,7 +367,8 @@ object Text extends QueryPack {
     "q38b_vocab_topk_approx" -> (q38bVocabTopkApprox _),
     "q39_tfidf_topterms" -> (q39TfidfTopterms _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
-    "q48_repetition_score" -> (q48RepetitionScore _))
+    "q48_repetition_score" -> (q48RepetitionScore _),
+    "q49_curation_pipeline" -> (q49CurationPipeline _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_train_split" -> {
@@ -385,6 +464,47 @@ object Text extends QueryPack {
          |  CAST(COALESCE(sum(CASE WHEN $h % 100 < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
          |    THEN n_chars END), 0) AS BIGINT) AS kept_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q49_curation_pipeline" -> {
+      val h = T.sqlPolyHash61("'split-salt-' || CAST(doc_id AS VARCHAR)")
+      val stop = sqlCnt(stopwords)
+      val cEn = sqlCnt(Seq("the", "a", "and", "of"))
+      val cDe = sqlCnt(Seq("der", "die", "und", "das"))
+      val cFr = sqlCnt(Seq("le", "la", "et", "les"))
+      val cEs = sqlCnt(Seq("el", "los", "y", "las"))
+      def tail(label: String, cond: String) =
+        s"""UNION ALL SELECT '$label', count(*),
+           |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) FROM f WHERE $cond""".stripMargin
+      s"""WITH sc AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    md5(text) AS dg,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_cnt,
+         |    $h % 100 AS bucket,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    $stop AS stop_cnt,
+         |    $cEn AS c_en, $cDe AS c_de, $cFr AS c_fr, $cEs AS c_es,
+         |    greatest($cEn, $cDe, $cFr, $cEs) AS best
+         |  FROM documents),
+         |f0 AS (
+         |  SELECT doc_id, n_chars, dg, bucket,
+         |    (CASE WHEN best = 0 THEN 'und' WHEN c_en = best THEN 'en'
+         |          WHEN c_de = best THEN 'de' WHEN c_fr = best THEN 'fr'
+         |          ELSE 'es' END) = 'en' AS lang_ok,
+         |    (least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.7
+         |      + (CAST(stop_cnt AS DOUBLE) / n_tokens) * 0.2
+         |      + (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars) * 0.1) >= 0.5 AS q_ok
+         |  FROM sc),
+         |f AS (
+         |  SELECT *, doc_id = min(CASE WHEN lang_ok AND q_ok THEN doc_id END)
+         |    OVER (PARTITION BY dg) AS rep_ok
+         |  FROM f0)
+         |SELECT '0_all' AS stage, count(*) AS n_docs,
+         |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS total_chars FROM f
+         |${tail("1_lang", "lang_ok")}
+         |${tail("2_quality", "lang_ok AND q_ok")}
+         |${tail("3_dedup", "lang_ok AND q_ok AND rep_ok")}
+         |${tail("4_train", "lang_ok AND q_ok AND rep_ok AND bucket < 80")}
+         |ORDER BY stage""".stripMargin
     },
     "q48_repetition_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

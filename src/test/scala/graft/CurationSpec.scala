@@ -79,6 +79,42 @@ class CurationSpec extends AnyFunSuite {
     assert(byId(2L) == 0.0, "all-distinct-bigram doc must have dup_frac 0")
   }
 
+  test("q49 funnel is monotone non-increasing with the full stage set") {
+    val rows = operators.Text.q49CurationPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_all", "1_lang", "2_quality", "3_dedup", "4_train"))
+    rows.sliding(2).foreach { case Array((s1, (d1, c1)), (s2, (d2, c2))) =>
+      assert(d2 <= d1, s"$s2 docs $d2 > $s1 docs $d1")
+      assert(c2 <= c1, s"$s2 chars $c2 > $s1 chars $c1")
+    }
+  }
+
+  test("q49 stages gate correctly on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q49_docs").toFile
+    dir.deleteOnExit()
+    // 60-token english text: passes lang (en markers) and quality
+    // (length + stopword terms clear the 0.5 bar)
+    val good = (("the quick fox of the hill and the dog of " * 6).trim)
+    val german = ("der hund die katze und das haus " * 8).trim
+    val shortEn = "the of a and in"
+    Seq(
+      (1L, good, "en", "s", good.length.toLong),      // kept, dedup rep
+      (2L, good, "en", "s", good.length.toLong),      // exact dup -> dropped at 3
+      (3L, german, "de", "s", german.length.toLong),  // dropped at 1 (lang)
+      (4L, shortEn, "en", "s", shortEn.length.toLong)) // dropped at 2 (quality)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    val rows = operators.Text.q49CurationPipeline(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("0_all") == 4L)
+    assert(rows("1_lang") == 3L, s"lang gate: $rows")
+    assert(rows("2_quality") == 2L, s"quality gate: $rows")
+    assert(rows("3_dedup") == 1L, s"dedup gate: $rows")
+    assert(rows("4_train") <= 1L)
+  }
+
   test("q47 stratified sample keeps every stratum, en downsampled hardest") {
     val rows = operators.Text.q47StratifiedSample(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
