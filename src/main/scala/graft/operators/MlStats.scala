@@ -97,6 +97,34 @@ object MlStats extends QueryPack {
     KMeans.profile(vecs, cents)
   }
 
+  /** Per-dimension stats over the embedding column — the QA pass a
+    * vector pipeline runs before building an ANN index (are dims
+    * centered? any dead or exploded dims?). posexplode to (pos, val)
+    * then ONE partial-aggregable groupBy on the 64 dims. Sums
+    * accumulate on 1e-7-scaled integers (exact, order-independent;
+    * squares in DECIMAL(38,0) / HUGEINT because n * r^2 can pass 2^63),
+    * so mean/var_pop are single deterministic double expressions —
+    * oracle-exact, unlike a naive float sum which is partition-order
+    * dependent. Stats are over the 1e-7 quantization of each value
+    * (exactly mirrored in the oracle; error 5e-8 per element is far
+    * below any QA threshold). */
+  def q64EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("pos", "val")))
+      .select(col("pos"), col("val"),
+        round(col("val") * 10000000.0).cast("long").as("r"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), min(col("val")).as("mn"),
+        max(col("val")).as("mx"),
+        sum(col("r")).as("s1"),
+        sum((col("r") * col("r")).cast("decimal(38,0)")).as("s2"))
+      .select(col("pos").cast("long").as("pos"), col("n"), col("mn"), col("mx"),
+        (col("s1").cast("double") / 10000000.0 / col("n")).as("mean"),
+        (((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / col("n")) / 100000000000000.0).as("var_pop"))
+      .orderBy(col("pos"))
+
   /** Depth-2 greedy decision tree on lineitem features predicting the
     * "returned" flag — the MlLibNyTaxiExamples decision-tree classifier,
     * DataFrame-native (split search = one aggregate pass per node; the
@@ -131,11 +159,28 @@ object MlStats extends QueryPack {
     "q60_colstats" -> (q60Colstats _),
     "q61_corr" -> (q61Corr _),
     "q62_kmeans" -> (q62Kmeans _),
-    "q63_decision_tree" -> (q63DecisionTree _))
+    "q63_decision_tree" -> (q63DecisionTree _),
+    "q64_embedding_stats" -> (q64EmbeddingStats _))
 
   private val S = Num.sql
 
   val oracleSql: Map[String, String] = Map(
+    "q64_embedding_stats" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ex AS (
+        |  SELECT CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
+        |    unnest(e) AS val
+        |  FROM v),
+        |r AS (
+        |  SELECT pos, val, CAST(round(val * 10000000.0) AS BIGINT) AS r FROM ex),
+        |g AS (
+        |  SELECT pos, count(*) AS n, min(val) AS mn, max(val) AS mx,
+        |    CAST(sum(r) AS DOUBLE) AS s1d, CAST(sum(r * r) AS DOUBLE) AS s2d
+        |  FROM r GROUP BY 1)
+        |SELECT pos, n, mn, mx,
+        |  s1d / 10000000.0 / n AS mean,
+        |  ((s2d - s1d * s1d / n) / n) / 100000000000000.0 AS var_pop
+        |FROM g ORDER BY pos""".stripMargin,
     "q60_colstats" -> {
       val selects = statCols.map { cs =>
         val x = S.cents(cs.c)

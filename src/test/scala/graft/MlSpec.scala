@@ -49,4 +49,26 @@ class MlSpec extends AnyFunSuite {
       assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
     }
   }
+
+  test("q64 embedding stats cover every dim with consistent moments") {
+    val rows = operators.MlStats.q64EmbeddingStats(TestSpark.spark, TestSpark.sf)
+      .collect()
+    val dim = rows.length
+    assert(dim > 0)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until dim.toLong),
+      "positions not contiguous from 0")
+    val counts = rows.map(_.getLong(1)).toSet
+    assert(counts.size == 1, s"ragged dim counts: $counts")
+    rows.foreach { r =>
+      val (mn, mx, mean, v) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= mx)
+      // mean is over the 1e-7-quantized values: allow that epsilon at
+      // the boundary
+      assert(mean >= mn - 1e-6 && mean <= mx + 1e-6,
+        s"pos ${r.getLong(0)}: mean $mean outside [$mn, $mx]")
+      assert(v >= -1e-12, s"pos ${r.getLong(0)}: negative variance $v")
+      assert(v <= (mx - mn) * (mx - mn), "variance above range bound")
+    }
+  }
 }
