@@ -271,6 +271,29 @@ object Text extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Token-length histogram (64-token buckets) with cumulative doc
+    * counts — the length distribution a pipeline logs to set sequence-
+    * packing and truncation policy before training. One scan, one
+    * partial-aggregable groupBy on the bucket; the cumulative window
+    * runs over the ALREADY-AGGREGATED handful of bucket rows (post-agg,
+    * so the low-cardinality-window rule doesn't apply — there is no
+    * per-row state). Counts are integers: oracle-exact. */
+  def q65LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_count(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select((floor(bpe / 64L) * 64L).cast("long").as("bucket_lo"),
+        bpe.as("n_tokens"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .orderBy(col("bucket_lo"))
+  }
+
   /** The end-to-end curation funnel — the composition a real training
     * pipeline runs over a raw crawl, with the per-stage audit every
     * curation run logs (how many docs/chars survive each gate):
@@ -368,7 +391,8 @@ object Text extends QueryPack {
     "q39_tfidf_topterms" -> (q39TfidfTopterms _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
     "q48_repetition_score" -> (q48RepetitionScore _),
-    "q49_curation_pipeline" -> (q49CurationPipeline _))
+    "q49_curation_pipeline" -> (q49CurationPipeline _),
+    "q65_length_histogram" -> (q65LengthHistogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_train_split" -> {
@@ -465,6 +489,20 @@ object Text extends QueryPack {
          |    THEN n_chars END), 0) AS BIGINT) AS kept_chars
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q65_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT (n_tokens // 64) * 64 AS bucket_lo, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM t GROUP BY 1)
+        |SELECT bucket_lo, n_docs, total_tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_docs
+        |FROM g ORDER BY bucket_lo""".stripMargin,
     "q49_curation_pipeline" -> {
       val h = T.sqlPolyHash61("'split-salt-' || CAST(doc_id AS VARCHAR)")
       val stop = sqlCnt(stopwords)

@@ -115,6 +115,20 @@ class CurationSpec extends AnyFunSuite {
     assert(rows("4_train") <= 1L)
   }
 
+  test("q65 histogram buckets partition the corpus with monotone cumulative") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = operators.Text.q65LengthHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 64 == 0, "bucket not 64-aligned")
+      assert(r.getLong(1) > 0, "empty bucket emitted")
+    }
+    val cums = rows.map(_.getLong(3))
+    assert(cums.sameElements(cums.sorted), "cumulative not monotone")
+    assert(rows.map(_.getLong(1)).sum == total, "buckets do not partition corpus")
+    assert(cums.last == total, "last cumulative != corpus size")
+  }
+
   test("q47 stratified sample keeps every stratum, en downsampled hardest") {
     val rows = operators.Text.q47StratifiedSample(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
