@@ -388,6 +388,49 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact n-gram overlap decontamination — the complementary check to
+    * q46's near-dup crossing: instead of whole-document similarity, flag
+    * every VAL document whose word 3-grams also occur ANYWHERE in the
+    * train split (the GPT-3/PaLM-style "remove eval examples sharing
+    * 13-grams with training data" rule, on the 3-gram scale this corpus
+    * supports). A benchmark answer copied into one training doc leaks
+    * through q46 only if the whole documents are near-dups; it always
+    * leaks through the n-gram check.
+    *
+    * Shape at 100 TB: everything is keyed by shingle — one distinct over
+    * the train side's exploded shingles, one semi-join from the val
+    * side — so the work is two shingle-keyed exchanges, no pair join at
+    * all (output is per-val-doc, not per-pair). The train-side distinct
+    * is the big relation; a real deployment would swap it for a bloom
+    * filter broadcast once it stops fitting a shuffle, trading exactness
+    * for one map-side pass. Docs with no shingles (< 3 tokens) have an
+    * undefined overlap fraction and are excluded in both engines. */
+  def q66NgramDecontam(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), docTokens.as("tk"),
+        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
+      .select(col("doc_id"), col("split"), TextOps.shingles3(col("tk")).as("shRaw"))
+      .select(col("doc_id"), col("split"), array_distinct(col("shRaw")).as("sh"))
+    // exploded (doc, shingle) feeds both the train-distinct and the val
+    // probe; persist so the text pipeline runs once
+    val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trainG = ex.filter(col("split") === "train").select(col("g")).distinct()
+    val hits = ex.filter(col("split") === "val")
+      .join(trainG, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    base.filter(col("split") === "val").filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", col("overlap_frac") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracle SQL ----
 
   private val sqlToks = "string_split(lower(text), ' ')"
@@ -426,7 +469,8 @@ object Dedup extends QueryPack {
     "q43_dedup_simhash" -> (q43DedupSimhash _),
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
     "q45_dup_clusters" -> (q45DupClusters _),
-    "q46_contamination" -> (q46Contamination _))
+    "q46_contamination" -> (q46Contamination _),
+    "q66_ngram_decontam" -> (q66NgramDecontam _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -475,6 +519,31 @@ object Dedup extends QueryPack {
          |JOIN sp sb ON p.id_b = sb.doc_id
          |WHERE jac >= $jacT AND sa.split <> sb.split
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q66_ngram_decontam" -> {
+      val h = TextOps.sqlPolyHash61("'split-salt-' || CAST(doc_id AS VARCHAR)")
+      s"""WITH sh AS ($sqlShingleSets),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |tr AS (
+         |  SELECT DISTINCT g FROM ex JOIN sp USING (doc_id)
+         |  WHERE split = 'train'),
+         |hits AS (
+         |  SELECT ex.doc_id, count(*) AS n_overlap
+         |  FROM ex JOIN sp USING (doc_id)
+         |  WHERE sp.split = 'val' AND ex.g IN (SELECT g FROM tr)
+         |  GROUP BY 1)
+         |SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(sh.sh) AS overlap_frac,
+         |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(sh.sh) >= 0.5
+         |    AS contaminated
+         |FROM sh JOIN sp USING (doc_id) LEFT JOIN hits h ON sh.doc_id = h.doc_id
+         |WHERE sp.split = 'val' AND len(sh.sh) > 0
+         |ORDER BY sh.doc_id""".stripMargin
     },
     "q44_dedup_embedding" -> {
       val V = VectorOps

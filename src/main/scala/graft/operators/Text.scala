@@ -294,6 +294,43 @@ object Text extends QueryPack {
       .orderBy(col("bucket_lo"))
   }
 
+  /** Per-source data-mixture report — the table every pretraining run
+    * logs before fixing sampling weights: how much volume each source
+    * contributes (docs, chars, tokens), how internally duplicated it is
+    * (docs whose exact-content digest appears more than once ANYWHERE in
+    * the corpus — cross-source copies are the common crawl pathology),
+    * and each source's share of total chars.
+    *
+    * Shape: one scan computes digest+token count per row; digest copy
+    * counts come from a groupBy-agg joined back (high-cardinality key,
+    * partial-aggregable, AQE broadcasts the aggregated side when small —
+    * same rationale as digestGroups in Dedup); then one groupBy on the
+    * handful of sources. The chars_share window runs over the aggregated
+    * source rows only. Counts are integers and the share is one
+    * long->double division: oracle-exact. */
+  def q67SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("n_tokens"),
+        md5(col("text")).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val copies = base.groupBy(col("dg")).agg(count(lit(1)).as("copies"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    base.join(copies, "dg")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        count_distinct(col("dg")).as("n_unique"),
+        count(when(col("copies") > 1, 1)).as("n_dup_docs"))
+      .withColumn("chars_share",
+        col("total_chars").cast("double") / sum(col("total_chars")).over(w))
+      .orderBy(col("source"))
+  }
+
   /** The end-to-end curation funnel — the composition a real training
     * pipeline runs over a raw crawl, with the per-stage audit every
     * curation run logs (how many docs/chars survive each gate):
@@ -392,7 +429,8 @@ object Text extends QueryPack {
     "q47_stratified_sample" -> (q47StratifiedSample _),
     "q48_repetition_score" -> (q48RepetitionScore _),
     "q49_curation_pipeline" -> (q49CurationPipeline _),
-    "q65_length_histogram" -> (q65LengthHistogram _))
+    "q65_length_histogram" -> (q65LengthHistogram _),
+    "q67_source_mix" -> (q67SourceMix _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_train_split" -> {
@@ -544,6 +582,26 @@ object Text extends QueryPack {
          |${tail("4_train", "lang_ok AND q_ok AND rep_ok AND bucket < 80")}
          |ORDER BY stage""".stripMargin
     },
+    "q67_source_mix" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS dg
+        |  FROM documents),
+        |c AS (SELECT dg, count(*) AS copies FROM b GROUP BY 1),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT b.dg) AS n_unique,
+        |    count(CASE WHEN copies > 1 THEN 1 END) AS n_dup_docs
+        |  FROM b JOIN c USING (dg) GROUP BY 1)
+        |SELECT source, n_docs, total_chars, total_tokens, n_unique, n_dup_docs,
+        |  CAST(total_chars AS DOUBLE)
+        |    / CAST(sum(total_chars) OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING) AS BIGINT) AS chars_share
+        |FROM g ORDER BY source""".stripMargin,
     "q48_repetition_score" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |ex AS (

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.BucketedStore
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedStoreSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  // AQE query stages are leaf nodes — plain collect() stops at them and
+  // would make every plan assertion vacuously pass. Flatten through them.
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  test("bucketed fact-fact join runs with zero shuffle exchanges") {
+    val j = BucketedStore.colocatedJoin(spark, sf)
+      .select(col("o_orderkey"), col("l_quantity"))
+    // execute so AQE finalizes the plan we inspect
+    val n = j.collect().length
+    val expected = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(n.toLong == expected, "bucketed join result differs from plain join")
+
+    val nodes = flatten(j.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"expected shuffle-free co-located join, found: ${shuffles.map(_.nodeName)}")
+    // and it is a genuine sort-merge join off the bucketed scans, not a
+    // broadcast that would trivially avoid the exchange
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      s"expected SortMergeJoin in:\n${j.queryExecution.executedPlan}")
+  }
+
+  test("q28 rollup over the bucketed join shuffles only for the final groupBy") {
+    val df = BucketedStore.q28BucketedJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    // distinct-count + groupBy + presentation sort may each exchange the
+    // tiny aggregated relation; the join stage itself must not re-shuffle
+    // the bucketed facts on the join key
+    assert(shuffles.size <= 3,
+      s"too many exchanges: ${shuffles.map(_.nodeName)}")
+    assert(shuffles.forall(e =>
+      !e.outputPartitioning.toString.contains("l_orderkey")),
+      s"join key shuffle present: ${shuffles.map(_.outputPartitioning)}")
+    assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "expected SortMergeJoin over bucketed scans")
+  }
+}
