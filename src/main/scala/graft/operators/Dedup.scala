@@ -33,14 +33,24 @@ object Dedup extends QueryPack {
 
   private def docTokens: Column = TextOps.toks(lower(col("text")))
 
-  /** (doc_id, sh = distinct word-3-gram set, n = |sh|). Staged
-    * projections so the split/shingle transforms evaluate once per row
-    * (a single Project would inline them into every consumer). */
+  /** (doc_id, sh = distinct word-3-gram set as xxhash64 LONGS, n = |sh|).
+    * Staged projections so the split/shingle transforms evaluate once per
+    * row (a single Project would inline them into every consumer).
+    *
+    * Hashing at the source is the scale move: every downstream exchange
+    * (document frequency, prefix candidates, band buckets) keys on a
+    * fixed 8-byte long instead of a ~30-byte string, and the verify
+    * join's set intersection compares longs instead of strings (measured
+    * ~2x on the q41 verify stage). Jaccard over the hashed sets equals
+    * Jaccard over the string sets up to 64-bit collisions (~1e-12 for
+    * this corpus's vocabulary; deterministic either way), which is far
+    * below the banding miss probability the pipeline already accepts. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), docTokens.as("tk"))
       .select(col("doc_id"), TextOps.shingles3(col("tk")).as("shRaw"))
-      .select(col("doc_id"), array_distinct(col("shRaw")).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("shRaw"), g => xxhash64(g))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
 
   /** Exact dedup across two ingest feeds of the same corpus (the
@@ -139,17 +149,35 @@ object Dedup extends QueryPack {
     // stage was tried and measured 11x SLOWER than collect_list +
     // array_sort + slice — the aggregate keeps the ranking inside one
     // ObjectHashAggregate, the windows pay two full sort passes.)
+    // posexplode carries each prefix entry's 1-based rank in the FULL
+    // ranked list (the prefix is its head, so positions coincide) for
+    // the PPJoin positional filter below.
     val prefix = ex.join(dfreq, "s")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("ranked")).cast("long").as("n"),
         expr(s"slice(ranked, 1, cast(floor((1.0 - $jacT) * size(ranked)) as int) + 1)")
           .as("pref"))
-      .select(col("doc_id"), explode(col("pref")).as("p"))
-      .select(col("doc_id"), col("p.s").as("s"))
+      .select(col("doc_id"), col("n"), posexplode(col("pref")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+        col("p.s").as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+    // Two further lossless PPJoin prunes before the expensive verify:
+    //  - length filter: jac >= t forces min(na,nb)/max(na,nb) >= t
+    //    (overlap is at most the smaller set);
+    //  - positional filter (Xiao et al. WWW'08 §3.2): a shared prefix
+    //    entry at ranks (pa, pb) bounds the total overlap by
+    //    1 + min(na-pa, nb-pb), which must reach the required overlap
+    //    alpha = ceil(t/(1+t) * (na+nb)). A qualifying pair always
+    //    passes at this shared prefix entry with the smallest ranks, so
+    //    filtering before the pair-distinct is lossless (spec-checked
+    //    against naive all-pairs Jaccard in DedupSpec).
+    val alpha = ceil(lit(jacT / (1 + jacT)) * (col("a.n") + col("b.n")))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            lit(jacT) * greatest(col("a.n"), col("b.n")) &&
+          (lit(1L) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) >= alpha)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val repPairs = cand
@@ -182,11 +210,12 @@ object Dedup extends QueryPack {
     val sets = shingleSets(s, dir).join(reps, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // all 126 signature minima in one native compiled pass (the builtin
-    // composition is ~2.5k lambda nodes and evaluates interpreted)
+    // composition is ~2.5k lambda nodes and evaluates interpreted);
+    // shingleSets already emits xxhash64 longs, so the signature consumes
+    // `sh` directly (same hash values as the old string->long transform)
     val sigArr = org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.MinhashSignature(
-        org.apache.spark.sql.GraftSqlBridge.toExpression(
-          transform(col("sh"), sh => xxhash64(sh))), 126))
+        org.apache.spark.sql.GraftSqlBridge.toExpression(col("sh")), 126))
     val d = sets.select(col("doc_id"), sigArr.as("sig"))
     val bandKeys = array((0 until 42).map { j =>
       xxhash64(element_at(col("sig"), 3 * j + 1),
@@ -254,7 +283,7 @@ object Dedup extends QueryPack {
     // Representatives only: identical text => identical simhash, so
     // exact copies would land in every band bucket together and feed the
     // pair join R^2 duplicate work (measured 94x at 16x replication).
-    val d = Tables.documents(s, dir)
+    val d = Tables.documentsBalanced(s, dir)
       .join(reps, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), th.as("th"))
       .select(col("doc_id"), simhash.as("sim"))
@@ -404,18 +433,26 @@ object Dedup extends QueryPack {
     * is the big relation; a real deployment would swap it for a bloom
     * filter broadcast once it stops fitting a shuffle, trading exactness
     * for one map-side pass. Docs with no shingles (< 3 tokens) have an
-    * undefined overlap fraction and are excluded in both engines. */
+    * undefined overlap fraction and are excluded in both engines.
+    *
+    * The persist boundary sits on the shingle ARRAYS, not the exploded
+    * rows: explode over a live expensive projection triggers
+    * InferFiltersFromGenerate, which inlines the whole shingle tree into
+    * a pushed-down `size(..)>0 AND isnotnull(..)` Filter — three
+    * interpreted evaluations per row at the scan (measured 12.3s for the
+    * fused shape vs ~1s staged at sf0.1). Materializing `sh` first makes
+    * the generator child a plain column reference, and the final
+    * n_shingles projection reuses the same cache instead of re-running
+    * the text pipeline. */
   def q66NgramDecontam(s: SparkSession, dir: String): DataFrame = {
     val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
-    val base = Tables.documents(s, dir)
+    val base = Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), docTokens.as("tk"),
         when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
       .select(col("doc_id"), col("split"), TextOps.shingles3(col("tk")).as("shRaw"))
       .select(col("doc_id"), col("split"), array_distinct(col("shRaw")).as("sh"))
-    // exploded (doc, shingle) feeds both the train-distinct and the val
-    // probe; persist so the text pipeline runs once
-    val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
     val trainG = ex.filter(col("split") === "train").select(col("g")).distinct()
     val hits = ex.filter(col("split") === "val")
       .join(trainG, Seq("g"), "left_semi")

@@ -19,7 +19,7 @@ object Text extends QueryPack {
   /** Whitespace + regex token counts (the BPE-ish count is alpha runs,
     * digit runs, and single non-alnum marks counted separately). */
   def q30TokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
@@ -35,7 +35,7 @@ object Text extends QueryPack {
     val nToks = col("n_tokens")
     val stopCnt = col("stop_cnt")
     val punctCnt = col("punct_cnt")
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         tokens.as("tk"),
         regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("punct_cnt"))
@@ -70,7 +70,7 @@ object Text extends QueryPack {
       .when(col("c_en") === col("score"), "en")
       .when(col("c_de") === col("score"), "de")
       .when(col("c_fr") === col("score"), "fr").otherwise("es")
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), col("lang"), tokens.as("tk"))
       .select(col("doc_id"), col("lang"), cEn.as("c_en"), cDe.as("c_de"),
         cFr.as("c_fr"), cEs.as("c_es"))
@@ -84,7 +84,7 @@ object Text extends QueryPack {
   /** Rolling polynomial fingerprint over the full text (oracle-portable
     * 61-bit hash). */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), TextOps.polyHash61(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
@@ -97,7 +97,7 @@ object Text extends QueryPack {
     * their own stage, evaluating each once per row. Measured 19.4s -> sub
     * -second at sf0.1. */
   def q34NgramShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), tokens.as("tk"))
       .select(col("doc_id"), TextOps.shingles3(col("tk")).as("sh"))
       .select(col("doc_id"), col("sh"), array_distinct(col("sh")).as("dsh"))
@@ -132,7 +132,7 @@ object Text extends QueryPack {
   def q36PatternScrub(s: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
     val tokenRe = "\\b(customer|value)\\b"
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"),
         regexp_count(col("text"), lit(emailRe)).cast("long").as("email_hits"),
         regexp_count(col("text"), lit(tokenRe)).cast("long").as("token_hits"),
@@ -152,9 +152,16 @@ object Text extends QueryPack {
       transform(sequence(lit(1), size(col("tk")) - 1),
         i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val ex = Tables.documents(s, dir)
+    // explode_outer + null-filter instead of explode: inner explode over
+    // a live computed array triggers InferFiltersFromGenerate, which
+    // inlines the whole bigram tree into a pushed-down size/isnotnull
+    // Filter — two extra interpreted evaluations per row at the scan
+    // (measured 7x on the shingle twin). The outer variant infers no
+    // filter; the generated-column null check after it is free.
+    val ex = Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), tokens.as("tk"))
-      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .filter(col("bg").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, "bg")
@@ -171,9 +178,9 @@ object Text extends QueryPack {
     * counts share the same exchange) and a bounded TakeOrdered tail; tok
     * in the tie-break makes the LIMIT cutoff deterministic. */
   def q38VocabTopk(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
+    Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), explode_outer(tokens).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("tok"))
@@ -186,9 +193,9 @@ object Text extends QueryPack {
     * shuffle) is what a vocab build actually runs. Rows-only: sketch
     * estimates are engine-specific. */
   def q38bVocabTopkApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
+    Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), explode_outer(tokens).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"),
         approx_count_distinct(col("doc_id"), 0.02).as("df_approx"))
@@ -203,9 +210,9 @@ object Text extends QueryPack {
     * with executors. */
   def q39TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.documents(s, dir).count()
-    val ex = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .filter(col("tok") =!= "")
+    val ex = Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), explode_outer(tokens).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = ex.select(col("doc_id"), col("tok")).distinct()
@@ -239,9 +246,10 @@ object Text extends QueryPack {
       transform(sequence(lit(1), size(col("tk")) - 1),
         i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(s, dir)
+    Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), tokens.as("tk"))
-      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .filter(col("bg").isNotNull)
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
@@ -368,7 +376,7 @@ object Text extends QueryPack {
     val splitHash =
       TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
-    val flags = Tables.documents(s, dir)
+    val flags = Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         tokens.as("tk"), md5(col("text")).as("dg"),
         regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("punct_cnt"),
