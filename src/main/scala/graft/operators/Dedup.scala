@@ -417,6 +417,28 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** (doc_id, split, sh = distinct string shingles) shared by the
+    * decontamination tiers q66/q66b.
+    *
+    * The persist boundary sits on the shingle ARRAYS, not the exploded
+    * rows: explode over a live expensive projection triggers
+    * InferFiltersFromGenerate, which inlines the whole shingle tree into
+    * a pushed-down `size(..)>0 AND isnotnull(..)` Filter — three
+    * interpreted evaluations per row at the scan (measured 12.3s for the
+    * fused shape vs ~1s staged at sf0.1). Materializing `sh` first makes
+    * the generator child a plain column reference, and the q66
+    * n_shingles projection reuses the same cache instead of re-running
+    * the text pipeline. */
+  private def splitShingleBase(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
+    Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), docTokens.as("tk"),
+        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
+      .select(col("doc_id"), col("split"), TextOps.shingles3(col("tk")).as("shRaw"))
+      .select(col("doc_id"), col("split"), array_distinct(col("shRaw")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Exact n-gram overlap decontamination — the complementary check to
     * q46's near-dup crossing: instead of whole-document similarity, flag
     * every VAL document whose word 3-grams also occur ANYWHERE in the
@@ -430,28 +452,12 @@ object Dedup extends QueryPack {
     * the train side's exploded shingles, one semi-join from the val
     * side — so the work is two shingle-keyed exchanges, no pair join at
     * all (output is per-val-doc, not per-pair). The train-side distinct
-    * is the big relation; a real deployment would swap it for a bloom
-    * filter broadcast once it stops fitting a shuffle, trading exactness
-    * for one map-side pass. Docs with no shingles (< 3 tokens) have an
-    * undefined overlap fraction and are excluded in both engines.
-    *
-    * The persist boundary sits on the shingle ARRAYS, not the exploded
-    * rows: explode over a live expensive projection triggers
-    * InferFiltersFromGenerate, which inlines the whole shingle tree into
-    * a pushed-down `size(..)>0 AND isnotnull(..)` Filter — three
-    * interpreted evaluations per row at the scan (measured 12.3s for the
-    * fused shape vs ~1s staged at sf0.1). Materializing `sh` first makes
-    * the generator child a plain column reference, and the final
-    * n_shingles projection reuses the same cache instead of re-running
-    * the text pipeline. */
+    * is the big relation; the bloom tier q66b is the map-side swap a
+    * real deployment makes once it stops fitting a shuffle. Docs with no
+    * shingles (< 3 tokens) have an undefined overlap fraction and are
+    * excluded in both engines. */
   def q66NgramDecontam(s: SparkSession, dir: String): DataFrame = {
-    val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
-    val base = Tables.documentsBalanced(s, dir)
-      .select(col("doc_id"), docTokens.as("tk"),
-        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
-      .select(col("doc_id"), col("split"), TextOps.shingles3(col("tk")).as("shRaw"))
-      .select(col("doc_id"), col("split"), array_distinct(col("shRaw")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = splitShingleBase(s, dir)
     val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
     val trainG = ex.filter(col("split") === "train").select(col("g")).distinct()
     val hits = ex.filter(col("split") === "val")
@@ -465,6 +471,53 @@ object Dedup extends QueryPack {
       .withColumn("overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))
       .withColumn("contaminated", col("overlap_frac") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-filter decontamination — q66's 100 TB tier. The exact check
+    * shuffles the train side's distinct shingles and semi-joins the val
+    * side against them; once the train corpus is the 100 TB relation,
+    * that exchange is the cost. The deployment-scale move is one compact
+    * bloom filter over the train shingles, broadcast to every executor,
+    * and a MAP-SIDE membership probe on the val side — zero join, zero
+    * val-side exchange beyond the final per-doc count.
+    *
+    * Built on Spark's own BloomFilterAggregate/BloomFilterMightContain
+    * (the runtime-filter machinery, reached through the expression
+    * bridge since 4.x registers no SQL alias). The aggregated filter is
+    * one bounded binary (1 MiB here; a deployment sizes items/bits to
+    * the train corpus and pays hundreds of MiB of broadcast, still flat
+    * per executor), collected once driver-side exactly like a broadcast
+    * hash relation, then shipped as a literal into the codegen'd probe.
+    *
+    * Bloom semantics: NO false negatives — every truly contaminated doc
+    * is flagged (n_maybe_overlap >= q66's n_overlap per doc, asserted in
+    * DedupSpec); false positives inflate the overlap fraction by the
+    * configured FPP, so `flagged` is a SUPERSET audit list a pipeline
+    * either accepts (decontamination over-removal is cheap) or rescreens
+    * with the exact tier. Rows-only gate: the filter's bit pattern is
+    * engine-specific, so no DuckDB oracle exists by design. */
+  def q66bDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val base = splitShingleBase(s, dir)
+    val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
+    val bloomBytes = ex.filter(col("split") === "train")
+      .agg(toColumn(new BloomFilterAggregate(
+        toExpression(xxhash64(col("g"))),
+        Literal(1000000L), Literal(8388608L)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val maybe = toColumn(BloomFilterMightContain(
+      toExpression(lit(bloomBytes)), toExpression(xxhash64(col("g")))))
+    ex.filter(col("split") === "val")
+      .select(col("doc_id"), maybe.as("maybe"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("maybe"), 1)).as("n_maybe_overlap"))
+      .withColumn("overlap_frac_ub",
+        col("n_maybe_overlap").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("overlap_frac_ub") >= 0.5)
       .orderBy(col("doc_id"))
   }
 
@@ -507,7 +560,8 @@ object Dedup extends QueryPack {
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
     "q45_dup_clusters" -> (q45DupClusters _),
     "q46_contamination" -> (q46Contamination _),
-    "q66_ngram_decontam" -> (q66NgramDecontam _))
+    "q66_ngram_decontam" -> (q66NgramDecontam _),
+    "q66b_decontam_bloom" -> (q66bDecontamBloom _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->

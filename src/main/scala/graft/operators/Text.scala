@@ -302,6 +302,58 @@ object Text extends QueryPack {
       .orderBy(col("bucket_lo"))
   }
 
+  /** Concat-then-chunk sequence packing — the GPT-style assignment of
+    * documents to fixed-width context windows: documents are laid end to
+    * end in doc_id order and the stream is cut every `budget` tokens, so
+    * a document occupies bins floor(start/budget) .. floor((end-1)/
+    * budget) (it may straddle a cut). Output is the per-doc placement
+    * (offset, first/last bin, bins spanned) a packing job hands to the
+    * tokenizer shards.
+    *
+    * The global running offset is a prefix sum, and THE scale trap here
+    * is `Window.orderBy(doc_id)` with no partitionBy — Spark plans that
+    * as a single-partition window (one task owns the whole corpus).
+    * Instead this runs the classic two-phase distributed scan:
+    * range-partition by doc_id, local running sums per partition, then
+    * per-partition totals (one row each — bounded driver state like the
+    * KMeans centroids) turned into exclusive partition offsets that a
+    * broadcast join adds back. Range partition i holds keys strictly
+    * below partition i+1, so pid order IS doc_id order and the offsets
+    * compose; the result is independent of where the sampled range
+    * boundaries land. All integer math — oracle-exact against DuckDB's
+    * single window. */
+  def q68SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048L
+    val bpe = regexp_count(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+    val parts = Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), bpe.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq.toDF("pid", "off")
+    val cum = col("off") + col("local_cum")
+    parts.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (cum - col("n_tokens")).as("start_off"),
+        expr(s"(off + local_cum - n_tokens) div $budget").as("start_bin"),
+        expr(s"(off + local_cum - 1) div $budget").as("end_bin"))
+      .withColumn("n_bins", col("end_bin") - col("start_bin") + lit(1L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source data-mixture report — the table every pretraining run
     * logs before fixing sampling weights: how much volume each source
     * contributes (docs, chars, tokens), how internally duplicated it is
@@ -438,7 +490,8 @@ object Text extends QueryPack {
     "q48_repetition_score" -> (q48RepetitionScore _),
     "q49_curation_pipeline" -> (q49CurationPipeline _),
     "q65_length_histogram" -> (q65LengthHistogram _),
-    "q67_source_mix" -> (q67SourceMix _))
+    "q67_source_mix" -> (q67SourceMix _),
+    "q68_sequence_pack" -> (q68SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
     "q35_train_split" -> {
@@ -590,6 +643,23 @@ object Text extends QueryPack {
          |${tail("4_train", "lang_ok AND q_ok AND rep_ok AND bucket < 80")}
          |ORDER BY stage""".stripMargin
     },
+    "q68_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_bin,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS end_bin,
+        |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS n_bins
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q67_source_mix" ->
       """WITH b AS (
         |  SELECT source, n_chars,

@@ -142,4 +142,29 @@ class CurationSpec extends AnyFunSuite {
     assert(fracs("en") == fracs.values.min,
       s"en not the most downsampled: $fracs")
   }
+
+  test("q68 two-phase prefix sum equals the single-partition global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = operators.Text.q68SequencePack(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // reference: the shape q68 exists to avoid — one global ordered window
+    val bpe = regexp_count(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = Tables.documents(spark, sf)
+      .select(col("doc_id"), bpe.as("n"))
+      .filter(col("n") > 0)
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("doc_id"), (col("cum") - col("n")).as("start_off"),
+        expr("(cum - n) div 2048").as("sb"), expr("(cum - 1) div 2048").as("eb"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(3) - r.getLong(2) + 1)))
+      .toMap
+    assert(got == ref, "two-phase scan diverged from the global window")
+    assert(got.values.exists(_._4 > 1), "no straddling doc — spec is vacuous")
+  }
 }

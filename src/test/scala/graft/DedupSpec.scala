@@ -129,4 +129,21 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == bruteSimhashPairs(64))
   }
+
+  test("q66b bloom tier never under-counts the exact overlap (no false negatives)") {
+    val exact = operators.Dedup.q66NgramDecontam(spark, sf)
+      .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val bloom = operators.Dedup.q66bDecontamBloom(spark, sf)
+      .select(col("doc_id"), col("n_maybe_overlap"), col("flagged"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloom.keySet == exact.keySet,
+      "bloom tier covers a different val-doc set than the exact tier")
+    for ((id, (nExact, contaminated)) <- exact) {
+      val (nMaybe, flagged) = bloom(id)
+      assert(nMaybe >= nExact, s"doc $id: bloom counted $nMaybe < exact $nExact")
+      if (contaminated) assert(flagged, s"doc $id: contaminated but not flagged")
+    }
+    assert(exact.values.exists(_._2), "no contaminated docs at sf0.001 — spec is vacuous")
+  }
 }
