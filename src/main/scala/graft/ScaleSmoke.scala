@@ -53,7 +53,8 @@ object ScaleSmoke {
       "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q45_dup_clusters", "q48_repetition_score",
       "q50_knn_brute", "q52b_pairwise_topk_lsh", "q54_knn_quantized",
-      "q20_sessionize", "q25_json_kinematics", "q26_asof_join")
+      "q20_sessionize", "q25_json_kinematics", "q26_asof_join",
+      "q66_ngram_decontam", "q66b_decontam_bloom", "q68_sequence_pack")
 
     def time(dir: String, key: String): Double = {
       spark.catalog.clearCache()
