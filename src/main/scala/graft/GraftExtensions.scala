@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DoubleDot, HyperplaneCodes, LongDot, MinhashSignature, SimhashBits}
+import graft.functions.{DoubleDot, HyperplaneCodes, LongDot, MinhashSignature, SimhashBits, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,6 +20,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    codes of a double vector; the plane matrix is generated from the
   *    (tables, bits, seed) literals, so two sessions with the same
   *    arguments hash identically ([[HyperplaneCodes]])
+  *  - `graft_sorted_intersect(a, b)` — |A ∩ B| over ascending-sorted
+  *    duplicate-free array<bigint> ([[SortedIntersectCount]]; the
+  *    near-dup verify kernel)
   *
   * Install via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — done by
@@ -67,6 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bits = litInt(children(1), "bits")
         require(bits > 0 && bits <= 64, "bits must be in [1, 64]")
         SimhashBits(children.head, bits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_intersect takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lsh_codes"),

@@ -1,31 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 
 /** Throwaway profiling harness (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val builder = SparkSession.builder().master("local[4]")
+    val dir = "/root/testdata/sf0.1"
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    val s = builder.getOrCreate()
+    val s = Engine.localScratchDir.fold(builder)(d => builder.config("spark.local.dir", d))
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    import s.implicits._
-    try {
-      val df = Seq(1L, 2L, 3L, 100L).toDF("v")
-      val agg = new BloomFilterAggregate(
-        toExpression(xxhash64(col("v"))), Literal(1000L), Literal(8192L))
-      val bf = df.agg(toColumn(agg.toAggregateExpression()).as("bf"))
-      val probe = Seq(1L, 2L, 50L).toDF("v").crossJoin(bf)
-        .select(col("v"),
-          toColumn(BloomFilterMightContain(
-            toExpression(col("bf")), toExpression(xxhash64(col("v"))))).as("hit"))
-      probe.collect().foreach(r => println("PROBE " + r.getLong(0) + " -> " + r.getBoolean(1)))
-      println("BLOOM OK")
-    } catch { case e: Throwable => e.printStackTrace(); println("BLOOM FAIL: " + e.getMessage.take(300)) }
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[scratch] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    time("warmup count")(Tables.documents(s, dir).count())
+    for (q <- Seq("q41" -> operators.Dedup.q41DedupNgramJaccard _,
+                  "q42" -> operators.Dedup.q42DedupMinhashLsh _); i <- 1 to 3) {
+      s.catalog.clearCache()
+      time(s"${q._1} run$i")(q._2(s, dir)
+        .write.format("noop").mode("overwrite").save())
+    }
     s.stop()
   }
 }

@@ -44,14 +44,25 @@ object Dedup extends QueryPack {
     * ~2x on the q41 verify stage). Jaccard over the hashed sets equals
     * Jaccard over the string sets up to 64-bit collisions (~1e-12 for
     * this corpus's vocabulary; deterministic either way), which is far
-    * below the banding miss probability the pipeline already accepts. */
+    * below the banding miss probability the pipeline already accepts.
+    *
+    * Sorted ascending so the verify stage can run the allocation-free
+    * merge-scan [[graft.functions.SortedIntersectCount]] instead of the
+    * builtin's per-pair hash set. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), docTokens.as("tk"))
       .select(col("doc_id"), TextOps.shingles3(col("tk")).as("shRaw"))
       .select(col("doc_id"),
-        array_distinct(transform(col("shRaw"), g => xxhash64(g))).as("sh"))
+        array_sort(array_distinct(transform(col("shRaw"), g => xxhash64(g)))).as("sh"))
       .withColumn("n", size(col("sh")).cast("long"))
+
+  /** |sh_a ∩ sh_b| for the verify joins (sorted-merge count kernel). */
+  private def intersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(a),
+        org.apache.spark.sql.GraftSqlBridge.toExpression(b)))
 
   /** Exact dedup across two ingest feeds of the same corpus (the
     * re-ingest scenario: one topic replayed into two stores — reference
@@ -185,7 +196,7 @@ object Dedup extends QueryPack {
         col("id_a") === col("doc_id")).drop("doc_id")
       .join(d.select(col("doc_id"), col("sh").as("sh_b"), col("n").as("nb")),
         col("id_b") === col("doc_id")).drop("doc_id")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("common", intersectCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
       .filter(col("jac") >= jacT)
@@ -235,7 +246,7 @@ object Dedup extends QueryPack {
         col("id_a") === col("doc_id")).drop("doc_id")
       .join(sets.select(col("doc_id"), col("sh").as("sh_b"), col("n").as("nb")),
         col("id_b") === col("doc_id")).drop("doc_id")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("common", intersectCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
       .filter(col("jac") >= jacT)

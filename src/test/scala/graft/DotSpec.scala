@@ -59,4 +59,36 @@ class DotSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [doubledot"),
       s"doubledot not inside a codegen span:\n$plan")
   }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random sorted duplicate-free long sets with
+    // forced overlap (both sides draw from a small value space)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      def set() = Array.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+      (i.toLong, set(), set())
+    }
+    import spark.implicits._
+    val df = rows.toDF("id", "a", "b")
+    def sic(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlBridge.toColumn(functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(a),
+        org.apache.spark.sql.GraftSqlBridge.toExpression(b)))
+    val both = df.select(col("id"),
+      sic(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"row ${r.getLong(0)}: native=${r.getLong(1)} builtin=${r.getLong(2)}")
+    }
+    // SQL registration surface
+    val viaSql = spark.sql(
+      "SELECT graft_sorted_intersect(array(1L, 3L, 9L), array(3L, 4L, 9L))")
+      .collect().head.getLong(0)
+    assert(viaSql == 2L)
+  }
 }
