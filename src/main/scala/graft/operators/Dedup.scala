@@ -206,6 +206,65 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental near-dup: probe an incoming BATCH of documents
+    * (doc_id % 10 == 0 stands in for today's ingest) against the
+    * standing CORPUS (the other 90%) for cross near-dups at jac >= 0.6 —
+    * the asymmetric shape a daily pipeline actually runs, where q41's
+    * symmetric self-join is the backfill job.
+    *
+    * Why asymmetric matters at 100 TB: the corpus prefix index is built
+    * (in production: materialized) ONCE and only the small batch side is
+    * shingled and probed per run — cost scales with the batch, not the
+    * corpus. Prefix correctness needs one consistent total shingle
+    * order shared by both sides; corpus document frequency (rarest
+    * first, batch-only shingles df=0 sorting rarest of all) is that
+    * order and keeps the index stable as batches arrive. Same lossless
+    * AllPairs/PPJoin prefix + length + positional prunes as q41,
+    * spec-checked against naive cross-pairs Jaccard. Exact-copy batches
+    * are assumed pre-deduplicated by q40/s7 (the dedup ladder). */
+  def q69IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val isNew = pmod(col("doc_id"), lit(10L)) === 0
+    val corpus = sets.filter(!isNew)
+    val batch = sets.filter(isNew)
+    val dfreq = corpus.select(explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    def prefixOf(side: DataFrame): DataFrame = side
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("g"))
+      .join(dfreq, Seq("g"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("ranked"))
+      .select(col("doc_id"), col("n"),
+        expr(s"slice(ranked, 1, cast(floor((1.0 - $jacT) * size(ranked)) as int) + 1)")
+          .as("pref"))
+      .select(col("doc_id"), col("n"), posexplode(col("pref")).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+        col("p.g").as("g"))
+    // the standing index side (persisted: in production this is the
+    // materialized artifact reused across batches)
+    val corpusPref = prefixOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val batchPref = prefixOf(batch)
+    val alpha = ceil(lit(jacT / (1 + jacT)) * (col("a.n") + col("b.n")))
+    val cand = batchPref.as("a").join(corpusPref.as("b"),
+        col("a.g") === col("b.g") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            lit(jacT) * greatest(col("a.n"), col("b.n")) &&
+          (lit(1L) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) >= alpha)
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a"), col("n").as("na")),
+        col("new_id") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh").as("sh_b"), col("n").as("nb")),
+        col("corpus_id") === col("doc_id")).drop("doc_id")
+      .withColumn("common", intersectCount(col("sh_a"), col("sh_b")))
+      .select(col("new_id"), col("corpus_id"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("jac") >= jacT)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   /** Banded minhash-LSH near-dup detection with exact verification:
     * per-seed signatures minimize xxhash64(shingle_hash, seed) (hash
     * re-keying instead of an affine remix — ANSI mode forbids wrapping
@@ -508,19 +567,33 @@ object Dedup extends QueryPack {
     * either accepts (decontamination over-removal is cheap) or rescreens
     * with the exact tier. Rows-only gate: the filter's bit pattern is
     * engine-specific, so no DuckDB oracle exists by design. */
-  def q66bDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+  /** The aggregated train-shingle bloom filter as one bounded binary
+    * (built once, broadcast to every probe site — q66b here, the s9
+    * streaming ingest gate in [[graft.streaming.Streams]]). */
+  def trainShingleBloom(s: SparkSession, dir: String): Array[Byte] = {
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val base = splitShingleBase(s, dir)
-    val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
-    val bloomBytes = ex.filter(col("split") === "train")
+    splitShingleBase(s, dir)
+      .filter(col("split") === "train")
+      .select(explode(col("sh")).as("g"))
       .agg(toColumn(new BloomFilterAggregate(
         toExpression(xxhash64(col("g"))),
         Literal(1000000L), Literal(8388608L)).toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]]("bf")
-    val maybe = toColumn(BloomFilterMightContain(
-      toExpression(lit(bloomBytes)), toExpression(xxhash64(col("g")))))
+  }
+
+  /** Map-side membership probe against an aggregated bloom binary. */
+  def bloomMaybe(bloomBytes: Array[Byte], hashed: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(lit(bloomBytes)),
+        org.apache.spark.sql.GraftSqlBridge.toExpression(hashed)))
+
+  def q66bDecontamBloom(s: SparkSession, dir: String): DataFrame = {
+    val base = splitShingleBase(s, dir)
+    val ex = base.select(col("doc_id"), col("split"), explode(col("sh")).as("g"))
+    val maybe = bloomMaybe(trainShingleBloom(s, dir), xxhash64(col("g")))
     ex.filter(col("split") === "val")
       .select(col("doc_id"), maybe.as("maybe"))
       .groupBy(col("doc_id"))
@@ -572,7 +645,8 @@ object Dedup extends QueryPack {
     "q45_dup_clusters" -> (q45DupClusters _),
     "q46_contamination" -> (q46Contamination _),
     "q66_ngram_decontam" -> (q66NgramDecontam _),
-    "q66b_decontam_bloom" -> (q66bDecontamBloom _))
+    "q66b_decontam_bloom" -> (q66bDecontamBloom _),
+    "q69_incremental_neardup" -> (q69IncrementalNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -584,6 +658,16 @@ object Dedup extends QueryPack {
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q41_dedup_ngram_jaccard" -> jaccardPairsSql,
     "q42_dedup_minhash_lsh" -> jaccardPairsSql,
+    "q69_incremental_neardup" ->
+      s"""WITH sh AS ($sqlShingleSets),
+         |p AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT new_id, corpus_id, jac FROM p WHERE jac >= $jacT
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "q45_dup_clusters" ->
       s"""WITH RECURSIVE sh AS ($sqlShingleSets),
          |p AS (

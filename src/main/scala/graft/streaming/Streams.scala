@@ -209,6 +209,44 @@ object Streams {
         col("click_ts"), col("purchase_ts"), col("amount"))
   }
 
+  // ---- s9: NRT decontamination gate at the ingest boundary ----
+
+  case class IncomingDoc(docId: Long, text: String)
+
+  /** Streaming twin of q66b — the decontamination guard a pipeline runs
+    * ON the ingest stream: every incoming document's word 3-grams are
+    * probed against the (batch-built, broadcast) train-shingle bloom
+    * filter, and documents whose overlap upper bound crosses the
+    * threshold are flagged before they ever reach the store.
+    *
+    * Deliberately STATELESS: the bloom binary rides into the plan as a
+    * literal (one bounded buffer per executor, like a broadcast hash
+    * relation), the probe is a per-row column expression, and the
+    * stream needs no watermark, no state store, no shuffle — the only
+    * streaming shape that keeps an ingest guard at line rate forever.
+    * Bloom semantics carry over from q66b: no false negatives (every
+    * truly leaked document is flagged), FPP-bounded over-flagging.
+    * Rebuilding/refreshing the filter as the train corpus grows is a
+    * batch concern (re-run [[graft.operators.Dedup.trainShingleBloom]]
+    * and restart the query — the standard broadcast-refresh pattern). */
+  def decontamGate(in: Dataset[IncomingDoc], bloomBytes: Array[Byte],
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val sh = array_distinct(graft.functions.TextOps.shingles3(
+      graft.functions.TextOps.toks(lower(col("text")))))
+    in.toDF()
+      .withColumn("sh", sh)
+      .withColumn("n_shingles", size(col("sh")).cast("long"))
+      .withColumn("n_maybe_overlap",
+        size(filter(col("sh"), g =>
+          graft.operators.Dedup.bloomMaybe(bloomBytes, xxhash64(g)))).cast("long"))
+      .withColumn("overlap_frac_ub",
+        when(col("n_shingles") > 0,
+          col("n_maybe_overlap").cast("double") / col("n_shingles")))
+      .withColumn("flagged",
+        coalesce(col("overlap_frac_ub") >= threshold, lit(false)))
+      .drop("sh")
+  }
+
   // ---- s3: watermarked tumbling-window counts ----
 
   case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)

@@ -130,6 +130,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == bruteSimhashPairs(64))
   }
 
+  test("q69 incremental probe equals naive cross-pairs Jaccard (losslessness)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+    val naive = (for {
+      (ia, sa) <- docs if ia % 10 == 0
+      (ib, sb) <- docs if ib % 10 != 0
+      inter = (sa & sb).size
+      denom = sa.size + sb.size - inter
+      if denom > 0 && inter.toDouble / denom >= 0.6
+    } yield (ia, ib)).toSet
+    val got = operators.Dedup.q69IncrementalNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+    assert(got.nonEmpty, "no cross near-dups at sf0.001 — spec is vacuous")
+  }
+
   test("q66b bloom tier never under-counts the exact overlap (no false negatives)") {
     val exact = operators.Dedup.q66NgramDecontam(spark, sf)
       .select(col("doc_id"), col("n_overlap"), col("contaminated"))

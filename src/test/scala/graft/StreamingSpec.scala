@@ -120,6 +120,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s9 decontam gate flags a train-copied doc, passes novel text, holds no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = operators.Dedup.trainShingleBloom(spark, TestSpark.sf)
+    // a doc copied verbatim from the corpus (train split is 80% — a full
+    // copy overlaps SOME train doc's shingles with frac >= 0.5 unless the
+    // source doc itself is val-only; pick one known-train doc)
+    import org.apache.spark.sql.functions._
+    val h = graft.functions.TextOps.polyHash61(
+      concat(lit("split-salt-"), col("doc_id").cast("string")))
+    val trainText = Tables.documents(spark, TestSpark.sf)
+      .filter(pmod(h, lit(100L)) < 80)
+      .select(col("text")).head.getString(0)
+    val in = MemoryStream[Streams.IncomingDoc]
+    val sink = nextName()
+    val q = Streams.decontamGate(in.toDS(), bloom)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Streams.IncomingDoc(900001L, trainText),
+        Streams.IncomingDoc(900002L,
+          "zq xv qqj kkw zzp vvd hhy jjm wwt rrn bbl ccx ddf ggh"),
+        Streams.IncomingDoc(900003L, "too short"))
+      q.processAllAvailable()
+      val rows = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("docId") ->
+          (r.getAs[Long]("n_shingles"), r.getAs[Boolean]("flagged"))).toMap
+      assert(rows(900001L)._2, "verbatim train copy must be flagged")
+      assert(rows(900001L)._1 > 0)
+      assert(!rows(900002L)._2, "novel gibberish must pass the gate")
+      assert(!rows(900003L)._2, "shingle-free doc must pass (no overlap defined)")
+      // stateless: the progress metrics must report no state store rows
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "decontam gate must hold no streaming state")
+    } finally q.stop()
+  }
+
   test("s7 dedup stream: replayed content is dropped within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams.DocEvent
