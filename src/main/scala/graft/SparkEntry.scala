@@ -7,7 +7,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Relational, operators.Ingest, operators.Entity,
     operators.Text, operators.Dedup, operators.Similarity,
-    operators.MlStats, operators.Binary, sources.BucketedStore)
+    operators.MlStats, operators.Binary, operators.Sampling,
+    sources.BucketedStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -261,6 +261,32 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** Exact cosine kNN GRAPH (top-3 neighbors for EVERY vector) — the
+    * all-nodes generalization of q50's single-query scan, the structure
+    * an ANN-graph index build (or graph-based near-dup walk) starts
+    * from. Exact tier: the all-pairs join is O(n²) by definition and is
+    * kept as the oracle gate; at 100 TB the candidate generation swaps
+    * to the q52b shape (per-bucket LSH equi-join + exact rescoring, same
+    * bounded top-k tail) — this query IS that tail, so the two tiers
+    * share everything but the pair source.
+    *
+    * Per-node top-3 through the bounded [[TopKByScore]] aggregate: each
+    * map task reduces its pair block to ≤3 rows per node before the
+    * node-keyed shuffle — never a per-node sort of all n-1 candidates. */
+  def q73KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val topk = udaf(new TopKByScore(3))
+    v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos"), col("nbr")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.key").as("nbr_id"), col("t.score").as("cos"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** IVF centroid probe: midrange centroid per label cell, query probes
     * the 2 nearest cells, exact top-10 within them. Midrange (not mean)
     * keeps the centroid order-independent → bit-exact across engines. */
@@ -304,7 +330,8 @@ object Similarity extends QueryPack {
     "q52_pairwise_topk" -> (q52PairwiseTopk _),
     "q52b_pairwise_topk_lsh" -> (q52bPairwiseTopkLsh _),
     "q53_centroid_search" -> (q53CentroidSearch _),
-    "q54_knn_quantized" -> (q54KnnQuantized _))
+    "q54_knn_quantized" -> (q54KnnQuantized _),
+    "q73_knn_graph" -> (q73KnnGraph _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_knn_brute" ->
@@ -313,6 +340,19 @@ object Similarity extends QueryPack {
          |FROM v CROSS JOIN q WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // q51 intentionally has no oracle (probabilistic recall; spec-checked)
+    "q73_knn_graph" ->
+      s"""WITH v AS ($vSql),
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    ${V.sqlDot("a.e", "b.e")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT vec_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr_id) AS BIGINT) AS rk
+         |  FROM p)
+         |SELECT vec_id, rk, nbr_id, cos FROM r WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
     "q52_pairwise_topk" ->
       s"""WITH v AS ($vSql),
          |p AS (

@@ -35,3 +35,33 @@ class TopKByScore(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredKey]]()
   def outputEncoder: Encoder[Seq[ScoredKey]] = bufferEncoder
 }
+
+/** One (hash, id, payload) candidate for [[BottomKByHash]]. */
+case class HashedRow(hk: Long, id: Long, payload: Long)
+
+/** Bounded bottom-k aggregate over LONG sort keys: keeps the k rows with
+  * the smallest (hk, id) per group, carrying one long payload column
+  * through. The long-keyed twin of [[TopKByScore]] for hash-ordered
+  * deterministic sampling — the 61-bit portable hashes do not fit a
+  * double's 53-bit mantissa, so a score-based aggregate would collide
+  * where the hash does not. Same scale rationale: partial-aggregable,
+  * O(k) state, k rows per (task, group) cross the shuffle where a
+  * `row_number` window would sort the whole stratum through one task.
+  */
+class BottomKByHash(k: Int)
+    extends Aggregator[HashedRow, Seq[HashedRow], Seq[HashedRow]] {
+  private val ord: Ordering[HashedRow] =
+    Ordering.by((s: HashedRow) => (s.hk, s.id))
+
+  def zero: Seq[HashedRow] = Vector.empty
+  def reduce(b: Seq[HashedRow], a: HashedRow): Seq[HashedRow] =
+    if (b.size < k) (b :+ a).sorted(ord)
+    else if (ord.lt(a, b.last)) (b.init :+ a).sorted(ord)
+    else b
+  def merge(x: Seq[HashedRow], y: Seq[HashedRow]): Seq[HashedRow] =
+    (x ++ y).sorted(ord).take(k)
+  def finish(r: Seq[HashedRow]): Seq[HashedRow] = r
+  def bufferEncoder: Encoder[Seq[HashedRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HashedRow]]()
+  def outputEncoder: Encoder[Seq[HashedRow]] = bufferEncoder
+}

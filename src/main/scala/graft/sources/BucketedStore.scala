@@ -47,8 +47,13 @@ object BucketedStore extends QueryPack {
       .saveAsTable(table)
   }
 
+  /** Store files live on the same scratch tier as shuffle data (tmpfs
+    * when available): the store is a per-JVM rebuilt cache of driver
+    * testdata, and on this shared-VM host the root disk's co-tenant IO
+    * otherwise leaks straight into every q28 measurement. */
   private def storeRoot: String =
-    sys.props("java.io.tmpdir") + "/graft-bucketed-store"
+    graft.Engine.localScratchDir.getOrElse(sys.props("java.io.tmpdir")) +
+      "/graft-bucketed-store"
 
   /** Store builds already paid this JVM, keyed by (dir, buckets). The
     * whole point of the bucketed layout is that the ingest shuffle is
