@@ -263,4 +263,38 @@ object Streams {
       .select(col("w.start").as("win_start"), col("eventType"),
         col("cnt"), col("sum_value"))
   }
+
+  // ---- s10: NRT source-mix rate monitor ----
+
+  case class MixDoc(ts: java.sql.Timestamp, source: String, nChars: Long)
+  case class SourceRate(source: String, expectedDocs: Long)
+
+  /** Streaming tier of q67's mixture report — the live monitor a
+    * pretraining ingest runs so a source going dark (crawler broke) or
+    * flooding (feed loop) is caught within a window, not at the next
+    * batch audit. Per tumbling window and source: doc/char volume plus
+    * a rate verdict against the batch-derived expected per-window rate
+    * ("low" / "high" when outside ±tol, "dark" rows are simply absent —
+    * a downstream anti-join against the rate table surfaces them).
+    *
+    * Shape: ONE watermarked windowed aggregation (state bounded by the
+    * watermark horizon × live sources), then a broadcast stream-static
+    * join against the tiny rate table AFTER the aggregate — per-window
+    * volumes monitor absolute rates, deliberately not within-window
+    * shares, which would need a second stateful aggregation over the
+    * window totals for no operational gain. */
+  def mixMonitor(in: Dataset[MixDoc], rates: Dataset[SourceRate],
+      tol: Double = 0.5): Dataset[org.apache.spark.sql.Row] = {
+    in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nChars")).as("n_chars"))
+      .join(broadcast(rates.toDF()), Seq("source"), "left")
+      .select(col("w.start").as("win_start"), col("source"),
+        col("n_docs"), col("n_chars"), col("expectedDocs").as("expected_docs"),
+        when(col("expectedDocs").isNull, "unknown")
+          .when(col("n_docs") < col("expectedDocs") * (1 - tol), "low")
+          .when(col("n_docs") > col("expectedDocs") * (1 + tol), "high")
+          .otherwise("ok").as("verdict"))
+  }
 }

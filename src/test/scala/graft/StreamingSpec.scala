@@ -205,6 +205,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s10 mix monitor verdicts per window: ok, low, high, unknown") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.{MixDoc, SourceRate}
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[MixDoc]
+    val rates = Seq(SourceRate("web", 4L), SourceRate("books", 2L)).toDS()
+    val sink = nextName()
+    val q = Streams.mixMonitor(in.toDS(), rates)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // hour 10: web at rate (4 docs vs expected 4), books dark-ish (1 vs
+      // 2 is within ±50% tol -> ok at exactly 1? 1 < 2*0.5 is false -> ok),
+      // wiki unknown; hour 11: web floods (9 > 4*1.5 -> high), books dies
+      // (0 rows -> absent), web chars accumulate exactly
+      in.addData(
+        MixDoc(ts(10, 1), "web", 100), MixDoc(ts(10, 10), "web", 100),
+        MixDoc(ts(10, 20), "web", 100), MixDoc(ts(10, 30), "web", 100),
+        MixDoc(ts(10, 5), "books", 500),
+        MixDoc(ts(10, 40), "wiki", 50))
+      in.addData((0 until 9).map(i => MixDoc(ts(11, i + 1), "web", 10)): _*)
+      // hour 12: web trickles (1 < 4*0.5 -> low)
+      in.addData(MixDoc(ts(12, 30), "web", 10))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("win_start", "source", "n_docs", "n_chars", "verdict").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "web", 4L, 400L, "ok"),
+        ("2024-01-01 10:00:00.0", "books", 1L, 500L, "ok"),
+        ("2024-01-01 10:00:00.0", "wiki", 1L, 50L, "unknown"),
+        ("2024-01-01 11:00:00.0", "web", 9L, 90L, "high"),
+        ("2024-01-01 12:00:00.0", "web", 1L, 10L, "low")))
+    } finally q.stop()
+  }
+
   test("s8 interval join pairs purchases with in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.{ClickEv, PurchaseEv}
