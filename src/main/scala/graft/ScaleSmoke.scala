@@ -49,12 +49,15 @@ object ScaleSmoke {
     // q27 is intentionally absent: replicating BOTH interval and probe
     // sides grows its OUTPUT quadratically (every incident counts every
     // replica), so wall-clock tracks answer size, not plan quality.
+    // q73 likewise: its exact all-pairs tier is O(n²) BY CONTRACT (the
+    // oracle gate); the scale path is q52b's candidate join, which is in.
     val keys = Seq("q30_token_count", "q38_vocab_topk", "q39_tfidf_topterms",
       "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q45_dup_clusters", "q48_repetition_score",
       "q50_knn_brute", "q52b_pairwise_topk_lsh", "q54_knn_quantized",
       "q20_sessionize", "q25_json_kinematics", "q26_asof_join",
-      "q66_ngram_decontam", "q66b_decontam_bloom", "q68_sequence_pack")
+      "q66_ngram_decontam", "q66b_decontam_bloom", "q68_sequence_pack",
+      "q74_reservoir", "q75_mixture", "q76_zorder_scan")
 
     def time(dir: String, key: String): Double = {
       spark.catalog.clearCache()

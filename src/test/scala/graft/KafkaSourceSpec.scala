@@ -34,6 +34,53 @@ class KafkaSourceSpec extends AnyFunSuite {
     assert(!KafkaSourceOptions("b:9092", Seq("t")).asMap.contains("maxOffsetsPerTrigger"))
   }
 
+  test("publisher frame drops header/short lines and keys by portable hash") {
+    import graft.streaming.KafkaPublisher
+    val lines = Seq(
+      "o_orderkey,o_custkey,o_orderstatus,o_totalprice",  // header -> drop
+      "short",                                            // < 10 chars -> drop
+      "1,101,O,10.50,1-URGENT",
+      "2,102,F,7.25,3-MEDIUM").toDS()
+    val out = KafkaPublisher.frame(lines, headerPrefix = "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == 2)
+    assert(out.map(_._2).toSet ==
+      Set("1,101,O,10.50,1-URGENT", "2,102,F,7.25,3-MEDIUM"))
+    // key = portable hash of the value, as a string (stable partitioning)
+    val expectedKey = spark.sql(
+      "SELECT CAST(" +
+        "aggregate(split('1,101,O,10.50,1-URGENT', ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007) + " +
+        "shiftleft(aggregate(split('1,101,O,10.50,1-URGENT', ''), 0L, (a, c) -> (a * 37 + ascii(c)) % 1000000007), 31) AS STRING)")
+      .collect()(0).getString(0)
+    assert(out.toMap.map(_.swap).apply("1,101,O,10.50,1-URGENT") == expectedKey)
+    // streaming-compat: the same frame runs as a stream (memory sink)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val sink = "kafka_pub_sink"
+    val q = KafkaPublisher.frame(in.toDS(), "o_orderkey")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData("o_orderkey,skip-me", "3,103,O,5.00,2-HIGH")
+      q.processAllAvailable()
+      assert(spark.table(sink).collect().map(_.getString(1)).toSeq ==
+        Seq("3,103,O,5.00,2-HIGH"))
+    } finally q.stop()
+  }
+
+  test("publish options map carries topic, acks, linger and batch size") {
+    import graft.streaming.KafkaPublisher.KafkaPublishOptions
+    val m = KafkaPublishOptions("b1:9092", "orders", acks = "1",
+      lingerMs = 5L, batchSize = 65536L,
+      extra = Map("kafka.compression.type" -> "lz4")).asMap
+    assert(m("kafka.bootstrap.servers") == "b1:9092")
+    assert(m("topic") == "orders")
+    assert(m("kafka.acks") == "1")
+    assert(m("kafka.linger.ms") == "5")
+    assert(m("kafka.batch.size") == "65536")
+    assert(m("kafka.compression.type") == "lz4")
+  }
+
   test("orderEvents parse: header/short/poison lines drop, empty status defaults") {
     val lines = Seq(
       "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderpriority", // header
