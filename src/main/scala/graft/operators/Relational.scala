@@ -180,6 +180,30 @@ object Relational extends QueryPack {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Trailing-hour moving aggregate per user — the telemetry smoothing
+    * query (rolling rate/average over EVENT TIME, not row count), the
+    * one window shape q10/q11 do not cover: `rangeBetween` over the
+    * event-time axis, where the frame is "everything in the last hour"
+    * regardless of how many rows that is. Partitioned by high-cardinality
+    * user_id, so the window parallelizes across executors; sums ride the
+    * scaled-integer cents path and the average divides once at the end —
+    * oracle-exact. Time ties land in the same frame in both engines
+    * (RANGE frames include ALL peers of the bound). */
+  def q29MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.eventsTs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        cents(col("value")).as("vc"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_c", sum(col("vc")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_window"),
+        (col("sum_c") / 100.0).as("sum_value"),
+        (col("sum_c").cast("double") / 100.0 / col("n_window")).as("avg_value"))
+      .orderBy(col("event_id"))
+  }
+
   def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTs(s, dir)
       .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
@@ -411,9 +435,24 @@ object Relational extends QueryPack {
     "q17_conditional_counters" -> (q17ConditionalCounters _),
     "q18_minmax_by" -> (q18MinmaxBy _),
     "q26_asof_join" -> (q26AsofJoin _),
-    "q27_range_join" -> (q27RangeJoin _))
+    "q27_range_join" -> (q27RangeJoin _),
+    "q29_moving_avg" -> (q29MovingAvg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q29_moving_avg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  count(*) OVER w AS n_window,
+        |  CAST(sum(vc) OVER w AS BIGINT) / 100.0 AS sum_value,
+        |  CAST(CAST(sum(vc) OVER w AS BIGINT) AS DOUBLE) / 100.0
+        |    / (count(*) OVER w) AS avg_value
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q26_asof_join" ->
       """WITH c AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id,

@@ -262,6 +262,51 @@ object Text extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** PMI collocation mining — the "new term / multiword unit" pass of a
+    * vocab build: adjacent token pairs scored by pointwise-mutual-
+    * information LIFT (how much more often the pair occurs than its
+    * parts predict), rational form c_ab·N_tok² / (N_big·c_a·c_b) so no
+    * libm log enters the ranking (the q39 idf idea). Min support 5
+    * kills the noise tail; top-20 by lift with a total tie-break.
+    *
+    * Shape: one persisted token-array scan feeds both count passes
+    * (unigrams, bigrams) — partial-aggregable groupBys on
+    * high-cardinality keys; the two corpus totals are 1-row aggregates
+    * broadcast back (no driver collect); the unigram joins are
+    * equi-joins on token, AQE-broadcast when the vocab is small. All
+    * counts integer; the one double expression mirrors the oracle
+    * term-for-term. */
+  def q77PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documentsBalanced(s, dir)
+      .select(tokens.as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = base.select(explode_outer(col("tk")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bigAll = base.select(explode_outer(bigrams).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val nBig = bigAll.agg(sum(col("c_ab")).as("n_big"))
+    bigAll.filter(col("c_ab") >= 5)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok"), col("c").as("c_a")), col("a") === col("tok"))
+      .drop("tok")
+      .join(uni.select(col("tok"), col("c").as("c_b")), col("b") === col("tok"))
+      .drop("tok")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_big").cast("double") * col("c_a") * col("c_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Deterministic stratified sampling — rebalancing an over-represented
     * stratum (here: lang) with per-stratum keep rates, assigned by the
     * same salted portable hash as q35 so the sample is stable across
@@ -491,9 +536,32 @@ object Text extends QueryPack {
     "q49_curation_pipeline" -> (q49CurationPipeline _),
     "q65_length_histogram" -> (q65LengthHistogram _),
     "q67_source_mix" -> (q67SourceMix _),
-    "q68_sequence_pack" -> (q68SequencePack _))
+    "q68_sequence_pack" -> (q68SequencePack _),
+    "q77_pmi" -> (q77PmiPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q77_pmi" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+        |uni AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(tk) AS tok FROM t)
+        |  WHERE tok IS NOT NULL AND tok <> '' GROUP BY tok),
+        |bigall AS (
+        |  SELECT bg, count(*) AS c_ab
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t)
+        |  GROUP BY bg),
+        |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+        |nbig AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM bigall)
+        |SELECT bigall.bg AS bigram, bigall.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST(bigall.c_ab AS DOUBLE) * n_tok * n_tok /
+        |    (CAST(n_big AS DOUBLE) * ua.c * ub.c) AS lift
+        |FROM bigall
+        |JOIN uni ua ON split_part(bigall.bg, ' ', 1) = ua.tok
+        |JOIN uni ub ON split_part(bigall.bg, ' ', 2) = ub.tok
+        |CROSS JOIN ntok CROSS JOIN nbig
+        |WHERE bigall.c_ab >= 5
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "q35_train_split" -> {
       val h = T.sqlPolyHash61("'split-salt-' || CAST(doc_id AS VARCHAR)")
       s"""SELECT CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split,
