@@ -23,6 +23,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_sorted_intersect(a, b)` — |A ∩ B| over ascending-sorted
   *    duplicate-free array<bigint> ([[SortedIntersectCount]]; the
   *    near-dup verify kernel)
+  *  - `graft_zorder(a, b)` — Morton interleave of two 16-bit grid
+  *    coordinates ([[graft.functions.Morton]]; the z-store layout key,
+  *    so SQL jobs can write the same clustering)
   *
   * Install via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — done by
@@ -79,6 +82,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "graft_sorted_intersect takes exactly 2 arguments")
         SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_zorder takes two 16-bit grid coordinates (a, b)")
+        graft.functions.Morton.interleave16Expr(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lsh_codes"),

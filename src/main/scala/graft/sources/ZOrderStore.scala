@@ -34,8 +34,9 @@ object ZOrderStore extends QueryPack {
 
   /** Morton interleave of two 16-bit grid coordinates: bit i of `a`
     * lands at position 2i, bit i of `b` at 2i+1. A 32-term
-    * shift/mask/or tree — pure codegen'd long arithmetic. */
-  private[sources] def interleave16(a: Column, b: Column): Column =
+    * shift/mask/or tree — pure codegen'd long arithmetic. Also exposed
+    * to SQL as `graft_zorder(a, b)` via [[graft.GraftExtensions]]. */
+  private[graft] def interleave16(a: Column, b: Column): Column =
     (0 until 16).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))

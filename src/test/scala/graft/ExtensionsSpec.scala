@@ -12,6 +12,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("graft_zorder interleaves bits like the z-store layout key") {
+    // a = 0b11 (bits at 0,1 -> positions 0,2), b = 0b1 (bit 0 -> position 1)
+    val r = spark.sql("SELECT graft_zorder(3L, 1L) AS z").collect().head.getLong(0)
+    assert(r == 7L) // 0b111
+    val grid = spark.sql(
+      "SELECT graft_zorder(65535L, 65535L) AS hi, graft_zorder(0L, 0L) AS lo")
+      .collect().head
+    assert(grid.getLong(0) == -1L >>> 32 && grid.getLong(1) == 0L)
+    // the SQL expression tree and the store's Column composition are two
+    // spellings of one key: pin them to each other over a value sweep
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (3L, 1L), (65535L, 0L), (0L, 65535L),
+      (12345L, 54321L), (65535L, 65535L)).toDF("a", "b")
+    val viaSql = pairs.selectExpr("graft_zorder(a, b) AS z").collect().map(_.getLong(0))
+    val viaCol = pairs.select(
+      graft.sources.ZOrderStore.interleave16(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(viaSql.sameElements(viaCol))
+  }
+
   test("graft_minhash / graft_simhash / graft_lsh_codes are callable from SQL") {
     val mh = spark.sql(
       "SELECT graft_minhash(array(xxhash64('a'), xxhash64('b')), 4) AS sig")
