@@ -204,6 +204,45 @@ object Relational extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-click) with per-stage user counts and average
+    * stage-to-stage delay — the sequence-match report every product
+    * analytics stack runs over an event stream.
+    *
+    * Shape: stage k's earliest qualifying time needs stage k-1's, so
+    * the funnel is a CHAIN of per-user conditional mins — three
+    * partial-aggregable groupBys on the same high-cardinality user key
+    * (co-partitioned, so AQE plans the stage joins without fresh
+    * exchanges), never a per-user time-sorted window pass. A one-pass
+    * bounded aggregator cannot do this exactly: merging two partial
+    * funnel states needs every candidate click, unbounded — so the
+    * chain IS the scale-right shape. Counts and µs-delay sums are
+    * integers; one division per stage: oracle-exact. */
+  def q78Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsTs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t3"), min(col("t2")).as("t2"))
+    val r1 = t1.agg(count(lit(1)).as("n1"))
+    val r2 = t2.agg(count(lit(1)).as("n2"), sum(col("t2") - col("t1")).as("d2"))
+    val r3 = t3.agg(count(lit(1)).as("n3"), sum(col("t3") - col("t2")).as("d3"))
+    r1.crossJoin(r2).crossJoin(r3).selectExpr(
+      """stack(3,
+        |  '1_view', n1, CAST(NULL AS DOUBLE),
+        |  '2_click', n2, CAST(d2 AS DOUBLE) / n2,
+        |  '3_purchase', n3, CAST(d3 AS DOUBLE) / n3)
+        |AS (stage, n_users, avg_delay_us)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
   def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTs(s, dir)
       .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
@@ -436,9 +475,32 @@ object Relational extends QueryPack {
     "q18_minmax_by" -> (q18MinmaxBy _),
     "q26_asof_join" -> (q26AsofJoin _),
     "q27_range_join" -> (q27RangeJoin _),
-    "q29_moving_avg" -> (q29MovingAvg _))
+    "q29_moving_avg" -> (q29MovingAvg _),
+    "q78_funnel" -> (q78Funnel _))
 
   val oracleSql: Map[String, String] = Map(
+    "q78_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts_us) AS t2, min(t1.t1) AS t1
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts_us) AS t3, min(t2.t2) AS t2
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY 1),
+        |r1 AS (SELECT count(*) AS n1 FROM t1),
+        |r2 AS (SELECT count(*) AS n2, CAST(sum(t2 - t1) AS BIGINT) AS d2 FROM t2),
+        |r3 AS (SELECT count(*) AS n3, CAST(sum(t3 - t2) AS BIGINT) AS d3 FROM t3)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, n1 AS n_users,
+        |    CAST(NULL AS DOUBLE) AS avg_delay_us FROM r1
+        |  UNION ALL
+        |  SELECT '2_click', n2, CAST(d2 AS DOUBLE) / n2 FROM r2
+        |  UNION ALL
+        |  SELECT '3_purchase', n3, CAST(d3 AS DOUBLE) / n3 FROM r3)
+        |ORDER BY stage""".stripMargin,
     "q29_moving_avg" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -48,4 +48,52 @@ class PropertySpec extends AnyFunSuite {
       math.round(asDouble * 100) == c       // what Num.cents computes per row
     })
   }
+
+  private val bk = new operators.BottomKByHash(5)
+
+  private def bkReduceAll(xs: Seq[operators.HashedRow]): Seq[operators.HashedRow] =
+    xs.foldLeft(bk.zero)(bk.reduce)
+
+  private val rowGen = for {
+    // full 61-bit hash range: the reason this aggregate exists is that
+    // these keys do NOT fit a double's mantissa
+    hk <- Gen.chooseNum(0L, (1L << 61) - 1)
+    id <- Gen.chooseNum(0L, 1000L)
+    payload <- Gen.chooseNum(0L, 100000L)
+  } yield operators.HashedRow(hk, id, payload)
+
+  test("BottomKByHash is split-invariant and equals sort-take") {
+    check(Prop.forAll(Gen.listOf(rowGen), Gen.chooseNum(0, 1000)) { (xs, cutSeed) =>
+      val whole = bkReduceAll(xs)
+      val cut = if (xs.isEmpty) 0 else cutSeed % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val merged = bk.merge(bkReduceAll(l), bkReduceAll(r))
+      val oracle = xs.sortBy(x => (x.hk, x.id)).take(5)
+      merged == whole && whole == oracle
+    })
+  }
+
+  test("Morton key preserves box locality: max interleave bounds both coordinates") {
+    // every z-value in [z(lo), z(hi)] for an aligned power-of-two box
+    // decodes to coordinates inside that box — the row-group pruning
+    // argument in miniature (checked on random aligned 16-bit boxes)
+    val boxGen = for {
+      bits <- Gen.chooseNum(0, 8)
+      ax <- Gen.chooseNum(0, (1 << (16 - bits)) - 1)
+      by <- Gen.chooseNum(0, (1 << (16 - bits)) - 1)
+    } yield (bits, ax.toLong << bits, by.toLong << bits)
+    def z(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    def unz(v: Long): (Long, Long) = (
+      (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).reduce(_ | _),
+      (0 until 16).map(i => ((v >> (2 * i + 1)) & 1L) << i).reduce(_ | _))
+    check(Prop.forAll(boxGen, Gen.chooseNum(0L, Long.MaxValue)) { case ((bits, a0, b0), seed) =>
+      val side = 1L << bits
+      val (zLo, zHi) = (z(a0, b0), z(a0 + side - 1, b0 + side - 1))
+      val v = zLo + (if (zHi == zLo) 0L else math.abs(seed % (zHi - zLo + 1)))
+      val (a, b) = unz(v)
+      a >= a0 && a < a0 + side && b >= b0 && b < b0 + side
+    })
+  }
 }
