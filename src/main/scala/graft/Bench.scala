@@ -71,14 +71,21 @@ object Bench {
     // stdout line uses compact centisecond-level numbers (ample for a
     // 2x-of-baseline gate) and omits the empty errors list; bench_out
     // .json keeps full precision for local diffing.
+    // Locale.ROOT: the default locale could render a comma decimal
+    // separator and corrupt the JSON (raw Double.toString, used for the
+    // file copy, is locale-independent already).
     def fmt(dec: Int)(v: Double): String = {
-      val s = if (v >= 10) f"$v%.1f"
-        else String.format(s"%.${dec}f", Double.box(v))
+      val s = String.format(java.util.Locale.ROOT,
+        s"%.${if (v >= 10) 1 else dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    def render(num: Double => String, allErrs: Boolean): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-        .mkString("{", ",", "}")
+    def render(num: Double => String, allErrs: Boolean,
+        withQueries: Boolean = true): String = {
+      val qs =
+        if (withQueries)
+          results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+            .mkString(""","queries":{""", ",", "}")
+        else ""
       val errs =
         if (errors.isEmpty && !allErrs) ""
         else errors.map("\"" + _ + "\"").mkString(",\"errors\":[", ",", "]")
@@ -87,13 +94,19 @@ object Bench {
       // (driver always passes .../sfX.Y) — trims 20 chars vs the path.
       val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
         .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errs,"sf":$sf}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$qs$errs,"sf":$sf}"""
     }
-    // Length-adaptive: centisecond precision normally; if the suite ever
-    // grows the line past the window, fall back to decisecond precision
-    // (still ample for a 2x gate) rather than overflow.
+    // Length-adaptive: centisecond precision normally; decisecond if the
+    // suite grows the line past the window; as the final tier drop the
+    // per-query map entirely (a parseable total beats an unparseable
+    // line — the per-query numbers are always in bench_out.json).
     val compact = Seq(2, 1).map(d => render(fmt(d), allErrs = false))
-      .find(_.length <= 1900).getOrElse(render(fmt(1), allErrs = false))
+      .find(_.length <= 1900)
+      .getOrElse {
+        System.err.println("[bench] per-query map exceeds the stdout " +
+          "budget even at 1 decimal; emitting totals only (see bench_out.json)")
+        render(fmt(1), allErrs = false, withQueries = false)
+      }
     println(compact)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), render(_.toString, allErrs = true) + "\n")

@@ -53,10 +53,15 @@ object Sampling extends QueryPack {
 
   /** Mixture materialization: target weight of source srcN is (N+1)/210
     * over a 420-doc target corpus, so quota(srcN) = 2*(N+1) docs, capped
-    * by availability (at the driver scale the high-index sources DO cap,
-    * exercising the branch). Selection within a source is the quota
-    * smallest salted hashes; output is the per-source audit (available,
-    * quota, actually kept docs/chars, achieved char share).
+    * at the 40-row aggregate bound AND by availability (at the driver
+    * scale the high-index sources cap on availability, exercising the
+    * branch). The explicit `least(..., 40)` keeps the quota formula and
+    * the bounded aggregate in lockstep: without it, a source index >= 20
+    * would ask for more rows than BottomKByHash(40) retained and the
+    * result would silently diverge from the oracle. Selection within a
+    * source is the quota smallest salted hashes; output is the
+    * per-source audit (available, quota, actually kept docs/chars,
+    * achieved char share).
     *
     * Shape: one scan, one groupBy(source) carrying the bounded
     * [[BottomKByHash]] state (k = max quota), quota arithmetic and the
@@ -73,7 +78,7 @@ object Sampling extends QueryPack {
       .groupBy(col("source"))
       .agg(max(col("idx")).as("idx"), count(lit(1)).as("n_avail"),
         bk(col("hk"), col("doc_id"), col("n_chars")).as("sel"))
-      .withColumn("quota", expr("(420 * (idx + 1)) div 210"))
+      .withColumn("quota", expr("least((420 * (idx + 1)) div 210, 40L)"))
       .withColumn("kept",
         slice(col("sel"), lit(1), least(col("quota"), size(col("sel")).cast("long")).cast("int")))
       .select(col("source"), col("n_avail"), col("quota"),
@@ -116,7 +121,7 @@ object Sampling extends QueryPack {
          |    ORDER BY hk, doc_id) AS rn FROM h),
          |q AS (
          |  SELECT source, count(*) AS n_avail,
-         |    (420 * (max(idx) + 1)) // 210 AS quota
+         |    least((420 * (max(idx) + 1)) // 210, 40) AS quota
          |  FROM h GROUP BY source),
          |k AS (
          |  SELECT r.source, count(*) AS n_kept,

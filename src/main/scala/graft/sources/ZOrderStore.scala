@@ -49,10 +49,20 @@ object ZOrderStore extends QueryPack {
   private def withZkey(ev: DataFrame): DataFrame = {
     val mm = ev.agg(min("user_id").as("umn"), max("user_id").as("umx"),
       min("ts_us").as("tmn"), max("ts_us").as("tmx"))
+    // Map each span onto the 16-bit grid without unsafe arithmetic: a
+    // small span multiplies UP (both factors < 2^16, cannot overflow —
+    // and without the spread a 150-value user range would occupy only
+    // the low bits, degenerating the curve to a time sort), a large
+    // span divides DOWN by ceil(span/65536) (a (x-mn)*65535
+    // formulation would wrap Long once the event-time span passes
+    // ~2^47 µs ≈ 4.5 years and scramble the layout).
+    def grid16(x: String, mn: String, mx: String): String =
+      s"CASE WHEN $mx - $mn < 65536 THEN ($x - $mn) * (65536 div ($mx - $mn + 1)) " +
+        s"ELSE ($x - $mn) div (($mx - $mn + 65536) div 65536) END"
     ev.crossJoin(broadcast(mm))
       .withColumn("zkey", interleave16(
-        expr("((user_id - umn) * 65535) div (umx - umn + 1)"),
-        expr("((ts_us - tmn) * 65535) div (tmx - tmn + 1)")))
+        expr(grid16("user_id", "umn", "umx")),
+        expr(grid16("ts_us", "tmn", "tmx"))))
       .drop("umn", "umx", "tmn", "tmx")
   }
 
@@ -92,7 +102,13 @@ object ZOrderStore extends QueryPack {
           .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
         val r = ev.agg(min("user_id"), max("user_id"),
           min("ts_us"), max("ts_us")).head()
-        val path = s"$storeRoot/events_z"
+        // one store directory PER SOURCE DIR: a shared path would let a
+        // second dir's build overwrite the first's files while the
+        // first's cache entry stayed valid (ScaleSmoke runs two dirs in
+        // one JVM and would silently scan the wrong store)
+        val tag = java.lang.Long.toHexString(
+          dir.foldLeft(1125899906842597L)((a, c) => a * 31 + c))
+        val path = s"$storeRoot/events_z_$tag"
         writeZOrdered(ev, path, files = 64)
         (path, (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       })
