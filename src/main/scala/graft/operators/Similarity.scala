@@ -287,6 +287,62 @@ object Similarity extends QueryPack {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  // JL projection 64 -> 16 dims: fixed Gaussian planes (seed 11), rows
+  // scaled by 1/sqrt(k) so squared distances are preserved in
+  // expectation. k = 16 keeps E[relative distortion] ~ sqrt(2/k) ~ 35%
+  // — coarse, but rank-1-preserving for true duplicates (distance 0
+  // projects to 0 exactly) and 4x fewer bytes per scan.
+  private val ProjDims = 16
+  private val ProjPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(ProjDims)(
+      Array.fill(64)(rnd.nextGaussian() / math.sqrt(ProjDims.toDouble)))
+  }
+
+  private def project(e: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ProjectVector(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(e), ProjPlanes))
+
+  /** Johnson–Lindenstrauss-projected kNN scan — the DIMENSION-compression
+    * lever beside q54's cell-compression: project every vector 64 -> 16
+    * dims through the native [[graft.functions.ProjectVector]] (matrix as
+    * a codegen reference object), then run the q50 top-k scan in the
+    * projected space at a quarter of the bytes. Rows-only by design: the
+    * projection matrix is engine-internal (like the LSH planes), so the
+    * ranking is deterministic but not oracle-reproducible; the JL
+    * distance-preservation law and planted-duplicate rank-1 contract are
+    * spec-asserted (SimilaritySpec), mirroring q51's recall gate. */
+  def q79RandProj(s: SparkSession, dir: String): DataFrame =
+    projectedKnn(vecs(s, dir))
+
+  private[graft] def projectedKnn(v: DataFrame): DataFrame = {
+    val p = v.select(col("vec_id"), project(col("e")).as("pe"))
+      .withColumn("pn2", norm2(col("pe")))
+    val q = p.filter(col("vec_id") === 0)
+      .select(col("pe").as("qpe"), col("pn2").as("qpn2"))
+    p.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineFrom(dot(col("pe"), col("qpe")), col("pn2"), col("qpn2")).as("pcos"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Pairwise distances before/after projection for the spec's JL law
+    * check (not a gated query). */
+  private[graft] def projectionDistortion(v: DataFrame): DataFrame = {
+    val p = v.select(col("vec_id"), col("e"), project(col("e")).as("pe"))
+    p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        dot(col("a.e"), col("a.e")).as("aa"), dot(col("b.e"), col("b.e")).as("bb"),
+        dot(col("a.e"), col("b.e")).as("ab"),
+        dot(col("a.pe"), col("a.pe")).as("paa"), dot(col("b.pe"), col("b.pe")).as("pbb"),
+        dot(col("a.pe"), col("b.pe")).as("pab"))
+      .select((col("aa") + col("bb") - col("ab") * 2).as("d2"),
+        (col("paa") + col("pbb") - col("pab") * 2).as("pd2"))
+  }
+
   /** IVF centroid probe: midrange centroid per label cell, query probes
     * the 2 nearest cells, exact top-10 within them. Midrange (not mean)
     * keeps the centroid order-independent → bit-exact across engines. */
@@ -331,7 +387,8 @@ object Similarity extends QueryPack {
     "q52b_pairwise_topk_lsh" -> (q52bPairwiseTopkLsh _),
     "q53_centroid_search" -> (q53CentroidSearch _),
     "q54_knn_quantized" -> (q54KnnQuantized _),
-    "q73_knn_graph" -> (q73KnnGraph _))
+    "q73_knn_graph" -> (q73KnnGraph _),
+    "q79_rand_proj" -> (q79RandProj _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_knn_brute" ->

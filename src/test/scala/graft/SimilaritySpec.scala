@@ -57,6 +57,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q79 JL projection preserves squared distances within the k=16 budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val v = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "e")
+    val rows = operators.Similarity.projectionDistortion(v).collect()
+    assert(rows.length == 60 * 59 / 2)
+    val relErr = rows.map { r =>
+      val (d2, pd2) = (r.getDouble(0), r.getDouble(1))
+      math.abs(pd2 - d2) / d2
+    }
+    // E[rel distortion] ~ sqrt(2/k) ~ 0.35 at k=16; the MEAN over ~1.8k
+    // pairs concentrates hard, 0.5 leaves noise margin
+    val mean = relErr.sum / relErr.length
+    assert(mean < 0.5, s"mean JL distortion too high: $mean")
+    assert(relErr.count(_ < 1.0).toDouble / relErr.length > 0.9,
+      "distortion tail too heavy — projection matrix suspect")
+  }
+
+  test("q79 projected scan ranks a planted duplicate of the query first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    // identical copy of the query vector: distance 0 projects to 0
+    // EXACTLY, so rank 1 is deterministic, not probabilistic
+    val v = (base :+ (999L, base.head._2.clone()))
+      .toDF("vec_id", "e")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val top = operators.Similarity.projectedKnn(v).collect().head
+    assert(top.getLong(0) == 999L, s"planted dup not rank 1: $top")
+    assert(top.getDouble(1) > 0.999999, s"projected cos of identical vec: $top")
+  }
+
   test("q54 8-bit quantized scan tracks the exact top-10 on noise") {
     val exact = operators.Similarity.q50KnnBrute(spark, sf)
       .collect().map(_.getLong(0)).toSet
