@@ -35,6 +35,36 @@ class UpsertSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("merge replay is idempotent and a half-swapped store self-recovers") {
+    import graft.streaming.Streams.EntityUpdate
+    val store = Files.createTempDirectory("graft_store_").toString + "/entities"
+    def batch(rows: (Long, Long, Double)*) =
+      rows.map { case (k, n, amt) =>
+        EntityUpdate(k, "Modified", n, amt, amt, 0L, n) }.toDS()
+
+    UpsertSink.mergeBatch(batch((1L, 1L, 10.0), (2L, 1L, 3.0)), store)
+    val b2 = batch((1L, 2L, 16.0), (3L, 1L, 1.0))
+    UpsertSink.mergeBatch(b2, store)
+    def snap() = spark.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val once = snap()
+    // foreachBatch is at-least-once: the SAME batch may be replayed after
+    // a crash. The stream emits full merged entities, so re-merging must
+    // be a no-op, not a double-count.
+    UpsertSink.mergeBatch(b2, store)
+    assert(snap() == once, "replaying the same batch changed the store")
+
+    // crash between the two swap renames: the store exists only at _old.
+    // The next merge must restore it and proceed with nothing lost.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "_old")))
+    UpsertSink.mergeBatch(batch((2L, 2L, 7.5)), store)
+    assert(snap() == Seq((1L, 2L, 16.0), (2L, 2L, 7.5), (3L, 1L, 1.0)),
+      "half-swap recovery lost state")
+  }
+
   test("search-doc sink writes ISO-8601 batch files with synthesized ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft_index_").toString
