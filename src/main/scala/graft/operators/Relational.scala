@@ -243,6 +243,45 @@ object Relational extends QueryPack {
       .orderBy(col("stage"))
   }
 
+  /** Hourly resample with gap-fill — the telemetry regularization every
+    * dashboard/feature pipeline runs: per user, one row per hour from
+    * the user's first to last active hour, zero-filled counts/sums for
+    * silent hours and the last observed reading carried forward across
+    * them.
+    *
+    * Shape: bucket aggregate (user, hour) → per-user span → `sequence`
+    * + explode materializes the dense hour axis (output-proportional,
+    * no driver loop) → left join buckets (user-keyed, co-partitioned)
+    * → carry-forward via `last(ignoreNulls)` over a user-partitioned
+    * hour-ordered window (high-cardinality partition key, parallel by
+    * user). In-hour "last" is max_by over the (ts, event_id) struct —
+    * totally ordered, so deterministic in both engines. Integer
+    * cents + two final /100.0 divisions: oracle-exact. */
+  def q80Resample(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val b = Tables.eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        cents(col("value")).as("vc"))
+      .withColumn("hour", expr(s"ts_us div $hourUs"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
+        max_by(col("vc"), struct(col("ts_us"), col("event_id"))).as("last_vc"))
+    val hours = b.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours.join(b, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        (coalesce(col("sum_c"), lit(0L)) / 100.0).as("sum_value"),
+        col("last_vc"))
+      .withColumn("carried_value",
+        last(col("last_vc"), ignoreNulls = true).over(w) / 100.0)
+      .drop("last_vc")
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTs(s, dir)
       .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
@@ -476,9 +515,35 @@ object Relational extends QueryPack {
     "q26_asof_join" -> (q26AsofJoin _),
     "q27_range_join" -> (q27RangeJoin _),
     "q29_moving_avg" -> (q29MovingAvg _),
-    "q78_funnel" -> (q78Funnel _))
+    "q78_funnel" -> (q78Funnel _),
+    "q80_resample" -> (q80Resample _))
 
   val oracleSql: Map[String, String] = Map(
+    "q80_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts_us // 3600000000 AS hour, count(*) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS sum_c,
+        |    last(vc ORDER BY ts_us, event_id) AS last_vc
+        |  FROM e GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM b GROUP BY 1),
+        |hours AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour
+        |  FROM spans),
+        |j AS (
+        |  SELECT hours.user_id, hours.hour,
+        |    coalesce(b.n, 0) AS n_events,
+        |    coalesce(b.sum_c, 0) AS sum_c, b.last_vc
+        |  FROM hours LEFT JOIN b
+        |    ON hours.user_id = b.user_id AND hours.hour = b.hour)
+        |SELECT user_id, hour, CAST(n_events AS BIGINT) AS n_events,
+        |  sum_c / 100.0 AS sum_value,
+        |  (last_value(last_vc IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour ROWS UNBOUNDED PRECEDING)) / 100.0 AS carried_value
+        |FROM j ORDER BY user_id, hour""".stripMargin,
     "q78_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
