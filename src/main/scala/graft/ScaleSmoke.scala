@@ -57,7 +57,8 @@ object ScaleSmoke {
       "q50_knn_brute", "q52b_pairwise_topk_lsh", "q54_knn_quantized",
       "q20_sessionize", "q25_json_kinematics", "q26_asof_join",
       "q66_ngram_decontam", "q66b_decontam_bloom", "q68_sequence_pack",
-      "q74_reservoir", "q75_mixture", "q76_zorder_scan")
+      "q74_reservoir", "q75_mixture", "q76_zorder_scan",
+      "q29_moving_avg", "q78_funnel", "q80_resample")
 
     def time(dir: String, key: String): Double = {
       spark.catalog.clearCache()

@@ -264,6 +264,27 @@ object Streams {
         col("cnt"), col("sum_value"))
   }
 
+  // ---- s11: built-in session windows (the declarative tier of s6) ----
+
+  /** Gap sessionization through Spark's native `session_window` — the
+    * declarative twin of s6's flatMapGroupsWithState builder. Both
+    * close a session when event time goes quiet for `gap`; choose s6
+    * when the session needs custom state/emission semantics (the
+    * reference's trip-closing logic), this one when count/sum rollups
+    * per session suffice — the state store handles merge/expiry and the
+    * watermark bounds state, with zero custom code to maintain.
+    * Append mode: sessions emit once, when the watermark closes them. */
+  def sessionWindowCounts(in: Dataset[SessEvent], gap: String = "30 minutes",
+      delay: String = "1 hour"): Dataset[org.apache.spark.sql.Row] = {
+    in.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(col("userId"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("userId"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n"), col("sum_value"))
+  }
+
   // ---- s10: NRT source-mix rate monitor ----
 
   case class MixDoc(ts: java.sql.Timestamp, source: String, nChars: Long)

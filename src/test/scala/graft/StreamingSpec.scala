@@ -205,6 +205,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s11 native session windows merge events within gap and close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams.SessEvent
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[SessEvent]
+    val sink = nextName()
+    val q = Streams.sessionWindowCounts(in.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // opens a second session; user 2: one event
+      in.addData(
+        SessEvent(1L, ts(10, 0), 1.0), SessEvent(1L, ts(10, 10), 2.0),
+        SessEvent(1L, ts(10, 50), 4.0),
+        SessEvent(2L, ts(10, 5), 8.0))
+      // advance the watermark far enough to close everything
+      in.addData(SessEvent(9L, ts(14, 0), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("userId", "sess_start", "sess_end", "n", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L, 3.0),
+        (1L, "2024-01-01 10:50:00.0", "2024-01-01 11:20:00.0", 1L, 4.0),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("s10 mix monitor verdicts per window: ok, low, high, unknown") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.{MixDoc, SourceRate}
