@@ -76,7 +76,10 @@ class PropertySpec extends AnyFunSuite {
   test("Morton key preserves box locality: max interleave bounds both coordinates") {
     // every z-value in [z(lo), z(hi)] for an aligned power-of-two box
     // decodes to coordinates inside that box — the row-group pruning
-    // argument in miniature (checked on random aligned 16-bit boxes)
+    // argument in miniature (checked on random aligned 16-bit boxes).
+    // z() below must BE the production key, so it is first pinned to
+    // ZOrderStore.interleave16 over a random sweep — without that
+    // anchor this property would certify a test-local copy.
     val boxGen = for {
       bits <- Gen.chooseNum(0, 8)
       ax <- Gen.chooseNum(0, (1 << (16 - bits)) - 1)
@@ -88,6 +91,18 @@ class PropertySpec extends AnyFunSuite {
     def unz(v: Long): (Long, Long) = (
       (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).reduce(_ | _),
       (0 until 16).map(i => ((v >> (2 * i + 1)) & 1L) << i).reduce(_ | _))
+    locally {
+      import TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val rnd = new scala.util.Random(5)
+      val pairs = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      val prod = pairs.toDF("a", "b")
+        .select(graft.sources.ZOrderStore.interleave16(col("a"), col("b")).as("z"))
+        .collect().map(_.getLong(0))
+      assert(prod.sameElements(pairs.map((z _).tupled)),
+        "test-local z() diverges from ZOrderStore.interleave16")
+    }
     check(Prop.forAll(boxGen, Gen.chooseNum(0L, Long.MaxValue)) { case ((bits, a0, b0), seed) =>
       val side = 1L << bits
       val (zLo, zHi) = (z(a0, b0), z(a0 + side - 1, b0 + side - 1))

@@ -84,9 +84,7 @@ class SimilaritySpec extends AnyFunSuite {
     val base = (0 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
     // identical copy of the query vector: distance 0 projects to 0
     // EXACTLY, so rank 1 is deterministic, not probabilistic
-    val v = (base :+ (999L, base.head._2.clone()))
-      .toDF("vec_id", "e")
-      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val v = (base :+ (999L, base.head._2.clone())).toDF("vec_id", "e")
     val top = operators.Similarity.projectedKnn(v).collect().head
     assert(top.getLong(0) == 999L, s"planted dup not rank 1: $top")
     assert(top.getDouble(1) > 0.999999, s"projected cos of identical vec: $top")
