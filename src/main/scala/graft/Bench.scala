@@ -79,11 +79,18 @@ object Bench {
         s"%.${if (v >= 10) 1 else dec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
+    // qNN id prefix of a query key ("q41_dedup_ngram_jaccard" -> "q41")
+    // — unique across the suite (asserted), and trivially mapped back to
+    // the full-name pins in BASELINE.md, whose keys start with the id.
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "query id prefixes are not unique; shortKey emission would be ambiguous")
     def render(num: Double => String, allErrs: Boolean,
-        withQueries: Boolean = true): String = {
+        withQueries: Boolean = true, shortKeys: Boolean = false): String = {
       val qs =
         if (withQueries)
-          results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+          results.map { case (k, v) =>
+            "\"" + (if (shortKeys) shortKey(k) else k) + "\":" + num(v) }
             .mkString(""","queries":{""", ",", "}")
         else ""
       val errs =
@@ -96,15 +103,19 @@ object Bench {
         .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
       s"""{"metric":"total","value":$total,"unit":"sec"$qs$errs,"sf":$sf}"""
     }
-    // Length-adaptive: centisecond precision normally; decisecond if the
-    // suite grows the line past the window; as the final tier drop the
-    // per-query map entirely (a parseable total beats an unparseable
-    // line — the per-query numbers are always in bench_out.json).
-    val compact = Seq(2, 1).map(d => render(fmt(d), allErrs = false))
-      .find(_.length <= 1900)
+    // Length-adaptive: full names at centisecond precision while they
+    // fit; then decisecond; then the qNN short-key map (documented in
+    // BASELINE.md — full names and full precision always live in
+    // bench_out.json); only if even that overflows, totals alone (a
+    // parseable total beats an unparseable line).
+    val compact = Seq(
+      () => render(fmt(2), allErrs = false),
+      () => render(fmt(1), allErrs = false),
+      () => render(fmt(2), allErrs = false, shortKeys = true))
+      .view.map(_.apply()).find(_.length <= 1900)
       .getOrElse {
         System.err.println("[bench] per-query map exceeds the stdout " +
-          "budget even at 1 decimal; emitting totals only (see bench_out.json)")
+          "budget even with short keys; emitting totals only (see bench_out.json)")
         render(fmt(1), allErrs = false, withQueries = false)
       }
     println(compact)

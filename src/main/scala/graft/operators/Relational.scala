@@ -282,6 +282,39 @@ object Relational extends QueryPack {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** SCD2 history build — the warehouse staple the Kudu upsert store
+    * deliberately does NOT give you (upsert keeps only current state):
+    * collapse each user's event stream into validity intervals, one row
+    * per RUN of consecutive equal attribute values, [valid_from,
+    * valid_to) half-open with NULL valid_to on the current run.
+    *
+    * Classic gaps-and-islands: a lag-based change flag, a running sum
+    * turning flags into run ids, a per-run aggregate, and lead() for
+    * the closing timestamps — all three windows partition on
+    * high-cardinality user_id (parallel by user; the run-id prefix sum
+    * is per-user, NOT the global q68 trap), and the aggregate between
+    * them is partial-aggregable. The event order (ts, event_id) is
+    * total, so runs are identical in both engines: oracle-exact. */
+  def q81Scd2(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    val prev = lag(col("event_type"), 1).over(wOrd)
+    Tables.eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTs(s, dir)
       .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
@@ -516,9 +549,31 @@ object Relational extends QueryPack {
     "q27_range_join" -> (q27RangeJoin _),
     "q29_moving_avg" -> (q29MovingAvg _),
     "q78_funnel" -> (q78Funnel _),
-    "q80_resample" -> (q80Resample _))
+    "q80_resample" -> (q80Resample _),
+    "q81_scd2" -> (q81Scd2 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q81_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, run_id, event_type, min(ts_us) AS valid_from_us,
+        |    count(*) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us) AS valid_to_us,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM g ORDER BY user_id, valid_from_us""".stripMargin,
     "q80_resample" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

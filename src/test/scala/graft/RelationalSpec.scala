@@ -38,6 +38,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(cnts.sameElements(cnts.sortBy(-_)))
   }
 
+  test("q81 SCD2 intervals tile each user's timeline with one open row") {
+    val rows = operators.Relational.q81Scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, rs) =>
+      val ordered = rs.sortBy(_._3)
+      // consecutive runs must alternate attribute values (that is what
+      // makes them runs) and chain exactly: to(k) == from(k+1)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $user gap: $a -> $b")
+          assert(a._2 != b._2, s"user $user adjacent runs share value: $a, $b")
+        case _ =>
+      }
+      assert(ordered.init.forall(_._4.nonEmpty) && ordered.last._4.isEmpty,
+        s"user $user must close every run but the last")
+      assert(rs.forall(_._5 >= 1))
+    }
+    // run events must account for every event
+    assert(rows.map(_._5).sum == Tables.events(spark, sf).count())
+  }
+
   test("q9b new-customers complements customers-with-fulfilled-orders") {
     import org.apache.spark.sql.functions.col
     val c = Tables.customer(spark, sf).count()
