@@ -57,6 +57,40 @@ object Ingest extends QueryPack {
       .orderBy(col("status"))
   }
 
+  /** Ingest-quality observability: the q19 parse rules instrumented
+    * with the `observe()` API — rows in/kept/dropped and
+    * defaulted-field counts accumulate accumulator-style on the SAME
+    * single pass (no second scan, no extra job) and are read from the
+    * [[org.apache.spark.sql.Observation]] handle after any action; a
+    * streaming deployment uses the named-observe variant and reads
+    * `StreamingQueryProgress.observedMetrics` per micro-batch. This is
+    * the reference's "{Sent:N}" publisher counter done properly: exact,
+    * distributed, and free.
+    *
+    * Returns the parsed typed frame plus the observation handle. */
+  def observedCsvParse(lines: DataFrame, headerPrefix: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("ingest_quality")
+    val parsed = lines
+      .withColumn("drop",
+        col("line").startsWith(headerPrefix) || length(col("line")) < 10)
+      .withColumn("f", split(col("line"), ","))
+      .withColumn("defaulted",
+        !col("drop") && element_at(col("f"), 3) === "")
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        count(when(!col("drop"), 1)).as("rows_kept"),
+        count(when(col("drop"), 1)).as("rows_dropped"),
+        count(when(col("defaulted"), 1)).as("fields_defaulted"))
+      .filter(!col("drop"))
+      .select(
+        element_at(col("f"), 1).cast("long").as("orderkey"),
+        when(element_at(col("f"), 3) === "", "0")
+          .otherwise(element_at(col("f"), 3)).as("status"),
+        element_at(col("f"), 4).cast("double").as("totalprice"))
+    (parsed, obs)
+  }
+
   /** Gap-based sessionization: a new session starts when a user is idle
     * longer than 12h. Window partitions on `user_id` (high-cardinality) so
     * the sort is per-user and the plan scales with executors, unlike a

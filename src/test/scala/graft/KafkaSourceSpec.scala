@@ -68,6 +68,21 @@ class KafkaSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observed ingest parse reports exact quality counters on one pass") {
+    val lines = Seq(
+      "o_orderkey,o_custkey,o_orderstatus,o_totalprice",  // header -> dropped
+      "short",                                            // dropped
+      "1,101,O,10.50,1-URGENT",
+      "2,102,,7.25,3-MEDIUM",                             // defaulted status
+      "3,103,F,1.00,2-HIGH").toDS().toDF("line")
+    val (parsed, obs) = graft.operators.Ingest.observedCsvParse(lines, "o_orderkey")
+    val out = parsed.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "O"), (2L, "0"), (3L, "F")))
+    val m = obs.get
+    assert(m("rows_in") == 5L && m("rows_kept") == 3L &&
+      m("rows_dropped") == 2L && m("fields_defaulted") == 1L, m.toString)
+  }
+
   test("publish options map carries topic, acks, linger and batch size") {
     import graft.streaming.KafkaPublisher.KafkaPublishOptions
     val m = KafkaPublishOptions("b1:9092", "orders", acks = "1",
