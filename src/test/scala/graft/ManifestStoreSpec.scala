@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.ManifestStore
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The manifest's contract: planning through per-file stats opens only
+  * the overlapping file subset (numFiles = |selected| < total), and the
+  * answer is identical to filtering the whole store. */
+class ManifestStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("manifest-planned scan opens only overlapping files, same answer") {
+    val ev = Tables.eventsTs(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val dir = Files.createTempDirectory("mstore").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/events"
+    val manifest = ManifestStore.build(ev, path, files = 32)
+    assert(manifest.length == 32)
+    // files are range-clustered: stats ranges must be (near) disjoint —
+    // total span covered without every file spanning everything
+    val (umn, umx) = (manifest.map(_._2).min, manifest.map(_._3).max)
+    val (lo, hi) = (umn + (umx - umn + 1) * 3 / 10, umn + (umx - umn + 1) * 6 / 10)
+    val selected = ManifestStore.filesFor(manifest, lo, hi)
+    assert(selected.nonEmpty && selected.length < manifest.length,
+      s"manifest pruned nothing: ${selected.length} of ${manifest.length}")
+
+    val planned = spark.read.parquet(selected: _*)
+      .filter(col("user_id") >= lo && col("user_id") <= hi)
+    val plain = spark.read.parquet(path)
+      .filter(col("user_id") >= lo && col("user_id") <= hi)
+    val a = planned.collect().map(_.getAs[Long]("event_id")).toSet
+    val b = plain.collect().map(_.getAs[Long]("event_id")).toSet
+    assert(a == b && a.nonEmpty, "manifest planning changed the answer")
+
+    val scan = planned.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metrics("numFiles").value == selected.length,
+      s"opened ${scan.metrics("numFiles").value} files, planned ${selected.length}")
+    val plainScan = plain.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(plainScan.metrics("numFiles").value == manifest.length,
+      "plain read did not list the whole store — comparison vacuous")
+  }
+}
