@@ -23,6 +23,22 @@ object Engine {
       if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark") else None
     }
 
+  /** Root for per-JVM rebuilt store caches (bucketed/z-order/manifest):
+    * the scratch tier, so co-tenant root-disk IO stays out of store-read
+    * measurements. */
+  def scratchRoot: String =
+    localScratchDir.getOrElse(sys.props("java.io.tmpdir"))
+
+  /** Store directory for `family` keyed by source `dir` — the tag keeps
+    * one store PER SOURCE DIR so a second dir's build can never clobber
+    * a cached first (shared plumbing for the store family; the fold is a
+    * stable 64-bit string hash). */
+  def storePath(family: String, dir: String): String = {
+    val tag = java.lang.Long.toHexString(
+      dir.foldLeft(1125899906842597L)((a, c) => a * 31 + c))
+    s"$scratchRoot/$family/$tag"
+  }
+
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val s = SparkSession.builder()
       .master(master)

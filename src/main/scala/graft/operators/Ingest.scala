@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
 object Ingest extends QueryPack {
   import Num.moneySum
 
+  // The q19 parse contract, shared by the gated query and the observed
+  // variant so the two can never drift: drop rule (header prefix or
+  // short line) and typed projection (empty status -> "0").
+  private def dropRule(headerPrefix: String) =
+    col("line").startsWith(headerPrefix) || length(col("line")) < 10
+  private def typedOrder = Seq(
+    element_at(col("f"), 1).cast("long").as("orderkey"),
+    when(element_at(col("f"), 3) === "", "0")
+      .otherwise(element_at(col("f"), 3)).as("status"),
+    element_at(col("f"), 4).cast("double").as("totalprice"))
+
   /** Tolerant CSV ingest. The CSV byte stream is derived deterministically
     * from the orders table (the driver testdata has no raw CSV): every
     * 50th order renders as a malformed short line, every 37th with an
@@ -45,13 +56,9 @@ object Ingest extends QueryPack {
     val header = Seq("o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderpriority")
       .toDF("line")
     header.unionAll(lines)
-      .filter(!col("line").startsWith("o_orderkey") && length(col("line")) >= 10)
+      .filter(!dropRule("o_orderkey"))
       .withColumn("f", split(col("line"), ","))
-      .select(
-        element_at(col("f"), 1).cast("long").as("orderkey"),
-        when(element_at(col("f"), 3) === "", "0")
-          .otherwise(element_at(col("f"), 3)).as("status"),
-        element_at(col("f"), 4).cast("double").as("totalprice"))
+      .select(typedOrder: _*)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("cnt"), moneySum(col("totalprice")).as("sum_total"))
       .orderBy(col("status"))
@@ -72,8 +79,7 @@ object Ingest extends QueryPack {
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = new org.apache.spark.sql.Observation("ingest_quality")
     val parsed = lines
-      .withColumn("drop",
-        col("line").startsWith(headerPrefix) || length(col("line")) < 10)
+      .withColumn("drop", dropRule(headerPrefix))
       .withColumn("f", split(col("line"), ","))
       .withColumn("defaulted",
         !col("drop") && element_at(col("f"), 3) === "")
@@ -83,11 +89,7 @@ object Ingest extends QueryPack {
         count(when(col("drop"), 1)).as("rows_dropped"),
         count(when(col("defaulted"), 1)).as("fields_defaulted"))
       .filter(!col("drop"))
-      .select(
-        element_at(col("f"), 1).cast("long").as("orderkey"),
-        when(element_at(col("f"), 3) === "", "0")
-          .otherwise(element_at(col("f"), 3)).as("status"),
-        element_at(col("f"), 4).cast("double").as("totalprice"))
+      .select(typedOrder: _*)
     (parsed, obs)
   }
 

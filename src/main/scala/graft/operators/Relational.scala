@@ -298,7 +298,11 @@ object Relational extends QueryPack {
   def q81Scd2(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    // run_id in the closing order: two runs CAN share a start timestamp
+    // (a type change between same-ts events); run_id is chronological by
+    // construction, so it is the deterministic tiebreaker in both engines
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("run_id"))
     val prev = lag(col("event_type"), 1).over(wOrd)
     Tables.eventsTs(s, dir)
       .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
@@ -311,8 +315,9 @@ object Relational extends QueryPack {
       .agg(min(col("ts_us")).as("valid_from_us"), count(lit(1)).as("n_events"))
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
       .select(col("user_id"), col("event_type"), col("valid_from_us"),
-        col("valid_to_us"), col("n_events"))
-      .orderBy(col("user_id"), col("valid_from_us"))
+        col("valid_to_us"), col("n_events"), col("run_id"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("run_id"))
+      .drop("run_id")
   }
 
   def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
@@ -571,9 +576,9 @@ object Relational extends QueryPack {
         |  FROM r GROUP BY 1, 2, 3)
         |SELECT user_id, event_type, valid_from_us,
         |  lead(valid_from_us) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from_us) AS valid_to_us,
+        |    ORDER BY valid_from_us, run_id) AS valid_to_us,
         |  CAST(n_events AS BIGINT) AS n_events
-        |FROM g ORDER BY user_id, valid_from_us""".stripMargin,
+        |FROM g ORDER BY user_id, valid_from_us, run_id""".stripMargin,
     "q80_resample" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -51,9 +51,7 @@ object BucketedStore extends QueryPack {
     * when available): the store is a per-JVM rebuilt cache of driver
     * testdata, and on this shared-VM host the root disk's co-tenant IO
     * otherwise leaks straight into every q28 measurement. */
-  private def storeRoot: String =
-    graft.Engine.localScratchDir.getOrElse(sys.props("java.io.tmpdir")) +
-      "/graft-bucketed-store"
+  private def storeRoot: String = graft.Engine.scratchRoot + "/graft-bucketed-store"
 
   /** Store builds already paid this JVM, keyed by (dir, buckets). The
     * whole point of the bucketed layout is that the ingest shuffle is

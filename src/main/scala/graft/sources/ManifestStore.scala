@@ -27,10 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object ManifestStore extends QueryPack {
 
-  private def storeRoot: String =
-    Engine.localScratchDir.getOrElse(sys.props("java.io.tmpdir")) +
-      "/graft-manifest-store"
-
   /** Write `ev` clustered by user_id into `files` range files and build
     * the per-file (min, max) manifest in one pass over the store. */
   def build(ev: DataFrame, path: String, files: Int): Array[(String, Long, Long)] = {
@@ -53,9 +49,7 @@ object ManifestStore extends QueryPack {
       built.getOrElseUpdate(dir, {
         val ev = Tables.eventsTs(s, dir)
           .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
-        val tag = java.lang.Long.toHexString(
-          dir.foldLeft(1125899906842597L)((a, c) => a * 31 + c))
-        val path = s"$storeRoot/events_u_$tag"
+        val path = Engine.storePath("graft-manifest-store", dir)
         (path, build(ev, path, files = 64))
       })
     }

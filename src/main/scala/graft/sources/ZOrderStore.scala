@@ -82,10 +82,6 @@ object ZOrderStore extends QueryPack {
       .sortWithinPartitions("ts_us")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  private def storeRoot: String =
-    Engine.localScratchDir.getOrElse(sys.props("java.io.tmpdir")) +
-      "/graft-zorder-store"
-
   /** Per-JVM store cache: dir → (store path, (umn, umx, tmn, tmx)).
     * Bounds are data properties computed during the build scan, kept so
     * queries can plan LITERAL box predicates — only literals reach the
@@ -102,13 +98,7 @@ object ZOrderStore extends QueryPack {
           .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
         val r = ev.agg(min("user_id"), max("user_id"),
           min("ts_us"), max("ts_us")).head()
-        // one store directory PER SOURCE DIR: a shared path would let a
-        // second dir's build overwrite the first's files while the
-        // first's cache entry stayed valid (ScaleSmoke runs two dirs in
-        // one JVM and would silently scan the wrong store)
-        val tag = java.lang.Long.toHexString(
-          dir.foldLeft(1125899906842597L)((a, c) => a * 31 + c))
-        val path = s"$storeRoot/events_z_$tag"
+        val path = Engine.storePath("graft-zorder-store", dir)
         writeZOrdered(ev, path, files = 64)
         (path, (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       })

@@ -17,8 +17,8 @@ class ManifestStoreSpec extends AnyFunSuite {
     val ev = Tables.eventsTs(spark, "/root/testdata/sf0.01")
       .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
     val dir = Files.createTempDirectory("mstore").toFile
-    dir.deleteOnExit()
     val path = dir.getAbsolutePath + "/events"
+    try {
     val manifest = ManifestStore.build(ev, path, files = 32)
     assert(manifest.length == 32)
     // files are range-clustered: stats ranges must be (near) disjoint —
@@ -47,5 +47,14 @@ class ManifestStoreSpec extends AnyFunSuite {
     }.get
     assert(plainScan.metrics("numFiles").value == manifest.length,
       "plain read did not list the whole store — comparison vacuous")
+    } finally {
+      // deleteOnExit cannot remove populated directories; clean up the
+      // written store recursively so test runs do not accumulate junk
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
   }
 }
