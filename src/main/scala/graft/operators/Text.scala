@@ -262,6 +262,25 @@ object Text extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Pivoted mixture matrix — the cross-tab view of q67's report
+    * (source rows × language columns, char volume in the cells), i.e.
+    * `groupBy(source).pivot(lang)`: the pivot column list is pinned
+    * explicitly (never inferred — inference runs an extra distinct scan
+    * and makes the output schema data-dependent, both wrong at 100 TB),
+    * so the pivot compiles to one partial-aggregable conditional
+    * aggregate, exactly the oracle's CASE WHEN spelling: oracle-exact. */
+  def q83PivotMix(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(sum(col("n_chars")))
+      // an absent (source, lang) cell aggregates nothing -> null; the
+      // report's contract is 0 chars (matching the oracle's coalesce)
+      .na.fill(0L, langs)
+      .orderBy(col("source"))
+  }
+
   /** PMI collocation mining — the "new term / multiword unit" pass of a
     * vocab build: adjacent token pairs scored by pointwise-mutual-
     * information LIFT (how much more often the pair occurs than its
@@ -537,9 +556,18 @@ object Text extends QueryPack {
     "q65_length_histogram" -> (q65LengthHistogram _),
     "q67_source_mix" -> (q67SourceMix _),
     "q68_sequence_pack" -> (q68SequencePack _),
-    "q77_pmi" -> (q77PmiPairs _))
+    "q77_pmi" -> (q77PmiPairs _),
+    "q83_pivot_mix" -> (q83PivotMix _))
 
   val oracleSql: Map[String, String] = Map(
+    "q83_pivot_mix" ->
+      """SELECT source,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'de' THEN n_chars END), 0) AS BIGINT) AS de,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n_chars END), 0) AS BIGINT) AS en,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'es' THEN n_chars END), 0) AS BIGINT) AS es,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN n_chars END), 0) AS BIGINT) AS fr,
+        |  CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n_chars END), 0) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q77_pmi" ->
       """WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
         |uni AS (
