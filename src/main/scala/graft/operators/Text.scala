@@ -262,6 +262,31 @@ object Text extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping document chunking — the retrieval-indexing prep step
+    * (RAG / context-window splitting): 40-token windows at stride 30
+    * (10-token overlap so no boundary phrase is lost), each chunk
+    * carrying its placement and a portable fingerprint for downstream
+    * chunk-level dedup. Unlike q68 (cross-doc packing, global prefix
+    * sum) this is per-doc state only: sequence + explode emits chunk
+    * starts row-locally, output proportional to corpus size, NO shuffle
+    * at all beyond the presentation sort. */
+  def q84Chunk(s: SparkSession, dir: String): DataFrame = {
+    val W = 40
+    val S = 30
+    Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .select(col("doc_id"), col("n"), col("tk"),
+        explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(S))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) div $S AS BIGINT)").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(W), col("n") - col("start") + 1).cast("long").as("n_tokens"),
+        T.polyHash61(concat_ws(" ", slice(col("tk"), col("start"), lit(W))))
+          .as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Pivoted mixture matrix — the cross-tab view of q67's report
     * (source rows × language columns, char volume in the cells), i.e.
     * `groupBy(source).pivot(lang)`: the pivot column list is pinned
@@ -557,9 +582,25 @@ object Text extends QueryPack {
     "q67_source_mix" -> (q67SourceMix _),
     "q68_sequence_pack" -> (q68SequencePack _),
     "q77_pmi" -> (q77PmiPairs _),
-    "q83_pivot_mix" -> (q83PivotMix _))
+    "q83_pivot_mix" -> (q83PivotMix _),
+    "q84_chunk" -> (q84Chunk _))
 
   val oracleSql: Map[String, String] = Map(
+    "q84_chunk" -> {
+      val fp = TextOps.sqlPolyHash61(
+        "array_to_string(tk[start:least(start + 39, n)], ' ')")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |x AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    unnest(range(1, greatest(len(tk), 1) + 1, 30)) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 30 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(least(40, n - start + 1) AS BIGINT) AS n_tokens,
+         |  $fp AS chunk_fp
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "q83_pivot_mix" ->
       """SELECT source,
         |  CAST(coalesce(sum(CASE WHEN lang = 'de' THEN n_chars END), 0) AS BIGINT) AS de,
