@@ -343,6 +343,37 @@ object Similarity extends QueryPack {
         (col("paa") + col("pbb") - col("pab") * 2).as("pd2"))
   }
 
+  /** Matryoshka truncation report — the measurement behind storing
+    * embedding PREFIXES (the third bytes-scanned lever after q54's
+    * quantization and q79's projection, and the one MRL-trained models
+    * make near-free): for each prefix length k ∈ {8, 16, 32}, how far
+    * prefix cosine drifts from full-width cosine over the deterministic
+    * consecutive-id pair sample. Per-pair errors are exact doubles;
+    * they aggregate through 1e-9-scaled integer sums (double partial
+    * sums would be merge-order-dependent — the q64 rule), so the whole
+    * report is oracle-exact. One equi-join, three row-local prefix
+    * evaluations, one 3-group aggregate. */
+  def q85Matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    val pairs = v.as("a").join(v.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.e").as("ea"), col("b.e").as("eb"),
+        cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2"))
+          .as("cos_full"))
+    val perK = Seq(8, 16, 32).map { k =>
+      val (sa, sb) = (slice(col("ea"), 1, k), slice(col("eb"), 1, k))
+      pairs.select(lit(k.toLong).as("k_dims"),
+        abs(cosineFrom(dot(sa, sb), norm2(sa), norm2(sb)) - col("cos_full"))
+          .as("err"))
+    }.reduce(_ unionByName _)
+    perK
+      .withColumn("errn", round(col("err") * 1e9).cast("long"))
+      .groupBy(col("k_dims"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("errn")) / 1e9 / count(lit(1))).as("mean_abs_err"),
+        max(col("err")).as("max_abs_err"))
+      .orderBy(col("k_dims"))
+  }
+
   /** IVF centroid probe: midrange centroid per label cell, query probes
     * the 2 nearest cells, exact top-10 within them. Midrange (not mean)
     * keeps the centroid order-independent → bit-exact across engines. */
@@ -388,7 +419,8 @@ object Similarity extends QueryPack {
     "q53_centroid_search" -> (q53CentroidSearch _),
     "q54_knn_quantized" -> (q54KnnQuantized _),
     "q73_knn_graph" -> (q73KnnGraph _),
-    "q79_rand_proj" -> (q79RandProj _))
+    "q79_rand_proj" -> (q79RandProj _),
+    "q85_matryoshka" -> (q85Matryoshka _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_knn_brute" ->
@@ -397,6 +429,24 @@ object Similarity extends QueryPack {
          |FROM v CROSS JOIN q WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // q51 intentionally has no oracle (probabilistic recall; spec-checked)
+    "q85_matryoshka" -> {
+      def kErr(k: Int): String = {
+        val (sa, sb) = (s"ea[1:$k]", s"eb[1:$k]")
+        s"SELECT $k AS k_dims, abs(${V.sqlDot(sa, sb)} / " +
+          s"(sqrt(${V.sqlNorm2(sa)}) * sqrt(${V.sqlNorm2(sb)})) - cos_full) AS err FROM p"
+      }
+      s"""WITH v AS ($vSql),
+         |p AS (
+         |  SELECT a.e AS ea, b.e AS eb,
+         |    ${V.sqlDot("a.e", "b.e")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos_full
+         |  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1),
+         |e AS (${kErr(8)} UNION ALL ${kErr(16)} UNION ALL ${kErr(32)})
+         |SELECT CAST(k_dims AS BIGINT) AS k_dims, count(*) AS n_pairs,
+         |  CAST(sum(CAST(round(err * 1e9) AS BIGINT)) AS BIGINT) / 1e9
+         |    / count(*) AS mean_abs_err,
+         |  max(err) AS max_abs_err
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q73_knn_graph" ->
       s"""WITH v AS ($vSql),
          |p AS (
