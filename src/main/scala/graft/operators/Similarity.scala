@@ -359,13 +359,19 @@ object Similarity extends QueryPack {
       .select(col("a.e").as("ea"), col("b.e").as("eb"),
         cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2"))
           .as("cos_full"))
-    val perK = Seq(8, 16, 32).map { k =>
+    // all three prefix errors in ONE struct array per pair row, exploded
+    // — a per-k union would re-run the join and full-width cosine three
+    // times; this is one join, one pass. Zero-norm prefixes take the q54
+    // guard (cos := -2.0) instead of dividing to NaN.
+    val perK = array(Seq(8, 16, 32).map { k =>
       val (sa, sb) = (slice(col("ea"), 1, k), slice(col("eb"), 1, k))
-      pairs.select(lit(k.toLong).as("k_dims"),
-        abs(cosineFrom(dot(sa, sb), norm2(sa), norm2(sb)) - col("cos_full"))
-          .as("err"))
-    }.reduce(_ unionByName _)
-    perK
+      val cosK = when(norm2(sa) === 0 || norm2(sb) === 0, lit(-2.0))
+        .otherwise(cosineFrom(dot(sa, sb), norm2(sa), norm2(sb)))
+      struct(lit(k.toLong).as("k_dims"),
+        abs(cosK - col("cos_full")).as("err"))
+    }: _*)
+    pairs.select(explode(perK).as("t"))
+      .select(col("t.k_dims").as("k_dims"), col("t.err").as("err"))
       .withColumn("errn", round(col("err") * 1e9).cast("long"))
       .groupBy(col("k_dims"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -432,8 +438,10 @@ object Similarity extends QueryPack {
     "q85_matryoshka" -> {
       def kErr(k: Int): String = {
         val (sa, sb) = (s"ea[1:$k]", s"eb[1:$k]")
-        s"SELECT $k AS k_dims, abs(${V.sqlDot(sa, sb)} / " +
-          s"(sqrt(${V.sqlNorm2(sa)}) * sqrt(${V.sqlNorm2(sb)})) - cos_full) AS err FROM p"
+        s"SELECT $k AS k_dims, abs(CASE WHEN ${V.sqlNorm2(sa)} = 0 " +
+          s"OR ${V.sqlNorm2(sb)} = 0 THEN -2.0 ELSE ${V.sqlDot(sa, sb)} / " +
+          s"(sqrt(${V.sqlNorm2(sa)}) * sqrt(${V.sqlNorm2(sb)})) END - cos_full) " +
+          s"AS err FROM p"
       }
       s"""WITH v AS ($vSql),
          |p AS (

@@ -266,10 +266,18 @@ object Text extends QueryPack {
     * (RAG / context-window splitting): 40-token windows at stride 30
     * (10-token overlap so no boundary phrase is lost), each chunk
     * carrying its placement and a portable fingerprint for downstream
-    * chunk-level dedup. Unlike q68 (cross-doc packing, global prefix
-    * sum) this is per-doc state only: sequence + explode emits chunk
-    * starts row-locally, output proportional to corpus size, NO shuffle
-    * at all beyond the presentation sort. */
+    * chunk-level dedup. "Token" here = whitespace field of the RAW text
+    * (chunks must reconstruct the original document; the q65/q68
+    * packing budget counts BPE-ish tokens instead — different axes by
+    * design). A start is emitted only while it adds uncovered tokens
+    * (start = 1 or start ≤ n − (W − S)): without that bound, every doc
+    * whose tail window had ≤ overlap tokens grew a degenerate final
+    * chunk fully contained in the previous one — measured 14% of all
+    * chunks on the driver corpus, pure index bloat. Unlike q68
+    * (cross-doc packing, global prefix sum) this is per-doc state only:
+    * sequence + explode emits chunk starts row-locally, output
+    * proportional to corpus size, NO shuffle beyond the presentation
+    * sort. */
   def q84Chunk(s: SparkSession, dir: String): DataFrame = {
     val W = 40
     val S = 30
@@ -277,7 +285,8 @@ object Text extends QueryPack {
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
       .select(col("doc_id"), col("n"), col("tk"),
-        explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(S))).as("start"))
+        explode(sequence(lit(1),
+          greatest(col("n") - lit(W - S), lit(1)), lit(S))).as("start"))
       .select(col("doc_id"),
         expr(s"CAST((start - 1) div $S AS BIGINT)").as("chunk_idx"),
         col("start").cast("long").as("start_tok"),
@@ -592,7 +601,7 @@ object Text extends QueryPack {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |x AS (
          |  SELECT doc_id, tk, len(tk) AS n,
-         |    unnest(range(1, greatest(len(tk), 1) + 1, 30)) AS start
+         |    unnest(range(1, greatest(len(tk) - 10, 1) + 1, 30)) AS start
          |  FROM t)
          |SELECT doc_id,
          |  CAST((start - 1) // 30 AS BIGINT) AS chunk_idx,
