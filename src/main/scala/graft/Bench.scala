@@ -106,7 +106,11 @@ object Bench {
       // (driver always passes .../sfX.Y) — trims 20 chars vs the path.
       val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
         .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-      s"""{"metric":"total","value":$total,"unit":"sec"$qs$errs,"sf":$sf}"""
+      // the short-key tier declares itself so a consumer pinned to full
+      // names can detect which map it is parsing instead of silently
+      // missing every key
+      val keys = if (shortKeys) ""","keys":"short"""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec"$qs$errs$keys,"sf":$sf}"""
     }
     // Length-adaptive: full names at centisecond precision while they
     // fit; then decisecond; then the qNN short-key map (documented in

@@ -29,14 +29,32 @@ object Engine {
   def scratchRoot: String =
     localScratchDir.getOrElse(sys.props("java.io.tmpdir"))
 
+  /** Per-JVM root for the rebuilt store caches. The build caches
+    * (BucketedStore/ZOrderStore/ManifestStore `built`) are per-JVM, so
+    * two concurrent JVMs sharing a deterministic path could
+    * SaveMode.Overwrite a store the other is reading mid-scan; the PID
+    * suffix gives each JVM its own namespace, and the shutdown hook
+    * removes it so repeated runs don't accumulate stores in tmpfs. */
+  private lazy val storeRoot: String = {
+    val root = s"$scratchRoot/graft-stores-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
+
   /** Store directory for `family` keyed by source `dir` — the tag keeps
     * one store PER SOURCE DIR so a second dir's build can never clobber
     * a cached first (shared plumbing for the store family; the fold is a
-    * stable 64-bit string hash). */
+    * stable 64-bit string hash), under the per-JVM [[storeRoot]]. */
   def storePath(family: String, dir: String): String = {
     val tag = java.lang.Long.toHexString(
       dir.foldLeft(1125899906842597L)((a, c) => a * 31 + c))
-    s"$scratchRoot/$family/$tag"
+    s"$storeRoot/$family/$tag"
   }
 
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {

@@ -191,14 +191,21 @@ object Text extends QueryPack {
     * 100 TB the doc-frequency side is the cost, and an HLL++ sketch
     * (approx_count_distinct, one mergeable sketch per token, single
     * shuffle) is what a vocab build actually runs. Rows-only: sketch
-    * estimates are engine-specific. */
+    * estimates are engine-specific.
+    *
+    * rsd 0.05 (the HLL++ default), not 0.02: register count grows as
+    * 1/rsd² (0.02 → 4096 six-bit registers, ~3 KB of sketch PER TOKEN
+    * group crossing the shuffle — measured costlier than the exact
+    * two-phase distinct it is supposed to undercut; 0.05 → 512). Small
+    * doc-frequencies sit in HLL++'s linear-counting regime anyway, so
+    * the observed error stays well inside the spec's 10% gate. */
   def q38bVocabTopkApprox(s: SparkSession, dir: String): DataFrame =
     Tables.documentsBalanced(s, dir)
       .select(col("doc_id"), explode_outer(tokens).as("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"),
-        approx_count_distinct(col("doc_id"), 0.02).as("df_approx"))
+        approx_count_distinct(col("doc_id"), 0.05).as("df_approx"))
       .orderBy(col("tf").desc, col("tok"))
       .limit(100)
 

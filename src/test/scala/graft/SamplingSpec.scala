@@ -34,7 +34,9 @@ class SamplingSpec extends AnyFunSuite {
       val (src, avail, quota, kept, chars, share) = (r.getString(0),
         r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
       val idx = src.stripPrefix("src").toLong
-      assert(quota == (420 * (idx + 1)) / 210, s"$src quota $quota")
+      // mirror the production cap: quota = least(2*(idx+1), 40) — the
+      // uncapped formula would false-fail any future source with idx >= 20
+      assert(quota == math.min(2 * (idx + 1), 40L), s"$src quota $quota")
       assert(kept == math.min(quota, avail), s"$src kept $kept")
       assert(chars >= 0 && (kept > 0) == (chars > 0))
       shareSum += share

@@ -28,7 +28,7 @@ class ZOrderStoreSpec extends AnyFunSuite {
     val (tlo, thi) = (tmn + (tmx - tmn + 1) * 4 / 10, tmn + (tmx - tmn + 1) * 5 / 10)
 
     val dir = Files.createTempDirectory("zstore").toFile
-    dir.deleteOnExit()
+    try {
     val zPath = dir.getAbsolutePath + "/z"
     val tPath = dir.getAbsolutePath + "/t"
     ZOrderStore.writeZOrdered(ev, zPath, files = 64)
@@ -55,5 +55,14 @@ class ZOrderStoreSpec extends AnyFunSuite {
       s"z-layout read $zRows rows, time-sorted read $tRows — no 2-d pruning win")
     val total = ev.count()
     assert(tRows < total, "time layout pruned nothing; row groups too coarse")
+    } finally {
+      // deleteOnExit cannot remove populated directories; clean up the
+      // two written stores recursively (the ManifestStoreSpec rule)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
   }
 }
