@@ -125,33 +125,74 @@ object MlStats extends QueryPack {
           / col("n")) / 100000000000000.0).as("var_pop"))
       .orderBy(col("pos"))
 
-  /** Depth-2 greedy decision tree on lineitem features predicting the
-    * "returned" flag — the MlLibNyTaxiExamples decision-tree classifier,
-    * DataFrame-native (split search = one aggregate pass per node; the
-    * driver holds split statistics only). Output: the node table plus
-    * training accuracy vs the majority baseline. Rows-only (greedy-tree
-    * structure has no SQL oracle); MlSpec asserts accuracy >= baseline. */
+  /** Greedy decision tree on lineitem features predicting the "returned"
+    * flag with HELD-OUT evaluation — the MlLibNyTaxiExamples workflow
+    * (MlLibNyTaxiExamples.scala:108-125: 70/30 randomSplit, maxDepth 5,
+    * test error), DataFrame-native: split search = one aggregate pass
+    * per LEVEL, the driver holds split statistics only. The 70/30 split
+    * is the q35 deterministic hash assignment on the row's primary key
+    * (l_orderkey, l_linenumber) — stable across reruns, machines and
+    * physical layouts, unlike randomSplit. The train side is further
+    * split 80/20 into grow/prune and the grown tree is reduced-error
+    * pruned on the held-out prune subset ([[graft.ml.DecisionTree
+    * .pruneReducedError]]) — without it a depth-5 greedy tree on these
+    * near-uninformative features memorizes noise and grades BELOW the
+    * majority baseline on test. Output: the node table plus train
+    * accuracy, test accuracy, and the held-out majority baseline
+    * (test rows matching the TRAIN-majority class — the honest baseline
+    * a model grade compares against). Rows-only (greedy-tree structure
+    * has no SQL oracle); MlSpec asserts test_acc >= baseline. */
   def q63DecisionTree(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.DecisionTree
+    import graft.functions.TextOps
     val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val df = Tables.lineitem(s, dir)
-      .select((col("l_returnflag") === "R").cast("long").as("y"),
+    val h = TextOps.polyHash61(concat(lit("tree-salt-"),
+      col("l_orderkey").cast("string"), lit(","),
+      col("l_linenumber").cast("string")))
+    val bucket = pmod(h, lit(100L))
+    // single-file layouts scan as one task; rebalance BEFORE the hash
+    // projection so split assignment and persist encode on all cores
+    // (the documentsBalanced rule), moving only the 5 needed raw columns
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = s.sparkContext.defaultParallelism
+    val balanced = if (li.rdd.getNumPartitions < p) li.repartition(p) else li
+    val df = balanced
+      .select((col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        (bucket < 70).as("is_train"), (bucket < 56).as("is_grow"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = DecisionTree.fit(df, feats, col("y"), maxDepth = 2)
+    val grown = DecisionTree.fit(df.filter(col("is_grow")), feats, col("y"),
+      maxDepth = 5)
+    val nodes = DecisionTree.pruneReducedError(grown,
+      df.filter(col("is_train") && !col("is_grow")), col("y"))
+    // one pass over the persisted frame scores BOTH splits: every metric
+    // is a conditional sum gated on is_train (partial-aggregable)
+    val correct = when(DecisionTree.predictExpr(nodes) === col("y"), 1L)
+      .otherwise(0L)
+    def side(train: Boolean)(e: Column): Column =
+      sum(when(col("is_train") === train, e).otherwise(0L))
     val acc = df.agg(
-      (sum(when(DecisionTree.predictExpr(nodes) === col("y"), 1L).otherwise(0L))
-        / count(lit(1)).cast("double")).as("acc"),
-      (greatest(sum(col("y")), count(lit(1)) - sum(col("y")))
-        / count(lit(1)).cast("double")).as("baseline"))
+      (side(train = true)(correct)
+        / side(train = true)(lit(1L)).cast("double")).as("train_acc"),
+      (side(train = false)(correct)
+        / side(train = false)(lit(1L)).cast("double")).as("test_acc"),
+      // train-majority class, graded on the held-out rows
+      (when(side(train = true)(col("y")) * 2 >= side(train = true)(lit(1L)),
+          side(train = false)(col("y")))
+        .otherwise(side(train = false)(lit(1L)) - side(train = false)(col("y")))
+        / side(train = false)(lit(1L)).cast("double")).as("baseline"))
       .collect().head
+    df.unpersist()
     import s.implicits._
     nodes.map(nd => (nd.id.toLong, nd.depth.toLong, Option(nd.feature),
         nd.threshold, nd.n, nd.gini, nd.prediction.toLong,
         nd.leftId.toLong, nd.rightId.toLong,
-        acc.getDouble(0), acc.getDouble(1)))
+        acc.getDouble(0), acc.getDouble(1), acc.getDouble(2)))
       .toDF("node_id", "depth", "feature", "threshold", "n", "gini",
-        "prediction", "left_id", "right_id", "train_acc", "majority_baseline")
+        "prediction", "left_id", "right_id", "train_acc", "test_acc",
+        "majority_baseline")
       .orderBy(col("node_id"))
   }
 

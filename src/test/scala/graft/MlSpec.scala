@@ -30,15 +30,58 @@ class MlSpec extends AnyFunSuite {
     assert(prof.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
   }
 
-  test("q63 decision tree beats (or ties) the majority baseline on training data") {
+  test("q63 decision tree beats (or ties) the majority baseline held-out") {
     val rows = operators.MlStats.q63DecisionTree(spark, sf).collect()
     assert(rows.nonEmpty)
-    val acc = rows.head.getDouble(9)
-    val baseline = rows.head.getDouble(10)
-    assert(acc >= baseline - 1e-12, s"tree acc $acc below majority $baseline")
-    // pre-order node table: root first, leaves have null feature
+    val trainAcc = rows.head.getDouble(9)
+    val testAcc = rows.head.getDouble(10)
+    val baseline = rows.head.getDouble(11)
+    // the reference's grade is TEST error (70/30 held-out); train
+    // accuracy is reported alongside but must not be the only number
+    assert(testAcc >= baseline - 1e-12,
+      s"tree test acc $testAcc below held-out majority $baseline")
+    assert(trainAcc > 0.0 && trainAcc <= 1.0)
+    assert(testAcc > 0.0 && testAcc <= 1.0)
+    // pre-order node table: root first, leaves have null feature,
+    // depth never exceeds the reference's maxDepth 5
     assert(rows.head.getLong(0) == 0L)
     assert(rows.exists(_.isNullAt(2)), "tree has no leaves?")
+    assert(rows.forall(_.getLong(1) <= 5L))
+  }
+
+  test("decision tree keeps a planted real split through pruning and beats baseline held-out") {
+    import spark.implicits._
+    import graft.ml.DecisionTree
+    // deterministic synthetic corpus: y = (x1 <= 0.5) with 10% label
+    // noise; x2 is pure noise. part: 0-5 grow, 6-7 prune, 8-9 test.
+    val rnd = new scala.util.Random(42) // one stream: java.util.Random's
+    // sequence is specified, so this is deterministic across JVMs (per-
+    // index seeds would correlate consecutive rows' draws)
+    val rows = (0 until 4000).map { i =>
+      val (x1, x2) = (rnd.nextDouble(), rnd.nextDouble())
+      val clean = if (x1 <= 0.5) 1L else 0L
+      val y = if (rnd.nextDouble() < 0.1) 1L - clean else clean
+      (y, x1, x2, i % 10)
+    }
+    val df = rows.toDF("y", "x1", "x2", "part")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grown = DecisionTree.fit(df.filter($"part" < 6), Seq("x1", "x2"),
+      $"y", maxDepth = 3)
+    val pruned = DecisionTree.pruneReducedError(grown,
+      df.filter($"part" >= 6 && $"part" < 8), $"y")
+    // the significance margin must NOT prune the real split away
+    assert(pruned.exists(n => n.feature == "x1"), "planted split pruned")
+    assert(pruned.length <= grown.length)
+    val acc = df.filter($"part" >= 8)
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          DecisionTree.predictExpr(pruned) === $"y", 1L).otherwise(0L))
+        / org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast("double")))
+      .collect().head.getDouble(0)
+    // true signal caps accuracy at ~0.9 (label noise); majority is ~0.5
+    assert(acc > 0.8, s"held-out accuracy $acc did not learn the signal")
+    df.unpersist()
   }
 
   test("q61 correlations are in [-1, 1] and corr(x, x) would be 1") {
