@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The manifest's contract: planning through per-file stats opens only
-  * the overlapping file subset (numFiles = |selected| < total), and the
-  * answer is identical to filtering the whole store. */
+  * the overlapping file subset (numFiles = |selected| < total), the
+  * answer is identical to filtering the whole store, and the planning
+  * path is DISTRIBUTED — the manifest is a parquet table filtered
+  * cluster-side; the driver only ever materializes the selected paths,
+  * never the full stats log. */
 class ManifestStoreSpec extends AnyFunSuite {
   import TestSpark.spark
 
@@ -19,15 +22,18 @@ class ManifestStoreSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("mstore").toFile
     val path = dir.getAbsolutePath + "/events"
     try {
-    val manifest = ManifestStore.build(ev, path, files = 32)
-    assert(manifest.length == 32)
+    ManifestStore.build(ev, path, files = 32)
+    val manifest = ManifestStore.manifest(spark, path)
+    val total = manifest.count()
+    assert(total == 32)
     // files are range-clustered: stats ranges must be (near) disjoint —
     // total span covered without every file spanning everything
-    val (umn, umx) = (manifest.map(_._2).min, manifest.map(_._3).max)
+    val mm = manifest.agg(min(col("mn")), max(col("mx"))).head()
+    val (umn, umx) = (mm.getLong(0), mm.getLong(1))
     val (lo, hi) = (umn + (umx - umn + 1) * 3 / 10, umn + (umx - umn + 1) * 6 / 10)
     val selected = ManifestStore.filesFor(manifest, lo, hi)
-    assert(selected.nonEmpty && selected.length < manifest.length,
-      s"manifest pruned nothing: ${selected.length} of ${manifest.length}")
+    assert(selected.nonEmpty && selected.length < total,
+      s"manifest pruned nothing: ${selected.length} of $total")
 
     val planned = spark.read.parquet(selected: _*)
       .filter(col("user_id") >= lo && col("user_id") <= hi)
@@ -45,7 +51,7 @@ class ManifestStoreSpec extends AnyFunSuite {
     val plainScan = plain.queryExecution.executedPlan.collectFirst {
       case s: FileSourceScanExec => s
     }.get
-    assert(plainScan.metrics("numFiles").value == manifest.length,
+    assert(plainScan.metrics("numFiles").value == total,
       "plain read did not list the whole store — comparison vacuous")
     } finally {
       // deleteOnExit cannot remove populated directories; clean up the
