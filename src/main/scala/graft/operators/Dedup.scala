@@ -376,15 +376,23 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** (vec_id, e, n2) decoded embedding frame for the q44 family —
+    * persisted, both tiers read it at least twice. */
+  private def embVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+      .withColumn("n2", VectorOps.norm2(col("e")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Exact cosine near-dup pairs over embeddings (threshold 0.4; this
     * corpus's embeddings are near-orthogonal so higher thresholds are
     * empty). Norms computed once per vector; the pair dot product is the
-    * only per-pair work. */
+    * only per-pair work. EXACT ORACLE TIER: the all-pairs join is O(n²)
+    * by definition — the 100×-scale path is [[q44bDedupEmbeddingLsh]],
+    * whose bucketed candidate join replaces this cross product (the
+    * same exact-vs-LSH split as q52/q52b and q73/q73b). */
   def q44DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
-      .withColumn("n2", VectorOps.norm2(col("e")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the pair join
+    val v = embVecs(s, dir)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         VectorOps.cosineFrom(
@@ -392,6 +400,27 @@ object Dedup extends QueryPack {
       .filter(col("cos") >= 0.4)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Scale tier of q44: embedding near-dup pairs through LSH-bucketed
+    * candidate generation ([[Similarity.lshCandidatePairs]] — 12 tables
+    * × 12-bit hyperplane codes, Hamming <= 1 probe expansion, a
+    * bucket-keyed equi-join) + exact cosine rescoring at the same 0.4
+    * threshold. Candidate volume on random data is ~3.7% of all pairs
+    * and a true near-dup at cos 0.95 is retrieved w.p. ~0.999997 (the
+    * q52b regime analysis); precision is exactly 1 because rescoring is
+    * the exact cosine — every emitted pair is a true q44 pair. Rows-only
+    * by design (recall at LOW similarity is probabilistic — the driver
+    * corpus's pairs at cos 0.4-0.5 sit in the worst LSH regime, which
+    * is WHY q44 keeps the exact oracle tier); the planted-near-dup
+    * recall and exact-subset properties are spec-asserted in DedupSpec. */
+  def q44bDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    embeddingNeardupLsh(embVecs(s, dir))
+
+  private[graft] def embeddingNeardupLsh(v: DataFrame): DataFrame =
+    Similarity.rescorePairs(Similarity.lshCandidatePairs(v, Nil, radius = 1), v)
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
 
   /** Dup-cluster resolution: the step after pair detection — connect the
     * near-dup pairs into clusters and elect a canonical doc (min id) per
@@ -642,6 +671,7 @@ object Dedup extends QueryPack {
     "q42_dedup_minhash_lsh" -> (q42DedupMinhashLsh _),
     "q43_dedup_simhash" -> (q43DedupSimhash _),
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
+    "q44b_dedup_embedding_lsh" -> (q44bDedupEmbeddingLsh _),
     "q45_dup_clusters" -> (q45DupClusters _),
     "q46_contamination" -> (q46Contamination _),
     "q66_ngram_decontam" -> (q66NgramDecontam _),

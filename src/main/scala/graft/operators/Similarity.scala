@@ -177,28 +177,48 @@ object Similarity extends QueryPack {
   def q52bPairwiseTopkLsh(s: SparkSession, dir: String): DataFrame =
     pairwiseTopkLsh(vecs(s, dir))
 
-  private[graft] def pairwiseTopkLsh(v: DataFrame): DataFrame = {
-    val codes = v.select(col("vec_id"), col("label"),
-        posexplode(lshCodes(col("e"))).as(Seq("t", "code")))
-    val masks = array(probeMasks(LshBits, 1).map(lit): _*)
+  /** Shared LSH candidate-pair generator — the bucket-keyed equi-join
+    * that replaces a cross product in every ANN-family scale path:
+    * (id_a < id_b) pairs sharing a code (expanded to Hamming <= `radius`
+    * on one join side) in some table, optionally blocked by `blockCols`
+    * (carried through on the output). Input `v` needs (vec_id, e). */
+  private[graft] def lshCandidatePairs(v: DataFrame, blockCols: Seq[String],
+      radius: Int): DataFrame = {
+    val keep = blockCols.map(col)
+    val codes = v.select(col("vec_id") +: keep :+
+      posexplode(lshCodes(col("e"))).as(Seq("t", "code")): _*)
+    val masks = array(probeMasks(LshBits, radius).map(lit): _*)
     val probed = codes
-      .select(col("vec_id"), col("label"), col("t"),
-        col("code"), explode(masks).as("mask"))
-      .select(col("vec_id"), col("label"), col("t"),
-        col("code").bitwiseXOR(col("mask")).as("code"))
-    val cand = probed.as("a").join(codes.as("b"),
-        col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
-          col("a.code") === col("b.code") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .select((col("vec_id") +: keep) ++ Seq(col("t"),
+        col("code"), explode(masks).as("mask")): _*)
+      .select((col("vec_id") +: keep) ++ Seq(col("t"),
+        col("code").bitwiseXOR(col("mask")).as("code")): _*)
+    val joinCond = (Seq("t", "code") ++ blockCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.vec_id") < col("b.vec_id")
+    probed.as("a").join(codes.as("b"), joinCond)
+      .select(blockCols.map(c => col(s"a.$c").as(c)) ++
+        Seq(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")): _*)
       .distinct()
-    val rescored = cand
+  }
+
+  /** Exact cosine rescoring of candidate (id_a, id_b) pairs against the
+    * decoded vector frame `v` — two vector equi-joins, shared by every
+    * LSH tier's verify stage. Extra candidate columns pass through. */
+  private[graft] def rescorePairs(cand: DataFrame, v: DataFrame): DataFrame =
+    cand
       .join(v.select(col("vec_id"), col("e").as("ea"), col("n2").as("na")),
         col("id_a") === col("vec_id")).drop("vec_id")
       .join(v.select(col("vec_id"), col("e").as("eb"), col("n2").as("nb")),
         col("id_b") === col("vec_id")).drop("vec_id")
-      .select(col("label"), pairKey(col("id_a"), col("id_b")).as("pk"),
-        cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")).as("cos"))
+      .withColumn("cos",
+        cosineFrom(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .drop("ea", "na", "eb", "nb")
+
+  private[graft] def pairwiseTopkLsh(v: DataFrame): DataFrame = {
+    val cand = lshCandidatePairs(v, Seq("label"), radius = 1)
+    val rescored = rescorePairs(cand, v)
+      .select(col("label"), pairKey(col("id_a"), col("id_b")).as("pk"), col("cos"))
     topPairs(rescored)
   }
 
@@ -275,16 +295,44 @@ object Similarity extends QueryPack {
     * node-keyed shuffle — never a per-node sort of all n-1 candidates. */
   def q73KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    val topk = udaf(new TopKByScore(3))
-    v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    knnGraphTail(v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
-        cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos"))
+        cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos")))
+  }
+
+  /** Shared q73/q73b tail: per-node bounded top-3 + rank unpack. */
+  private def knnGraphTail(scored: DataFrame): DataFrame = {
+    val topk = udaf(new TopKByScore(3))
+    scored
       .groupBy(col("vec_id"))
       .agg(topk(col("cos"), col("nbr")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
         col("t.key").as("nbr_id"), col("t.score").as("cos"))
       .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** Approximate kNN graph — the 100×-scale path q73's contract points
+    * at, now executable: candidate edges from [[lshCandidatePairs]]
+    * (12 tables × 12 bits, Hamming <= 1 probing — ~3.7% of all pairs on
+    * random data, ~every pair at production similarity), symmetrized so
+    * each candidate feeds BOTH endpoints' lists, exact cosine rescoring,
+    * then the same bounded top-3 tail as q73. Nodes whose buckets
+    * surface no candidate emit no rows — the standard ANN-graph build
+    * contract (a production run raises tables/radius until coverage).
+    * Rows-only by design (LSH retrieval is probabilistic); the
+    * planted-duplicate mutual-rank-1 property and the ranked-list shape
+    * are spec-asserted in SimilaritySpec, mirroring q51/q52b. */
+  def q73bKnnGraphLsh(s: SparkSession, dir: String): DataFrame =
+    approxKnnGraph(vecs(s, dir))
+
+  private[graft] def approxKnnGraph(v: DataFrame): DataFrame = {
+    val cand = lshCandidatePairs(v, Nil, radius = 1)
+    val scored = rescorePairs(cand, v)
+    knnGraphTail(
+      scored.select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("cos"))
+        .unionAll(scored.select(col("id_b").as("vec_id"),
+          col("id_a").as("nbr"), col("cos"))))
   }
 
   // JL projection 64 -> 16 dims: fixed Gaussian planes (seed 11), rows
@@ -425,6 +473,7 @@ object Similarity extends QueryPack {
     "q53_centroid_search" -> (q53CentroidSearch _),
     "q54_knn_quantized" -> (q54KnnQuantized _),
     "q73_knn_graph" -> (q73KnnGraph _),
+    "q73b_knn_graph_lsh" -> (q73bKnnGraphLsh _),
     "q79_rand_proj" -> (q79RandProj _),
     "q85_matryoshka" -> (q85Matryoshka _))
 

@@ -163,4 +163,34 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(exact.values.exists(_._2), "no contaminated docs at sf0.001 — spec is vacuous")
   }
+
+  test("q44b LSH embedding near-dup retrieves planted near-dups with exact precision") {
+    // the scale tier's contract (the q52b regime): true near-dups
+    // (cos ~1) surface through the bucketed candidate join w.p. ~1, and
+    // every emitted pair is exact — rescoring IS the exact cosine
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val planted = base.take(8).map { case (id, e) =>
+      (1000L + id, e.map(x => x + rnd.nextGaussian() * 0.01)) }
+    val v = (base ++ planted).toDF("vec_id", "e")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val got = operators.Dedup.embeddingNeardupLsh(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0 until 8).foreach { i =>
+      assert(got.exists(p => p._1 == i && p._2 == 1000L + i),
+        s"planted near-dup pair ($i, ${1000 + i}) missing")
+    }
+    // precision 1 + canonical order: recompute each emitted pair exactly
+    val byId = (base ++ planted).toMap
+    got.foreach { case (a, b, cos) =>
+      assert(a < b, s"pair ($a, $b) not canonical")
+      val (ea, eb) = (byId(a), byId(b))
+      val dot = ea.zip(eb).map { case (x, y) => x * y }.sum
+      val exact = dot / (math.sqrt(ea.map(x => x * x).sum) *
+        math.sqrt(eb.map(x => x * x).sum))
+      assert(math.abs(exact - cos) < 1e-9, s"pair ($a, $b) cos drifted")
+      assert(cos >= 0.4, s"pair ($a, $b) below threshold: $cos")
+    }
+  }
 }

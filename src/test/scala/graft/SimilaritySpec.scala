@@ -57,6 +57,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q73b approximate kNN graph: planted duplicates are mutual rank-1; lists ranked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val planted = base.take(4).map { case (id, e) =>
+      (1000L + id, e.map(x => x + rnd.nextGaussian() * 0.01)) }
+    val v = (base ++ planted).toDF("vec_id", "e")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val g = operators.Similarity.approxKnnGraph(v).collect()
+    val rank1 = g.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 4).foreach { i =>
+      assert(rank1.get(i.toLong).contains(1000L + i),
+        s"node $i rank-1 was ${rank1.get(i.toLong)}, expected ${1000 + i}")
+      assert(rank1.get(1000L + i).contains(i.toLong),
+        s"node ${1000 + i} rank-1 was ${rank1.get(1000L + i)}, expected $i")
+    }
+    g.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.length <= 3, s"node $id has ${rs.length} neighbors")
+      val byRk = rs.sortBy(_.getLong(1))
+      assert(byRk.map(_.getLong(1)).sameElements(1L to byRk.length))
+      val cs = byRk.map(_.getDouble(3))
+      assert(cs.sameElements(cs.sortBy(-(_: Double))), s"node $id not ranked")
+      assert(!rs.exists(_.getLong(2) == id), s"node $id lists itself")
+    }
+  }
+
   test("q79 JL projection preserves squared distances within the k=16 budget") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
