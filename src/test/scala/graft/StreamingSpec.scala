@@ -62,6 +62,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reading generator drives s2 end-to-end; injected bad rows counted and rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ReadingGenerator
+    import graft.streaming.ReadingGenerator.CarProps
+    val ticks = MemoryStream[Long]
+    val cars = Seq(CarProps("VIN00001", 2.5, 0.5),
+      CarProps("VIN00002", 1.0, 2.6), CarProps("VIN00003", 1.5, 1.0))
+    val lines = ReadingGenerator.readings(ticks.toDS().toDF("tick"), cars,
+      errorEvery = Some(5))
+    val parsed = ReadingGenerator.parseReadings(lines).as[Reading]
+    val initial = Seq("VIN00001" -> Profile(10L, 2.0, 0.5)).toDS()
+      .groupByKey(_._1).mapValues(_._2)
+    val sink = nextName()
+    val q = Streams.profileStream(parsed, initial)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ticks.addData(0L, 1L, 2L, 3L, 4L)
+      q.processAllAvailable()
+      // 5 ticks x 3 cars = 15 cells; positions tick*3 + car_idx, every
+      // 5th is "BAD": cells (0,0), (1,2), (3,1) -> one bad row per vin
+      val obs = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("gen_quality")))
+      val dropped = obs.map(_.getAs[Long]("rows_dropped")).sum
+      val kept = obs.map(_.getAs[Long]("rows_kept")).sum
+      assert(dropped == 3, s"expected 3 injected bad rows, counted $dropped")
+      assert(kept == 12, s"expected 12 parsed readings, counted $kept")
+      val out = spark.table(sink).as[ProfileUpdate].collect()
+        .map(u => u.vin -> u).toMap
+      // the store-seeded vin keeps its history: 10 seeded + 4 generated
+      assert(!out("VIN00001").isInsert && out("VIN00001").n == 14)
+      assert(out("VIN00002").isInsert && out("VIN00002").n == 4)
+      assert(out("VIN00003").isInsert && out("VIN00003").n == 4)
+      // jitter is bounded by ±0.5, so scores stay near their bases:
+      // VIN00002 brakes aggressively (base 2.6 -> avg > 2.0 guaranteed),
+      // VIN00003 never crosses 2.0 on either score
+      assert(out("VIN00002").maintenancePeriod == 2500L)
+      assert(out("VIN00003").maintenancePeriod == 5000L)
+      assert(math.abs(out("VIN00001").accelScore - 2.5) <= 0.5)
+    } finally q.stop()
+  }
+
   test("entity stream enriches against a static dim (stream-static broadcast join)") {
     // the ConnectedCarStreaming Solr-enrich TODO, done the Spark way:
     // stream side stays incremental, dim side is a static broadcast

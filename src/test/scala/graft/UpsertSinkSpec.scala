@@ -81,6 +81,12 @@ class UpsertSinkSpec extends AnyFunSuite {
         .map(r => r.getAs[String]("id")).sorted
       assert(docs.sameElements(Array(
         "7,2024-03-01T12:34:56Z", "9,2024-03-01T12:34:56Z")), docs.mkString("|"))
+      // the emitted field set/types match the declared index schema (the
+      // schema.xml contract) — drift here must fail, not reach the index
+      assert(SearchDocSink.conforms(SearchDocSink.toDocs(df)),
+        s"doc projection drifted: ${SearchDocSink.toDocs(df).schema.sql}")
+      assert(SearchDocSink.indexSchema.fieldNames.head == "id",
+        "uniqueKey must lead the schema")
     } finally q.stop()
   }
 }
