@@ -58,7 +58,21 @@ object ScaleSmoke {
       "q20_sessionize", "q25_json_kinematics", "q26_asof_join",
       "q66_ngram_decontam", "q66b_decontam_bloom", "q68_sequence_pack",
       "q74_reservoir", "q75_mixture", "q76_zorder_scan",
-      "q29_moving_avg", "q78_funnel", "q80_resample")
+      "q29_moving_avg", "q78_funnel", "q80_resample",
+      "q44b_dedup_embedding_lsh", "q73b_knn_graph_lsh",
+      "q81_scd2", "q82_manifest_scan", "q83_pivot_mix",
+      "q84_chunk", "q85_matryoshka")
+
+    // optional subset for iterating on one pipeline's scale shape:
+    // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh
+    val selected = sys.env.get("SPARK_GRAFT_SMOKE_KEYS") match {
+      case Some(list) =>
+        val keep = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = keep -- keys.toSet
+        require(unknown.isEmpty, s"unknown smoke keys: ${unknown.mkString(", ")}")
+        keys.filter(keep)
+      case None => keys
+    }
 
     def time(dir: String, key: String): Double = {
       spark.catalog.clearCache()
@@ -67,9 +81,9 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1e9
     }
     // warm both paths once, then measure
-    keys.foreach { k => time(src, k); time(dst, k) }
+    selected.foreach { k => time(src, k); time(dst, k) }
     println(f"${"query"}%-26s ${"1x"}%8s ${replicas + "x"}%8s ${"ratio"}%7s")
-    keys.foreach { k =>
+    selected.foreach { k =>
       val base = math.min(time(src, k), time(src, k))
       val big = math.min(time(dst, k), time(dst, k))
       println(f"$k%-26s $base%8.2f $big%8.2f ${big / base}%7.1f")

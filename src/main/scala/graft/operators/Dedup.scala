@@ -416,11 +416,35 @@ object Dedup extends QueryPack {
   def q44bDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
     embeddingNeardupLsh(embVecs(s, dir))
 
-  private[graft] def embeddingNeardupLsh(v: DataFrame): DataFrame =
-    Similarity.rescorePairs(Similarity.lshCandidatePairs(v, Nil, radius = 1), v)
+  private[graft] def embeddingNeardupLsh(v: DataFrame): DataFrame = {
+    // Exact-content canonicalization FIRST — the same dedup-ladder rule
+    // the text family measured (member-level candidate joins are
+    // quadratic in the replication factor: R exact copies share every
+    // LSH code, so each group alone feeds C(R,2) bucket pairs):
+    // identical vectors (by xxhash64 of the decoded array) collapse to
+    // one representative, the bucketed join runs on representatives,
+    // and pairs expand back over members — lossless, because identical
+    // vectors have bit-identical cosines to everything.
+    val dg = v.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
+    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
+    val groups = dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vReps = v.join(
+      groups.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val repPairs = Similarity
+      .rescorePairs(Similarity.lshCandidatePairs(vReps, Nil, radius = 1), vReps)
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
+    // identical vectors have cosine exactly 1.0 (x/x); zero-norm groups
+    // are excluded — their exact-tier cosine is NaN, which fails the
+    // threshold, so claiming 1.0 for them would NOT be lossless
+    val nonZero = v.filter(col("n2") > 0).select(col("vec_id").as("nz_rep"))
+    expandPairs(repPairs, groups, Seq("cos"), Seq(lit(1.0).as("cos")),
+      _.join(nonZero, col("rep_id") === col("nz_rep"), "left_semi"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Dup-cluster resolution: the step after pair detection — connect the
     * near-dup pairs into clusters and elect a canonical doc (min id) per

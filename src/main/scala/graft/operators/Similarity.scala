@@ -322,17 +322,57 @@ object Similarity extends QueryPack {
     * contract (a production run raises tables/radius until coverage).
     * Rows-only by design (LSH retrieval is probabilistic); the
     * planted-duplicate mutual-rank-1 property and the ranked-list shape
-    * are spec-asserted in SimilaritySpec, mirroring q51/q52b. */
+    * are spec-asserted in SimilaritySpec, mirroring q51/q52b.
+    *
+    * Exact-content canonicalization first — the dedup-ladder rule, same
+    * as q44b: R exact copies share every LSH code, so member-level
+    * candidate generation is quadratic in R (measured 62× wall at 16×
+    * replication without this). The rep-level graph runs over unique
+    * vectors; member lists are then reconstructed EXACTLY, because a
+    * vector's cosine to anything depends only on its content group:
+    * co-members enter at cosine 1.0 (the mathematically exact value),
+    * each rep-level neighbor group expands to its members (identical
+    * arrays ⇒ identical cosines), and the same bounded top-3 re-ranks —
+    * a member's true top-3 can only draw from its co-members and the 3
+    * nearest groups, so expanding the bounded rep lists is lossless (up
+    * to rep-level ties at equal cosine, resolved by id). On a
+    * duplicate-free corpus every group is a singleton and both stages
+    * collapse to the plain symmetrized candidate graph. */
   def q73bKnnGraphLsh(s: SparkSession, dir: String): DataFrame =
     approxKnnGraph(vecs(s, dir))
 
   private[graft] def approxKnnGraph(v: DataFrame): DataFrame = {
-    val cand = lshCandidatePairs(v, Nil, radius = 1)
-    val scored = rescorePairs(cand, v)
-    knnGraphTail(
-      scored.select(col("id_a").as("vec_id"), col("id_b").as("nbr"), col("cos"))
-        .unionAll(scored.select(col("id_b").as("vec_id"),
-          col("id_a").as("nbr"), col("cos"))))
+    val dg = v.select(col("vec_id").as("m_id"), xxhash64(col("e")).as("dg"))
+    val reps = dg.groupBy(col("dg")).agg(min(col("m_id")).as("rep_id"))
+    val groups = dg.join(reps, "dg").select(col("m_id"), col("rep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vReps = v.join(
+      groups.filter(col("m_id") === col("rep_id"))
+        .select(col("m_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val scored = rescorePairs(lshCandidatePairs(vReps, Nil, radius = 1), vReps)
+    // bound the rep-level lists BEFORE member expansion: the expansion
+    // multiplies rows by group sizes, so it must ride on <= 3 rows per
+    // rep, never the full candidate set
+    val topk = udaf(new TopKByScore(3))
+    val repTop = scored
+      .select(col("id_a").as("rep"), col("id_b").as("nbr_rep"), col("cos"))
+      .unionAll(scored.select(col("id_b").as("rep"),
+        col("id_a").as("nbr_rep"), col("cos")))
+      .groupBy(col("rep"))
+      .agg(topk(col("cos"), col("nbr_rep")).as("top"))
+      .select(col("rep"), explode(col("top")).as("t"))
+      .select(col("rep"), col("t.key").as("nbr_rep"), col("t.score").as("cos"))
+    val coEdges = groups.as("x").join(groups.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.m_id") =!= col("y.m_id"))
+      .select(col("x.m_id").as("vec_id"), col("y.m_id").as("nbr"),
+        lit(1.0).as("cos"))
+    val expEdges = groups.select(col("m_id").as("vec_id"), col("rep_id").as("rep"))
+      .join(repTop, "rep")
+      .join(groups.select(col("rep_id").as("nbr_rep"), col("m_id").as("nbr")),
+        "nbr_rep")
+      .select(col("vec_id"), col("nbr"), col("cos"))
+    knnGraphTail(coEdges.unionAll(expEdges))
   }
 
   // JL projection 64 -> 16 dims: fixed Gaussian planes (seed 11), rows

@@ -173,7 +173,11 @@ class DedupSpec extends AnyFunSuite {
     val base = (0 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
     val planted = base.take(8).map { case (id, e) =>
       (1000L + id, e.map(x => x + rnd.nextGaussian() * 0.01)) }
-    val v = (base ++ planted).toDF("vec_id", "e")
+    // exact replicas exercise the digest-canonicalization path: they must
+    // pair with their original at cos exactly 1.0 AND inherit the
+    // original's near-dup pairs through member expansion
+    val copies = base.take(3).map { case (id, e) => (2000L + id, e.clone()) }
+    val v = (base ++ planted ++ copies).toDF("vec_id", "e")
       .withColumn("n2", functions.VectorOps.norm2(col("e")))
     val got = operators.Dedup.embeddingNeardupLsh(v).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -181,8 +185,14 @@ class DedupSpec extends AnyFunSuite {
       assert(got.exists(p => p._1 == i && p._2 == 1000L + i),
         s"planted near-dup pair ($i, ${1000 + i}) missing")
     }
+    (0 until 3).foreach { i =>
+      assert(got.exists(p => p._1 == i && p._2 == 2000L + i && p._3 == 1.0),
+        s"exact-copy pair ($i, ${2000 + i}) missing or cos != 1.0")
+      assert(got.exists(p => p._1 == 1000L + i && p._2 == 2000L + i),
+        s"copy ${2000 + i} did not inherit pair with ${1000 + i}")
+    }
     // precision 1 + canonical order: recompute each emitted pair exactly
-    val byId = (base ++ planted).toMap
+    val byId = (base ++ planted ++ copies).toMap
     got.foreach { case (a, b, cos) =>
       assert(a < b, s"pair ($a, $b) not canonical")
       val (ea, eb) = (byId(a), byId(b))
@@ -190,7 +200,7 @@ class DedupSpec extends AnyFunSuite {
       val exact = dot / (math.sqrt(ea.map(x => x * x).sum) *
         math.sqrt(eb.map(x => x * x).sum))
       assert(math.abs(exact - cos) < 1e-9, s"pair ($a, $b) cos drifted")
-      assert(cos >= 0.4, s"pair ($a, $b) below threshold: $cos")
+      assert(cos >= 0.4 - 1e-12, s"pair ($a, $b) below threshold: $cos")
     }
   }
 }

@@ -64,16 +64,25 @@ class SimilaritySpec extends AnyFunSuite {
     val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
     val planted = base.take(4).map { case (id, e) =>
       (1000L + id, e.map(x => x + rnd.nextGaussian() * 0.01)) }
-    val v = (base ++ planted).toDF("vec_id", "e")
+    // exact replicas exercise the digest-canonicalization path: a copy's
+    // rank-1 must be its original at cosine exactly 1.0 (and vice versa)
+    val copies = base.drop(10).take(2).map { case (id, e) => (2000L + id, e.clone()) }
+    val v = (base ++ planted ++ copies).toDF("vec_id", "e")
       .withColumn("n2", functions.VectorOps.norm2(col("e")))
     val g = operators.Similarity.approxKnnGraph(v).collect()
     val rank1 = g.filter(_.getLong(1) == 1L)
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
     (0 until 4).foreach { i =>
-      assert(rank1.get(i.toLong).contains(1000L + i),
+      assert(rank1.get(i.toLong).exists(_._1 == 1000L + i),
         s"node $i rank-1 was ${rank1.get(i.toLong)}, expected ${1000 + i}")
-      assert(rank1.get(1000L + i).contains(i.toLong),
+      assert(rank1.get(1000L + i).exists(_._1 == i.toLong),
         s"node ${1000 + i} rank-1 was ${rank1.get(1000L + i)}, expected $i")
+    }
+    Seq(10L, 11L).foreach { i =>
+      assert(rank1.get(i).contains((2000L + i, 1.0)),
+        s"node $i rank-1 was ${rank1.get(i)}, expected exact copy at cos 1.0")
+      assert(rank1.get(2000L + i).contains((i, 1.0)),
+        s"copy ${2000 + i} rank-1 was ${rank1.get(2000L + i)}, expected $i")
     }
     g.groupBy(_.getLong(0)).foreach { case (id, rs) =>
       assert(rs.length <= 3, s"node $id has ${rs.length} neighbors")
