@@ -574,6 +574,71 @@ object Text extends QueryPack {
       .orderBy(col("stage"))
   }
 
+  // ---- q86: BM25 retrieval scoring ----
+
+  private val Bm25Query = Seq("spark", "query", "hash")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 scoring of the corpus against a fixed query term set — the
+    * retrieval scorer of a RAG stack (the step after q84's chunking and
+    * the production cousin of q39's tf-idf): top-20 documents by
+    * Okapi BM25 with k1 = 1.2, b = 0.75.
+    *
+    * Oracle-exactness: the idf is the RATIONAL core of the Robertson
+    * form, (N − df + ½)/(df + ½) — same per-term ranking monotonicity
+    * as the log form with no libm call (the q39/q77 rule), and every
+    * other factor is integer-derived with the operation order mirrored
+    * exactly in the SQL twin, so the doubles hash-match. The per-doc
+    * term sum is a FIXED-ORDER pivot (one conditional max per query
+    * term, added left to right) — a float sum() across term rows would
+    * be merge-order-dependent.
+    *
+    * Scale shape: tokenize + query-filter are row-local and prune
+    * non-matching docs BEFORE the only data shuffle (doc-keyed tf
+    * counts on matching docs only); document frequency reduces to
+    * |query| rows; corpus length stats are one broadcast row; the tail
+    * is a bounded TakeOrdered. */
+  def q86Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25From(Tables.documentsBalanced(s, dir))
+
+  private[graft] def bm25From(docs: DataFrame): DataFrame = {
+    val (k1, b) = (Bm25K1, Bm25B)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens).cast("long")).as("tot_tokens"))
+    val tf = docs
+      .select(col("doc_id"), tokens.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        filter(col("tk"), t => t.isin(Bm25Query: _*)).as("qtk"))
+      .filter(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        // operation order mirrors the SQL twin exactly: (1.0 - b) and
+        // (k1 + 1.0) fold to the same IEEE doubles in both engines
+        (((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b)
+            * (col("dl").cast("double") * col("n_docs") / col("tot_tokens")))))
+          .as("w"))
+    val pivots = Bm25Query.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("w"))).as(s"w_$i")
+    }
+    w.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), pivots: _*)
+      .select(col("doc_id"), col("n_hit_terms"),
+        Bm25Query.indices.map(i => coalesce(col(s"w_$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private val T = TextOps
   private def sqlToks = "string_split(lower(text), ' ')"
   private def sqlCnt(ws: Seq[String]): String =
@@ -599,9 +664,50 @@ object Text extends QueryPack {
     "q68_sequence_pack" -> (q68SequencePack _),
     "q77_pmi" -> (q77PmiPairs _),
     "q83_pivot_mix" -> (q83PivotMix _),
-    "q84_chunk" -> (q84Chunk _))
+    "q84_chunk" -> (q84Chunk _),
+    "q86_bm25" -> (q86Bm25 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q86_bm25" -> {
+      val terms = Bm25Query.map("'" + _ + "'").mkString(",")
+      val pivots = Bm25Query.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN w END) AS w_$i"
+      }.mkString(",\n         |    ")
+      val score = Bm25Query.indices.map(i => s"coalesce(w_$i, 0.0)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS tot_tokens
+         |  FROM t),
+         |d AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |    list_filter(tk, x -> x IN ($terms)) AS qtk
+         |  FROM t),
+         |e AS (
+         |  SELECT doc_id, dl, unnest(qtk) AS term FROM d WHERE len(qtk) > 0),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM e GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  -- every constant cast to DOUBLE: DuckDB parses decimal
+         |  -- literals as DECIMAL and would fold (k1 + 1.0) etc. in
+         |  -- exact decimal arithmetic, drifting 1 ulp from the double
+         |  -- path Spark takes
+         |  SELECT doc_id, term,
+         |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * (CAST($Bm25K1 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |      / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+         |        - CAST($Bm25B AS DOUBLE) + CAST($Bm25B AS DOUBLE)
+         |        * (CAST(dl AS DOUBLE) * n_docs / tot_tokens))) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |p AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         |    $pivots
+         |  FROM w GROUP BY 1)
+         |SELECT doc_id, n_hit_terms, $score AS score
+         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
     "q84_chunk" -> {
       val fp = TextOps.sqlPolyHash61(
         "array_to_string(tk[start:least(start + 39, n)], ' ')")

@@ -35,6 +35,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 BM25 matches the hand formula on a tiny corpus; no-hit docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark query"), (2L, "hash"),
+      (3L, "the end"), (4L, "spark the hash")).toDF("doc_id", "text")
+    val rows = operators.Text.bm25From(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!rows.contains(3L), "doc without query terms must be absent")
+    // N=4 docs, 9 tokens total; df: spark 2, query 1, hash 2
+    def w(tf: Long, df: Long, dl: Long): Double =
+      ((4 - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.toDouble * 4 / 9)))
+    val expected = Map(
+      1L -> (2L, w(2, 2, 3) + w(1, 1, 3)), // spark x2, query x1, dl 3
+      2L -> (1L, w(1, 2, 1)), // hash x1, dl 1
+      4L -> (2L, w(1, 2, 3) + w(1, 2, 3))) // spark + hash, dl 3
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (id, (hits, score)) =>
+      assert(rows(id)._1 == hits, s"doc $id n_hit_terms ${rows(id)._1}")
+      assert(math.abs(rows(id)._2 - score) < 1e-12,
+        s"doc $id score ${rows(id)._2} != $score")
+    }
+    val ranked = operators.Text.bm25From(docs).collect().map(_.getDouble(2))
+    assert(ranked.sameElements(ranked.sortBy(-(_: Double))), "not ranked")
+  }
+
   test("q39 tf-idf ranks are 1..3 per doc, scores non-increasing") {
     val rows = operators.Text.q39TfidfTopterms(spark, sf).collect()
     assert(rows.nonEmpty)
