@@ -446,6 +446,45 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Semantic (embedding-space) decontamination — the third tier of the
+    * decontamination family: q66/q66b catch VERBATIM leakage by n-gram
+    * overlap; this catches PARAPHRASED/near-duplicate leakage, which
+    * n-grams miss entirely: for every held-out vector (the q35
+    * deterministic hash split, here on vec_id), count training vectors
+    * whose cosine clears the near-dup threshold and flag. Every val
+    * vector appears (contaminated or not) — the audit a training run
+    * logs before trusting its eval numbers.
+    *
+    * EXACT ORACLE TIER by the q44/q52/q73 contract: the cross-split
+    * theta join is O(train×val) by definition and gates the oracle; the
+    * 100×-scale path is the q44b machinery (digest canonicalization +
+    * LSH-bucketed candidates + exact rescoring) restricted to
+    * cross-split pairs. max/count aggregate order-independently, so the
+    * report is oracle-exact. */
+  def q87SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val split = when(
+      pmod(TextOps.polyHash61(concat(lit("semsplit-"),
+        col("vec_id").cast("string"))), lit(100L)) < 80, "train")
+      .otherwise("val")
+    semanticDecontamTagged(embVecs(s, dir).withColumn("split", split))
+  }
+
+  private[graft] def semanticDecontamTagged(tagged: DataFrame): DataFrame = {
+    val train = tagged.filter(col("split") === "train")
+    val vals = tagged.filter(col("split") === "val")
+    val cosExpr = VectorOps.cosineFrom(
+      VectorOps.dot(col("v.e"), col("t.e")), col("v.n2"), col("t.n2"))
+    val pairs = vals.as("v").join(train.as("t"), cosExpr >= 0.4)
+      .select(col("v.vec_id").as("vec_id"), cosExpr.as("cos"))
+    vals.select(col("vec_id"))
+      .join(pairs, Seq("vec_id"), "left_outer")
+      .groupBy(col("vec_id"))
+      .agg(count(col("cos")).as("n_near_train"),
+        coalesce(max(col("cos")), lit(-2.0)).as("max_cos"))
+      .withColumn("contaminated", col("n_near_train") > 0)
+      .orderBy(col("vec_id"))
+  }
+
   /** Dup-cluster resolution: the step after pair detection — connect the
     * near-dup pairs into clusters and elect a canonical doc (min id) per
     * cluster, so a pipeline can keep one representative. Hybrid solver:
@@ -696,6 +735,7 @@ object Dedup extends QueryPack {
     "q43_dedup_simhash" -> (q43DedupSimhash _),
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
     "q44b_dedup_embedding_lsh" -> (q44bDedupEmbeddingLsh _),
+    "q87_semantic_decontam" -> (q87SemanticDecontam _),
     "q45_dup_clusters" -> (q45DupClusters _),
     "q46_contamination" -> (q46Contamination _),
     "q66_ngram_decontam" -> (q66NgramDecontam _),
@@ -796,5 +836,27 @@ object Dedup extends QueryPack {
          |    ${V.sqlDot("a.e", "b.e")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q87_semantic_decontam" -> {
+      val V = VectorOps
+      val h = TextOps.sqlPolyHash61("'semsplit-' || CAST(vec_id AS VARCHAR)")
+      s"""WITH v AS (
+         |  SELECT vec_id, ${V.sqlAsDouble("embedding")} AS e,
+         |    ${V.sqlNorm2(V.sqlAsDouble("embedding"))} AS n2,
+         |    CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT va.vec_id, ${V.sqlDot("va.e", "t.e")}
+         |      / (sqrt(va.n2) * sqrt(t.n2)) AS cos
+         |  FROM v va JOIN v t
+         |    ON va.split = 'val' AND t.split = 'train'),
+         |hits AS (SELECT vec_id, cos FROM p WHERE cos >= 0.4)
+         |SELECT va.vec_id,
+         |  CAST(count(h.cos) AS BIGINT) AS n_near_train,
+         |  coalesce(max(h.cos), CAST(-2.0 AS DOUBLE)) AS max_cos,
+         |  count(h.cos) > 0 AS contaminated
+         |FROM v va LEFT JOIN hits h ON va.vec_id = h.vec_id
+         |WHERE va.split = 'val'
+         |GROUP BY va.vec_id ORDER BY va.vec_id""".stripMargin
     })
 }

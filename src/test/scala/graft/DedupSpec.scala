@@ -164,6 +164,31 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.values.exists(_._2), "no contaminated docs at sf0.001 — spec is vacuous")
   }
 
+  test("q87 semantic decontamination flags a planted cross-split near-dup; clean vals pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 20 train vectors, 3 val vectors; val 100 is a jittered copy of
+    // train 0 (cos ~1 — leaked), vals 101/102 are fresh noise (clean)
+    val train = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()), "train"))
+    val leaked = (100L, train.head._2.map(x => x + rnd.nextGaussian() * 0.01), "val")
+    val clean = Seq(101L, 102L).map(id =>
+      (id, Array.fill(64)(rnd.nextGaussian()), "val"))
+    val tagged = (train ++ Seq(leaked) ++ clean).toDF("vec_id", "e", "split")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val out = operators.Dedup.semanticDecontamTagged(tagged).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L), "every val vector must appear")
+    assert(out(100L)._3 && out(100L)._1 >= 1 && out(100L)._2 > 0.9,
+      s"leaked val not flagged: ${out(100L)}")
+    // 64-dim gaussian noise pairs sit near cos 0 — far under the 0.4 bar
+    Seq(101L, 102L).foreach { id =>
+      assert(!out(id)._3 && out(id)._1 == 0 && out(id)._2 == -2.0,
+        s"clean val $id misflagged: ${out(id)}")
+    }
+  }
+
   test("q44b LSH embedding near-dup retrieves planted near-dups with exact precision") {
     // the scale tier's contract (the q52b regime): true near-dups
     // (cos ~1) surface through the bucketed candidate join w.p. ~1, and
