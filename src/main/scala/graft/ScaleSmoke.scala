@@ -49,8 +49,9 @@ object ScaleSmoke {
     // q27 is intentionally absent: replicating BOTH interval and probe
     // sides grows its OUTPUT quadratically (every incident counts every
     // replica), so wall-clock tracks answer size, not plan quality.
-    // q73 likewise: its exact all-pairs tier is O(n²) BY CONTRACT (the
-    // oracle gate); the scale path is q52b's candidate join, which is in.
+    // q73/q87 likewise: their exact all-pairs tiers are O(n²) BY
+    // CONTRACT (the oracle gates); the scale paths are the bucketed
+    // candidate joins (q73b / q44b machinery), which are in.
     val keys = Seq("q30_token_count", "q38_vocab_topk", "q39_tfidf_topterms",
       "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q45_dup_clusters", "q48_repetition_score",
@@ -61,7 +62,7 @@ object ScaleSmoke {
       "q29_moving_avg", "q78_funnel", "q80_resample",
       "q44b_dedup_embedding_lsh", "q73b_knn_graph_lsh",
       "q81_scd2", "q82_manifest_scan", "q83_pivot_mix",
-      "q84_chunk", "q85_matryoshka")
+      "q84_chunk", "q85_matryoshka", "q86_bm25")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh
