@@ -34,6 +34,37 @@ object TextOps {
   def polyHash61(s: Column): Column =
     polyHash(s, 31L) + shiftleft(polyHash(s, 37L), 31)
 
+  /** Per-token 64-bit portable hashes for the simhash family (q43).
+    *
+    * [[polyHash61]] leaves bits 30 and 61-63 structurally zero (each
+    * fold stays under P < 2^30), which would leave two of a 64-bit
+    * simhash's four 16-bit bands with dead bits — exactly the collision
+    * head-room the wider hash exists to buy. This mix spreads the same
+    * two folds (a = mult 31, b = mult 37, no extra fold cost) as
+    *
+    *   h = a XOR (b << 30) XOR ((a XOR b) << 33)
+    *
+    * so every one of the four 16-bit bands is a full-rank linear map of
+    * the 60 underlying fold bits (rank argument: bits 0-29 recover a,
+    * bits 30-59 then recover b band-triangularly, bits 60-62 are
+    * independent combos of the top fold bits; verified per-band in
+    * DedupSpec against the banded pipeline). Bit 63 stays CLEAR by
+    * construction — the DuckDB twin's `<<` raises on any shift reaching
+    * the sign bit, so the mix is chosen to keep every intermediate
+    * inside a signed 64-bit range in both engines (xor/shift semantics
+    * otherwise match Java exactly; probed in scripts/check.py's engine).
+    *
+    * zip_with over two transform passes keeps it at the same two
+    * interpreted folds per token as polyHash61 (a single lambda with
+    * both folds inlined would evaluate each fold twice — HOF lambdas
+    * never enter codegen, so nothing CSEs them). */
+  def tokenHashes64(tokens: Column): Column =
+    zip_with(
+      transform(tokens, t => polyHash(t, 31L)),
+      transform(tokens, t => polyHash(t, 37L)),
+      (a, b) => a.bitwiseXOR(shiftleft(b, 30))
+        .bitwiseXOR(shiftleft(a.bitwiseXOR(b), 33)))
+
   /** Word 3-gram shingles (with duplicates; wrap in array_distinct for the
     * set). Empty array for texts shorter than 3 tokens. */
   def shingles3(tokens: Column): Column =
@@ -52,6 +83,14 @@ object TextOps {
 
   def sqlPolyHash61(expr: String): String =
     s"(${sqlPolyHash(expr, 31L)} + (${sqlPolyHash(expr, 37L)} << 31))"
+
+  /** DuckDB twin of [[tokenHashes64]] (the lambda re-evaluates each fold
+    * once per use — the oracle runs once at sf0.01, linear cost). */
+  def sqlTokenHashes64(tokensExpr: String): String = {
+    val a = sqlPolyHash("w", 31L)
+    val b = sqlPolyHash("w", 37L)
+    s"list_transform($tokensExpr, w -> xor(xor($a, $b << 30), xor($a, $b) << 33))"
+  }
 
   def sqlShingles3(tokensExpr: String): String =
     s"list_transform(range(1, len($tokensExpr) - 1), " +

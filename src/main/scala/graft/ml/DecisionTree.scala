@@ -53,6 +53,12 @@ object DecisionTree {
     * stats, so the deepest — widest — level's leaves are free. */
   def fit(df: DataFrame, features: Seq[String], label: Column,
       maxDepth: Int): Seq[Node] = {
+    // maxDepth = 0 would return the root as a leaf whose (n, pos) are
+    // still the sentinel seeds (no histogram pass ever runs), i.e. a
+    // prediction independent of the data — reject it loudly rather than
+    // regress silently. A depth-0 "tree" is a majority vote; callers
+    // wanting one should aggregate directly.
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val ths = thresholds(df, features)
     val done = scala.collection.mutable.ArrayBuffer.empty[Node]
     var frontier = List(Pending(0, 0, lit(true), -1L, -1L))

@@ -19,7 +19,7 @@ import org.apache.spark.storage.StorageLevel
   *    miss probability at the 0.6 threshold <= 3.6e-5 (and ~1e-15 for the
   *    corpus's actual >= 0.9 near-dups), then exact-Jaccard verification
   *    within buckets only.
-  *  - q43 simhash: 48-bit portable simhash, 4 bands x 12 bits; pigeonhole
+  *  - q43 simhash: 64-bit portable simhash, 4 bands x 16 bits; pigeonhole
   *    guarantees every pair at hamming <= 3 shares a band, so banded
   *    candidate generation is EXACTLY equivalent to the all-pairs filter
   *    the oracle runs — no probabilistic recall at all.
@@ -315,11 +315,16 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** 48-bit simhash over the token multiset (portable polynomial token
-    * hashes), near-dup = hamming distance <= 3. Banded candidate
-    * generation (4 x 12 bits) is exactly complete by pigeonhole. */
+  /** 64-bit simhash over the token multiset (portable mixed polynomial
+    * token hashes — [[TextOps.tokenHashes64]]), near-dup = hamming
+    * distance <= 3. Banded candidate generation (4 x 16 bits) is exactly
+    * complete by pigeonhole, and the 16-bit bands carry 16x fewer random
+    * band collisions than the 12-bit bands the 48-bit config paid — the
+    * n^2/2^bandBits candidate term that dominated the 16x scale smoke.
+    * (The wider hash is a FINER near-dup relation, not the same output:
+    * the oracle recomputes the identical 64-bit hashes.) */
   def q43DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    simhashPairs(s, dir, bits = 48, bands = 4, maxHamming = 3)
+    simhashPairs(s, dir, bits = 64, bands = 4, maxHamming = 3)
 
   /** Parametric banded-simhash near-dup pairs, exactly complete whenever
     * `bands > maxHamming` (pigeonhole: fewer flipped bits than bands
@@ -328,14 +333,16 @@ object Dedup extends QueryPack {
     *
     * The band width is the SCALE KNOB: random-pair band collisions grow
     * as n^2 / 2^(bits/bands), so a corpus 16x larger wants ~4 more bits
-    * per band to hold the candidate volume — q43 ships 48/4 (12-bit
-    * bands, matched by the DuckDB oracle); the 16x scale smoke's
-    * residual 9x growth is exactly this term, and a 64-bit/4-band
-    * config (16-bit bands, same pigeonhole guarantee, 16x fewer random
-    * collisions) is spec-proven complete against its own all-pairs
-    * hamming filter in DedupSpec (the wider hash changes the distances,
-    * so it is a different — finer — near-dup relation, not the same
-    * output). */
+    * per band to hold the candidate volume. q43 ships 64/4 (16-bit
+    * bands, matched exactly by the DuckDB oracle): the earlier 48/4
+    * config's 12-bit bands were the 16x scale smoke's residual 9x
+    * growth, and the narrower config remains spec-proven complete
+    * against its own all-pairs hamming filter in DedupSpec (each width
+    * is a different — finer or coarser — near-dup relation, not the
+    * same output). Token hashes come from [[TextOps.tokenHashes64]] so
+    * all four 16-bit bands are full-rank (polyHash61 alone leaves bits
+    * 30/61-63 dead, which would cost two bands a quarter of their
+    * selectivity). */
   private[graft] def simhashPairs(s: SparkSession, dir: String,
       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
@@ -344,7 +351,7 @@ object Dedup extends QueryPack {
     val bandMask = (1L << bandBits) - 1
     val groups = digestGroups(s, dir)
     val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
-    val th = transform(docTokens, t => TextOps.polyHash61(t))
+    val th = TextOps.tokenHashes64(docTokens)
     // one compiled pass over the token hashes instead of `bits`
     // interpreted aggregate folds (identical bit-sum semantics)
     val simhash = org.apache.spark.sql.GraftSqlBridge.toColumn(
@@ -376,13 +383,27 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** (vec_id, e, n2) decoded embedding frame for the q44 family —
-    * persisted, both tiers read it at least twice. */
-  private def embVecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
-      .withColumn("n2", VectorOps.norm2(col("e")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** (vec_id, e, n2) decoded embedding frame for the q44/q87 family —
+    * persisted, every tier reads it at least twice.
+    *
+    * Cached per (session, dir) like the store `built` maps, so a run
+    * executing q44 + q44b + q87 + q87b shares ONE persisted frame
+    * instead of registering a fresh one per query (Spark's CacheManager
+    * dedupes same-plan persists, but the per-call Dataset objects and
+    * their never-unpersisted registrations still accumulate eviction
+    * pressure over a long suite). If a harness cleared the cache between
+    * measurements (graft.Bench does), the frame re-persists on next use
+    * instead of silently running unpersisted. */
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def embVecs(s: SparkSession, dir: String): DataFrame = {
+    val df = embCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+        .withColumn("n2", VectorOps.norm2(col("e"))))
+    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   /** Exact cosine near-dup pairs over embeddings (threshold 0.4; this
     * corpus's embeddings are near-orthogonal so higher thresholds are
@@ -392,7 +413,14 @@ object Dedup extends QueryPack {
     * whose bucketed candidate join replaces this cross product (the
     * same exact-vs-LSH split as q52/q52b and q73/q73b). */
   def q44DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val v = embVecs(s, dir)
+    // n2 > 0 on both sides makes a NaN cosine impossible BY CONSTRUCTION
+    // (a zero-norm vector's cosine is 0/0): Spark and DuckDB disagree on
+    // NaN ordering (Spark ranks NaN above every double, DuckDB likewise
+    // in comparisons — but only Spark's typed comparisons reject it), so
+    // the only oracle-safe contract is to never let NaN reach the
+    // threshold predicate. Degenerate on real corpora (no zero-norm
+    // embeddings in testdata); the guard is for the contract, not rows.
+    val v = embVecs(s, dir).filter(col("n2") > 0)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         VectorOps.cosineFrom(
@@ -429,7 +457,10 @@ object Dedup extends QueryPack {
     val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
     val groups = dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vReps = v.join(
+    // zero-norm reps never clear the exact threshold (their cosine is
+    // NaN in the exact tier) — drop them BEFORE candidate generation so
+    // NaN can't reach the rescore predicate (same guard as q44/q87)
+    val vReps = v.filter(col("n2") > 0).join(
       groups.filter(col("doc_id") === col("rep_id"))
         .select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
@@ -470,14 +501,87 @@ object Dedup extends QueryPack {
   }
 
   private[graft] def semanticDecontamTagged(tagged: DataFrame): DataFrame = {
-    val train = tagged.filter(col("split") === "train")
+    // n2 > 0 on BOTH pair sides: a zero-norm embedding's cosine is 0/0 =
+    // NaN, and the two engines disagree on whether NaN clears `>= 0.4`
+    // (DuckDB orders NaN above every double) — the guard makes NaN
+    // impossible by construction, so oracle parity cannot hinge on a
+    // degenerate corpus. Zero-norm VAL vectors still appear in the
+    // report (below — they are simply never contaminated).
+    val train = tagged.filter(col("split") === "train" && col("n2") > 0)
     val vals = tagged.filter(col("split") === "val")
     val cosExpr = VectorOps.cosineFrom(
       VectorOps.dot(col("v.e"), col("t.e")), col("v.n2"), col("t.n2"))
-    val pairs = vals.as("v").join(train.as("t"), cosExpr >= 0.4)
+    val pairs = vals.filter(col("n2") > 0).as("v")
+      .join(train.as("t"), cosExpr >= 0.4)
       .select(col("v.vec_id").as("vec_id"), cosExpr.as("cos"))
     vals.select(col("vec_id"))
       .join(pairs, Seq("vec_id"), "left_outer")
+      .groupBy(col("vec_id"))
+      .agg(count(col("cos")).as("n_near_train"),
+        coalesce(max(col("cos")), lit(-2.0)).as("max_cos"))
+      .withColumn("contaminated", col("n_near_train") > 0)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Scale tier of q87: the same per-val-vector contamination report
+    * through the q44b machinery — digest canonicalization, LSH-bucketed
+    * candidate generation ([[Similarity.lshCandidatePairs]]), exact
+    * cosine rescoring — with the train/val restriction applied AFTER
+    * member expansion (split is a property of the member vec_id, not of
+    * the content group: an exact copy of a train vector can sit in val,
+    * and the within-group expansion is exactly what finds it, at cosine
+    * exactly 1.0). The exact tier's O(train x val) theta join never
+    * runs; every shuffle is keyed by LSH bucket or vec_id.
+    *
+    * Rows-only by design (the q44b contract: recall at LOW cosine is
+    * probabilistic, which is why q87 keeps the exact oracle tier);
+    * what IS exact: every flagged val vector is truly contaminated
+    * (rescoring is the exact cosine — precision 1), max_cos is the true
+    * cosine of a found pair, and every val vector appears. Planted-leak
+    * recall and the flagged-subset-of-exact property are spec-asserted
+    * in DedupSpec. */
+  def q87bSemanticDecontamLsh(s: SparkSession, dir: String): DataFrame = {
+    val split = when(
+      pmod(TextOps.polyHash61(concat(lit("semsplit-"),
+        col("vec_id").cast("string"))), lit(100L)) < 80, "train")
+      .otherwise("val")
+    semanticDecontamLsh(embVecs(s, dir).withColumn("split", split))
+  }
+
+  private[graft] def semanticDecontamLsh(tagged: DataFrame): DataFrame = {
+    // identical vectors collapse to one representative for candidate
+    // generation (the q44b canonicalization — R exact copies otherwise
+    // feed C(R,2) bucket pairs); the split tag stays with the MEMBER
+    val dg = tagged.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
+    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
+    val groups = dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vReps = tagged.filter(col("n2") > 0).join(
+      groups.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val repPairs = Similarity
+      .rescorePairs(Similarity.lshCandidatePairs(vReps, Nil, radius = 1), vReps)
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    // member expansion: cross-group pairs inherit the rep cosine;
+    // within-group pairs are exact copies at cosine 1.0 (nonzero norm
+    // only — zero-norm copies have NaN exact cosine, excluded)
+    val nonZero = tagged.filter(col("n2") > 0).select(col("vec_id").as("nz_rep"))
+    val memberPairs = expandPairs(repPairs, groups, Seq("cos"),
+      Seq(lit(1.0).as("cos")),
+      _.join(nonZero, col("rep_id") === col("nz_rep"), "left_semi"))
+    // orient: a member pair contributes to the report iff it crosses the
+    // split — the val-side member collects the cosine
+    val splits = tagged.select(col("vec_id"), col("split"))
+    val contrib = memberPairs
+      .join(splits.select(col("vec_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(splits.select(col("vec_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+      .select(when(col("sa") === "val", col("id_a")).otherwise(col("id_b"))
+        .as("vec_id"), col("cos"))
+    tagged.filter(col("split") === "val").select(col("vec_id"))
+      .join(contrib, Seq("vec_id"), "left_outer")
       .groupBy(col("vec_id"))
       .agg(count(col("cos")).as("n_near_train"),
         coalesce(max(col("cos")), lit(-2.0)).as("max_cos"))
@@ -714,10 +818,17 @@ object Dedup extends QueryPack {
        |SELECT id_a, id_b, jac FROM p WHERE jac >= $jacT ORDER BY id_a, id_b""".stripMargin
 
   private val simhashSql: String = {
-    val th = s"list_transform($sqlToks, w -> ${TextOps.sqlPolyHash61("w")})"
-    val terms = (0 until 48).map { b =>
+    val th = TextOps.sqlTokenHashes64(sqlToks)
+    // b = 63 never fires on real docs (tokenHashes64 keeps bit 63 clear,
+    // so its +/-1 sum is -n < 0 for any non-empty token list), but the
+    // term stays for exactness — spelled as (min+0) arithmetic because
+    // DuckDB raises on the 1<<63 overflow even inside a dead branch.
+    val terms = (0 until 64).map { b =>
+      val bitVal =
+        if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"(CAST(1 AS BIGINT) << $b)"
       s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 " +
-        s"THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+        s"THEN $bitVal ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
     s"""WITH t AS (SELECT doc_id, $th AS th FROM documents),
        |s AS (SELECT doc_id, $terms AS sim FROM t)
@@ -736,6 +847,7 @@ object Dedup extends QueryPack {
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
     "q44b_dedup_embedding_lsh" -> (q44bDedupEmbeddingLsh _),
     "q87_semantic_decontam" -> (q87SemanticDecontam _),
+    "q87b_semantic_decontam_lsh" -> (q87bSemanticDecontamLsh _),
     "q45_dup_clusters" -> (q45DupClusters _),
     "q46_contamination" -> (q46Contamination _),
     "q66_ngram_decontam" -> (q66NgramDecontam _),
@@ -834,7 +946,8 @@ object Dedup extends QueryPack {
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${V.sqlDot("a.e", "b.e")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |  FROM v a JOIN v b
+         |    ON a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
     "q87_semantic_decontam" -> {
@@ -849,7 +962,8 @@ object Dedup extends QueryPack {
          |  SELECT va.vec_id, ${V.sqlDot("va.e", "t.e")}
          |      / (sqrt(va.n2) * sqrt(t.n2)) AS cos
          |  FROM v va JOIN v t
-         |    ON va.split = 'val' AND t.split = 'train'),
+         |    ON va.split = 'val' AND t.split = 'train'
+         |    AND va.n2 > 0 AND t.n2 > 0),
          |hits AS (SELECT vec_id, cos FROM p WHERE cos >= 0.4)
          |SELECT va.vec_id,
          |  CAST(count(h.cos) AS BIGINT) AS n_near_train,

@@ -24,8 +24,8 @@ object MlStats extends QueryPack {
     ColSpec("l_discount", "l_discount"),
     ColSpec("l_tax", "l_tax"))
 
-  /** Per-column min/max/mean/var_pop/nnz/L1 in one aggregate pass, then
-    * unpivoted. Cent-scaled sums and sums of squares stay exactly inside
+  /** Per-column min/max/mean/var_pop/nnz/L1/L2 in one aggregate pass,
+    * then unpivoted. Cent-scaled sums and sums of squares stay exactly inside
     * BIGINT for these bounded columns (max |cents| = 5000 -> S2 <= 1.5e13
     * at sf0.1), so the derived doubles are deterministic. */
   def q60Colstats(s: SparkSession, dir: String): DataFrame = {
@@ -51,7 +51,11 @@ object MlStats extends QueryPack {
         col(s"${p}__mn").as("mn"), col(s"${p}__mx").as("mx"),
         (s1d / 100.0 / n).as("mean"),
         (((s2d - s1d * s1d / n) / n) / 10000.0).as("var_pop"),
-        (col(s"${p}__l1c") / 100.0).as("l1"))
+        (col(s"${p}__l1c") / 100.0).as("l1"),
+        // normL2 = sqrt(sum x^2), the reference's colStats.normL2
+        // (MLlibNyTaxi summary) — from the same exact cent-scaled s2,
+        // so the one sqrt is deterministic across engines
+        (sqrt(s2d) / 100.0).as("l2"))
     }
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
       .orderBy(col("col_name"))
@@ -232,7 +236,8 @@ object MlStats extends QueryPack {
            |  ((CAST(sum($x * $x) AS DOUBLE)
            |    - CAST(sum($x) AS DOUBLE) * CAST(sum($x) AS DOUBLE) / count(*))
            |   / count(*)) / 10000.0 AS var_pop,
-           |  CAST(sum(abs($x)) AS BIGINT) / 100.0 AS l1
+           |  CAST(sum(abs($x)) AS BIGINT) / 100.0 AS l1,
+           |  sqrt(CAST(sum($x * $x) AS DOUBLE)) / 100.0 AS l2
            |FROM lineitem""".stripMargin
       }
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

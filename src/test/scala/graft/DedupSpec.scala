@@ -94,13 +94,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  /** Driver-side all-pairs simhash filter at `bits` width — the
-    * independent recomputation the banded pipelines must match to pin
-    * the pigeonhole-completeness claim. */
+  /** Driver-side all-pairs simhash filter at `bits` width over the SAME
+    * mixed 64-bit token hashes the pipeline uses — the independent
+    * recomputation the banded pipelines must match to pin the
+    * pigeonhole-completeness claim. The token hashes come from Spark
+    * (TextOps.tokenHashes64 is itself oracle-twinned in the q43 DuckDB
+    * SQL); the simhash FOLD and the all-pairs hamming filter are
+    * recomputed here in plain Scala. */
   private def bruteSimhashPairs(bits: Int): Set[(Long, Long)] = {
     val th = Tables.documents(spark, sf)
       .select(col("doc_id"),
-        transform(TextOps.toks(lower(col("text"))), t => TextOps.polyHash61(t)).as("th"))
+        TextOps.tokenHashes64(TextOps.toks(lower(col("text")))).as("th"))
     val sims = th.select(col("doc_id"), col("th")).collect().map { r =>
       val hs = r.getSeq[Long](1)
       var sim = 0L
@@ -116,18 +120,36 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
   }
 
-  test("q43 banded simhash candidates equal the all-pairs hamming filter") {
+  test("q43 banded 64-bit simhash candidates equal the all-pairs hamming filter") {
     val got = operators.Dedup.q43DedupSimhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteSimhashPairs(64))
+    assert(got.nonEmpty, "no simhash near-dups at sf0.001 — spec is vacuous")
+  }
+
+  test("the narrower 48-bit/4-band config is also pigeonhole-complete") {
+    // completeness is width-independent (pigeonhole needs only
+    // bands > maxHamming); pin it for a second width so the band
+    // slicing, not the specific 64-bit layout, carries the guarantee
+    val got = operators.Dedup.simhashPairs(spark, sf, bits = 48, bands = 4, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == bruteSimhashPairs(48))
   }
 
-  test("the 64-bit/4-band scale config is also pigeonhole-complete") {
-    // wider bands = the knob for larger corpora (random band collisions
-    // fall 16x); completeness must hold for that config too
-    val got = operators.Dedup.simhashPairs(spark, sf, bits = 64, bands = 4, maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == bruteSimhashPairs(64))
+  test("tokenHashes64 fills all four 16-bit bands (no dead band bits)") {
+    // the point of the mix over polyHash61: at 64 bits, every band must
+    // actually discriminate — across the corpus's token hashes, each of
+    // the 64 bit positions except bit 63 (kept clear so the DuckDB twin
+    // never shifts into the sign bit) must take both values
+    val hs = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokenHashes64(
+        TextOps.toks(lower(col("text"))))).as("h"))
+      .collect().map(_.getLong(0))
+    val ones = (0 until 64).map(b => hs.count(h => ((h >> b) & 1L) == 1L))
+    (0 until 63).foreach { b =>
+      assert(ones(b) > 0 && ones(b) < hs.length, s"bit $b is dead across the corpus")
+    }
+    assert(ones(63) == 0, "bit 63 must stay clear (DuckDB shift-overflow contract)")
   }
 
   test("q69 incremental probe equals naive cross-pairs Jaccard (losslessness)") {
@@ -186,6 +208,50 @@ class DedupSpec extends AnyFunSuite {
     Seq(101L, 102L).foreach { id =>
       assert(!out(id)._3 && out(id)._1 == 0 && out(id)._2 == -2.0,
         s"clean val $id misflagged: ${out(id)}")
+    }
+  }
+
+  test("q87b LSH semantic decontamination flags planted leaks; flagged is a subset of exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 30 train vectors; val 100 = jittered copy of train 0 (paraphrase
+    // leak, cos ~1), val 101 = EXACT copy of train 1 (the within-group
+    // path: split crosses a content group), vals 102/103 = fresh noise
+    val train = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()), "train"))
+    val leakNear = (100L, train.head._2.map(x => x + rnd.nextGaussian() * 0.01), "val")
+    val leakExact = (101L, train(1)._2.clone(), "val")
+    val clean = Seq(102L, 103L).map(id =>
+      (id, Array.fill(64)(rnd.nextGaussian()), "val"))
+    val tagged = (train ++ Seq(leakNear, leakExact) ++ clean)
+      .toDF("vec_id", "e", "split")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val got = operators.Dedup.semanticDecontamLsh(tagged).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet == Set(100L, 101L, 102L, 103L), "every val vector must appear")
+    assert(got(100L)._3 && got(100L)._2 > 0.9,
+      s"planted near-dup leak not flagged: ${got(100L)}")
+    assert(got(101L)._3 && got(101L)._2 == 1.0 && got(101L)._1 >= 1,
+      s"exact-copy leak not flagged at cos 1.0: ${got(101L)}")
+    Seq(102L, 103L).foreach { id =>
+      assert(!got(id)._3 && got(id)._1 == 0 && got(id)._2 == -2.0,
+        s"clean val $id misflagged: ${got(id)}")
+    }
+    // precision side of the contract: the LSH tier never invents
+    // contamination — per val vector it counts at most the exact tier's
+    // near-train count, and an equal max_cos whenever it found a pair
+    val exact = operators.Dedup.semanticDecontamTagged(tagged).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(exact.keySet == got.keySet)
+    got.foreach { case (id, (n, mc, flagged)) =>
+      assert(n <= exact(id)._1, s"val $id: LSH counted $n > exact ${exact(id)._1}")
+      if (flagged) {
+        assert(exact(id)._3, s"val $id flagged by LSH but clean in exact tier")
+        assert(math.abs(mc - exact(id)._2) < 1e-9 || mc <= exact(id)._2,
+          s"val $id: LSH max_cos $mc exceeds exact ${exact(id)._2}")
+      }
     }
   }
 
