@@ -36,15 +36,37 @@ object Engine {
     * suffix gives each JVM its own namespace, and the shutdown hook
     * removes it so repeated runs don't accumulate stores in tmpfs. */
   private lazy val storeRoot: String = {
+    sweepOrphanStores()
     val root = s"$scratchRoot/graft-stores-${ProcessHandle.current().pid()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(root))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(root))))
     root
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** Remove store namespaces left by DEAD JVMs. The shutdown hook above
+    * only fires on clean exit — a SIGKILLed suite (or an aborted spec
+    * run) orphans its `graft-stores-<pid>` tree in tmpfs, where it
+    * would squat on shared memory until reboot. Each new JVM therefore
+    * sweeps siblings whose pid no longer exists before claiming its own
+    * namespace. Conservative by construction: a live (even unrelated,
+    * pid-reused) process keeps its directory; only verifiably-dead
+    * owners are collected. Spec-exercised in BucketedStoreSpec. */
+  private[graft] def sweepOrphanStores(): Unit = {
+    val mine = ProcessHandle.current().pid()
+    Option(new java.io.File(scratchRoot).listFiles()).foreach(_.foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith("graft-stores-")) {
+        n.stripPrefix("graft-stores-").toLongOption.foreach { pid =>
+          val owner = ProcessHandle.of(pid)
+          val alive = owner.isPresent && owner.get().isAlive
+          if (pid != mine && !alive) rmTree(f)
+        }
+      }
+    })
   }
 
   /** Store directory for `family` keyed by source `dir` — the tag keeps

@@ -51,7 +51,7 @@ object ScaleSmoke {
     // replica), so wall-clock tracks answer size, not plan quality.
     // q73/q87 likewise: their exact all-pairs tiers are O(n²) BY
     // CONTRACT (the oracle gates); the scale paths are the bucketed
-    // candidate joins (q73b / q44b machinery), which are in.
+    // candidate joins (q73b / q87b / q44b machinery), which are in.
     val keys = Seq("q30_token_count", "q38_vocab_topk", "q39_tfidf_topterms",
       "q40_dedup_exact", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
       "q43_dedup_simhash", "q45_dup_clusters", "q48_repetition_score",
@@ -61,6 +61,7 @@ object ScaleSmoke {
       "q74_reservoir", "q75_mixture", "q76_zorder_scan",
       "q29_moving_avg", "q78_funnel", "q80_resample",
       "q44b_dedup_embedding_lsh", "q73b_knn_graph_lsh",
+      "q87b_semantic_decontam_lsh",
       "q81_scd2", "q82_manifest_scan", "q83_pivot_mix",
       "q84_chunk", "q85_matryoshka", "q86_bm25")
 

@@ -57,4 +57,27 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "expected SortMergeJoin over bucketed scans")
   }
+
+  test("orphan store namespaces of dead JVMs are swept; live ones survive") {
+    // the shutdown hook cannot fire on a SIGKILLed suite — the next JVM's
+    // sweep is what keeps tmpfs clean after an aborted run
+    val scratch = new java.io.File(Engine.scratchRoot)
+    // a pid that cannot be alive: pid_max on Linux tops out at 2^22
+    val dead = new java.io.File(scratch, "graft-stores-999999999")
+    val inner = new java.io.File(dead, "bucketed/abc")
+    assert(inner.mkdirs() || inner.isDirectory)
+    // our own namespace (live pid) must survive the sweep
+    val mine = new java.io.File(scratch,
+      s"graft-stores-${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    // non-store siblings are out of scope entirely
+    val other = new java.io.File(scratch, "graft-unrelated-999999999")
+    other.mkdirs()
+    try {
+      Engine.sweepOrphanStores()
+      assert(!dead.exists(), "dead JVM's store namespace not swept")
+      assert(mine.exists(), "live JVM's own namespace was swept")
+      assert(other.exists(), "sweep touched a non-store directory")
+    } finally { other.delete(); dead.delete() }
+  }
 }

@@ -65,6 +65,46 @@ class UpsertSinkSpec extends AnyFunSuite {
       "half-swap recovery lost state")
   }
 
+  test("upsert sink and entity state survive a checkpoint restart exactly-once") {
+    // The contract the reference's Kudu/Solr sinks could not make: kill
+    // the query between micro-batches, restart from the SAME checkpoint,
+    // and (a) the flatMapGroupsWithState state store resumes (key 1's
+    // totals ACCUMULATE across the restart instead of restarting at 1),
+    // (b) the committed batch is not reprocessed (exactly-once effect on
+    // the store: replay would be idempotent here, so assert on batch ids,
+    // not just store content), (c) data that arrived while the query was
+    // down is processed on restart.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_restart_").toString
+    val store = s"$base/entities"
+    val ckpt = s"$base/ckpt"
+    val in = MemoryStream[OrderEvent]
+    val q1 = UpsertSink.writeTo(Streams.entityStream(in.toDS()), store, ckpt)
+    try {
+      in.addData(OrderEvent(1, 10.0, "O"), OrderEvent(2, 3.0, "F"))
+      q1.processAllAvailable()
+    } finally q1.stop() // the "kill": batch 0 committed, query gone
+
+    // arrivals while the query is down
+    in.addData(OrderEvent(1, 6.0, "F"), OrderEvent(3, 1.0, "P"))
+
+    val q2 = UpsertSink.writeTo(Streams.entityStream(in.toDS()), store, ckpt)
+    try {
+      q2.processAllAvailable()
+      val after = spark.read.parquet(store)
+        .select("custkey", "totalTrips", "totalAmount").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(after == Map(
+        1L -> (2L, 16.0), 2L -> (1L, 3.0), 3L -> (1L, 1.0)),
+        s"restart lost or double-applied state: $after")
+      // resumed, not replayed: every batch the restarted query processed
+      // has id >= 1 (batch 0's commit survived in the checkpoint)
+      val ids = q2.recentProgress.filter(_.numInputRows > 0).map(_.batchId)
+      assert(ids.nonEmpty && ids.forall(_ >= 1),
+        s"restarted query reprocessed committed batches: ${ids.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("search-doc sink writes ISO-8601 batch files with synthesized ids") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft_index_").toString
