@@ -181,10 +181,20 @@ object Similarity extends QueryPack {
     * that replaces a cross product in every ANN-family scale path:
     * (id_a < id_b) pairs sharing a code (expanded to Hamming <= `radius`
     * on one join side) in some table, optionally blocked by `blockCols`
-    * (carried through on the output). Input `v` needs (vec_id, e). */
+    * (carried through on the output). Input `v` needs (vec_id, e).
+    *
+    * `carry` columns of `v` ride the code tables through the bucket join
+    * and come out as `<c>_a`/`<c>_b` — the zero-extra-join way for a
+    * caller to PRUNE candidate pairs on per-vector properties (q87b's
+    * split-crossable filter) before the rescore stage pays the vector
+    * joins: joining such properties onto the pair table afterwards
+    * would re-shuffle the pairs twice for data the codes already had in
+    * hand (measured ~1 s extra at sf0.1, and at real scale the property
+    * table is corpus-sized — not broadcastable). Functionally dependent
+    * on vec_id, so the dedup distinct is unaffected. */
   private[graft] def lshCandidatePairs(v: DataFrame, blockCols: Seq[String],
-      radius: Int): DataFrame = {
-    val keep = blockCols.map(col)
+      radius: Int, carry: Seq[String] = Nil): DataFrame = {
+    val keep = (blockCols ++ carry).map(col)
     val codes = v.select(col("vec_id") +: keep :+
       posexplode(lshCodes(col("e"))).as(Seq("t", "code")): _*)
     val masks = array(probeMasks(LshBits, radius).map(lit): _*)
@@ -198,7 +208,9 @@ object Similarity extends QueryPack {
       .reduce(_ && _) && col("a.vec_id") < col("b.vec_id")
     probed.as("a").join(codes.as("b"), joinCond)
       .select(blockCols.map(c => col(s"a.$c").as(c)) ++
-        Seq(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")): _*)
+        Seq(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")) ++
+        carry.flatMap(c =>
+          Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
       .distinct()
   }
 

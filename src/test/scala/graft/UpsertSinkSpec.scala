@@ -65,6 +65,39 @@ class UpsertSinkSpec extends AnyFunSuite {
       "half-swap recovery lost state")
   }
 
+  test("search-doc sink resumes batch numbering after a checkpoint restart") {
+    // index-side restart contract: committed batches keep their files
+    // untouched (no re-index), the restarted query continues from the
+    // next batch id, and down-time arrivals land in the new batch
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_idx_restart_").toString
+    val in = MemoryStream[(Long, String, Double)]
+    def stream() = in.toDS().toDF("user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56")))
+    val q1 = SearchDocSink.writeTo(stream(), s"$base/idx", s"$base/ckpt")
+    try {
+      in.addData((7L, "purchase", 1.25))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val batch0 = spark.read.json(s"$base/idx/batch_0")
+      .collect().map(_.getAs[String]("id")).toSet
+
+    in.addData((9L, "error", 0.5)) // arrives while the query is down
+
+    val q2 = SearchDocSink.writeTo(stream(), s"$base/idx", s"$base/ckpt")
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.json(s"$base/idx/batch_0")
+        .collect().map(_.getAs[String]("id")).toSet == batch0,
+        "restart rewrote a committed index batch")
+      assert(spark.read.json(s"$base/idx/batch_1")
+        .collect().map(_.getAs[String]("id")).toSet ==
+        Set("9,2024-03-01T12:34:56Z"),
+        "down-time arrival missing from the post-restart batch")
+    } finally q2.stop()
+  }
+
   test("upsert sink and entity state survive a checkpoint restart exactly-once") {
     // The contract the reference's Kudu/Solr sinks could not make: kill
     // the query between micro-batches, restart from the SAME checkpoint,
