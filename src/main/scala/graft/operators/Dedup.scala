@@ -397,6 +397,9 @@ object Dedup extends QueryPack {
   private val embCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def embVecs(s: SparkSession, dir: String): DataFrame = {
+    // evict entries of stopped sessions so a long-lived JVM cycling
+    // sessions (a test harness) does not pin dead sessions' plans
+    embCache.keys.filter(_._1.sparkContext.isStopped).foreach(embCache.remove)
     val df = embCache.getOrElseUpdate((s, dir),
       Tables.embeddings(s, dir)
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
