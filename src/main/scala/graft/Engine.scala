@@ -54,8 +54,15 @@ object Engine {
     * sweeps siblings whose pid no longer exists before claiming its own
     * namespace. Conservative by construction: a live (even unrelated,
     * pid-reused) process keeps its directory; only verifiably-dead
-    * owners are collected. Spec-exercised in BucketedStoreSpec. */
+    * owners are collected. The liveness test is only sound for a
+    * machine-and-pid-namespace-LOCAL scratch dir (ProcessHandle sees
+    * this namespace only — on a mount shared across containers, another
+    * container's live pid looks dead here), so the sweep is SKIPPED
+    * entirely when SPARK_GRAFT_LOCAL_DIR overrides the default: an
+    * explicitly-managed scratch may be shared, and its hygiene is the
+    * operator's. Spec-exercised in BucketedStoreSpec. */
   private[graft] def sweepOrphanStores(): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_LOCAL_DIR")) return
     val mine = ProcessHandle.current().pid()
     Option(new java.io.File(scratchRoot).listFiles()).foreach(_.foreach { f =>
       val n = f.getName

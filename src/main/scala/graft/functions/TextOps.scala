@@ -44,15 +44,18 @@ object TextOps {
     *
     *   h = a XOR (b << 30) XOR ((a XOR b) << 33)
     *
-    * so every one of the four 16-bit bands is a full-rank linear map of
-    * the 60 underlying fold bits (rank argument: bits 0-29 recover a,
-    * bits 30-59 then recover b band-triangularly, bits 60-62 are
-    * independent combos of the top fold bits; verified per-band in
-    * DedupSpec against the banded pipeline). Bit 63 stays CLEAR by
-    * construction — the DuckDB twin's `<<` raises on any shift reaching
-    * the sign bit, so the mix is chosen to keep every intermediate
-    * inside a signed 64-bit range in both engines (xor/shift semantics
-    * otherwise match Java exactly; probed in scripts/check.py's engine).
+    * so bands 0-2 are full-rank 16-bit linear maps of the 60 underlying
+    * fold bits and band 3 is rank 15 (rank argument: bits 0-29 recover
+    * a, bits 30-59 then recover b band-triangularly, bits 60-62 are
+    * independent combos of the top fold bits; bit liveness is asserted
+    * per-position in DedupSpec). Bit 63 stays CLEAR by construction —
+    * the DuckDB twin's `<<` raises on any shift reaching the sign bit,
+    * so the mix is chosen to keep every intermediate inside a signed
+    * 64-bit range in both engines (xor/shift semantics otherwise match
+    * Java exactly; probed in scripts/check.py's engine). Aggregate
+    * random band-collision rate: 3/2^16 + 1/2^15, exactly 16x below the
+    * 48-bit config's 3/2^12 + 1/2^11 (which had its own dead bit 30 in
+    * one band).
     *
     * zip_with over two transform passes keeps it at the same two
     * interpreted folds per token as polyHash61 (a single lambda with

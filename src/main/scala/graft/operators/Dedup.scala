@@ -339,10 +339,11 @@ object Dedup extends QueryPack {
     * growth, and the narrower config remains spec-proven complete
     * against its own all-pairs hamming filter in DedupSpec (each width
     * is a different — finer or coarser — near-dup relation, not the
-    * same output). Token hashes come from [[TextOps.tokenHashes64]] so
-    * all four 16-bit bands are full-rank (polyHash61 alone leaves bits
-    * 30/61-63 dead, which would cost two bands a quarter of their
-    * selectivity). */
+    * same output). Token hashes come from [[TextOps.tokenHashes64]],
+    * whose mix leaves only bit 63 structurally clear (bands 0-2 full
+    * rank, band 3 rank 15 — an aggregate 16x collision cut; polyHash61
+    * alone would leave bits 30/61-63 dead, costing two bands a quarter
+    * of their selectivity). */
   private[graft] def simhashPairs(s: SparkSession, dir: String,
       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bands > maxHamming, "pigeonhole completeness needs bands > maxHamming")
@@ -383,30 +384,20 @@ object Dedup extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** (vec_id, e, n2) decoded embedding frame for the q44/q87 family —
-    * persisted, every tier reads it at least twice.
-    *
-    * Cached per (session, dir) like the store `built` maps, so a run
-    * executing q44 + q44b + q87 + q87b shares ONE persisted frame
-    * instead of registering a fresh one per query (Spark's CacheManager
-    * dedupes same-plan persists, but the per-call Dataset objects and
-    * their never-unpersisted registrations still accumulate eviction
-    * pressure over a long suite). If a harness cleared the cache between
-    * measurements (graft.Bench does), the frame re-persists on next use
-    * instead of silently running unpersisted. */
-  private val embCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def embVecs(s: SparkSession, dir: String): DataFrame = {
-    // evict entries of stopped sessions so a long-lived JVM cycling
-    // sessions (a test harness) does not pin dead sessions' plans
-    embCache.keys.filter(_._1.sparkContext.isStopped).foreach(embCache.remove)
-    val df = embCache.getOrElseUpdate((s, dir),
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
-        .withColumn("n2", VectorOps.norm2(col("e"))))
-    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
-    df
-  }
+  /** (vec_id, e, n2) decoded embedding frame for the q44/q87 family — a
+    * projection of [[Similarity.decodedVecs]], the ONE cached decode the
+    * whole ANN/dedup family shares (per-session cache, stopped-session
+    * eviction, re-persist after an external clearCache — documented
+    * there). */
+  private def embVecs(s: SparkSession, dir: String): DataFrame =
+    Similarity.decodedVecs(s, dir).select(col("vec_id"), col("e"), col("n2"))
+
+  /** The q87 held-out assignment (deterministic hash split on vec_id) —
+    * one definition for both tiers. */
+  private def semSplit: Column = when(
+    pmod(TextOps.polyHash61(concat(lit("semsplit-"),
+      col("vec_id").cast("string"))), lit(100L)) < 80, "train")
+    .otherwise("val")
 
   /** Exact cosine near-dup pairs over embeddings (threshold 0.4; this
     * corpus's embeddings are near-orthogonal so higher thresholds are
@@ -452,33 +443,42 @@ object Dedup extends QueryPack {
     // the text family measured (member-level candidate joins are
     // quadratic in the replication factor: R exact copies share every
     // LSH code, so each group alone feeds C(R,2) bucket pairs):
-    // identical vectors (by xxhash64 of the decoded array) collapse to
-    // one representative, the bucketed join runs on representatives,
-    // and pairs expand back over members — lossless, because identical
-    // vectors have bit-identical cosines to everything.
-    val dg = v.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
-    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
-    val groups = dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // identical vectors collapse to one representative
+    // ([[Similarity.contentGroups]]), the bucketed join runs on
+    // representatives, and pairs expand back over members — lossless,
+    // because identical vectors have bit-identical cosines to
+    // everything.
+    val groups = Similarity.contentGroups(v)
     // zero-norm reps never clear the exact threshold (their cosine is
     // NaN in the exact tier) — drop them BEFORE candidate generation so
     // NaN can't reach the rescore predicate (same guard as q44/q87)
-    val vReps = v.filter(col("n2") > 0).join(
-      groups.filter(col("doc_id") === col("rep_id"))
-        .select(col("doc_id").as("vec_id")),
-      Seq("vec_id"), "left_semi")
+    val vReps = Similarity.groupReps(v.filter(col("n2") > 0), groups)
     val repPairs = Similarity
       .rescorePairs(Similarity.lshCandidatePairs(vReps, Nil, radius = 1), vReps)
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
-    // identical vectors have cosine exactly 1.0 (x/x); zero-norm groups
-    // are excluded — their exact-tier cosine is NaN, which fails the
-    // threshold, so claiming 1.0 for them would NOT be lossless
-    val nonZero = v.filter(col("n2") > 0).select(col("vec_id").as("nz_rep"))
-    expandPairs(repPairs, groups, Seq("cos"), Seq(lit(1.0).as("cos")),
-      _.join(nonZero, col("rep_id") === col("nz_rep"), "left_semi"))
+    expandPairs(repPairs, groups, Seq("cos"), Seq(withinCos),
+      withinNonZero(v))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Within-group (exact-copy) pair cosine, spelled as the EXACT TIER'S
+    * float formulation n2/(sqrt(n2)*sqrt(n2)) rather than lit(1.0):
+    * norm2 is dot(e, e), so this is bit-identical to what q44/q87
+    * compute for the same pair (~1 ulp under 1.0 for most norms) — the
+    * subset/max_cos parity between tiers holds EXACTLY, not just to
+    * tolerance. Requires an `n2` column on the within frame (see
+    * [[withinNonZero]]). */
+  private def withinCos: Column =
+    VectorOps.cosineFrom(col("n2"), col("n2"), col("n2")).as("cos")
+
+  /** withinKeep for the embedding tiers: attach the member's n2 (members
+    * of a group are identical vectors, so id_a's n2 is the group's) and
+    * drop zero-norm groups — their exact-tier cosine is NaN, which fails
+    * the threshold, so emitting a value for them would NOT be lossless. */
+  private def withinNonZero(v: DataFrame): DataFrame => DataFrame =
+    _.join(v.filter(col("n2") > 0).select(col("vec_id").as("nz_id"), col("n2")),
+      col("id_a") === col("nz_id"))
 
   /** Semantic (embedding-space) decontamination — the third tier of the
     * decontamination family: q66/q66b catch VERBATIM leakage by n-gram
@@ -495,13 +495,8 @@ object Dedup extends QueryPack {
     * LSH-bucketed candidates + exact rescoring) restricted to
     * cross-split pairs. max/count aggregate order-independently, so the
     * report is oracle-exact. */
-  def q87SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
-    val split = when(
-      pmod(TextOps.polyHash61(concat(lit("semsplit-"),
-        col("vec_id").cast("string"))), lit(100L)) < 80, "train")
-      .otherwise("val")
-    semanticDecontamTagged(embVecs(s, dir).withColumn("split", split))
-  }
+  def q87SemanticDecontam(s: SparkSession, dir: String): DataFrame =
+    semanticDecontamTagged(embVecs(s, dir).withColumn("split", semSplit))
 
   private[graft] def semanticDecontamTagged(tagged: DataFrame): DataFrame = {
     // n2 > 0 on BOTH pair sides: a zero-norm embedding's cosine is 0/0 =
@@ -547,26 +542,16 @@ object Dedup extends QueryPack {
     * cosine of a found pair, and every val vector appears. Planted-leak
     * recall and the flagged-subset-of-exact property are spec-asserted
     * in DedupSpec. */
-  def q87bSemanticDecontamLsh(s: SparkSession, dir: String): DataFrame = {
-    val split = when(
-      pmod(TextOps.polyHash61(concat(lit("semsplit-"),
-        col("vec_id").cast("string"))), lit(100L)) < 80, "train")
-      .otherwise("val")
-    semanticDecontamLsh(embVecs(s, dir).withColumn("split", split))
-  }
+  def q87bSemanticDecontamLsh(s: SparkSession, dir: String): DataFrame =
+    semanticDecontamLsh(embVecs(s, dir).withColumn("split", semSplit))
 
   private[graft] def semanticDecontamLsh(tagged: DataFrame): DataFrame = {
     // identical vectors collapse to one representative for candidate
-    // generation (the q44b canonicalization — R exact copies otherwise
-    // feed C(R,2) bucket pairs); the split tag stays with the MEMBER
-    val dg = tagged.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
-    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
-    val groups = dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vReps = tagged.filter(col("n2") > 0).join(
-      groups.filter(col("doc_id") === col("rep_id"))
-        .select(col("doc_id").as("vec_id")),
-      Seq("vec_id"), "left_semi")
+    // generation (the q44b canonicalization, [[Similarity.contentGroups]]
+    // — R exact copies otherwise feed C(R,2) bucket pairs); the split
+    // tag stays with the MEMBER
+    val groups = Similarity.contentGroups(tagged)
+    val vReps = Similarity.groupReps(tagged.filter(col("n2") > 0), groups)
     // Which splits does each content GROUP touch? A rep pair can only
     // ever contribute if some member pair crosses the split, i.e. one
     // group touches train and the other touches val (or one group
@@ -595,16 +580,16 @@ object Dedup extends QueryPack {
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
     // member expansion: cross-group pairs inherit the rep cosine;
-    // within-group pairs are exact copies at cosine 1.0 (nonzero norm
-    // only — zero-norm copies have NaN exact cosine, excluded), and
-    // only groups touching BOTH splits can produce a crossing copy pair
-    val nonZero = tagged.filter(col("n2") > 0).select(col("vec_id").as("nz_rep"))
+    // within-group pairs are exact copies at the exact tier's float
+    // cosine (nonzero norm only — zero-norm copies have NaN exact
+    // cosine, excluded), and only groups touching BOTH splits can
+    // produce a crossing copy pair
     val bothSplits = groupFlags.filter(col("has_train") && col("has_val"))
       .select(col("rep_id").as("bs_rep"))
     val memberPairs = expandPairs(repPairs, groups, Seq("cos"),
-      Seq(lit(1.0).as("cos")),
-      _.join(nonZero, col("rep_id") === col("nz_rep"), "left_semi")
-        .join(bothSplits, col("rep_id") === col("bs_rep"), "left_semi"))
+      Seq(withinCos),
+      withinNonZero(tagged).andThen(
+        _.join(bothSplits, col("rep_id") === col("bs_rep"), "left_semi")))
     // orient: a member pair contributes to the report iff it crosses the
     // split — the val-side member collects the cosine
     val splits = tagged.select(col("vec_id"), col("split"))

@@ -22,15 +22,46 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryPack {
   import VectorOps._
 
-  /** (vec_id, label, e: array<double>, n2). Persisted: every §2.E query
-    * reuses the decoded vectors several times (query side, candidate
-    * side, rescoring); Spark's CacheManager dedupes the identical plans
-    * into one cache entry. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-      .withColumn("n2", norm2(col("e")))
+  /** (vec_id, label, e: array<double>, n2) — THE decoded-embedding frame
+    * for the whole ANN/dedup family (the q44/q87 tiers project label
+    * away). Persisted and cached per (session, dir) like the store
+    * `built` maps, so a run touching q44/q50-q54/q73/q79/q85/q87 holds
+    * ONE cache entry instead of registering a fresh never-unpersisted
+    * Dataset per call; entries of stopped sessions are evicted, and the
+    * frame re-persists if a harness cleared the cache between
+    * measurements (graft.Bench does). */
+  private val vecCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private[graft] def decodedVecs(s: SparkSession, dir: String): DataFrame = {
+    vecCache.keys.filter(_._1.sparkContext.isStopped).foreach(vecCache.remove)
+    val df = vecCache.getOrElseUpdate((s, dir),
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+        .withColumn("n2", norm2(col("e"))))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+  private def vecs(s: SparkSession, dir: String): DataFrame = decodedVecs(s, dir)
+
+  /** Exact-content canonicalization of a vector frame — the dedup-ladder
+    * step every LSH tier runs first (R exact copies otherwise feed
+    * C(R,2) bucket pairs): (doc_id, rep_id) with rep = min vec_id per
+    * identical decoded array (xxhash64), persisted for the reps +
+    * expansion reads. Shared by q44b/q73b/q87b so the tiers cannot
+    * drift apart. */
+  private[graft] def contentGroups(v: DataFrame): DataFrame = {
+    val dg = v.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
+    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
+    dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Restrict `v` to the group representatives — the frame the bucketed
+    * candidate join runs on. */
+  private[graft] def groupReps(v: DataFrame, groups: DataFrame): DataFrame =
+    v.join(groups.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     vecs(s, dir).filter(col("vec_id") === 0)
@@ -354,14 +385,9 @@ object Similarity extends QueryPack {
     approxKnnGraph(vecs(s, dir))
 
   private[graft] def approxKnnGraph(v: DataFrame): DataFrame = {
-    val dg = v.select(col("vec_id").as("m_id"), xxhash64(col("e")).as("dg"))
-    val reps = dg.groupBy(col("dg")).agg(min(col("m_id")).as("rep_id"))
-    val groups = dg.join(reps, "dg").select(col("m_id"), col("rep_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vReps = v.join(
-      groups.filter(col("m_id") === col("rep_id"))
-        .select(col("m_id").as("vec_id")),
-      Seq("vec_id"), "left_semi")
+    val groupsStd = contentGroups(v)
+    val vReps = groupReps(v, groupsStd)
+    val groups = groupsStd.withColumnRenamed("doc_id", "m_id")
     val scored = rescorePairs(lshCandidatePairs(vReps, Nil, radius = 1), vReps)
     // bound the rep-level lists BEFORE member expansion: the expansion
     // multiplies rows by group sizes, so it must ride on <= 3 rows per

@@ -136,11 +136,12 @@ class DedupSpec extends AnyFunSuite {
     assert(got == bruteSimhashPairs(48))
   }
 
-  test("tokenHashes64 fills all four 16-bit bands (no dead band bits)") {
+  test("tokenHashes64 leaves no dead band bits except the contracted bit 63") {
     // the point of the mix over polyHash61: at 64 bits, every band must
     // actually discriminate — across the corpus's token hashes, each of
     // the 64 bit positions except bit 63 (kept clear so the DuckDB twin
-    // never shifts into the sign bit) must take both values
+    // never shifts into the sign bit; band 3 is rank 15 by contract)
+    // must take both values
     val hs = Tables.documents(spark, sf)
       .select(explode(TextOps.tokenHashes64(
         TextOps.toks(lower(col("text"))))).as("h"))
@@ -232,24 +233,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.keySet == Set(100L, 101L, 102L, 103L), "every val vector must appear")
     assert(got(100L)._3 && got(100L)._2 > 0.9,
       s"planted near-dup leak not flagged: ${got(100L)}")
-    assert(got(101L)._3 && got(101L)._2 == 1.0 && got(101L)._1 >= 1,
-      s"exact-copy leak not flagged at cos 1.0: ${got(101L)}")
+    assert(got(101L)._3 && got(101L)._1 >= 1,
+      s"exact-copy leak not flagged: ${got(101L)}")
     Seq(102L, 103L).foreach { id =>
       assert(!got(id)._3 && got(id)._1 == 0 && got(id)._2 == -2.0,
         s"clean val $id misflagged: ${got(id)}")
     }
     // precision side of the contract: the LSH tier never invents
     // contamination — per val vector it counts at most the exact tier's
-    // near-train count, and an equal max_cos whenever it found a pair
+    // near-train count, and its max_cos is BIT-IDENTICAL to the exact
+    // tier's whenever the max pair was found (within-group pairs use the
+    // exact tier's float formulation, not lit(1.0)) and never above it
     val exact = operators.Dedup.semanticDecontamTagged(tagged).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
       .toMap
     assert(exact.keySet == got.keySet)
+    assert(got(101L)._2 == exact(101L)._2,
+      s"exact-copy max_cos diverged between tiers: " +
+        s"lsh ${got(101L)._2} vs exact ${exact(101L)._2}")
     got.foreach { case (id, (n, mc, flagged)) =>
       assert(n <= exact(id)._1, s"val $id: LSH counted $n > exact ${exact(id)._1}")
       if (flagged) {
         assert(exact(id)._3, s"val $id flagged by LSH but clean in exact tier")
-        assert(math.abs(mc - exact(id)._2) < 1e-9 || mc <= exact(id)._2,
+        assert(mc <= exact(id)._2,
           s"val $id: LSH max_cos $mc exceeds exact ${exact(id)._2}")
       }
     }
@@ -277,8 +283,13 @@ class DedupSpec extends AnyFunSuite {
         s"planted near-dup pair ($i, ${1000 + i}) missing")
     }
     (0 until 3).foreach { i =>
-      assert(got.exists(p => p._1 == i && p._2 == 2000L + i && p._3 == 1.0),
-        s"exact-copy pair ($i, ${2000 + i}) missing or cos != 1.0")
+      // the within-group cosine is the EXACT TIER'S float formulation
+      // n2/(sqrt(n2)*sqrt(n2)) — ~1 ulp under 1.0, bit-identical to what
+      // q44 emits for the same pair (not a rounded-up lit(1.0))
+      val n2 = base(i)._2.map(x => x * x).sum
+      val expCos = n2 / (math.sqrt(n2) * math.sqrt(n2))
+      assert(got.exists(p => p._1 == i && p._2 == 2000L + i && p._3 == expCos),
+        s"exact-copy pair ($i, ${2000 + i}) missing or cos != exact-tier $expCos")
       assert(got.exists(p => p._1 == 1000L + i && p._2 == 2000L + i),
         s"copy ${2000 + i} did not inherit pair with ${1000 + i}")
     }
