@@ -111,4 +111,48 @@ class PropertySpec extends AnyFunSuite {
       a >= a0 && a < a0 + side && b >= b0 && b < b0 + side
     })
   }
+
+  test("tokenHashes64 mix is injective on the fold domain and keeps bit 63 clear") {
+    // The law behind the q43 band-rank claims: the mix
+    //   h = a ^ (b << 30) ^ ((a ^ b) << 33)
+    // over fold values a, b < P < 2^30 must lose NOTHING (decode
+    // recovers (a, b) from h — 60 bits in, 60 bits out) and must never
+    // set bit 63 (the DuckDB twin's shift-overflow contract).
+    def mix(a: Long, b: Long): Long = a ^ (b << 30) ^ ((a ^ b) << 33)
+    def decode(h: Long): (Long, Long) = {
+      val a = h & ((1L << 30) - 1)
+      var b = (h >> 30) & 7L // bits 30-32 are pure b_0..2
+      for (i <- 33 until 60) {
+        // h_i = b_(i-30) ^ a_(i-33) ^ b_(i-33), earlier b bits known
+        val bit = ((h >> i) & 1L) ^ ((a >> (i - 33)) & 1L) ^ ((b >> (i - 33)) & 1L)
+        b |= bit << (i - 30)
+      }
+      (a, b)
+    }
+    val foldGen = Gen.chooseNum(0L, functions.TextOps.P - 1)
+    check(Prop.forAll(foldGen, foldGen) { (a, b) =>
+      val h = mix(a, b)
+      (h >>> 63) == 0L && decode(h) == ((a, b))
+    })
+    // and the test-local mix IS the shipped column expression: compare
+    // against TextOps.tokenHashes64 ∘ polyHash on random ASCII tokens
+    locally {
+      import TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{array, col}
+      val rnd = new scala.util.Random(17)
+      val toks = Seq.fill(100)(
+        (1 to rnd.nextInt(12) + 1).map(_ => (rnd.nextInt(94) + 33).toChar).mkString)
+      val got = toks.toDF("w").select(
+        functions.TextOps.polyHash(col("w"), 31L).as("a"),
+        functions.TextOps.polyHash(col("w"), 37L).as("b"),
+        functions.TextOps.tokenHashes64(array(col("w"))).getItem(0).as("h"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(2) == mix(r.getLong(0), r.getLong(1)),
+          s"test-local mix diverges from tokenHashes64 for folds " +
+            s"(${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+  }
 }
