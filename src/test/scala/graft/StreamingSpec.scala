@@ -162,6 +162,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s6 open-session state and timeout clock survive a checkpoint restart") {
+    // the stateful-operator side of the restart contract (the sink side
+    // is pinned in UpsertSinkSpec): a session OPEN at the kill — state
+    // row + registered event-time timeout — must be restored from the
+    // checkpointed state store and close by timeout with its FULL
+    // pre-restart aggregate once post-restart batches advance the
+    // watermark. The memory sink cannot recover from a checkpoint, so
+    // the restartable foreachBatch collects into a driver-side buffer.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{SessEvent, SessionOut}
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_restart_").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[SessionOut]
+    val in = MemoryStream[SessEvent]
+    def start() = Streams.sessionStream(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        b.collect().foreach(buf.add))
+      .start()
+    val q1 = start()
+    try {
+      in.addData(SessEvent(1, ts(10, 0), 1.0), SessEvent(1, ts(10, 10), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop() // the "kill": session for user 1 still open
+    assert(buf.isEmpty, s"open session emitted before the kill: $buf")
+
+    val q2 = start()
+    try {
+      // advance the watermark far past 10:40, then give the engine a
+      // batch that evaluates timeouts against it
+      in.addData(SessEvent(2, ts(15, 0), 1.0))
+      q2.processAllAvailable()
+      in.addData(SessEvent(2, ts(15, 1), 1.0))
+      q2.processAllAvailable()
+      val timedOut = buf.toArray(Array.empty[SessionOut])
+        .filter(_.closedBy == "timeout")
+      assert(timedOut.exists(s => s.userId == 1 && s.n == 2 && s.sumValue == 3.0),
+        s"pre-restart session lost or mis-aggregated across restart: " +
+          buf.toArray.mkString("|"))
+    } finally q2.stop()
+  }
+
   test("s9 decontam gate flags a train-copied doc, passes novel text, holds no state") {
     implicit val sqlCtx = spark.sqlContext
     val bloom = operators.Dedup.trainShingleBloom(spark, TestSpark.sf)
