@@ -38,9 +38,37 @@ object Engine {
   private lazy val storeRoot: String = {
     sweepOrphanStores()
     val root = s"$scratchRoot/graft-stores-${ProcessHandle.current().pid()}"
+    writeOwnerMarker(new java.io.File(root))
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(root))))
     root
   }
+
+  /** Identity of this JVM's pid namespace (`/proc/self/ns/pid` link
+    * target, e.g. "pid:[4026531836]") — EXACTLY the condition under which
+    * the sweep's ProcessHandle liveness test is sound: two containers
+    * sharing a scratch mount (docker --ipc=host shares /dev/shm while pid
+    * namespaces stay separate) report different ids, so a foreign
+    * container's live store tree is never mistaken for a dead one. None
+    * on platforms without /proc (the sweep then stands down). */
+  private[graft] def pidNamespaceId: Option[String] =
+    try Some(java.nio.file.Files.readSymbolicLink(
+      java.nio.file.Paths.get("/proc/self/ns/pid")).toString)
+    catch { case _: Exception => None }
+
+  private val OwnerMarker = ".graft-owner-pidns"
+
+  private[graft] def writeOwnerMarker(root: java.io.File): Unit = {
+    root.mkdirs()
+    pidNamespaceId.foreach { ns =>
+      java.nio.file.Files.write(root.toPath.resolve(OwnerMarker),
+        ns.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private def ownerMarkerOf(dir: java.io.File): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      dir.toPath.resolve(OwnerMarker)), java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => None }
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
@@ -55,14 +83,21 @@ object Engine {
     * namespace. Conservative by construction: a live (even unrelated,
     * pid-reused) process keeps its directory; only verifiably-dead
     * owners are collected. The liveness test is only sound for a
-    * machine-and-pid-namespace-LOCAL scratch dir (ProcessHandle sees
-    * this namespace only — on a mount shared across containers, another
-    * container's live pid looks dead here), so the sweep is SKIPPED
-    * entirely when SPARK_GRAFT_LOCAL_DIR overrides the default: an
-    * explicitly-managed scratch may be shared, and its hygiene is the
-    * operator's. Spec-exercised in BucketedStoreSpec. */
+    * pid-namespace-LOCAL owner (ProcessHandle sees this namespace only —
+    * on a mount shared across containers, even the DEFAULT /dev/shm under
+    * docker --ipc=host, another container's live pid looks dead here), so
+    * ownership is proven by marker, not assumed from the path: each JVM
+    * stamps its store root with its pid-namespace id
+    * ([[writeOwnerMarker]]) and the sweep collects ONLY trees whose
+    * marker matches this JVM's namespace — a foreign container's tree
+    * (different namespace, or no marker at all) always survives. The
+    * SPARK_GRAFT_LOCAL_DIR skip stays on top: an explicitly-managed
+    * scratch's hygiene is the operator's. Spec-exercised in
+    * BucketedStoreSpec. */
   private[graft] def sweepOrphanStores(): Unit = {
     if (sys.env.contains("SPARK_GRAFT_LOCAL_DIR")) return
+    val myNs = pidNamespaceId
+    if (myNs.isEmpty) return // no /proc: ownership unprovable, stand down
     val mine = ProcessHandle.current().pid()
     Option(new java.io.File(scratchRoot).listFiles()).foreach(_.foreach { f =>
       val n = f.getName
@@ -70,7 +105,8 @@ object Engine {
         n.stripPrefix("graft-stores-").toLongOption.foreach { pid =>
           val owner = ProcessHandle.of(pid)
           val alive = owner.isPresent && owner.get().isAlive
-          if (pid != mine && !alive) rmTree(f)
+          val sameNs = ownerMarkerOf(f) == myNs
+          if (pid != mine && !alive && sameNs) rmTree(f)
         }
       }
     })

@@ -11,6 +11,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `aggregate(th, 0L, ...)` folds it replaces — those are interpreted
   * lambda evaluations (HOF lambdas never enter codegen) and were the
   * suite's last big interpreted hot spot; this is one compiled pass.
+  *
+  * An EMPTY token array yields 0, not all-bits-set: zero tokens is zero
+  * evidence for any bit (the >= 0 vacuous-truth reading would set every
+  * bit and make all empty documents hamming-0 near-dups of each other at
+  * a hash no real document can reach), and 0 is also what the SQL twin
+  * computes (list_sum over an empty list is NULL, so no CASE term fires
+  * — see the q43 oracle in [[graft.operators.Dedup]]). With non-empty
+  * input, bit 63 still never fires for [[TextOps.tokenHashes64]] hashes
+  * (the mix keeps bit 63 clear, so its sum is -n < 0).
   */
 case class SimhashBits(child: Expression, bits: Int) extends UnaryExpression {
 
@@ -18,6 +27,7 @@ case class SimhashBits(child: Expression, bits: Int) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData]
+    if (th.numElements() == 0) return 0L
     val counts = new Array[Int](bits)
     var j = 0
     while (j < th.numElements()) {
@@ -46,16 +56,18 @@ case class SimhashBits(child: Expression, bits: Int) extends UnaryExpression {
       val h = ctx.freshName("h")
       val sim = ctx.freshName("sim")
       s"""
-         |int[] $counts = new int[$bits];
-         |for (int $j = 0; $j < $th.numElements(); $j++) {
-         |  long $h = $th.getLong($j);
-         |  for (int $b = 0; $b < $bits; $b++) {
-         |    $counts[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
-         |  }
-         |}
          |long $sim = 0L;
-         |for (int $b = 0; $b < $bits; $b++) {
-         |  if ($counts[$b] >= 0) $sim |= (1L << $b);
+         |if ($th.numElements() > 0) {
+         |  int[] $counts = new int[$bits];
+         |  for (int $j = 0; $j < $th.numElements(); $j++) {
+         |    long $h = $th.getLong($j);
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      $counts[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    if ($counts[$b] >= 0) $sim |= (1L << $b);
+         |  }
          |}
          |${ev.value} = $sim;
        """.stripMargin

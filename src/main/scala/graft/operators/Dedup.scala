@@ -842,6 +842,11 @@ object Dedup extends QueryPack {
     // so its +/-1 sum is -n < 0 for any non-empty token list), but the
     // term stays for exactness — spelled as (min+0) arithmetic because
     // DuckDB raises on the 1<<63 overflow even inside a dead branch.
+    // Empty token lists: list_sum(empty) is NULL, so no CASE term fires
+    // and sim = 0 — which [[graft.functions.SimhashBits]] now matches
+    // explicitly (empty input => 0) instead of the vacuous-truth
+    // all-bits-set reading, so the two engines agree on every input,
+    // not just non-degenerate corpora.
     val terms = (0 until 64).map { b =>
       val bitVal =
         if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"

@@ -62,10 +62,24 @@ class BucketedStoreSpec extends AnyFunSuite {
     // the shutdown hook cannot fire on a SIGKILLed suite — the next JVM's
     // sweep is what keeps tmpfs clean after an aborted run
     val scratch = new java.io.File(Engine.scratchRoot)
-    // a pid that cannot be alive: pid_max on Linux tops out at 2^22
+    // a pid that cannot be alive: pid_max on Linux tops out at 2^22.
+    // writeOwnerMarker stamps it with OUR pid-namespace id — the marker a
+    // same-container SIGKILLed JVM would have left behind.
     val dead = new java.io.File(scratch, "graft-stores-999999999")
+    Engine.writeOwnerMarker(dead)
     val inner = new java.io.File(dead, "bucketed/abc")
     assert(inner.mkdirs() || inner.isDirectory)
+    // a dead pid from a FOREIGN pid namespace (marker mismatch): on a
+    // shared /dev/shm mount this could be another container's LIVE JVM
+    // whose pid merely looks dead from here — must survive
+    val foreign = new java.io.File(scratch, "graft-stores-999999998")
+    foreign.mkdirs()
+    java.nio.file.Files.write(foreign.toPath.resolve(".graft-owner-pidns"),
+      "pid:[0000000000]".getBytes)
+    // a dead pid with NO marker (partially created / unknown origin):
+    // ownership unprovable, must survive
+    val unmarked = new java.io.File(scratch, "graft-stores-999999997")
+    unmarked.mkdirs()
     // our own namespace (live pid) must survive the sweep
     val mine = new java.io.File(scratch,
       s"graft-stores-${ProcessHandle.current().pid()}")
@@ -75,9 +89,16 @@ class BucketedStoreSpec extends AnyFunSuite {
     other.mkdirs()
     try {
       Engine.sweepOrphanStores()
-      assert(!dead.exists(), "dead JVM's store namespace not swept")
+      assert(!dead.exists(), "dead same-namespace store namespace not swept")
+      assert(foreign.exists(), "foreign-namespace store tree was swept")
+      assert(unmarked.exists(), "unmarked store tree was swept")
       assert(mine.exists(), "live JVM's own namespace was swept")
       assert(other.exists(), "sweep touched a non-store directory")
-    } finally { other.delete(); dead.delete() }
+    } finally {
+      Seq(other, dead).foreach(_.delete())
+      Seq(foreign, unmarked).foreach { d =>
+        d.toPath.resolve(".graft-owner-pidns").toFile.delete(); d.delete()
+      }
+    }
   }
 }

@@ -49,6 +49,13 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT graft_simhash(array(1L, 3L, 3L), 2) AS s").collect().head.getLong(0)
     // bit 0: values 1,1,1 -> majority 1; bit 1: 0,1,1 -> majority 1
     assert(sh == 3L)
+    // empty token array: 0, not all-bits-set — zero tokens is zero
+    // evidence for any bit, and the q43 SQL twin's list_sum(empty) is
+    // NULL so no bit fires there either (engine parity on every input)
+    val shEmpty = spark.sql(
+      "SELECT graft_simhash(array_remove(array(1L), 1L), 64) AS s")
+      .collect().head.getLong(0)
+    assert(shEmpty == 0L, s"empty-array simhash must be 0, got $shEmpty")
 
     val codes = spark.sql(
       "SELECT graft_lsh_codes(array(1.0d, -2.0d, 0.5d), 3, 8, 7) AS c")
