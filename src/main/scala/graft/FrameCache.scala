@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded LRU cache of persisted intermediate frames, keyed by
+  * (session, tag, canonicalized input plan).
+  *
+  * Why this exists: the dedup/ANN family builds expensive multi-consumer
+  * intermediates (digest groups, shingle indexes, decoded embeddings)
+  * that must be persisted — but a bare `.persist()` inside a query
+  * builder registers a NEW cache entry per call, so a long-lived session
+  * running the same queries repeatedly accumulates storage without
+  * bound (the round-7 vecCache fixed this for ONE frame; this is the
+  * same pattern for all of them, with the bound the vecCache lacked).
+  *
+  * Contracts:
+  *  - Same key => same persisted DataFrame object, so N calls hold ONE
+  *    cache entry (no growth across repeated runs — spec-asserted via
+  *    `getPersistentRDDs` in DedupSpec).
+  *  - If a harness cleared the session cache between calls
+  *    (`spark.catalog.clearCache()` — graft.Bench does, per query), the
+  *    frame re-persists on next use.
+  *  - Entries of stopped sessions are dropped on every access.
+  *  - At most [[MaxEntries]] live entries: the least-recently-used entry
+  *    is unpersisted and evicted on overflow, so even a session touching
+  *    many distinct dirs (or many distinct derived plans) holds bounded
+  *    storage. Eviction mid-query is safe — unpersist only drops the
+  *    cached blocks, the plan recomputes.
+  *  - Source data under a cached dir is assumed IMMUTABLE for the life
+  *    of the session (the standard Spark cache contract: a rewritten
+  *    parquet dir serves stale cached data until `clearCache()` or
+  *    session close — same as `df.cache` anywhere else).
+  */
+object FrameCache {
+
+  private val MaxEntries = 64
+
+  private final case class Key(session: SparkSession, tag: String, plan: Any)
+
+  private val cache = new java.util.LinkedHashMap[Key, DataFrame](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
+      val over = size() > MaxEntries
+      if (over) safeUnpersist(e.getKey.session, e.getValue)
+      over
+    }
+  }
+
+  private def safeUnpersist(s: SparkSession, df: DataFrame): Unit =
+    try { if (!s.sparkContext.isStopped) df.unpersist(false) }
+    catch { case _: Exception => () }
+
+  private def evictStopped(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.session.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  /** The persisted frame for `tag` in session `s`, building it once.
+    * Use for intermediates that are pure functions of (session, tag) —
+    * the tag must encode every input (e.g. the source dir). */
+  def persisted(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =
+    get(Key(s, tag, ()), build)
+
+  /** The persisted frame derived from input frame `in` by `tag`, keyed
+    * by `in`'s canonicalized logical plan — two calls with semantically
+    * equal inputs share one entry; a genuinely different input builds
+    * its own. */
+  def persistedFor(in: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    get(Key(in.sparkSession, tag, in.queryExecution.logical.canonicalized), build)
+
+  private def get(key: Key, build: => DataFrame): DataFrame = {
+    val df = cache.synchronized {
+      evictStopped()
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else { val built = build; cache.put(key, built); built }
+    }
+    // outside the lock: persist is idempotent, and a harness-side
+    // clearCache between calls leaves storageLevel at NONE
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  /** Live entry count (spec hook). */
+  private[graft] def size: Int = cache.synchronized { evictStopped(); cache.size() }
+
+  /** Live entry tags (spec/debug hook). */
+  private[graft] def tags: Seq[String] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.toSeq.map(_.tag)
+  }
+}

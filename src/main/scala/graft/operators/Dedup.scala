@@ -91,17 +91,17 @@ object Dedup extends QueryPack {
     * On a dup-free corpus (the driver testdata) every group is a
     * singleton and this is an identity transform — the oracles are
     * unchanged. Same digest rule as q40 (md5 of the exact text). */
-  private def digestGroups(s: SparkSession, dir: String): DataFrame = {
-    val dg = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("dg"))
-    // groupBy-agg + join-back (not a window): the partial-aggregable min
-    // halves the shuffle, AQE sees the aggregated side's real size and
-    // broadcasts it when small, and the persisted result serves every
-    // reference in the query (reps + both expansion sides) at one cost.
-    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
-    dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
+  private def digestGroups(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.persisted(s, s"digestGroups:$dir") {
+      val dg = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+      // groupBy-agg + join-back (not a window): the partial-aggregable min
+      // halves the shuffle, AQE sees the aggregated side's real size and
+      // broadcasts it when small, and the persisted result serves every
+      // reference in the query (reps + both expansion sides) at one cost.
+      val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
+      dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
+    }
 
   /** Expand representative-level pairs (id_a, id_b, payload cols) to all
     * member pairs, plus the within-group pairs with `withinPayload`
@@ -111,7 +111,10 @@ object Dedup extends QueryPack {
   private def expandPairs(repPairs: DataFrame, groups: DataFrame,
       payload: Seq[String], withinPayload: Seq[Column],
       withinKeep: DataFrame => DataFrame): DataFrame = {
-    val m = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    // `groups` arrives already persisted (digestGroups/contentGroups are
+    // FrameCache entries) — no extra persist here, the three reads below
+    // share the caller's cache entry
+    val m = groups
     val cross = repPairs
       .join(m.select(col("rep_id").as("ra"), col("doc_id").as("a")),
         col("id_a") === col("ra"))
@@ -142,16 +145,21 @@ object Dedup extends QueryPack {
     * corpus; prefixes of the rarest shingles cut candidates by orders of
     * magnitude). Candidates are then verified with the exact Jaccard
     * over the full sets. */
+  /** Representative-only shingle sets — the persisted index frame q41
+    * and q42 share (one [[graft.FrameCache]] entry per dir: it feeds
+    * candidate generation twice via the self-join and both verify joins;
+    * at 100 TB this intermediate is what you would checkpoint).
+    * Representatives only: exact copies transfer their rep's pairs. */
+  private def repShingleSets(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.persisted(s, s"repShingleSets:$dir") {
+      val reps = digestGroups(s, dir)
+        .filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
+      shingleSets(s, dir).join(reps, Seq("doc_id"), "left_semi")
+    }
+
   def q41DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val groups = digestGroups(s, dir)
-    val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
-    // The shingle index feeds candidate generation (twice, via the
-    // self-join) and both verify joins; persist the compact per-rep set
-    // once instead of recomputing the text pipeline four times (at 100 TB
-    // this intermediate is what you would checkpoint). 23s -> 4s at sf0.1.
-    // Representatives only: exact copies transfer their rep's pairs.
-    val d = shingleSets(s, dir).join(reps, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = repShingleSets(s, dir) // 23s -> 4s at sf0.1 vs recomputing
     val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // Prefix correctness needs only a consistent global shingle order;
@@ -163,16 +171,17 @@ object Dedup extends QueryPack {
     // posexplode carries each prefix entry's 1-based rank in the FULL
     // ranked list (the prefix is its head, so positions coincide) for
     // the PPJoin positional filter below.
-    val prefix = ex.join(dfreq, "s")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
-      .select(col("doc_id"), size(col("ranked")).cast("long").as("n"),
-        expr(s"slice(ranked, 1, cast(floor((1.0 - $jacT) * size(ranked)) as int) + 1)")
-          .as("pref"))
-      .select(col("doc_id"), col("n"), posexplode(col("pref")).as(Seq("pos", "p")))
-      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"),
-        col("p.s").as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+    val prefix = graft.FrameCache.persisted(s, s"q41prefix:$dir") {
+      ex.join(dfreq, "s")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+        .select(col("doc_id"), size(col("ranked")).cast("long").as("n"),
+          expr(s"slice(ranked, 1, cast(floor((1.0 - $jacT) * size(ranked)) as int) + 1)")
+            .as("pref"))
+        .select(col("doc_id"), col("n"), posexplode(col("pref")).as(Seq("pos", "p")))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"),
+          col("p.s").as("s"))
+    } // persisted: both sides of the self-join
     // Two further lossless PPJoin prunes before the expensive verify:
     //  - length filter: jac >= t forces min(na,nb)/max(na,nb) >= t
     //    (overlap is at most the smaller set);
@@ -223,7 +232,7 @@ object Dedup extends QueryPack {
     * spec-checked against naive cross-pairs Jaccard. Exact-copy batches
     * are assumed pre-deduplicated by q40/s7 (the dedup ladder). */
   def q69IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.FrameCache.persisted(s, s"shingleSets:$dir")(shingleSets(s, dir))
     val isNew = pmod(col("doc_id"), lit(10L)) === 0
     val corpus = sets.filter(!isNew)
     val batch = sets.filter(isNew)
@@ -243,7 +252,7 @@ object Dedup extends QueryPack {
         col("p.g").as("g"))
     // the standing index side (persisted: in production this is the
     // materialized artifact reused across batches)
-    val corpusPref = prefixOf(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusPref = graft.FrameCache.persisted(s, s"q69corpusPref:$dir")(prefixOf(corpus))
     val batchPref = prefixOf(batch)
     val alpha = ceil(lit(jacT / (1 + jacT)) * (col("a.n") + col("b.n")))
     val cand = batchPref.as("a").join(corpusPref.as("b"),
@@ -274,11 +283,9 @@ object Dedup extends QueryPack {
     * miss probability of the banding for this corpus's >= 0.9 near-dups. */
   def q42DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val groups = digestGroups(s, dir)
-    val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
     // Representatives only (see digestGroups): signatures, banding and
     // verification all run per unique content; member pairs expand after.
-    val sets = shingleSets(s, dir).join(reps, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = repShingleSets(s, dir)
     // all 126 signature minima in one native compiled pass (the builtin
     // composition is ~2.5k lambda nodes and evaluates interpreted);
     // shingleSets already emits xxhash64 longs, so the signature consumes
@@ -294,8 +301,8 @@ object Dedup extends QueryPack {
     }: _*)
     // persist the tiny (doc_id, band) relation: the self-join would
     // otherwise evaluate the 126-signature pipeline once per side
-    val bands = d.select(col("doc_id"), explode(bandKeys).as("bk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.FrameCache.persisted(s, s"q42bands:$dir")(
+      d.select(col("doc_id"), explode(bandKeys).as("bk")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -361,11 +368,12 @@ object Dedup extends QueryPack {
     // Representatives only: identical text => identical simhash, so
     // exact copies would land in every band bucket together and feed the
     // pair join R^2 duplicate work (measured 94x at 16x replication).
-    val d = Tables.documentsBalanced(s, dir)
-      .join(reps, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), th.as("th"))
-      .select(col("doc_id"), simhash.as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both band sides + hamming reuse sim
+    val d = graft.FrameCache.persisted(s, s"simhash:$dir:$bits") {
+      Tables.documentsBalanced(s, dir)
+        .join(reps, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), th.as("th"))
+        .select(col("doc_id"), simhash.as("sim"))
+    } // persisted: both band sides + the hamming filter reuse sim
     val bandKeys = array((0 until bands).map { j =>
       struct(lit(j).as("j"),
         shiftright(col("sim"), bandBits * j).bitwiseAND(lit(bandMask)).as("v"))
@@ -436,9 +444,9 @@ object Dedup extends QueryPack {
     * is WHY q44 keeps the exact oracle tier); the planted-near-dup
     * recall and exact-subset properties are spec-asserted in DedupSpec. */
   def q44bDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    embeddingNeardupLsh(embVecs(s, dir))
+    embeddingNeardupLsh(embVecs(s, dir), cacheKey = s"q44b:$dir")
 
-  private[graft] def embeddingNeardupLsh(v: DataFrame): DataFrame = {
+  private[graft] def embeddingNeardupLsh(v: DataFrame, cacheKey: String = ""): DataFrame = {
     // Exact-content canonicalization FIRST — the same dedup-ladder rule
     // the text family measured (member-level candidate joins are
     // quadratic in the replication factor: R exact copies share every
@@ -448,7 +456,7 @@ object Dedup extends QueryPack {
     // representatives, and pairs expand back over members — lossless,
     // because identical vectors have bit-identical cosines to
     // everything.
-    val groups = Similarity.contentGroups(v)
+    val groups = Similarity.contentGroups(v, cacheKey)
     // zero-norm reps never clear the exact threshold (their cosine is
     // NaN in the exact tier) — drop them BEFORE candidate generation so
     // NaN can't reach the rescore predicate (same guard as q44/q87)
@@ -543,14 +551,16 @@ object Dedup extends QueryPack {
     * recall and the flagged-subset-of-exact property are spec-asserted
     * in DedupSpec. */
   def q87bSemanticDecontamLsh(s: SparkSession, dir: String): DataFrame =
-    semanticDecontamLsh(embVecs(s, dir).withColumn("split", semSplit))
+    semanticDecontamLsh(embVecs(s, dir).withColumn("split", semSplit),
+      cacheKey = s"q87b:$dir")
 
-  private[graft] def semanticDecontamLsh(tagged: DataFrame): DataFrame = {
+  private[graft] def semanticDecontamLsh(tagged: DataFrame,
+      cacheKey: String = ""): DataFrame = {
     // identical vectors collapse to one representative for candidate
     // generation (the q44b canonicalization, [[Similarity.contentGroups]]
     // — R exact copies otherwise feed C(R,2) bucket pairs); the split
     // tag stays with the MEMBER
-    val groups = Similarity.contentGroups(tagged)
+    val groups = Similarity.contentGroups(tagged, cacheKey)
     val vReps = Similarity.groupReps(tagged.filter(col("n2") > 0), groups)
     // Which splits does each content GROUP touch? A rep pair can only
     // ever contribute if some member pair crosses the split, i.e. one
@@ -562,12 +572,15 @@ object Dedup extends QueryPack {
     // joins — dropping the train x train bulk (~64% of candidate pairs
     // at an 80/20 split) with identical output (those pairs die in the
     // orientation filter below anyway), at zero extra pair-table joins.
-    val groupFlags = tagged.select(col("vec_id").as("doc_id"), col("split"))
+    def buildFlags = tagged.select(col("vec_id").as("doc_id"), col("split"))
       .join(groups, "doc_id")
       .groupBy(col("rep_id"))
       .agg(max(when(col("split") === "train", true).otherwise(false)).as("has_train"),
         max(when(col("split") === "val", true).otherwise(false)).as("has_val"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val groupFlags =
+      if (cacheKey.nonEmpty)
+        graft.FrameCache.persisted(tagged.sparkSession, s"groupFlags:$cacheKey")(buildFlags)
+      else graft.FrameCache.persistedFor(tagged, "groupFlags")(buildFlags)
     val vRepsFlagged = vReps.join(
       groupFlags.withColumnRenamed("rep_id", "vec_id"), "vec_id")
     val crossable = Similarity
@@ -626,8 +639,8 @@ object Dedup extends QueryPack {
 
   private[graft] def dupClusters(s: SparkSession, dir: String,
       driverThreshold: Long): DataFrame = {
-    val pairs = q42DedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.FrameCache.persisted(s, s"q45pairs:$dir")(
+      q42DedupMinhashLsh(s, dir).select(col("id_a"), col("id_b")))
     val nPairs = pairs.count()
     val labels =
       if (nPairs <= driverThreshold) {
@@ -668,9 +681,16 @@ object Dedup extends QueryPack {
             .persist(StorageLevel.MEMORY_AND_DISK)
           converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
             .filter(col("lbl") =!= col("old")).isEmpty
+          // the convergence check materialized `next`; the superseded
+          // frame's cache is dead weight from here — drop it so the loop
+          // holds TWO label snapshots at peak, not `rounds` of them
+          labels.unpersist(false)
           labels = next
           rounds += 1
         }
+        // `labels` is materialized; the doubled edge list only feeds
+        // recomputation paths now
+        edges.unpersist(false)
         labels.withColumnRenamed("lbl", "canonical_id")
       }
     Tables.documents(s, dir).select(col("doc_id"))
@@ -688,10 +708,11 @@ object Dedup extends QueryPack {
     * hash-checked end to end. */
   def q46Contamination(s: SparkSession, dir: String): DataFrame = {
     val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
-    val split = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val split = graft.FrameCache.persisted(s, s"q46split:$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
+    }
     q42DedupMinhashLsh(s, dir)
       .join(split.select(col("doc_id"), col("split").as("split_a")),
         col("id_a") === col("doc_id")).drop("doc_id")
@@ -714,15 +735,15 @@ object Dedup extends QueryPack {
     * the generator child a plain column reference, and the q66
     * n_shingles projection reuses the same cache instead of re-running
     * the text pipeline. */
-  private def splitShingleBase(s: SparkSession, dir: String): DataFrame = {
-    val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
-    Tables.documentsBalanced(s, dir)
-      .select(col("doc_id"), docTokens.as("tk"),
-        when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
-      .select(col("doc_id"), col("split"), TextOps.shingles3(col("tk")).as("shRaw"))
-      .select(col("doc_id"), col("split"), array_distinct(col("shRaw")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
+  private def splitShingleBase(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.persisted(s, s"splitShingleBase:$dir") {
+      val h = TextOps.polyHash61(concat(lit("split-salt-"), col("doc_id").cast("string")))
+      Tables.documentsBalanced(s, dir)
+        .select(col("doc_id"), docTokens.as("tk"),
+          when(pmod(h, lit(100L)) < 80, "train").otherwise("val").as("split"))
+        .select(col("doc_id"), col("split"), TextOps.shingles3(col("tk")).as("shRaw"))
+        .select(col("doc_id"), col("split"), array_distinct(col("shRaw")).as("sh"))
+    }
 
   /** Exact n-gram overlap decontamination — the complementary check to
     * q46's near-dup crossing: instead of whole-document similarity, flag

@@ -162,11 +162,12 @@ object MlStats extends QueryPack {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
     val p = s.sparkContext.defaultParallelism
     val balanced = if (li.rdd.getNumPartitions < p) li.repartition(p) else li
-    val df = balanced
-      .select((col("l_returnflag") === "R").cast("long").as("y"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        (bucket < 70).as("is_train"), (bucket < 56).as("is_grow"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = graft.FrameCache.persisted(s, s"q63train:$dir") {
+      balanced
+        .select((col("l_returnflag") === "R").cast("long").as("y"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          (bucket < 70).as("is_train"), (bucket < 56).as("is_grow"))
+    }
     val grown = DecisionTree.fit(df.filter(col("is_grow")), feats, col("y"),
       maxDepth = 5)
     val nodes = DecisionTree.pruneReducedError(grown,

@@ -24,24 +24,17 @@ object Similarity extends QueryPack {
 
   /** (vec_id, label, e: array<double>, n2) — THE decoded-embedding frame
     * for the whole ANN/dedup family (the q44/q87 tiers project label
-    * away). Persisted and cached per (session, dir) like the store
-    * `built` maps, so a run touching q44/q50-q54/q73/q79/q85/q87 holds
-    * ONE cache entry instead of registering a fresh never-unpersisted
-    * Dataset per call; entries of stopped sessions are evicted, and the
-    * frame re-persists if a harness cleared the cache between
-    * measurements (graft.Bench does). */
-  private val vecCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private[graft] def decodedVecs(s: SparkSession, dir: String): DataFrame = {
-    vecCache.keys.filter(_._1.sparkContext.isStopped).foreach(vecCache.remove)
-    val df = vecCache.getOrElseUpdate((s, dir),
+    * away). One [[graft.FrameCache]] entry per (session, dir), so a run
+    * touching q44/q50-q54/q73/q79/q85/q87 holds ONE cache entry instead
+    * of registering a fresh never-unpersisted Dataset per call — with
+    * the cache's bound, LRU unpersist-on-evict, stopped-session
+    * eviction, and dir-immutability contract (documented there). */
+  private[graft] def decodedVecs(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.persisted(s, s"decodedVecs:$dir") {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-        .withColumn("n2", norm2(col("e"))))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
-  }
+        .withColumn("n2", norm2(col("e")))
+    }
   private def vecs(s: SparkSession, dir: String): DataFrame = decodedVecs(s, dir)
 
   /** Exact-content canonicalization of a vector frame — the dedup-ladder
@@ -49,12 +42,22 @@ object Similarity extends QueryPack {
     * C(R,2) bucket pairs): (doc_id, rep_id) with rep = min vec_id per
     * identical decoded array (xxhash64), persisted for the reps +
     * expansion reads. Shared by q44b/q73b/q87b so the tiers cannot
-    * drift apart. */
-  private[graft] def contentGroups(v: DataFrame): DataFrame = {
-    val dg = v.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
-    val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
-    dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * drift apart. [[graft.FrameCache]]-persisted so repeated runs reuse
+    * ONE entry instead of leaking one per call: gated queries pass their
+    * (query, dir)-pure `cacheKey`; with no key the entry is keyed by the
+    * input's canonicalized plan (the spec path — note plans containing
+    * higher-order-function lambdas never canonicalize equal across
+    * calls, because lambda variables get fresh global-counter names, so
+    * an explicit key is REQUIRED for stable reuse of such inputs). */
+  private[graft] def contentGroups(v: DataFrame, cacheKey: String = ""): DataFrame = {
+    def build = {
+      val dg = v.select(col("vec_id").as("doc_id"), xxhash64(col("e")).as("dg"))
+      val reps = dg.groupBy(col("dg")).agg(min(col("doc_id")).as("rep_id"))
+      dg.join(reps, "dg").select(col("doc_id"), col("rep_id"))
+    }
+    if (cacheKey.nonEmpty)
+      graft.FrameCache.persisted(v.sparkSession, s"contentGroups:$cacheKey")(build)
+    else graft.FrameCache.persistedFor(v, "contentGroups")(build)
   }
 
   /** Restrict `v` to the group representatives — the frame the bucketed
@@ -382,10 +385,10 @@ object Similarity extends QueryPack {
     * duplicate-free corpus every group is a singleton and both stages
     * collapse to the plain symmetrized candidate graph. */
   def q73bKnnGraphLsh(s: SparkSession, dir: String): DataFrame =
-    approxKnnGraph(vecs(s, dir))
+    approxKnnGraph(vecs(s, dir), cacheKey = s"q73b:$dir")
 
-  private[graft] def approxKnnGraph(v: DataFrame): DataFrame = {
-    val groupsStd = contentGroups(v)
+  private[graft] def approxKnnGraph(v: DataFrame, cacheKey: String = ""): DataFrame = {
+    val groupsStd = contentGroups(v, cacheKey)
     val vReps = groupReps(v, groupsStd)
     val groups = groupsStd.withColumnRenamed("doc_id", "m_id")
     val scored = rescorePairs(lshCandidatePairs(vReps, Nil, radius = 1), vReps)

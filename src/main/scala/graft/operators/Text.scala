@@ -158,11 +158,12 @@ object Text extends QueryPack {
     // Filter — two extra interpreted evaluations per row at the scan
     // (measured 7x on the shingle twin). The outer variant infers no
     // filter; the generated-column null check after it is free.
-    val ex = Tables.documentsBalanced(s, dir)
-      .select(col("doc_id"), tokens.as("tk"))
-      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
-      .filter(col("bg").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.FrameCache.persisted(s, s"q37bigrams:$dir") {
+      Tables.documentsBalanced(s, dir)
+        .select(col("doc_id"), tokens.as("tk"))
+        .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+        .filter(col("bg").isNotNull)
+    }
     val dfreq = ex.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, "bg")
       .groupBy(col("doc_id"))
@@ -217,10 +218,11 @@ object Text extends QueryPack {
     * with executors. */
   def q39TfidfTopterms(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.documents(s, dir).count()
-    val ex = Tables.documentsBalanced(s, dir)
-      .select(col("doc_id"), explode_outer(tokens).as("tok"))
-      .filter(col("tok").isNotNull && col("tok") =!= "")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = graft.FrameCache.persisted(s, s"q39tokens:$dir") {
+      Tables.documentsBalanced(s, dir)
+        .select(col("doc_id"), explode_outer(tokens).as("tok"))
+        .filter(col("tok").isNotNull && col("tok") =!= "")
+    }
     val tf = ex.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = ex.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -341,9 +343,9 @@ object Text extends QueryPack {
       transform(sequence(lit(1), size(col("tk")) - 1),
         i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val base = Tables.documentsBalanced(s, dir)
-      .select(tokens.as("tk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.FrameCache.persisted(s, s"q77tokens:$dir") {
+      Tables.documentsBalanced(s, dir).select(tokens.as("tk"))
+    }
     val uni = base.select(explode_outer(col("tk")).as("tok"))
       .filter(col("tok").isNotNull && col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -432,12 +434,13 @@ object Text extends QueryPack {
     val budget = 2048L
     val bpe = regexp_count(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
-    val parts = Tables.documentsBalanced(s, dir)
-      .select(col("doc_id"), bpe.as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-      .repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = graft.FrameCache.persisted(s, s"q68parts:$dir") {
+      Tables.documentsBalanced(s, dir)
+        .select(col("doc_id"), bpe.as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+    }
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -474,12 +477,13 @@ object Text extends QueryPack {
     * source rows only. Counts are integers and the share is one
     * long->double division: oracle-exact. */
   def q67SourceMix(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("source"), col("n_chars"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
-          .cast("long").as("n_tokens"),
-        md5(col("text")).as("dg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.FrameCache.persisted(s, s"q67base:$dir") {
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+            .cast("long").as("n_tokens"),
+          md5(col("text")).as("dg"))
+    }
     val copies = base.groupBy(col("dg")).agg(count(lit(1)).as("copies"))
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -606,15 +610,16 @@ object Text extends QueryPack {
     val (k1, b) = (Bm25K1, Bm25B)
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens).cast("long")).as("tot_tokens"))
-    val tf = docs
-      .select(col("doc_id"), tokens.as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        filter(col("tk"), t => t.isin(Bm25Query: _*)).as("qtk"))
-      .filter(size(col("qtk")) > 0)
-      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.FrameCache.persistedFor(docs, "q86tf") {
+      docs
+        .select(col("doc_id"), tokens.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+          filter(col("tk"), t => t.isin(Bm25Query: _*)).as("qtk"))
+        .filter(size(col("qtk")) > 0)
+        .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = tf
       .join(broadcast(dfreq), "term")

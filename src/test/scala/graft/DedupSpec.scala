@@ -305,4 +305,27 @@ class DedupSpec extends AnyFunSuite {
       assert(cos >= 0.4 - 1e-12, s"pair ($a, $b) below threshold: $cos")
     }
   }
+
+  test("repeated LSH-tier runs do not grow persisted storage (FrameCache audit)") {
+    // the round-7 ADVICE leak, generalized: every dedup/ANN intermediate
+    // persists through FrameCache now, so back-to-back runs of the
+    // persist-heavy tiers must reuse entries, not register new ones
+    def runAll(): Unit = Seq(
+      operators.Dedup.q44bDedupEmbeddingLsh(spark, sf),
+      operators.Dedup.q87bSemanticDecontamLsh(spark, sf),
+      operators.Similarity.q73bKnnGraphLsh(spark, sf),
+      operators.Dedup.q41DedupNgramJaccard(spark, sf),
+      operators.Dedup.q66bDecontamBloom(spark, sf)
+    ).foreach(_.collect())
+    runAll()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    val cache1 = FrameCache.size
+    runAll()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    val cache2 = FrameCache.size
+    assert(after2 <= after1,
+      s"persistent RDD count grew across identical runs: $after1 -> $after2")
+    assert(cache2 == cache1,
+      s"FrameCache entry count changed across identical runs: $cache1 -> $cache2")
+  }
 }
