@@ -78,24 +78,41 @@ object Similarity extends QueryPack {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
 
-  // 12 LSH tables x 12 sign bits; fixed gaussian hyperplanes (seed 7).
-  // 12-bit codes (not 6) because the query side MULTIPROBES: longer codes
-  // keep random-pair collisions rare, and probing neighboring codes buys
-  // the recall back for the near neighbors.
-  private val LshTables = 12
-  private val LshBits = 12
-  private val Hyperplanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(LshTables * LshBits)(Array.fill(64)(rnd.nextGaussian()))
-  }
+  // Default LSH geometry: 12 tables x 12 sign bits; fixed gaussian
+  // hyperplanes (seed 7). 12-bit codes (not 6) because the query side
+  // MULTIPROBES: longer codes keep random-pair collisions rare, and
+  // probing neighboring codes buys the recall back for near neighbors.
+  //
+  // `tables`/`bits`/`radius` are the RECALL KNOBS a production run
+  // raises until a measured recall target holds (more tables = more
+  // independent chances to collide; larger radius = more probed codes;
+  // fewer bits = coarser buckets). Every entry point below takes them
+  // with these defaults, so the gated queries are unchanged while a
+  // caller can turn the dials. At fixed `bits` the seed-7 plane stream
+  // makes table sets NESTED (the planes for t tables are a prefix of
+  // those for t' > t), so the candidate set — and therefore recall — is
+  // deterministically MONOTONE in `tables`, spec-asserted in
+  // SimilaritySpec alongside the q53 nprobe monotonicity.
+  private[graft] val LshTables = 12
+  private[graft] val LshBits = 12
+  private val hyperplaneCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), Array[Array[Double]]]
+  private def hyperplanes(tables: Int, bits: Int): Array[Array[Double]] =
+    hyperplaneCache.getOrElseUpdate((tables, bits), {
+      val rnd = new scala.util.Random(7)
+      Array.fill(tables * bits)(Array.fill(64)(rnd.nextGaussian()))
+    })
 
-  /** 12 LSH codes per vector via the native [[graft.functions.HyperplaneCodes]]
-    * expression (the builtin composition needs ~4600 literal nodes and
-    * falls out of codegen). Join key = (array position, code). */
-  private def lshCodes(e: Column): Column =
+  /** `tables` LSH codes per vector via the native
+    * [[graft.functions.HyperplaneCodes]] expression (the builtin
+    * composition needs ~4600 literal nodes and falls out of codegen).
+    * Join key = (array position, code). */
+  private def lshCodes(e: Column, tables: Int = LshTables,
+      bits: Int = LshBits): Column =
     org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.HyperplaneCodes(
-        org.apache.spark.sql.GraftSqlBridge.toExpression(e), Hyperplanes, LshBits))
+        org.apache.spark.sql.GraftSqlBridge.toExpression(e),
+        hyperplanes(tables, bits), bits))
 
   /** XOR masks for multiprobe at Hamming radius `r` over `bits`-bit codes
     * (identity mask included): radius 1 -> bits+1 probes, radius 2 ->
@@ -123,13 +140,21 @@ object Similarity extends QueryPack {
     * WITHOUT growing the stored index (only the broadcast query side
     * expands, by 79x on a handful of rows). At production similarity
     * (cos >= 0.8) the same tables retrieve with p ~ 1. */
-  def q51KnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def q51KnnLsh(s: SparkSession, dir: String): DataFrame =
+    knnLsh(s, dir)
+
+  /** q51 with the recall knobs exposed: `tables`/`bits` set the stored
+    * index geometry, `radius` the query-side multiprobe Hamming ball.
+    * Defaults reproduce the gated q51 exactly. */
+  private[graft] def knnLsh(s: SparkSession, dir: String,
+      tables: Int = LshTables, bits: Int = LshBits, radius: Int = 2): DataFrame = {
     val v = vecs(s, dir)
     val codes = v.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), posexplode(lshCodes(col("e"))).as(Seq("t", "code")))
-    val masks = array(probeMasks(LshBits, 2).map(lit): _*)
+      .select(col("vec_id"),
+        posexplode(lshCodes(col("e"), tables, bits)).as(Seq("t", "code")))
+    val masks = array(probeMasks(bits, radius).map(lit): _*)
     val qCodes = queryVec(s, dir)
-      .select(posexplode(lshCodes(col("qe"))).as(Seq("qt", "qcode")))
+      .select(posexplode(lshCodes(col("qe"), tables, bits)).as(Seq("qt", "qcode")))
       .select(col("qt"), col("qcode"), explode(masks).as("mask"))
       .select(col("qt"), col("qcode").bitwiseXOR(col("mask")).as("qprobe"))
     val candIds = codes.join(broadcast(qCodes),
@@ -227,11 +252,12 @@ object Similarity extends QueryPack {
     * table is corpus-sized — not broadcastable). Functionally dependent
     * on vec_id, so the dedup distinct is unaffected. */
   private[graft] def lshCandidatePairs(v: DataFrame, blockCols: Seq[String],
-      radius: Int, carry: Seq[String] = Nil): DataFrame = {
+      radius: Int, carry: Seq[String] = Nil,
+      tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
     val keep = (blockCols ++ carry).map(col)
     val codes = v.select(col("vec_id") +: keep :+
-      posexplode(lshCodes(col("e"))).as(Seq("t", "code")): _*)
-    val masks = array(probeMasks(LshBits, radius).map(lit): _*)
+      posexplode(lshCodes(col("e"), tables, bits)).as(Seq("t", "code")): _*)
+    val masks = array(probeMasks(bits, radius).map(lit): _*)
     val probed = codes
       .select((col("vec_id") +: keep) ++ Seq(col("t"),
         col("code"), explode(masks).as("mask")): _*)
@@ -512,7 +538,16 @@ object Similarity extends QueryPack {
   /** IVF centroid probe: midrange centroid per label cell, query probes
     * the 2 nearest cells, exact top-10 within them. Midrange (not mean)
     * keeps the centroid order-independent → bit-exact across engines. */
-  def q53CentroidSearch(s: SparkSession, dir: String): DataFrame = {
+  def q53CentroidSearch(s: SparkSession, dir: String): DataFrame =
+    centroidSearch(s, dir)
+
+  /** q53 with the IVF probe-count knob exposed: `nprobe` nearest cells
+    * are searched exactly. The probed cell set is nested in `nprobe`
+    * (top-k cells ⊆ top-(k+1) cells), so recall against the exact scan
+    * is deterministically monotone — at nprobe = #cells this IS the
+    * exact scan (spec-asserted). Default reproduces the gated q53. */
+  private[graft] def centroidSearch(s: SparkSession, dir: String,
+      nprobe: Int = 2): DataFrame = {
     val v = vecs(s, dir)
     val cent = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "val")))
       .groupBy(col("label"), col("pos"))
@@ -522,13 +557,13 @@ object Similarity extends QueryPack {
       .select(col("label").as("c_label"),
         transform(col("pm"), x => x.getField("mid")).as("c"))
       .withColumn("cn2", norm2(col("c")))
-    val top2 = cent.crossJoin(broadcast(queryVec(s, dir)))
+    val probed = cent.crossJoin(broadcast(queryVec(s, dir)))
       .select(col("c_label"),
         cosineFrom(dot(col("c"), col("qe")), col("cn2"), col("qn2")).as("ccos"))
       .orderBy(col("ccos").desc, col("c_label"))
-      .limit(2)
+      .limit(nprobe)
     v.filter(col("vec_id") =!= 0)
-      .join(broadcast(top2), col("label") === col("c_label"), "left_semi")
+      .join(broadcast(probed), col("label") === col("c_label"), "left_semi")
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"), col("label"),
         cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))

@@ -84,6 +84,39 @@ class MlSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("fit(maxDepth = 1) returns a real root split or leaf; maxDepth = 0 raises") {
+    import graft.ml.DecisionTree
+    import spark.implicits._
+    // the round-7 `require` closed the maxDepth = 0 sentinel regression
+    // (a root "leaf" with fabricated stats); this is the law test the
+    // fix pointed at: the SHALLOWEST legal tree still carries real
+    // counts, and the illegal depth is rejected loudly
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1000).map { _ =>
+      val x = rnd.nextDouble()
+      (if (x <= 0.5) 1L else 0L, x)
+    }
+    val df = rows.toDF("y", "x1")
+    val nodes = DecisionTree.fit(df, Seq("x1"), $"y", maxDepth = 1)
+    val root = nodes.find(_.id == 0).get
+    assert(root.n == 1000L, s"root n must be the training count, got ${root.n}")
+    if (root.leftId >= 0) {
+      // root split: both children exist, are leaves, and partition n
+      val l = nodes.find(_.id == root.leftId).get
+      val r = nodes.find(_.id == root.rightId).get
+      assert(l.n + r.n == root.n, s"child counts ${l.n}+${r.n} != ${root.n}")
+      assert(l.n > 0 && r.n > 0, "degenerate empty-side split")
+      assert(Seq(l, r).forall(c => c.leftId < 0 && c.rightId < 0),
+        "maxDepth = 1 children must be leaves")
+    } else assert(root.prediction == 0 || root.prediction == 1)
+    // the clean 0/1 threshold signal must actually split at depth 1
+    assert(root.leftId >= 0, "planted threshold signal not split at depth 1")
+    val e = intercept[IllegalArgumentException] {
+      DecisionTree.fit(df, Seq("x1"), $"y", maxDepth = 0)
+    }
+    assert(e.getMessage.contains("maxDepth"))
+  }
+
   test("q61 correlations are in [-1, 1] and corr(x, x) would be 1") {
     val rows = operators.MlStats.q61Corr(spark, sf).collect()
     assert(rows.length == 3)

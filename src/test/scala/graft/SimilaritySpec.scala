@@ -34,6 +34,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(labels.size <= 2, s"probe leaked outside 2 cells: $labels")
   }
 
+  test("ANN recall knobs: recall rises monotonically with nprobe and tables") {
+    val exact = operators.Similarity.q50KnnBrute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(ids: Set[Long]): Double = (exact & ids).size.toDouble / exact.size
+
+    // q53 nprobe: probed cell sets are nested (top-k cells ⊆ top-(k+1)),
+    // so recall is deterministically non-decreasing, and probing every
+    // cell IS the exact scan
+    val nCells = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("label")).distinct().count().toInt
+    val byProbe = Seq(1, 2, nCells).map { np =>
+      recallOf(operators.Similarity.centroidSearch(spark, sf, nprobe = np)
+        .collect().map(_.getLong(0)).toSet)
+    }
+    assert(byProbe == byProbe.sorted,
+      s"q53 recall not monotone in nprobe: $byProbe")
+    assert(byProbe.last == 1.0,
+      s"nprobe = #cells must equal the exact scan, recall ${byProbe.last}")
+
+    // q51 tables: the seed-7 plane stream nests table sets (planes for t
+    // tables are a prefix of those for t' > t at fixed bits), so the
+    // candidate set — and recall — is monotone in tables by construction
+    val byTables = Seq(3, 6, 12).map { t =>
+      recallOf(operators.Similarity.knnLsh(spark, sf, tables = t)
+        .collect().map(_.getLong(0)).toSet)
+    }
+    assert(byTables == byTables.sorted,
+      s"q51 recall not monotone in tables: $byTables")
+    assert(byTables.last >= 0.5, s"full-table recall too low: ${byTables.last}")
+  }
+
   test("q52b LSH pair search retrieves planted near-duplicate pairs") {
     // The scale path's contract is the production regime: real near-dups
     // (cos ~1) must be retrieved with probability ~1 through the bucketed
