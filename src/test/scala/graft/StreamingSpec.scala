@@ -5,6 +5,7 @@ import graft.streaming.Streams.{EntityUpdate, OrderEvent, Profile, ProfileUpdate
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -37,6 +38,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(u.custkey == 1 && u.totalTrips == 3 && u.totalAmount == 20.0)
       assert(u.maxAmount == 10.0 && u.fulfilledTrips == 2)
     } finally q.stop()
+  }
+
+  test("s1 under the RocksDB state store: identical output and a checkpoint restart") {
+    // the 100x-scale state backend (VERDICT r7 "What's missing #2"): the
+    // in-heap default holds every key's state on the executor heap; the
+    // RocksDB provider bounds memory and spills to executor-local disk.
+    // Same fold, same checkpoint machinery — this pins (a) the provider
+    // is actually RocksDB, (b) the output equals the in-heap s1 numbers,
+    // (c) state survives a kill/restart from the RocksDB checkpoint.
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Engine.RocksDbStateStoreProvider)
+    implicit val sqlCtx = rocks.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocksdb_").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[EntityUpdate]
+    val in = MemoryStream[OrderEvent]
+    def start() = Streams.entityStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[EntityUpdate], _: Long) =>
+        b.collect().foreach(buf.add))
+      .start()
+    val q1 = start()
+    try {
+      in.addData(OrderEvent(1, 10.0, "O"), OrderEvent(1, 5.5, "F"),
+        OrderEvent(2, 7.25, "O"))
+      q1.processAllAvailable()
+      assert(q1.recentProgress.exists(p =>
+        p.stateOperators.exists(_.customMetrics.keySet.asScala
+          .exists(_.toLowerCase.contains("rocksdb")))),
+        "state operator reports no RocksDB metrics — provider not active")
+    } finally q1.stop() // the "kill": custkey 1's state lives in RocksDB files
+    val b1 = buf.toArray(Array.empty[EntityUpdate]).map(u => u.custkey -> u).toMap
+    assert(b1(1).state == "New" && b1(1).totalTrips == 2 && b1(1).totalAmount == 15.5)
+    assert(b1(2).state == "New" && b1(2).totalAmount == 7.25)
+
+    val q2 = start()
+    try {
+      in.addData(OrderEvent(1, 4.5, "F"))
+      q2.processAllAvailable()
+      val mods = buf.toArray(Array.empty[EntityUpdate]).filter(_.state == "Modified")
+      assert(mods.length == 1, s"expected one Modified after restart: ${buf.toArray.mkString("|")}")
+      val u = mods.head
+      // totals CONTINUE from the pre-kill state: 2 trips + 1, 15.5 + 4.5
+      assert(u.custkey == 1 && u.totalTrips == 3 && u.totalAmount == 20.0)
+      assert(u.maxAmount == 10.0 && u.fulfilledTrips == 2)
+    } finally q2.stop()
   }
 
   test("s2 profile stream: store-seeded keys are updates, unseen keys are inserts") {
