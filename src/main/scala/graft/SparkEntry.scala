@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Relational, operators.Ingest, operators.Entity,
-    operators.Text, operators.Dedup, operators.Similarity,
+    operators.Text, operators.Bpe, operators.Dedup, operators.Similarity,
     operators.MlStats, operators.Binary, operators.Sampling,
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore)
 

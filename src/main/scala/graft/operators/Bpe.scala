@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** §2.C q88: BPE merge-table training — the iteration a tokenizer build
+  * runs AFTER q38's frequency pass (reference provides no tokenizer
+  * training; this is the LLM-pipeline tier the brief adds, like q66/q87).
+  *
+  * Shape at 100 TB: ONE corpus-sized aggregate (word frequencies), then
+  * every merge round runs entirely on the VOCAB-sized (word, count)
+  * table — bounded by distinct words (Heaps' law: millions, not the
+  * corpus), the same corpus-once/iterate-small contract as q62's KMeans.
+  * The driver holds only the running merge table (k rows, one top-1
+  * collect per round — the KMeans-centroid pattern), never word data.
+  * Per-round symbol rewriting is row-local (one HOF fold per word);
+  * superseded round frames are unpersisted as the loop advances (two
+  * live snapshots at peak).
+  *
+  * Semantics are classic BPE (Sennrich et al., ACL'16): per round, take
+  * the adjacent symbol pair with the highest frequency-weighted count
+  * (ties: lexicographic smallest pair — fully deterministic) and merge
+  * its occurrences greedily left-to-right within every word. Rows-only
+  * gate (the q38b precedent: an iterative-recursive build has no
+  * one-shot ANSI twin); the planted-corpus merge sequence and the
+  * early-stop/rank laws are spec-asserted in BpeSpec.
+  */
+object Bpe extends QueryPack {
+
+  /** Default merge-round count for the gated query — enough rounds to
+    * exercise multi-level merges (merged symbols re-merging) on the
+    * driver corpus; a production vocab build runs 10k-50k. */
+  val DefaultMerges = 12
+
+  def q88BpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(
+      Tables.documentsBalanced(s, dir)
+        .select(TextOps.toks(lower(col("text"))).as("tk")),
+      DefaultMerges)
+
+  /** Train `k` BPE merges over a (tk: array<string>) document frame.
+    * Returns the ordered merge table
+    * (rank, left, right, merged, pair_count); stops early when no
+    * adjacent pair remains. */
+  private[graft] def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(k >= 1, s"merge count must be >= 1, got $k")
+    // THE corpus pass: word frequencies. Everything after runs on this
+    // vocab-sized table.
+    val words = docs.select(explode_outer(col("tk")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var cur = words
+      .select(col("cnt"), split(col("w"), "").as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    while (merges.length < k && !done) {
+      // adjacent pairs of the current symbol sequences, weighted by word
+      // frequency; zip_with over (head, tail) slices keeps it row-local
+      val pairs = when(size(col("syms")) >= 2,
+        zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val top = cur.select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, pc) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((merges.length + 1L, l, r, l + r, pc))
+        // greedy left-to-right merge: fold each word's symbols, joining
+        // an (l, r) adjacency into the merged symbol; a fresh merge
+        // becomes the new tail, so overlapping runs resolve exactly as
+        // the sequential BPE reference does ("aaa" + (a,a) -> [aa, a])
+        val rewritten = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        val next = cur.select(col("cnt"), rewritten.as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize: keeps the round plans shallow
+        cur.unpersist(false)
+        cur = next
+      }
+    }
+    cur.unpersist(false)
+    merges.toSeq
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q88_bpe_vocab" -> (q88BpeVocab _))
+
+  // rows-only by design: an iterative merge build has no one-shot ANSI
+  // twin (the q38b/q62 precedent); laws are spec-gated in BpeSpec
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+  import spark.implicits._
+
+  private def tk(texts: String*) = texts.toDF("text")
+    .select(graft.functions.TextOps.toks(
+      org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.col("text"))).as("tk"))
+
+  test("planted corpus learns the exact merge sequence, greedily and in order") {
+    // words: "abab" x3, "ab" x2.
+    // round 1 pairs: (a,b) = 2*3 + 1*2 = 8, (b,a) = 1*3 = 3 -> merge (a,b)
+    // round 2: abab = [ab, ab], ab = [ab] -> (ab,ab) = 3 -> merge
+    // round 3: no adjacent pairs anywhere -> early stop
+    val docs = tk("abab abab", "abab ab", "ab")
+    val got = operators.Bpe.bpeMerges(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "ab", "ab", "abab", 3L)),
+      s"merge sequence diverged: ${got.mkString("|")}")
+  }
+
+  test("tie-break is deterministic: equal counts merge the lexicographically smallest pair") {
+    // "xy" and "ab" both appear twice -> pair counts (a,b)=2, (x,y)=2;
+    // (a,b) < (x,y) lexicographically and must win round 1
+    val docs = tk("xy ab", "ab xy")
+    val got = operators.Bpe.bpeMerges(docs, k = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "a" && got.head.getString(2) == "b")
+  }
+
+  test("greedy left-to-right: an odd run merges floor(n/2) non-overlapping occurrences") {
+    // "aaa": greedy (a,a) merging gives [aa, a] — the sequential BPE
+    // reference behavior; a naive pairwise count would claim 2 merges
+    val docs = tk("aaa aaa")
+    val got = operators.Bpe.bpeMerges(docs, k = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.head == (("a", "a", "aa", 4L)), got.mkString("|"))
+    // round 2 sees [aa, a] per word: top pair is (aa, a) with count 2
+    assert(got(1) == (("aa", "a", "aaa", 2L)), got.mkString("|"))
+  }
+
+  test("q88 on testdata: consecutive ranks, positive counts, non-increasing frequency") {
+    val rows = operators.Bpe.q88BpeVocab(spark, sf).collect()
+    assert(rows.nonEmpty, "no merges learned on testdata")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      "ranks not consecutive")
+    rows.foreach { r =>
+      assert(r.getLong(4) > 0, s"non-positive pair count: $r")
+      assert(r.getString(3) == r.getString(1) + r.getString(2),
+        s"merged symbol is not left+right: $r")
+    }
+    // merged symbols are distinct: a pair can only be merged once
+    val merged = rows.map(_.getString(3))
+    assert(merged.distinct.length == merged.length, "duplicate merge learned")
+  }
+}
