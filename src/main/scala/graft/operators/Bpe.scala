@@ -91,7 +91,8 @@ object Bpe extends QueryPack {
             .otherwise(concat(acc, array(x))))
         val next = cur.select(col("cnt"), rewritten.as("syms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize: keeps the round plans shallow
+        // no eager count: the NEXT round's pair aggregate (or nothing,
+        // on the last round) materializes the cache — half the jobs
         cur.unpersist(false)
         cur = next
       }
