@@ -63,7 +63,11 @@ object ScaleSmoke {
       "q44b_dedup_embedding_lsh", "q73b_knn_graph_lsh",
       "q87b_semantic_decontam_lsh",
       "q81_scd2", "q82_manifest_scan", "q83_pivot_mix",
-      "q84_chunk", "q85_matryoshka", "q86_bm25")
+      "q84_chunk", "q85_matryoshka", "q86_bm25",
+      // q88: replication grows the corpus pass 16x but the vocab —
+      // and so every merge round — is IDENTICAL content; the expected
+      // ratio is far below R, the vocab-bounded-iteration contract
+      "q88_bpe_vocab")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh

@@ -103,10 +103,61 @@ object Bpe extends QueryPack {
       .orderBy(col("rank"))
   }
 
-  val queries: Map[String, Q] = Map(
-    "q88_bpe_vocab" -> (q88BpeVocab _))
+  /** One greedy left-to-right merge application over a symbol array —
+    * the same fold training uses, as a reusable Column builder. */
+  private def applyMerge(syms: org.apache.spark.sql.Column, l: String, r: String) =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
 
-  // rows-only by design: an iterative merge build has no one-shot ANSI
-  // twin (the q38b/q62 precedent); laws are spec-gated in BpeSpec
+  /** q89: TOKENIZE with a learned merge table — the apply step after
+    * q88's training, completing the tokenizer story (train → apply).
+    * Merges are applied sequentially in rank order, each greedily
+    * left-to-right: exactly the training-time rewrite sequence, so the
+    * corpus segments into precisely the symbols training ended with
+    * (spec-asserted on the planted corpus).
+    *
+    * Shape at 100 TB: the merge folds run ONCE PER DISTINCT WORD — the
+    * vocab-sized `distinct` table — and documents get their counts
+    * through a word-keyed dictionary join + doc-keyed sum, never a
+    * per-occurrence fold (the explode/join/agg are the only shuffles,
+    * all partial-aggregable or key-bounded). The learned table itself
+    * is k driver rows, exactly like training. Per-doc output:
+    * word/char/BPE-token counts + chars-per-token compression. */
+  def q89BpeTokenize(s: SparkSession, dir: String): DataFrame =
+    bpeTokenize(s, dir, DefaultMerges)
+
+  private[graft] def bpeTokenize(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val docsTk = Tables.documentsBalanced(s, dir)
+      .select(col("doc_id"), TextOps.toks(lower(col("text"))).as("tk"))
+    val merges = bpeMerges(docsTk.select(col("tk")), k).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docWords = docsTk
+      .select(col("doc_id"), explode_outer(col("tk")).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "")
+    // vocab-sized: fold the merge table over each DISTINCT word once
+    val applied = merges.foldLeft(split(col("w"), ""))(
+      (syms, m) => applyMerge(syms, m._1, m._2))
+    val wordToks = docWords.select(col("w")).distinct()
+      .select(col("w"), length(col("w")).cast("long").as("wc"),
+        size(applied).cast("long").as("wt"))
+    docWords.join(wordToks, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wc")).as("n_chars"),
+        sum(col("wt")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q88_bpe_vocab" -> (q88BpeVocab _),
+    "q89_bpe_tokenize" -> (q89BpeTokenize _))
+
+  // rows-only by design: the iterative merge build (and the tokenize
+  // that replays it) has no one-shot ANSI twin (the q38b/q62
+  // precedent); laws are spec-gated in BpeSpec
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -253,6 +253,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("s6 under RocksDB: open-session state and timeout clock survive a restart") {
+    // the s6 restart contract re-pinned on the scale backend: an OPEN
+    // session's state row AND its registered event-time timeout must be
+    // restored from RocksDB checkpoint files, not just the fold state
+    // the s1 case covers
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Engine.RocksDbStateStoreProvider)
+    implicit val sqlCtx = rocks.sqlContext
+    import graft.streaming.Streams.{SessEvent, SessionOut}
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_sess_").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[SessionOut]
+    val in = MemoryStream[SessEvent]
+    def start() = Streams.sessionStream(in.toDS(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        b.collect().foreach(buf.add))
+      .start()
+    val q1 = start()
+    try {
+      in.addData(SessEvent(1, ts(10, 0), 1.0), SessEvent(1, ts(10, 10), 2.0))
+      q1.processAllAvailable()
+      assert(q1.recentProgress.exists(p =>
+        p.stateOperators.exists(_.customMetrics.keySet.asScala
+          .exists(_.toLowerCase.contains("rocksdb")))),
+        "state operator reports no RocksDB metrics — provider not active")
+    } finally q1.stop() // kill with user 1's session open
+    assert(buf.isEmpty, s"open session emitted before the kill: $buf")
+    val q2 = start()
+    try {
+      in.addData(SessEvent(2, ts(15, 0), 1.0))
+      q2.processAllAvailable()
+      in.addData(SessEvent(2, ts(15, 1), 1.0))
+      q2.processAllAvailable()
+      val timedOut = buf.toArray(Array.empty[SessionOut])
+        .filter(_.closedBy == "timeout")
+      assert(timedOut.exists(s => s.userId == 1 && s.n == 2 && s.sumValue == 3.0),
+        s"pre-restart session lost across RocksDB restart: ${buf.toArray.mkString("|")}")
+    } finally q2.stop()
+  }
+
   test("s9 decontam gate flags a train-copied doc, passes novel text, holds no state") {
     implicit val sqlCtx = spark.sqlContext
     val bloom = operators.Dedup.trainShingleBloom(spark, TestSpark.sf)
