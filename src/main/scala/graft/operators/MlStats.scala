@@ -201,12 +201,63 @@ object MlStats extends QueryPack {
       .orderBy(col("node_id"))
   }
 
+  /** q90: GPT-3-style quality classifier — train a logistic regression
+    * on "reference domain vs rest" (weak label: the stored lang = 'en',
+    * the reference-corpus proxy) over row-local text features, then
+    * score EVERY document; a real pipeline keeps docs whose score
+    * clears a threshold (Brown et al., NeurIPS'20 §A.2 train exactly
+    * this shape against WebText as the positive class).
+    *
+    * Training is [[graft.ml.Logistic]]: driver-held weight vector, one
+    * partial-aggregable integer-scaled gradient aggregate per
+    * iteration (20 rounds, lr 0.5) over the PERSISTED feature frame —
+    * the corpus is touched once to featurize, the iterations run on the
+    * cached projection. Scoring is one row-local expression pass.
+    *
+    * Honesty note (the q32 contract): the driver's synthetic corpus
+    * shares one vocabulary across its lang labels, so these features
+    * carry no real lang signal and heldout accuracy ~ the base rate —
+    * REPORTED, not asserted. The trainer's learnability laws (planted
+    * separable corpus, loss decrease, heldout accuracy) are
+    * spec-asserted in MlSpec. Rows-only: sigmoid/log go through libm,
+    * so no cross-engine oracle by design. */
+  def q90QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = Seq("f_len", "f_stop", "f_punct", "f_wlen")
+    val base = graft.FrameCache.persisted(s, s"q90features:$dir") {
+      val tk = graft.functions.TextOps.toks(lower(col("text")))
+      Tables.documentsBalanced(s, dir)
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("nc"),
+          tk.as("tk"),
+          regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("punct"))
+        .select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("label"),
+          least(lit(1.0), size(col("tk")).cast("double") / 100.0).as("f_len"),
+          (size(filter(col("tk"), t => t.isin("the", "a", "of", "to", "and", "in", "is")))
+            .cast("double") / greatest(size(col("tk")), lit(1))).as("f_stop"),
+          (col("punct").cast("double") / greatest(col("nc"), lit(1L))).as("f_punct"),
+          (aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double")
+            / greatest(size(col("tk")), lit(1)) / 10.0).as("f_wlen"),
+          when(pmod(graft.functions.TextOps.polyHash61(
+            concat(lit("clf-salt-"), col("doc_id").cast("string"))), lit(100L)) < 80,
+            "train").otherwise("val").as("split"))
+    }
+    val (w, _) = graft.ml.Logistic.fit(
+      base.filter(col("split") === "train"), feats, col("label"),
+      iters = 20, lr = 0.5)
+    base
+      .select(col("doc_id"), col("split"), col("label").cast("boolean").as("label"),
+        graft.ml.Logistic.scoreExpr(feats, w).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q60_colstats" -> (q60Colstats _),
     "q61_corr" -> (q61Corr _),
     "q62_kmeans" -> (q62Kmeans _),
     "q63_decision_tree" -> (q63DecisionTree _),
-    "q64_embedding_stats" -> (q64EmbeddingStats _))
+    "q64_embedding_stats" -> (q64EmbeddingStats _),
+    "q90_quality_classifier" -> (q90QualityClassifier _))
 
   private val S = Num.sql
 

@@ -117,6 +117,53 @@ class MlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDepth"))
   }
 
+  test("logistic GD learns a planted separable rule; loss decreases; determinism holds") {
+    import graft.ml.Logistic
+    import spark.implicits._
+    // planted: y = (x1 > 0.5), x2 pure noise, margin-free separable
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      val (x1, x2) = (rnd.nextDouble(), rnd.nextDouble())
+      (if (x1 > 0.5) 1.0 else 0.0, x1, x2, i % 5)
+    }
+    val df = rows.toDF("label", "x1", "x2", "part")
+    val train = df.filter($"part" < 4)
+    val (w, losses) = Logistic.fit(train, Seq("x1", "x2"), $"label",
+      iters = 60, lr = 2.0)
+    // the signal feature dominates the noise feature, positively
+    assert(w(0) > 0, s"planted-signal weight not positive: ${w.toSeq}")
+    assert(math.abs(w(0)) > 3 * math.abs(w(1)),
+      s"noise feature weight not dominated: ${w.toSeq}")
+    // loss decreased substantially from the zero-weight start (ln 2)
+    assert(losses.head > 0.69 && losses.head < 0.70, s"init loss ${losses.head}")
+    assert(losses.last < losses.head * 0.5,
+      s"loss did not halve: ${losses.head} -> ${losses.last}")
+    // held-out accuracy on the planted rule
+    val heldout = df.filter($"part" === 4)
+      .select($"label", Logistic.scoreExpr(Seq("x1", "x2"), w).as("p"))
+      .select((($"p" >= 0.5).cast("double") === $"label").cast("long").as("ok"))
+      .agg(org.apache.spark.sql.functions.avg($"ok")).collect().head.getDouble(0)
+    assert(heldout > 0.9, s"held-out accuracy $heldout")
+    // bit-determinism: integer-scaled gradient sums make a repartitioned
+    // rerun EXACTLY equal, not just close (the q64/q85 rule)
+    val (w2, losses2) = Logistic.fit(train.repartition(13), Seq("x1", "x2"),
+      $"label", iters = 60, lr = 2.0)
+    assert(w.toSeq == w2.toSeq, "weights depend on partitioning")
+    assert(losses == losses2, "loss history depends on partitioning")
+  }
+
+  test("q90 classifier report: every doc scored, splits populated, probabilities valid") {
+    val rows = operators.MlStats.q90QualityClassifier(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == total, "not every document scored")
+    assert(rows.map(_.getString(1)).toSet == Set("train", "val"))
+    rows.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p > 0.0 && p < 1.0, s"score outside (0,1): $r")
+      assert(r.getBoolean(4) == (p >= 0.5), s"prediction/score mismatch: $r")
+    }
+  }
+
   test("q61 correlations are in [-1, 1] and corr(x, x) would be 1") {
     val rows = operators.MlStats.q61Corr(spark, sf).collect()
     assert(rows.length == 3)
