@@ -841,6 +841,68 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-SPAN analysis (Lee et al., ACL'22 "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * regime): for every document, the fraction of its tokens covered by
+    * some word 5-gram that occurs MORE THAN ONCE anywhere in the corpus
+    * (other docs or a repeat inside the same doc). Whole-doc dedup
+    * (q40) and near-dup (q41-q44) miss copied PASSAGES inside otherwise
+    * distinct docs; this is the span-level audit that catches them —
+    * the per-doc number a pipeline thresholds to cut boilerplate and
+    * quoted duplication.
+    *
+    * Shape at 100 TB: positional 5-gram shingles (one explode), a
+    * shingle-hash-keyed occurrence count (one partial-aggregable
+    * shuffle), then per-doc interval-union coverage computed by ONE
+    * doc-keyed window over the duplicated span starts — contribution of
+    * each span is min(w, gap to previous start), the classic sorted
+    * interval-union telescope, so coverage needs no per-doc set
+    * materialization and no pair join anywhere. Oracle-exact: both
+    * engines run the identical window arithmetic on integers. */
+  def q91DupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansFrom(Tables.documentsBalanced(s, dir))
+
+  private[graft] def dupSpansFrom(docs: DataFrame): DataFrame = {
+    val w = 5
+    val base = docs
+      .select(col("doc_id"), docTokens.as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    // string shingles, not hashes: the occurrence count must GROUP
+    // identically in both engines, and the oracle has no xxhash64 —
+    // the ~30-byte keys are the price of exactness here (q41's index,
+    // which needs no oracle-side grouping, keeps the hashed keys)
+    // size guard, not greatest(.., 0): Spark's sequence(1, 0) generates
+    // DESCENDING [1, 0], so short docs need an explicit empty branch
+    val spanArr = when(size(col("tk")) >= w,
+      transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+        i => concat_ws(" ", slice(col("tk"), i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val spans = base
+      .select(col("doc_id"), posexplode(spanArr).as(Seq("pos", "g")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("g"))
+    val dupG = spans.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select(col("g"))
+    val dupSpans = spans.join(dupG, Seq("g"), "left_semi")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    val covered = dupSpans
+      .withColumn("prev", lag(col("start"), 1).over(win))
+      .select(col("doc_id"),
+        when(col("prev").isNull, lit(w.toLong))
+          .otherwise(least(lit(w.toLong), col("start") - col("prev"))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("c")).as("covered_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac",
+        col("covered_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracle SQL ----
 
   private val sqlToks = "string_split(lower(text), ' ')"
@@ -897,7 +959,8 @@ object Dedup extends QueryPack {
     "q46_contamination" -> (q46Contamination _),
     "q66_ngram_decontam" -> (q66NgramDecontam _),
     "q66b_decontam_bloom" -> (q66bDecontamBloom _),
-    "q69_incremental_neardup" -> (q69IncrementalNeardup _))
+    "q69_incremental_neardup" -> (q69IncrementalNeardup _),
+    "q91_dup_spans" -> (q91DupSpans _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -909,6 +972,31 @@ object Dedup extends QueryPack {
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q41_dedup_ngram_jaccard" -> jaccardPairsSql,
     "q42_dedup_minhash_lsh" -> jaccardPairsSql,
+    "q91_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM t WHERE len(tk) > 0),
+         |sp AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |    array_to_string(array_slice(tk, CAST(i AS BIGINT), CAST(i + 4 AS BIGINT)), ' ') AS g
+         |  FROM b, unnest(range(1, CASE WHEN len(tk) >= 5
+         |    THEN len(tk) - 3 ELSE 1 END)) AS r(i)),
+         |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) > 1),
+         |ds AS (SELECT sp.doc_id, sp.start FROM sp JOIN dup USING (g)),
+         |cov AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans,
+         |    sum(CASE WHEN prev IS NULL THEN 5
+         |      ELSE least(5, start - prev) END) AS covered
+         |  FROM (SELECT doc_id, start,
+         |      lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+         |    FROM ds) x
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(coalesce(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+         |FROM b LEFT JOIN cov c USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
     "q69_incremental_neardup" ->
       s"""WITH sh AS ($sqlShingleSets),
          |p AS (

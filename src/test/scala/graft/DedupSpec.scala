@@ -306,6 +306,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 duplicated-span coverage: interval union telescopes exactly; non-vacuous") {
+    val rows = operators.Dedup.q91DupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // every doc with tokens appears; coverage bounded by doc length
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (n, spans, cov, frac)) =>
+      assert(cov <= n, s"doc $id covered $cov > $n tokens")
+      assert((spans == 0) == (cov == 0), s"doc $id span/coverage disagree")
+      assert(math.abs(frac - cov.toDouble / n) < 1e-15, s"doc $id frac drifted")
+      // a single span covers w tokens; k spans cover at most k*w
+      assert(cov <= spans * 5, s"doc $id covered $cov from $spans spans")
+      // ...and at least w when any span fired (the union can't shrink
+      // below one window)
+      if (spans > 0) assert(cov >= 5, s"doc $id covered $cov < one window")
+    }
+    // the near-dup corpus (q41 finds pairs at this sf) must surface
+    // SOME duplicated spans, else the gate is vacuous
+    assert(rows.values.exists(_._2 > 0), "no duplicated spans at sf0.001")
+    // driver reference on a planted mini-corpus: overlapping dup spans
+    // in one doc telescope to the exact union, not w per span
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // spans at 1..4 all duplicated in doc 2
+      (2L, "a b c d e f g h z"),
+      (3L, "p q r s t u v w")    // unique: zero coverage
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.dupSpansFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 8 tokens, 4 span starts (1-4) all duplicated; union covers
+    // tokens 1..8 = 8, NOT 4*5 = 20
+    assert(got(1L) == ((8L, 4L, 8L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((9L, 4L, 8L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((8L, 0L, 0L)), s"doc3 ${got(3L)}")
+  }
+
   test("repeated LSH-tier runs do not grow persisted storage (FrameCache audit)") {
     // the round-7 ADVICE leak, generalized: every dedup/ANN intermediate
     // persists through FrameCache now, so back-to-back runs of the
