@@ -53,6 +53,11 @@ object KMeans {
       // empty clusters keep their previous centroid
       cents = cents.zipWithIndex.map { case (old, i) => next.getOrElse(i, old) }
     }
+    // fit-local cache: every iteration has materialized it; holding it
+    // past return would leak one entry per fit() call (the FrameCache
+    // rule — but this frame is parameter-dependent and fit-scoped, so
+    // the right lifetime is the fit itself)
+    vecs.unpersist(false)
     cents
   }
 

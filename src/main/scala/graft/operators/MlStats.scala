@@ -95,8 +95,10 @@ object MlStats extends QueryPack {
     * rows are order-dependent, so no cross-engine oracle; convergence is
     * spec-tested in MlSpec. */
   def q62Kmeans(s: SparkSession, dir: String): DataFrame = {
-    val vecs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("e"))
+    // projection of the globally cached decode (FrameCache), so fit's
+    // fit-scoped persist/unpersist and profile's rescan both read the
+    // shared entry instead of re-decoding per call
+    val vecs = Similarity.decodedVecs(s, dir).select(col("vec_id"), col("e"))
     val cents = KMeans.fit(vecs, k = 8, iters = 5)
     KMeans.profile(vecs, cents)
   }
@@ -221,25 +223,37 @@ object MlStats extends QueryPack {
     * separable corpus, loss decrease, heldout accuracy) are
     * spec-asserted in MlSpec. Rows-only: sigmoid/log go through libm,
     * so no cross-engine oracle by design. */
+  /** Row-local quality features over a `text` column — ONE definition
+    * shared by q90's batch trainer and the s12 streaming gate (a model
+    * trained here scores streams there with identical featurization,
+    * the train/serve-skew rule). */
+  private[graft] val QualityFeatureNames = Seq("f_len", "f_stop", "f_punct", "f_wlen")
+  private[graft] def withQualityFeatures(df: DataFrame): DataFrame = {
+    val tk = graft.functions.TextOps.toks(lower(col("text")))
+    df.withColumn("nc_", length(col("text")).cast("long"))
+      .withColumn("tk_", tk)
+      .withColumn("f_len", least(lit(1.0), size(col("tk_")).cast("double") / 100.0))
+      .withColumn("f_stop",
+        size(filter(col("tk_"), t => t.isin("the", "a", "of", "to", "and", "in", "is")))
+          .cast("double") / greatest(size(col("tk_")), lit(1)))
+      .withColumn("f_punct",
+        regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+          / greatest(col("nc_"), lit(1L)))
+      .withColumn("f_wlen",
+        aggregate(col("tk_"), lit(0L), (a, t) => a + length(t)).cast("double")
+          / greatest(size(col("tk_")), lit(1)) / 10.0)
+      .drop("nc_", "tk_")
+  }
+
   def q90QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val feats = Seq("f_len", "f_stop", "f_punct", "f_wlen")
+    val feats = QualityFeatureNames
     val base = graft.FrameCache.persisted(s, s"q90features:$dir") {
-      val tk = graft.functions.TextOps.toks(lower(col("text")))
-      Tables.documentsBalanced(s, dir)
-        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("nc"),
-          tk.as("tk"),
-          regexp_count(col("text"), lit("[.,!?;:]")).cast("long").as("punct"))
-        .select(col("doc_id"),
-          (col("lang") === "en").cast("double").as("label"),
-          least(lit(1.0), size(col("tk")).cast("double") / 100.0).as("f_len"),
-          (size(filter(col("tk"), t => t.isin("the", "a", "of", "to", "and", "in", "is")))
-            .cast("double") / greatest(size(col("tk")), lit(1))).as("f_stop"),
-          (col("punct").cast("double") / greatest(col("nc"), lit(1L))).as("f_punct"),
-          (aggregate(col("tk"), lit(0L), (a, t) => a + length(t)).cast("double")
-            / greatest(size(col("tk")), lit(1)) / 10.0).as("f_wlen"),
+      withQualityFeatures(Tables.documentsBalanced(s, dir))
+        .select(col("doc_id") +: (col("lang") === "en").cast("double").as("label") +:
+          feats.map(col) :+
           when(pmod(graft.functions.TextOps.polyHash61(
             concat(lit("clf-salt-"), col("doc_id").cast("string"))), lit(100L)) < 80,
-            "train").otherwise("val").as("split"))
+            "train").otherwise("val").as("split"): _*)
     }
     val (w, _) = graft.ml.Logistic.fit(
       base.filter(col("split") === "train"), feats, col("label"),

@@ -571,6 +571,49 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** q92: IVF with a LEARNED coarse quantizer — the production shape
+    * q53 approximates with label cells: KMeans centroids (k = 8, 5
+    * Lloyd rounds, the q62 trainer) are the cell table, every vector is
+    * assigned through the native codegen'd NearestCentroid argmin, the
+    * query probes its `nprobe` nearest cells (centroids are driver-held
+    * k x dim state, so cell ranking is a driver computation — the same
+    * contract as the KMeans fit itself), and the exact cosine top-10
+    * runs inside the probed cells only.
+    *
+    * The probed cell set is nested in nprobe, so recall against the
+    * exact scan is monotone, and nprobe = k IS the exact scan — both
+    * spec-asserted (the q53 laws, now on learned cells). Rows-only:
+    * the cell structure depends on the KMeans iteration, which has no
+    * one-shot SQL twin (the q62 precedent). */
+  def q92IvfKmeans(s: SparkSession, dir: String): DataFrame =
+    ivfKmeans(s, dir, nprobe = 2)
+
+  private[graft] val IvfCells = 8
+
+  private[graft] def ivfKmeans(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= IvfCells, s"nprobe in [1, $IvfCells], got $nprobe")
+    val v = vecs(s, dir)
+    val corpus = v.filter(col("vec_id") =!= 0)
+    val cents = graft.ml.KMeans.fit(
+      corpus.select(col("vec_id"), col("e")), IvfCells, iters = 5)
+    val qe = v.filter(col("vec_id") === 0).select(col("e"))
+      .head.getSeq[Double](0).toArray
+    // driver-side cell ranking by L2 (the assignment metric); ties by
+    // cell index for determinism
+    val probed = cents.zipWithIndex.map { case (c, i) =>
+      val d2 = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d2, i)
+    }.sortBy(identity).take(nprobe).map(_._2)
+    corpus
+      .withColumn("cell", graft.ml.KMeans.assign(col("e"), cents).getField("cluster"))
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), col("cell"),
+        cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ---- oracle SQL ----
 
   private val V = VectorOps
@@ -591,7 +634,8 @@ object Similarity extends QueryPack {
     "q73_knn_graph" -> (q73KnnGraph _),
     "q73b_knn_graph_lsh" -> (q73bKnnGraphLsh _),
     "q79_rand_proj" -> (q79RandProj _),
-    "q85_matryoshka" -> (q85Matryoshka _))
+    "q85_matryoshka" -> (q85Matryoshka _),
+    "q92_ivf_kmeans" -> (q92IvfKmeans _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_knn_brute" ->

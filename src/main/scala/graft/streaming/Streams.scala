@@ -247,6 +247,26 @@ object Streams {
       .drop("sh")
   }
 
+  // ---- s12: NRT quality gate (q90's APPLY at the ingest boundary) ----
+
+  /** Streaming twin of q90's scoring half — the quality filter a
+    * pretraining ingest runs ON the stream: every incoming document is
+    * featurized row-locally (the SAME
+    * [[graft.operators.MlStats.withQualityFeatures]] definition the
+    * batch trainer used — no train/serve skew) and scored against the
+    * batch-trained weight vector riding in as literals. Deliberately
+    * STATELESS like s9: no watermark, no state store, no shuffle —
+    * line-rate forever; refreshing the model is a batch retrain +
+    * query restart (the broadcast-refresh pattern). */
+  def qualityGate(in: Dataset[IncomingDoc], weights: Array[Double],
+      threshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    graft.operators.MlStats.withQualityFeatures(in.toDF())
+      .withColumn("score", graft.ml.Logistic.scoreExpr(
+        graft.operators.MlStats.QualityFeatureNames, weights))
+      .withColumn("accepted", col("score") >= threshold)
+      .drop(graft.operators.MlStats.QualityFeatureNames: _*)
+  }
+
   // ---- s3: watermarked tumbling-window counts ----
 
   case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)

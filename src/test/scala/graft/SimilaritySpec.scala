@@ -34,6 +34,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(labels.size <= 2, s"probe leaked outside 2 cells: $labels")
   }
 
+  test("q92 learned-IVF: probe-all equals the exact scan; recall monotone in nprobe") {
+    val exact = operators.Similarity.q50KnnBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // nprobe = k probes every cell -> EXACTLY the exact scan (ids and
+    // cosines), the strongest law an IVF can state
+    val all = operators.Similarity.ivfKmeans(spark, sf,
+      nprobe = operators.Similarity.IvfCells)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(all.toSeq == exact.toSeq,
+      s"probe-all IVF diverged from exact scan:\n$all\nvs\n$exact")
+    // nested probed cells -> monotone recall
+    val exactIds = exact.map(_._1).toSet
+    val byProbe = Seq(1, 2, operators.Similarity.IvfCells).map { np =>
+      val ids = operators.Similarity.ivfKmeans(spark, sf, np)
+        .collect().map(_.getLong(0)).toSet
+      (exactIds & ids).size.toDouble / exactIds.size
+    }
+    assert(byProbe == byProbe.sorted, s"q92 recall not monotone: $byProbe")
+    assert(byProbe.last == 1.0)
+    // results only come from probed cells
+    val one = operators.Similarity.ivfKmeans(spark, sf, 1).collect()
+    assert(one.map(_.getInt(1)).toSet.size <= 1, "nprobe=1 leaked cells")
+  }
+
   test("ANN recall knobs: recall rises monotonically with nprobe and tables") {
     val exact = operators.Similarity.q50KnnBrute(spark, sf)
       .collect().map(_.getLong(0)).toSet

@@ -296,6 +296,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("s12 quality gate scores a stream with the batch featurization; stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.IncomingDoc
+    // weights that reward stopword density (f_stop is feature index 1):
+    // a stopword-heavy doc must clear the 0.5 threshold, a stopword-free
+    // one must not (bias pushes the default below threshold)
+    val w = Array(0.0, 10.0, 0.0, 0.0, -1.0)
+    val in = MemoryStream[IncomingDoc]
+    val sink = nextName()
+    val q = Streams.qualityGate(in.toDS(), w)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        IncomingDoc(1L, "the cat is on the mat and the dog is in the house"),
+        IncomingDoc(2L, "zzz qqq xxx yyy www vvv uuu"))
+      q.processAllAvailable()
+      val out = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("docId") ->
+          (r.getAs[Double]("score"), r.getAs[Boolean]("accepted"))).toMap
+      assert(out(1L)._2, s"stopword-dense doc rejected: ${out(1L)}")
+      assert(!out(2L)._2, s"stopword-free doc accepted: ${out(2L)}")
+      // batch/stream featurization parity: score doc 1's text through
+      // the BATCH feature path and the same weights — identical double
+      import spark.implicits._
+      val batchScore = graft.operators.MlStats.withQualityFeatures(
+        Seq("the cat is on the mat and the dog is in the house").toDF("text"))
+        .select(graft.ml.Logistic.scoreExpr(
+          graft.operators.MlStats.QualityFeatureNames, w).as("s"))
+        .collect().head.getDouble(0)
+      assert(out(1L)._1 == batchScore, "train/serve featurization skew")
+      // stateless: no stateful operators in the progress
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "quality gate registered state")
+    } finally q.stop()
+  }
+
   test("s9 decontam gate flags a train-copied doc, passes novel text, holds no state") {
     implicit val sqlCtx = spark.sqlContext
     val bloom = operators.Dedup.trainShingleBloom(spark, TestSpark.sf)
