@@ -8,7 +8,8 @@ object SparkEntry {
     operators.Relational, operators.Ingest, operators.Entity,
     operators.Text, operators.Bpe, operators.Dedup, operators.Similarity,
     operators.MlStats, operators.Binary, operators.Sampling,
-    sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore)
+    sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
+    sources.CompactStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

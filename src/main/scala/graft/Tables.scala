@@ -25,15 +25,27 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
 
-  /** events with ts normalized: raw ns long → `ts_us` (long, floored like
-    * DuckDB's parquet-ns read) and `tstamp` (TIMESTAMP at micros).
-    * `div` truncates toward zero, which equals DuckDB's floor only for
-    * post-epoch (>= 1970) timestamps — true for all driver testdata. */
+  /** events with ts normalized to `ts_us` (long micros, = DuckDB's
+    * epoch_us) and `tstamp` (TIMESTAMP at micros), ADAPTIVE to the
+    * generator's physical type: a TIMESTAMP(NANOS) column arrives as a
+    * raw ns long (under `nanosAsLong`; `div` truncates toward zero =
+    * DuckDB's floor for post-epoch data), a TIMESTAMP(MICROS) column —
+    * what the current driver testdata writes — arrives as
+    * TIMESTAMP/TIMESTAMP_NTZ and converts exactly via `unix_micros`
+    * (NTZ values interpret in the session zone, which every graft
+    * session pins to UTC — the same naive-as-written reading DuckDB's
+    * epoch_us takes). */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    val ev = events(s, d)
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      case _ =>
+        ev.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("tstamp", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
 

@@ -320,6 +320,42 @@ object Relational extends QueryPack {
       .drop("run_id")
   }
 
+  /** Distribution-drift report — the data-drift gate a training pipeline
+    * runs before trusting a new ingest window: the event-type mix of the
+    * stream's LATE half vs its EARLY half (split at the midpoint of the
+    * observed time range), with each category's share drift in integer
+    * parts-per-billion. |share_early − share_late| is the per-category
+    * total-variation contribution; summing `drift_ppb` and halving gives
+    * the TV distance a monitor alarms on. Shares floor-divide BEFORE
+    * differencing (n·10⁹ div N), so every value is exact integer
+    * arithmetic in both engines — oracle-exact. n·10⁹ stays far below
+    * Long overflow until ~9·10⁹ events per window; beyond that the same
+    * plan runs on DECIMAL(38,0).
+    *
+    * Shape: one scan → one broadcast 1-row min/max → one
+    * partial-aggregable groupBy on the (low-cardinality) category with
+    * conditional counters — no second shuffle; the totals re-aggregate
+    * the handful of category rows. */
+  def q94DriftTv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsTs(s, dir).select(col("ts_us"), col("event_type"))
+    val mm = ev.agg(min(col("ts_us")).as("tmn"), max(col("ts_us")).as("tmx"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .withColumn("late", col("ts_us") > expr("(tmn + tmx) div 2"))
+      .groupBy(col("event_type"))
+      .agg(count(when(!col("late"), 1)).as("n_early"),
+        count(when(col("late"), 1)).as("n_late"))
+    val tot = counts.agg(sum(col("n_early")).as("ne"), sum(col("n_late")).as("nl"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_early_ppb",
+        when(col("ne") === 0, 0L).otherwise(expr("(n_early * 1000000000) div ne")))
+      .withColumn("share_late_ppb",
+        when(col("nl") === 0, 0L).otherwise(expr("(n_late * 1000000000) div nl")))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("share_early_ppb"), col("share_late_ppb"),
+        abs(col("share_early_ppb") - col("share_late_ppb")).as("drift_ppb"))
+      .orderBy(col("event_type"))
+  }
+
   def q12DowHodSpeed(s: SparkSession, dir: String): DataFrame =
     Tables.eventsTs(s, dir)
       .select(dayofweek(col("tstamp")).as("day_of_week"), hour(col("tstamp")).as("hour_of_day"),
@@ -555,9 +591,30 @@ object Relational extends QueryPack {
     "q29_moving_avg" -> (q29MovingAvg _),
     "q78_funnel" -> (q78Funnel _),
     "q80_resample" -> (q80Resample _),
-    "q81_scd2" -> (q81Scd2 _))
+    "q81_scd2" -> (q81Scd2 _),
+    "q94_drift_tv" -> (q94DriftTv _))
 
   val oracleSql: Map[String, String] = Map(
+    "q94_drift_tv" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),
+        |mm AS (SELECT min(tus) AS tmn, max(tus) AS tmx FROM e),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(count(CASE WHEN tus <= (tmn + tmx) // 2 THEN 1 END) AS BIGINT) AS n_early,
+        |    CAST(count(CASE WHEN tus > (tmn + tmx) // 2 THEN 1 END) AS BIGINT) AS n_late
+        |  FROM e CROSS JOIN mm GROUP BY event_type),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS ne,
+        |             CAST(sum(n_late) AS BIGINT) AS nl FROM c),
+        |sh AS (
+        |  SELECT event_type, n_early, n_late,
+        |    CAST(CASE WHEN ne = 0 THEN 0
+        |      ELSE (n_early * 1000000000) // ne END AS BIGINT) AS share_early_ppb,
+        |    CAST(CASE WHEN nl = 0 THEN 0
+        |      ELSE (n_late * 1000000000) // nl END AS BIGINT) AS share_late_ppb
+        |  FROM c CROSS JOIN t)
+        |SELECT event_type, n_early, n_late, share_early_ppb, share_late_ppb,
+        |  abs(share_early_ppb - share_late_ppb) AS drift_ppb
+        |FROM sh ORDER BY event_type""".stripMargin,
     "q81_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

@@ -104,6 +104,41 @@ class CurationSpec extends AnyFunSuite {
     assert(byId(2L) == 0.0, "all-distinct-bigram doc must have dup_frac 0")
   }
 
+  test("q93 fluency matches hand-computed smoothed bigram LM scores") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q93_docs").toFile
+    dir.deleteOnExit()
+    // corpus: uni a=2 b=2 x=1 y=1 z=1 (V=5); bigrams "a b"=2 "b a"=1 "x y"=1
+    Seq((1L, "a b a b", "en", "s", 7L),
+      (2L, "x y", "en", "s", 3L),
+      (3L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    val rows = operators.Text.q93LmFluency(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "a b": (2+1)e6 div (2+5) = 428571; "b a": (1+1)e6 div 7 = 285714;
+    // "x y": (1+1)e6 div (1+5) = 333333
+    assert(rows(1L) == ((3L, 2 * 428571L + 285714L, (2 * 428571L + 285714L) / 3)),
+      s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 333333L, 333333L)), s"doc 2: ${rows(2L)}")
+    assert(rows(3L) == ((0L, 0L, 0L)), s"doc 3: ${rows(3L)}")
+    // the smoothing contract: the repeated-transition doc outscores the
+    // hapax-gibberish doc (unsmoothed self-counts would invert this)
+    assert(rows(1L)._3 > rows(2L)._3)
+  }
+
+  test("q93 fluency scores stay in [0, 1e6] and cover every doc on sf0.001") {
+    val out = operators.Text.q93LmFluency(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (nb, fs, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ppm >= 0 && ppm <= 1000000L, s"doc ${r.getLong(0)}: ppm $ppm")
+      assert(fs <= nb * 1000000L, s"doc ${r.getLong(0)}: sum $fs over bound")
+      assert((nb == 0) == (fs == 0))
+    }
+  }
+
   test("q49 funnel is monotone non-increasing with the full stage set") {
     val rows = operators.Text.q49CurationPipeline(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))

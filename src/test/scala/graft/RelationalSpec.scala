@@ -61,6 +61,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum == Tables.events(spark, sf).count())
   }
 
+  test("q94 drift report is exact on a planted two-window shift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q94_events").toFile
+    dir.deleteOnExit()
+    // ts planted as raw ns longs (the adaptive eventsTs ns path);
+    // in µs: early half (ts_us <= mid=550): A,A,A,B — late half: A,B,B,B
+    Seq((1L, 100000L, 10L, "A", 1.0), (2L, 200000L, 10L, "A", 1.0),
+      (3L, 300000L, 11L, "A", 1.0), (4L, 400000L, 11L, "B", 1.0),
+      (5L, 600000L, 12L, "A", 1.0), (6L, 700000L, 12L, "B", 1.0),
+      (7L, 800000L, 13L, "B", 1.0), (8L, 1000000L, 13L, "B", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/events.parquet")
+    val rows = operators.Relational.q94DriftTv(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(rows("A") == ((3L, 1L, 500000000L)), s"A row: ${rows("A")}")
+    assert(rows("B") == ((1L, 3L, 500000000L)), s"B row: ${rows("B")}")
+  }
+
+  test("q94 drift is zero when both halves share one distribution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q94_flat").toFile
+    dir.deleteOnExit()
+    // identical A:B = 1:1 mix in each half -> every drift_ppb is 0
+    Seq((1L, 100000L, 10L, "A", 1.0), (2L, 200000L, 10L, "B", 1.0),
+      (3L, 600000L, 11L, "A", 1.0), (4L, 700000L, 11L, "B", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/events.parquet")
+    val drifts = operators.Relational.q94DriftTv(spark, dir.getAbsolutePath)
+      .collect().map(_.getLong(5))
+    assert(drifts.length == 2 && drifts.forall(_ == 0L), drifts.mkString(","))
+  }
+
   test("q9b new-customers complements customers-with-fulfilled-orders") {
     import org.apache.spark.sql.functions.col
     val c = Tables.customer(spark, sf).count()
