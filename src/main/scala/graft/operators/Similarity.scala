@@ -614,6 +614,56 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** Damped PageRank over a constant-out-degree edge set, in EXACT
+    * integer arithmetic: ranks are parts-per-trillion longs seeded at
+    * 10¹², each round every node ships `pr div outDeg` along its edges
+    * and re-seeds as `0.15·10¹² + (85·inSum) div 100` — floor division
+    * in both engines, and the in-sum is a sum of LONGS (order-
+    * independent), so the trajectory is bit-identical under any
+    * partitioning. The rank VECTOR stays distributed (a DataFrame
+    * joined per round) — unlike the driver-held KMeans/BPE/logistic
+    * state, rank is O(nodes) and must never collect. Each round is one
+    * equi-join on src + one dst-keyed partial-aggregable sum; lineage
+    * stays 2·iters plans deep (bounded, no checkpoint needed at 5).
+    * Long overflow headroom: 85·inSum < 2⁶³ holds while total rank mass
+    * (nodes·10¹²) stays under ~10⁸ nodes per connected hub — past that,
+    * the same plan runs on DECIMAL(38,0). */
+  private[graft] def pageRank(vertices: DataFrame, edges: DataFrame,
+      outDeg: Int, iters: Int): DataFrame = {
+    var r = vertices.select(col("vec_id"), lit(1000000000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst"), expr(s"pr div $outDeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      r = vertices.join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000000000L) + expr("(85 * coalesce(in_sum, 0)) div 100")).as("pr"))
+    }
+    r
+  }
+
+  /** Graph-centrality data selection — PageRank over the q73 kNN graph:
+    * the "pick the most REPRESENTATIVE documents" lever of a curation
+    * pipeline (vectors many near-neighbors point at are cluster cores;
+    * isolated vectors are outliers/noise), the graph-walk cousin of
+    * q53/q92's geometric centroids. 5 damped rounds over the exact
+    * 3-NN edge set, top-50 by final rank (full order: rank desc, id).
+    * The kNN edge build is the q73 oracle tier (its LSH twin q73b is
+    * the 100× path); the walk itself is scale-shaped: distributed rank
+    * vector, bounded driver state (none), shuffles keyed on node id.
+    * ORACLE-EXACT — the integer trajectory lets DuckDB replay all 5
+    * rounds as chained CTEs to the same bits. */
+  def q96KnnCentrality(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.FrameCache.persisted(s, s"q96edges:$dir") {
+      q73KnnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    }
+    val vertices = vecs(s, dir).select(col("vec_id"))
+    pageRank(vertices, edges, outDeg = 3, iters = 5)
+      .orderBy(col("pr").desc, col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"), col("pr").as("rank_ppt"))
+  }
+
   // ---- oracle SQL ----
 
   private val V = VectorOps
@@ -635,9 +685,40 @@ object Similarity extends QueryPack {
     "q73b_knn_graph_lsh" -> (q73bKnnGraphLsh _),
     "q79_rand_proj" -> (q79RandProj _),
     "q85_matryoshka" -> (q85Matryoshka _),
-    "q92_ivf_kmeans" -> (q92IvfKmeans _))
+    "q92_ivf_kmeans" -> (q92IvfKmeans _),
+    "q96_knn_centrality" -> (q96KnnCentrality _))
 
   val oracleSql: Map[String, String] = Map(
+    "q96_knn_centrality" -> {
+      val iters = 5
+      val head =
+        s"""WITH v AS ($vSql),
+           |p AS (
+           |  SELECT a.vec_id, b.vec_id AS nbr_id,
+           |    ${V.sqlDot("a.e", "b.e")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+           |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+           |rnk AS (
+           |  SELECT vec_id, nbr_id,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, nbr_id) AS rk
+           |  FROM p),
+           |ed AS (SELECT vec_id AS src, nbr_id AS dst FROM rnk WHERE rk <= 3),
+           |vert AS (SELECT vec_id FROM v),
+           |r0 AS (SELECT vec_id, CAST(1000000000000 AS BIGINT) AS pr FROM vert)"""
+      val rounds = (1 to iters).map { i =>
+        s""",
+           |c$i AS (SELECT ed.dst, sum(r${i - 1}.pr // 3) AS in_sum
+           |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.vec_id GROUP BY ed.dst),
+           |r$i AS (SELECT vert.vec_id,
+           |  CAST(150000000000 + (85 * coalesce(c$i.in_sum, 0)) // 100 AS BIGINT) AS pr
+           |  FROM vert LEFT JOIN c$i ON vert.vec_id = c$i.dst)"""
+      }.mkString
+      val tail =
+        s"""
+           |SELECT vec_id, pr AS rank_ppt FROM r$iters
+           |ORDER BY pr DESC, vec_id LIMIT 50"""
+      (head + rounds + tail).stripMargin
+    },
     "q50_knn_brute" ->
       s"""WITH v AS ($vSql), q AS ($qSql)
          |SELECT vec_id, ${V.sqlDot("v.e", "q.qe")} / (sqrt(v.n2) * sqrt(q.qn2)) AS cos

@@ -338,4 +338,41 @@ object Streams {
           .when(col("n_docs") > col("expectedDocs") * (1 + tol), "high")
           .otherwise("ok").as("verdict"))
   }
+
+  // ---- s13: NRT distribution-drift gate (streaming tier of q94) ----
+
+  /** Streaming twin of q94's drift report — the live alarm a training
+    * pipeline wants when the CATEGORY MIX of an ingest shifts (s10
+    * catches a source going dark or flooding; this catches the subtler
+    * failure where total volume looks fine but composition moved).
+    * Per tumbling window: every category's count as conditional
+    * counters over the KNOWN category list (the fixed-taxonomy
+    * assumption a drift monitor makes anyway), so the window total and
+    * all shares come out of ONE watermarked stateful aggregation —
+    * sidestepping the second stateful agg that per-(window, category)
+    * rows would need for shares (s10's deliberate limitation). Shares
+    * and the total-variation sum vs the batch-derived baseline
+    * (q94-style ppb integers) are then row-local; the verdict trips
+    * when TV exceeds the threshold. State is bounded by the watermark
+    * horizon; everything downstream of the one aggregate is stateless. */
+  def driftGate(in: Dataset[TimedEvent], categories: Seq[String],
+      baselinePpb: Map[String, Long], thresholdPpb: Long,
+      win: String = "1 hour", delay: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    val counters = categories.map(c =>
+      count(when(col("eventType") === c, 1)).as(s"n_$c"))
+    val tvTerms = categories.map { c =>
+      val share = when(col("n_total") === 0L, 0L)
+        .otherwise(expr(s"(n_$c * 1000000000) div n_total"))
+      abs(share - lit(baselinePpb.getOrElse(c, 0L)))
+    }
+    in.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), win).as("w"))
+      .agg(counters.head, counters.tail :+ count(lit(1)).as("n_total"): _*)
+      .withColumn("tv_sum", tvTerms.reduce(_ + _))
+      .withColumn("tv_ppb", expr("tv_sum div 2"))
+      .select(col("w.start").as("win_start") +: col("n_total") +:
+        categories.map(c => col(s"n_$c")) :+ col("tv_ppb") :+
+        (col("tv_ppb") > thresholdPpb).as("drifted"): _*)
+  }
 }

@@ -230,4 +230,32 @@ class SimilaritySpec extends AnyFunSuite {
       assert(coss.sameElements(coss.sortBy(-_)), s"label $l not rank-ordered")
     }
   }
+
+  test("pageRank concentrates rank on a planted star hub, conserving mass") {
+    import spark.implicits._
+    val vertices = (0L to 5L).toDF("vec_id")
+    // leaves 1..5 each point at hub 0; hub points at 1 (out-degree 1)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    // one round: hub absorbs all five leaf shares (a second round would
+    // hand the hub's mass on to node 1 — the expected cycle dynamics)
+    val ranks = operators.Similarity.pageRank(vertices, edges, outDeg = 1, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 6)
+    val hub = ranks(0L)
+    (1L to 5L).foreach(i => assert(hub > ranks(i), s"hub $hub !> node $i ${ranks(i)}"))
+    assert(hub == 150000000000L + 85L * 5000000000000L / 100L, hub.toString)
+    // out-degree 1 means no floor loss: damped mass is conserved exactly
+    assert(ranks.values.sum == 6L * 1000000000000L, ranks.toString)
+  }
+
+  test("q96 centrality emits a full-ordered top-50 within rank bounds") {
+    val rows = operators.Similarity.q96KnnCentrality(spark, sf).collect()
+    assert(rows.length == 50)
+    val prs = rows.map(_.getLong(1))
+    assert(prs.sameElements(prs.sortBy(-_)), "not rank-ordered")
+    prs.foreach(p => assert(p >= 150000000000L, s"rank $p below damping floor"))
+    val n = Tables.embeddings(spark, sf).count()
+    prs.foreach(p => assert(p < n * 1000000000000L, s"rank $p above total mass"))
+  }
 }

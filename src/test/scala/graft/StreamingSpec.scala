@@ -418,6 +418,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s13 drift gate flags the shifted window, passes the on-mix window") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[TimedEvent]
+    val sink = nextName()
+    // baseline mix: A and B at 50/50
+    val q = Streams.driftGate(in.toDS(), Seq("A", "B"),
+      Map("A" -> 500000000L, "B" -> 500000000L), thresholdPpb = 100000000L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        // 10:00 window: A,A,B,B — exactly the baseline -> tv 0
+        TimedEvent(ts(10, 5), "A", 1.0), TimedEvent(ts(10, 15), "A", 1.0),
+        TimedEvent(ts(10, 25), "B", 1.0), TimedEvent(ts(10, 35), "B", 1.0),
+        // 11:00 window: A,A,A,B -> shares 75/25, tv = 250M ppb -> drifted
+        TimedEvent(ts(11, 5), "A", 1.0), TimedEvent(ts(11, 15), "A", 1.0),
+        TimedEvent(ts(11, 25), "A", 1.0), TimedEvent(ts(11, 35), "B", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select("win_start", "n_total", "n_A", "n_B", "tv_ppb", "drifted")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", 4L, 2L, 2L, 0L, false),
+        ("2024-01-01 11:00:00.0", 4L, 3L, 1L, 250000000L, true)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("s13 drift gate counts unknown categories in the total (share shrink trips tv)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val in = MemoryStream[TimedEvent]
+    val sink = nextName()
+    val q = Streams.driftGate(in.toDS(), Seq("A", "B"),
+      Map("A" -> 500000000L, "B" -> 500000000L), thresholdPpb = 100000000L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // an off-taxonomy category C halves A's and B's shares: the gate
+      // sees the shrink through n_total even without an n_C counter
+      in.addData(
+        TimedEvent(ts(10, 5), "A", 1.0), TimedEvent(ts(10, 15), "B", 1.0),
+        TimedEvent(ts(10, 25), "C", 1.0), TimedEvent(ts(10, 35), "C", 1.0))
+      q.processAllAvailable()
+      val r = spark.table(sink)
+        .select("n_total", "n_A", "n_B", "tv_ppb", "drifted").collect().head
+      assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+      assert(r.getLong(3) == 250000000L && r.getBoolean(4), r.toString)
+    } finally q.stop()
+  }
+
   test("s11 native session windows merge events within gap and close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     import Streams.SessEvent
