@@ -334,8 +334,10 @@ object Relational extends QueryPack {
     *
     * Shape: one scan → one broadcast 1-row min/max → one
     * partial-aggregable groupBy on the (low-cardinality) category with
-    * conditional counters — no second shuffle; the totals re-aggregate
-    * the handful of category rows. */
+    * conditional counters — no second shuffle; the totals come from an
+    * UNPARTITIONED window over the already-aggregated handful of
+    * category rows (the q65 post-aggregation rule — a second lazy
+    * aggregate would re-execute the whole counts subtree instead). */
   def q94DriftTv(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsTs(s, dir).select(col("ts_us"), col("event_type"))
     val mm = ev.agg(min(col("ts_us")).as("tmn"), max(col("ts_us")).as("tmx"))
@@ -344,8 +346,10 @@ object Relational extends QueryPack {
       .groupBy(col("event_type"))
       .agg(count(when(!col("late"), 1)).as("n_early"),
         count(when(col("late"), 1)).as("n_late"))
-    val tot = counts.agg(sum(col("n_early")).as("ne"), sum(col("n_late")).as("nl"))
-    counts.crossJoin(broadcast(tot))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("ne", sum(col("n_early")).over(wAll))
+      .withColumn("nl", sum(col("n_late")).over(wAll))
       .withColumn("share_early_ppb",
         when(col("ne") === 0, 0L).otherwise(expr("(n_early * 1000000000) div ne")))
       .withColumn("share_late_ppb",
