@@ -67,7 +67,12 @@ object ScaleSmoke {
       // q88: replication grows the corpus pass 16x but the vocab —
       // and so every merge round — is IDENTICAL content; the expected
       // ratio is far below R, the vocab-bounded-iteration contract
-      "q88_bpe_vocab")
+      "q88_bpe_vocab",
+      // q93: same contract as q88 — corpus passes scale, the
+      // bigram/unigram vocab tables are content-identical, so the
+      // lookup joins stay fixed-size. q96 is absent like q73/q87: its
+      // edge build is the exact all-pairs tier BY CONTRACT.
+      "q93_lm_fluency", "q94_drift_tv", "q95_compact_scan")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh
