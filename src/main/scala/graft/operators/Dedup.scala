@@ -903,6 +903,42 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source contamination matrix — the "which corpora mirror each
+    * other" audit web-scale curation runs before mixing sources (CC vs
+    * C4 vs refined crawls share enormous verbatim overlap; double-
+    * counting a mirrored source silently re-weights the mixture and
+    * double-spends the dedup budget). For every source pair: how many
+    * DISTINCT exact contents (q40's md5 digest rule) both carry, plus
+    * each side's distinct-content total so downstream can form
+    * containment/Jaccard. The matrix is DENSE upper triangle
+    * (source_a < source_b) — a clean pair reports an explicit 0, which
+    * is the audit's actual claim ("we CHECKED, they share nothing"),
+    * not an absence.
+    *
+    * Shape: one scan → (digest, source) distinct (the only data-sized
+    * shuffle, digest-keyed); the self-join runs on the DEDUPLICATED
+    * (digest, source) frame — at worst |sources| rows per digest, so
+    * candidate volume is bounded by duplication across sources, never
+    * n² — then one low-cardinality pair rollup joined onto the
+    * |sources|²-row broadcast pair axis. Oracle-exact. */
+  def q97SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.documents(s, dir)
+      .select(md5(col("text")).as("h"), col("source")).distinct()
+    val totals = ds.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairAxis = totals.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(totals.select(col("source").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+    val shared = ds.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    broadcast(pairAxis).join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("shared"), lit(0L)).as("shared_contents"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ---- oracle SQL ----
 
   private val sqlToks = "string_split(lower(text), ' ')"
@@ -960,9 +996,26 @@ object Dedup extends QueryPack {
     "q66_ngram_decontam" -> (q66NgramDecontam _),
     "q66b_decontam_bloom" -> (q66bDecontamBloom _),
     "q69_incremental_neardup" -> (q69IncrementalNeardup _),
-    "q91_dup_spans" -> (q91DupSpans _))
+    "q91_dup_spans" -> (q91DupSpans _),
+    "q97_source_overlap" -> (q97SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q97_source_overlap" ->
+      """WITH ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+        |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source),
+        |axis AS (
+        |  SELECT ta.source AS source_a, tb.source AS source_b,
+        |    ta.n AS n_a, tb.n AS n_b
+        |  FROM t ta JOIN t tb ON ta.source < tb.source),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT axis.source_a, axis.source_b,
+        |  coalesce(sh.shared, 0) AS shared_contents, n_a, n_b
+        |FROM axis LEFT JOIN sh USING (source_a, source_b)
+        |ORDER BY 1, 2""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM (

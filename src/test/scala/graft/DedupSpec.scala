@@ -364,4 +364,27 @@ class DedupSpec extends AnyFunSuite {
     assert(cache2 == cache1,
       s"FrameCache entry count changed across identical runs: $cache1 -> $cache2")
   }
+
+  test("q97 source-overlap matrix is dense, exact, and de-duplicates within source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q97_docs").toFile
+    dir.deleteOnExit()
+    Seq(
+      (1L, "shared mirror text", "cc", "en", 18L),
+      (2L, "shared mirror text", "c4", "en", 18L),   // cc∩c4 content
+      (3L, "shared mirror text", "c4", "en", 18L),   // in-source copy: still 1 distinct
+      (4L, "only in cc", "cc", "en", 10L),
+      (5L, "only in c4", "c4", "en", 10L),
+      (6L, "wiki only", "wiki", "en", 9L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    val rows = operators.Dedup.q97SourceOverlap(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // dense upper triangle over {c4, cc, wiki}
+    assert(rows.keySet == Set(("c4", "cc"), ("c4", "wiki"), ("cc", "wiki")))
+    assert(rows(("c4", "cc")) == ((1L, 2L, 2L)), rows.toString)   // one shared content
+    assert(rows(("c4", "wiki")) == ((0L, 2L, 1L)), rows.toString) // checked, clean
+    assert(rows(("cc", "wiki")) == ((0L, 2L, 1L)), rows.toString)
+  }
 }
