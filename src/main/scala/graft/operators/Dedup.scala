@@ -922,8 +922,12 @@ object Dedup extends QueryPack {
     * n² — then one low-cardinality pair rollup joined onto the
     * |sources|²-row broadcast pair axis. Oracle-exact. */
   def q97SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val ds = Tables.documents(s, dir)
-      .select(md5(col("text")).as("h"), col("source")).distinct()
+    // persisted: ds feeds four consumers (both total sides, both join
+    // sides) — without it the corpus is scanned and md5-hashed 4x
+    val ds = graft.FrameCache.persisted(s, s"q97digests:$dir") {
+      Tables.documents(s, dir)
+        .select(md5(col("text")).as("h"), col("source")).distinct()
+    }
     val totals = ds.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairAxis = totals.select(col("source").as("source_a"), col("n").as("n_a"))
       .join(totals.select(col("source").as("source_b"), col("n").as("n_b")),
@@ -932,7 +936,9 @@ object Dedup extends QueryPack {
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared"))
-    broadcast(pairAxis).join(shared, Seq("source_a", "source_b"), "left")
+    // broadcast the aggregated pair counts (right side of the outer
+    // join — a left-side hint on LEFT OUTER is unsupported and ignored)
+    pairAxis.join(broadcast(shared), Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
         coalesce(col("shared"), lit(0L)).as("shared_contents"),
         col("n_a"), col("n_b"))

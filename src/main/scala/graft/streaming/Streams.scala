@@ -358,11 +358,17 @@ object Streams {
   def driftGate(in: Dataset[TimedEvent], categories: Seq[String],
       baselinePpb: Map[String, Long], thresholdPpb: Long,
       win: String = "1 hour", delay: String = "1 hour"): org.apache.spark.sql.DataFrame = {
-    val counters = categories.map(c =>
-      count(when(col("eventType") === c, 1)).as(s"n_$c"))
-    val tvTerms = categories.map { c =>
+    require(categories.nonEmpty, "driftGate needs at least one category")
+    // counters carry POSITIONAL internal names (n_c0…) so an arbitrary
+    // category string ("page-view", "ad.click") can never break the
+    // integer-share expr()s below; the category names only surface as
+    // (backtick-safe) aliases in the final select.
+    val counters = categories.zipWithIndex.map { case (c, i) =>
+      count(when(col("eventType") === c, 1)).as(s"n_c$i")
+    }
+    val tvTerms = categories.zipWithIndex.map { case (c, i) =>
       val share = when(col("n_total") === 0L, 0L)
-        .otherwise(expr(s"(n_$c * 1000000000) div n_total"))
+        .otherwise(expr(s"(n_c$i * 1000000000) div n_total"))
       abs(share - lit(baselinePpb.getOrElse(c, 0L)))
     }
     in.toDF()
@@ -372,7 +378,8 @@ object Streams {
       .withColumn("tv_sum", tvTerms.reduce(_ + _))
       .withColumn("tv_ppb", expr("tv_sum div 2"))
       .select(col("w.start").as("win_start") +: col("n_total") +:
-        categories.map(c => col(s"n_$c")) :+ col("tv_ppb") :+
+        categories.zipWithIndex.map { case (c, i) => col(s"n_c$i").as(s"n_$c") } :+
+        col("tv_ppb") :+
         (col("tv_ppb") > thresholdPpb).as("drifted"): _*)
   }
 }
