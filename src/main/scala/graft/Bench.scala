@@ -52,7 +52,12 @@ object Bench {
     // is the number least contaminated by co-tenant noise on this shared
     // host while still paying every real cost (cache is cleared before
     // each pass, so every pass rebuilds its own persisted intermediates).
-    val passes = math.max(1, sys.env.get("SPARK_GRAFT_PASSES")
+    // Floor of 2: a SINGLE timed pass on this shared host has repeatedly
+    // recorded disjoint 2-12x co-tenant spikes as per-query "regressions"
+    // (adjudicated rounds 3, 7, 8 — the intersection of flagged rows
+    // across reruns was empty every time). min-of-2 filters the spike at
+    // ~+70s suite cost; an explicit SPARK_GRAFT_PASSES=1 is promoted.
+    val passes = math.max(2, sys.env.get("SPARK_GRAFT_PASSES")
       .flatMap(_.toIntOption).getOrElse(3))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to passes).map { _ =>

@@ -42,9 +42,17 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         ev.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("tstamp", timestamp_micros(col("ts_us")))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
         ev.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
           .withColumn("tstamp", col("ts").cast("timestamp"))
+      case other =>
+        // the generator has changed ts's physical type between rounds;
+        // an unexpected type (e.g. plain INT32/DOUBLE seconds) must fail
+        // loudly here rather than silently misscale by 1e6 downstream
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other — " +
+            "expected raw nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -638,7 +638,7 @@ object Dedup extends QueryPack {
   val DriverCcThreshold = 1000000L
 
   private[graft] def dupClusters(s: SparkSession, dir: String,
-      driverThreshold: Long): DataFrame = {
+      driverThreshold: Long, checkpointEvery: Int = 5): DataFrame = {
     val pairs = graft.FrameCache.persisted(s, s"q45pairs:$dir")(
       q42DedupMinhashLsh(s, dir).select(col("id_a"), col("id_b")))
     val nPairs = pairs.count()
@@ -685,8 +685,19 @@ object Dedup extends QueryPack {
           // frame's cache is dead weight from here — drop it so the loop
           // holds TWO label snapshots at peak, not `rounds` of them
           labels.unpersist(false)
-          labels = next
           rounds += 1
+          // lineage cap: each round CHAINS two joins onto the plan, so
+          // 20 un-truncated rounds hand the analyzer/optimizer a plan
+          // whose cost grows with iteration count even when the data
+          // fits in cache. Every `checkpointEvery` rounds, cut the plan
+          // to a LogicalRDD via localCheckpoint — eager, so it just
+          // snapshots the blocks the isEmpty above already materialized.
+          labels =
+            if (checkpointEvery > 0 && rounds % checkpointEvery == 0) {
+              val cp = next.localCheckpoint()
+              next.unpersist(false)
+              cp
+            } else next
         }
         // `labels` is materialized; the doubled edge list only feeds
         // recomputation paths now

@@ -46,6 +46,11 @@ object CompactStore extends QueryPack {
     val fs = FileSystem.get(p.toUri, s.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(f => f.isFile &&
       f.getPath.getName.endsWith(".parquet"))
+    // the listing is non-recursive by design (compaction targets flat
+    // stores); pointed at a partitioned/subdirectory layout it would see
+    // zero files and silently plan n=1 — fail loudly instead
+    require(files.nonEmpty, s"no parquet data files directly under $path " +
+      "(partitioned stores are compacted per leaf directory)")
     (files.map(_.getLen).sum, files.length)
   }
 

@@ -359,6 +359,11 @@ object Streams {
       baselinePpb: Map[String, Long], thresholdPpb: Long,
       win: String = "1 hour", delay: String = "1 hour"): org.apache.spark.sql.DataFrame = {
     require(categories.nonEmpty, "driftGate needs at least one category")
+    // a baseline key outside the taxonomy would silently drop its mass
+    // from every tv comparison — fail loudly at build time instead
+    require(baselinePpb.keySet.subsetOf(categories.toSet),
+      s"baselinePpb keys outside the category taxonomy: " +
+        s"${(baselinePpb.keySet -- categories).mkString(", ")}")
     // counters carry POSITIONAL internal names (n_c0…) so an arbitrary
     // category string ("page-view", "ad.click") can never break the
     // integer-share expr()s below; the category names only surface as
@@ -370,6 +375,15 @@ object Streams {
       val share = when(col("n_total") === 0L, 0L)
         .otherwise(expr(s"(n_c$i * 1000000000) div n_total"))
       abs(share - lit(baselinePpb.getOrElse(c, 0L)))
+    } :+ {
+      // the implicit OTHER category: off-taxonomy events' own share mass
+      // (baseline 0 — the taxonomy claims everything). Without this term
+      // a pure new-category injection reports HALF the true total-
+      // variation distance (the known categories' shrink only), and
+      // thresholds calibrated against true TV under-trip.
+      val knownSum = categories.indices.map(i => s"n_c$i").mkString(" + ")
+      when(col("n_total") === 0L, 0L)
+        .otherwise(expr(s"((n_total - ($knownSum)) * 1000000000) div n_total"))
     }
     in.toDF()
       .withWatermark("ts", delay)

@@ -36,7 +36,12 @@ class CompactStoreSpec extends AnyFunSuite {
       val (_, outFiles) = CompactStore.dataFiles(spark, out)
       assert(planned == (fragBytes + target - 1) / target,
         "compact did not size output from the byte listing")
-      assert(outFiles == planned, s"wrote $outFiles files, planned $planned")
+      // repartitionByRange may yield FEWER non-empty partitions than
+      // planned when ts_us values are heavily duplicated (empty
+      // partitions write no file) — the sizing contract is the plan and
+      // the 8x reduction below, not an exact file count
+      assert(outFiles >= 1 && outFiles <= planned,
+        s"wrote $outFiles files, planned $planned")
       assert(outFiles < fragFiles / 8,
         s"compaction barely reduced files: $fragFiles -> $outFiles")
 

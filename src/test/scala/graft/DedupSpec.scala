@@ -52,6 +52,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(driver == dist, "hybrid CC paths diverge")
     assert(driver.exists { case (d, c) => d != c }, "no clusters found — vacuous")
+
+    // lineage cap: with the checkpoint cadence forced to EVERY round,
+    // the returned plan must be bounded (labels is a LogicalRDD plus the
+    // final presentation join) — not a chain growing with propagation
+    // rounds — and the answer must be unchanged by the truncation
+    val capped = operators.Dedup.dupClusters(spark, sf, -1L, checkpointEvery = 1)
+    val cappedRows = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedRows == driver, "checkpointed propagation changed the answer")
+    val nodes = capped.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes < 40, s"plan not truncated by localCheckpoint: $nodes nodes")
   }
 
   test("digest canonicalization is lossless on a replay-duplicated corpus") {

@@ -447,7 +447,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("s13 drift gate counts unknown categories in the total (share shrink trips tv)") {
+  test("s13 drift gate charges off-taxonomy mass via the implicit other term (true TV)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     val in = MemoryStream[TimedEvent]
@@ -457,8 +457,10 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName(sink)
       .outputMode(OutputMode.Complete()).start()
     try {
-      // an off-taxonomy category C halves A's and B's shares: the gate
-      // sees the shrink through n_total even without an n_C counter
+      // an off-taxonomy category C halves A's and B's shares AND brings
+      // its own 500M-ppb share mass through the implicit 'other' term:
+      // tv_sum = |250M-500M| + |250M-500M| + 500M = 1000M -> tv 500M,
+      // the TRUE total-variation distance (not just the known shrink)
       in.addData(
         TimedEvent(ts(10, 5), "A", 1.0), TimedEvent(ts(10, 15), "B", 1.0),
         TimedEvent(ts(10, 25), "C", 1.0), TimedEvent(ts(10, 35), "C", 1.0))
@@ -466,7 +468,7 @@ class StreamingSpec extends AnyFunSuite {
       val r = spark.table(sink)
         .select("n_total", "n_A", "n_B", "tv_ppb", "drifted").collect().head
       assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 1L)
-      assert(r.getLong(3) == 250000000L && r.getBoolean(4), r.toString)
+      assert(r.getLong(3) == 500000000L && r.getBoolean(4), r.toString)
     } finally q.stop()
   }
 
