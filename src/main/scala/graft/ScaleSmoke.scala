@@ -71,8 +71,10 @@ object ScaleSmoke {
       // q93: same contract as q88 — corpus passes scale, the
       // bigram/unigram vocab tables are content-identical, so the
       // lookup joins stay fixed-size. q96 is absent like q73/q87: its
-      // edge build is the exact all-pairs tier BY CONTRACT.
-      "q93_lm_fluency", "q94_drift_tv", "q95_compact_scan")
+      // edge build is the exact all-pairs tier BY CONTRACT; its scale
+      // twin q96b (LSH edges + the same integer walk) is in.
+      "q93_lm_fluency", "q94_drift_tv", "q95_compact_scan",
+      "q96b_knn_centrality_lsh")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh

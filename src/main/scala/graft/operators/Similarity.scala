@@ -629,11 +629,28 @@ object Similarity extends QueryPack {
     * (nodes·10¹²) stays under ~10⁸ nodes per connected hub — past that,
     * the same plan runs on DECIMAL(38,0). */
   private[graft] def pageRank(vertices: DataFrame, edges: DataFrame,
-      outDeg: Int, iters: Int): DataFrame = {
+      outDeg: Int, iters: Int): DataFrame =
+    pageRankOn(vertices, edges.withColumn("deg", lit(outDeg.toLong)), iters)
+
+  /** PageRank over a VARIABLE-out-degree edge set — the LSH-built graph
+    * case: bucketed candidate generation guarantees no constant degree
+    * (a node whose buckets surface < 3 candidates has a short list, or
+    * none). Each node's actual out-degree is counted once and attached
+    * to its edges (one aggregate + equi-join paid once, NOT per round),
+    * so contributions divide by the true fan-out and the trajectory
+    * stays exact integer arithmetic. */
+  private[graft] def pageRankVarDeg(vertices: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame =
+    pageRankOn(vertices,
+      edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"),
+      iters)
+
+  private def pageRankOn(vertices: DataFrame, edgesWithDeg: DataFrame,
+      iters: Int): DataFrame = {
     var r = vertices.select(col("vec_id"), lit(1000000000000L).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .select(col("dst"), expr(s"pr div $outDeg").as("c"))
+      val contrib = edgesWithDeg.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       r = vertices.join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
@@ -641,6 +658,12 @@ object Similarity extends QueryPack {
     }
     r
   }
+
+  /** Shared q96/q96b presentation: top-50 by final rank, full order. */
+  private def centralityTail(ranks: DataFrame): DataFrame =
+    ranks.orderBy(col("pr").desc, col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"), col("pr").as("rank_ppt"))
 
   /** Graph-centrality data selection — PageRank over the q73 kNN graph:
     * the "pick the most REPRESENTATIVE documents" lever of a curation
@@ -658,10 +681,32 @@ object Similarity extends QueryPack {
       q73KnnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     }
     val vertices = vecs(s, dir).select(col("vec_id"))
-    pageRank(vertices, edges, outDeg = 3, iters = 5)
-      .orderBy(col("pr").desc, col("vec_id"))
-      .limit(50)
-      .select(col("vec_id"), col("pr").as("rank_ppt"))
+    centralityTail(pageRank(vertices, edges, outDeg = 3, iters = 5))
+  }
+
+  /** q96b: the 100×-scale twin of q96 — the SAME damped integer PageRank
+    * walk, fed by the q73b LSH-built kNN graph instead of the exact
+    * all-pairs tier, so the whole plan is executable at scale: candidate
+    * edges come from the bucketed LSH equi-join (never n²), and the walk
+    * keeps its distributed rank vector and node-keyed shuffles. The LSH
+    * graph has no constant out-degree (bucketing surfaces < 3 neighbors
+    * for some nodes), so contributions divide by each node's ACTUAL
+    * fan-out via [[pageRankVarDeg]] — degrees are counted once and ride
+    * the persisted edge frame, not recomputed per round. Rows-only by
+    * design (LSH retrieval is probabilistic, the q73b precedent); the
+    * planted-hub agreement with exact-graph centrality and the
+    * variable-degree division law are spec-asserted in SimilaritySpec. */
+  def q96bKnnCentralityLsh(s: SparkSession, dir: String): DataFrame = {
+    // persist the edge frame WITH degrees attached: all 5 rounds (and a
+    // repeated run) read the bounded (src, dst, deg) relation from cache
+    // instead of re-running the LSH graph build or the degree aggregate
+    val edges = graft.FrameCache.persisted(s, s"q96bedges:$dir") {
+      val e = q73bKnnGraphLsh(s, dir)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    }
+    val vertices = vecs(s, dir).select(col("vec_id"))
+    centralityTail(pageRankOn(vertices, edges, iters = 5))
   }
 
   // ---- oracle SQL ----
@@ -686,7 +731,8 @@ object Similarity extends QueryPack {
     "q79_rand_proj" -> (q79RandProj _),
     "q85_matryoshka" -> (q85Matryoshka _),
     "q92_ivf_kmeans" -> (q92IvfKmeans _),
-    "q96_knn_centrality" -> (q96KnnCentrality _))
+    "q96_knn_centrality" -> (q96KnnCentrality _),
+    "q96b_knn_centrality_lsh" -> (q96bKnnCentralityLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "q96_knn_centrality" -> {

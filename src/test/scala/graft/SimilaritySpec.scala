@@ -249,6 +249,73 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.values.sum == 6L * 1000000000000L, ranks.toString)
   }
 
+  test("pageRankVarDeg divides by each node's actual out-degree, exactly") {
+    import spark.implicits._
+    val vertices = (0L to 3L).toDF("vec_id")
+    // node 1 -> 0 (deg 1); node 2 -> {0, 1} (deg 2); node 3 isolated
+    val edges = Seq((1L, 0L), (2L, 0L), (2L, 1L)).toDF("src", "dst")
+    val ranks = operators.Similarity.pageRankVarDeg(vertices, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 0 receives 1e12/1 + 1e12/2 = 1.5e12 -> 150e9 + 1275e9
+    assert(ranks(0L) == 150000000000L + 85L * 1500000000000L / 100L, ranks.toString)
+    // node 1 receives 1e12/2 = 5e11 -> 150e9 + 425e9
+    assert(ranks(1L) == 150000000000L + 85L * 500000000000L / 100L, ranks.toString)
+    // nodes 2 and 3 receive nothing: damping floor
+    assert(ranks(2L) == 150000000000L && ranks(3L) == 150000000000L, ranks.toString)
+  }
+
+  test("q96b LSH-graph centrality agrees with exact-graph centrality on a planted hub") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40 well-separated random vectors + a 6-copy hub group: the copies
+    // are mutual neighbors at cosine exactly 1.0 in BOTH graph tiers
+    // (exact: 1.0 dominates; LSH: co-member edges are DETERMINISTIC via
+    // digest canonicalization, no bucket luck involved), so the walk
+    // must concentrate rank on the same hub members either way
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val hub = (0 until 6).map(i => (100L + i, base.head._2.clone()))
+    val all = base.tail ++ hub // drop base.head so the hub is only the 6 copies
+    val v = all.toDF("vec_id", "e")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val vertices = all.map(_._1).toDF("vec_id")
+
+    // exact 3-NN edges, brute-forced driver-side (47 vectors)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exactEdges = all.flatMap { case (id, e) =>
+      all.filter(_._1 != id)
+        .map { case (nid, ne) => (nid, cos(e, ne)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).map { case (nid, _) => (id, nid) }
+    }.toDF("src", "dst")
+    val lshEdges = operators.Similarity.approxKnnGraph(v)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+
+    def top3(edges: org.apache.spark.sql.DataFrame): Seq[Long] =
+      operators.Similarity.pageRankVarDeg(vertices, edges, iters = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, pr) => (-pr, id) }.take(3).map(_._1).toSeq
+    val exactTop = top3(exactEdges)
+    val lshTop = top3(lshEdges)
+    assert(exactTop == lshTop,
+      s"tiers disagree on the hub: exact=$exactTop lsh=$lshTop")
+    assert(exactTop.forall(id => id >= 100L && id < 106L),
+      s"top-3 not in the planted hub group: $exactTop")
+  }
+
+  test("q96b emits ranked rows within rank bounds on testdata") {
+    val rows = operators.Similarity.q96bKnnCentralityLsh(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val prs = rows.map(_.getLong(1))
+    assert(prs.sameElements(prs.sortBy(-(_: Long))), "not rank-ordered")
+    prs.foreach(p => assert(p >= 150000000000L, s"rank $p below damping floor"))
+    val n = Tables.embeddings(spark, sf).count()
+    prs.foreach(p => assert(p < n * 1000000000000L, s"rank $p above total mass"))
+  }
+
   test("q96 centrality emits a full-ordered top-50 within rank bounds") {
     val rows = operators.Similarity.q96KnnCentrality(spark, sf).collect()
     assert(rows.length == 50)
