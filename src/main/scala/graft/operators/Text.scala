@@ -646,7 +646,7 @@ object Text extends QueryPack {
 
   // ---- q86: BM25 retrieval scoring ----
 
-  private val Bm25Query = Seq("spark", "query", "hash")
+  private[graft] val Bm25Query = Seq("spark", "query", "hash")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
@@ -673,7 +673,6 @@ object Text extends QueryPack {
     bm25From(Tables.documentsBalanced(s, dir))
 
   private[graft] def bm25From(docs: DataFrame): DataFrame = {
-    val (k1, b) = (Bm25K1, Bm25B)
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(tokens).cast("long")).as("tot_tokens"))
     val tf = graft.FrameCache.persistedFor(docs, "q86tf") {
@@ -686,6 +685,18 @@ object Text extends QueryPack {
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
     }
+    bm25Score(tf, stats)
+  }
+
+  /** The Okapi scoring tail over a (doc_id, dl, term, tf) relation plus
+    * a one-row (n_docs, tot_tokens) stats frame — shared verbatim by
+    * q86 (corpus tokenize pass) and q86b (the persisted inverted-index
+    * probe in [[graft.sources.InvertedIndexStore]]), so both tiers fold
+    * the identical IEEE double trajectory and stay oracle-exact against
+    * the same SQL twin. */
+  private[graft] def bm25Score(tf: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val (k1, b) = (Bm25K1, Bm25B)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = tf
       .join(broadcast(dfreq), "term")
@@ -739,8 +750,9 @@ object Text extends QueryPack {
     "q84_chunk" -> (q84Chunk _),
     "q86_bm25" -> (q86Bm25 _))
 
-  val oracleSql: Map[String, String] = Map(
-    "q86_bm25" -> {
+  /** The q86 oracle SQL, shared with q86b (the index probe computes the
+    * same answer from the persisted postings, so one twin gates both). */
+  private[graft] def bm25OracleSql: String = {
       val terms = Bm25Query.map("'" + _ + "'").mkString(",")
       val pivots = Bm25Query.zipWithIndex.map { case (t, i) =>
         s"max(CASE WHEN term = '$t' THEN w END) AS w_$i"
@@ -779,7 +791,10 @@ object Text extends QueryPack {
          |  FROM w GROUP BY 1)
          |SELECT doc_id, n_hit_terms, $score AS score
          |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q86_bm25" -> bm25OracleSql,
     "q84_chunk" -> {
       val fp = TextOps.sqlPolyHash61(
         "array_to_string(tk[start:least(start + 39, n)], ' ')")

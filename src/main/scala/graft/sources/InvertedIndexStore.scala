@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.{Engine, QueryPack, Tables}
+import graft.functions.TextOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index — the store-family member that serves the
+  * SEARCH side of the reference's Solr story natively. The reference
+  * ships documents INTO an index (`common/SolrSupport.java:79-135` batch
+  * indexer, `solr/ny_taxi/schema.xml`) precisely so point queries can
+  * probe posting lists instead of scanning the corpus; graft had the
+  * sink ([[graft.streaming.SearchDocSink]]) and the scorer (q86 BM25)
+  * but q86 re-tokenizes the whole corpus per query — correct for a
+  * batch audit, wrong for the interactive path a search user actually
+  * hits. This store materializes what Solr/Lucene keeps on disk, as
+  * plain parquet relations:
+  *
+  *  - `postings`: one row per (term, doc) — term, doc_id, tf, dl —
+  *    range-clustered and SORTED on term, so a term-set predicate
+  *    prunes at row-group level inside every file it opens;
+  *  - `postings.manifest`: per-file (min term, max term) — the
+  *    [[ManifestStore]] tier, so the planner opens ONLY files whose
+  *    term range can contain a query term (file-level skip; at 100 TB
+  *    the index is many thousands of files and footer-opening every one
+  *    per query would dominate);
+  *  - `postings.stats`: the one-row corpus aggregate (n_docs,
+  *    tot_tokens) BM25's length normalization needs — over ALL
+  *    documents, including those sharing no term with the query, which
+  *    the probe could never reconstruct from its pruned read.
+  *
+  * Build cost is one tokenize pass + one range shuffle (the q38/q86
+  * pass the pipeline runs anyway), amortized per JVM like the other
+  * stores. Document frequency is NOT stored: df of a probed term =
+  * that term's posting-row count, which the probe holds for free after
+  * reading exactly those postings.
+  *
+  * The probe (q86b) computes bit-identical scores to q86's corpus scan
+  * — same [[graft.operators.Text.bm25Score]] arithmetic over the same
+  * (doc_id, dl, term, tf) relation — so the SAME DuckDB twin gates
+  * both: an ORACLE-EXACT index-serving path. The pruning thesis
+  * (files opened = manifest subset < store files; rows read < total
+  * postings) is spec-asserted in InvertedIndexStoreSpec.
+  */
+object InvertedIndexStore extends QueryPack {
+
+  def manifestPath(storePath: String): String = storePath + ".manifest"
+  def statsPath(storePath: String): String = storePath + ".stats"
+
+  /** Tokenize `docs` once and write the term-clustered posting relation,
+    * its per-file term-range manifest, and the one-row corpus stats.
+    * Nothing is collected; the only shuffles are the posting groupBy and
+    * the range partition on term. */
+  def build(docs: DataFrame, path: String, files: Int): Unit = {
+    val toks = docs.select(col("doc_id"),
+      TextOps.toks(lower(col("text"))).as("tk"))
+    toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val s = docs.sparkSession
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("term").as("mn"), max("term").as("mx"))
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+    docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.toks(lower(col("text")))).cast("long")).as("tot_tokens"))
+      .write.mode(SaveMode.Overwrite).parquet(statsPath(path))
+  }
+
+  /** Per-JVM store cache: dir → store path (the store-family
+    * amortization contract — tokenize + cluster once, probe many). */
+  private val built = scala.collection.mutable.Map.empty[String, String]
+
+  def store(s: SparkSession, dir: String): String = synchronized {
+    built.getOrElseUpdate(dir, {
+      val path = Engine.storePath("graft-inverted-index", dir)
+      build(Tables.documents(s, dir), path, files = 16)
+      path
+    })
+  }
+
+  /** The files whose [min, max] term range can contain any of `terms` —
+    * the per-term point-probe version of [[ManifestStore.filesFor]]'s
+    * range overlap, run as a distributed filter over the manifest table
+    * with only the selected paths materialized. */
+  def filesFor(m: DataFrame, terms: Seq[String]): Array[String] =
+    m.filter(terms.map(t => col("mn") <= t && col("mx") >= t).reduce(_ || _))
+      .select(col("file")).collect().map(_.getString(0)).sorted
+
+  /** q86b: BM25 point query against the PERSISTED index — reads only
+    * the query terms' postings (manifest file skip + term-sorted
+    * row-group skip), never the corpus, and scores them through the
+    * exact q86 arithmetic. Oracle-exact against q86's own SQL twin. */
+  def q86bBm25Index(s: SparkSession, dir: String): DataFrame = {
+    val terms = graft.operators.Text.Bm25Query
+    val path = store(s, dir)
+    val selected = filesFor(s.read.parquet(manifestPath(path)), terms)
+    require(selected.nonEmpty, s"manifest selected no posting files for $terms")
+    val tf = s.read.parquet(selected: _*)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    graft.operators.Text.bm25Score(tf, s.read.parquet(statsPath(path)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q86b_bm25_index" -> (q86bBm25Index _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q86b_bm25_index" -> graft.operators.Text.bm25OracleSql)
+}
