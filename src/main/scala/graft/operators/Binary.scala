@@ -103,10 +103,127 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ---- q98: REAL image-header decode (the stub seam upgraded) ----
+
+  /** Format-true synthetic payloads: the corpus carries no raw media, so
+    * each doc gets a byte payload laid out EXACTLY per the public format
+    * specs — PNG (ISO/IEC 15948 §5.2 signature + §11.2.2 IHDR layout)
+    * for doc_id % 3 == 0, JPEG/JFIF (ITU-T T.81 §B.2 marker segments,
+    * SOF0 frame header) for % 3 == 1, and opaque non-image bytes for
+    * % 3 == 2. Header parameters derive from doc_id by integer
+    * arithmetic so the ORACLE can state the expected decode output
+    * without parsing anything — the oracle mirrors the CONSTRUCTION,
+    * the engine runs the real PARSE, and the hash gate closes the loop:
+    * a decoder reading the wrong offset/endianness fails the gate. */
+  private[graft] object ImageBytes {
+    def width(id: Long): Long = 16L + (id * 7919L) % 1017L
+    def height(id: Long): Long = 16L + (id * 104729L) % 761L
+    /** PNG color type: truecolor (2, 3 channels) / RGBA (6, 4 channels). */
+    def pngColorType(id: Long): Int = if (id % 2 == 0) 2 else 6
+    /** JPEG component count: YCbCr (3) / grayscale (1). */
+    def jpegComponents(id: Long): Int = if (id % 2 == 0) 3 else 1
+
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be16(v: Long): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 3) match {
+      case 0 =>
+        // PNG signature + IHDR chunk (length, type, 13-byte data, CRC —
+        // CRC bytes present but unchecked, as header readers do)
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+          be32(width(id)) ++ be32(height(id)) ++
+          Array[Byte](8, pngColorType(id).toByte, 0, 0, 0) ++
+          be32(0)
+      case 1 =>
+        // SOI, APP0/JFIF, a COM segment (forces the parser to actually
+        // WALK segments rather than assume a fixed SOF offset), SOF0
+        val ncomp = jpegComponents(id)
+        Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+          (Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+            "JFIF\u0000".getBytes("US-ASCII") ++
+            Array[Byte](1, 1, 0) ++ be16(72) ++ be16(72) ++ Array[Byte](0, 0)) ++
+          (Array[Byte](0xFF.toByte, 0xFE.toByte) ++ be16(7) ++
+            "graft".getBytes("US-ASCII")) ++
+          (Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(8 + 3 * ncomp) ++
+            Array[Byte](8) ++ be16(height(id)) ++ be16(width(id)) ++
+            Array[Byte](ncomp.toByte) ++
+            Array.fill(3 * ncomp)(0x11.toByte))
+      case _ =>
+        // opaque non-image payload: the decoder must pass it through as
+        // 'unknown' with null dimensions, never crash
+        text.getBytes("UTF-8")
+    }
+  }
+
+  /** Pure-JVM image-header decode: sniff the magic, then read the
+    * header fields at their spec offsets — PNG IHDR big-endian 32-bit
+    * dims + color type, JPEG marker-segment walk to the first SOF frame
+    * header (any of the C0–CF frame markers except C4/C8/CC). Returns
+    * (format, width, height, channels) with nulls for undecodable
+    * payloads; defensive on truncation (no exceptions — a corrupt blob
+    * in a 100 TB corpus must degrade to 'unknown', not kill the stage). */
+  private[graft] def decodeImageHeader(b: Array[Byte])
+      : (String, Option[Long], Option[Long], Option[Long]) = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (b.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        (8 until 12).forall(i => u8(i + 4) == "IHDR".charAt(i - 8).toInt)) {
+      val channels = u8(25) match {
+        case 0 => Some(1L); case 2 => Some(3L); case 3 => Some(1L)
+        case 4 => Some(2L); case 6 => Some(4L); case _ => None
+      }
+      ("png", Some(be32(16)), Some(be32(20)), channels)
+    } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // walk FF-marker segments to the first frame header
+      var i = 2
+      while (i + 9 < b.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof)
+          return ("jpeg", Some(be16(i + 7)), Some(be16(i + 5)), Some(u8(i + 9).toLong))
+        i += 2 + be16(i + 2).toInt // segment length counts itself
+      }
+      ("unknown", None, None, None)
+    } else ("unknown", None, None, None)
+  }
+
+  /** q98: typed image-header extraction — the multimodal tier's decode
+    * seam made REAL: the q71 mapPartitions batch shape, but the decoder
+    * body actually parses PNG/JPEG header structures from the public
+    * format specs instead of stubbing. Payloads are format-true
+    * synthetic bytes (see [[ImageBytes]]); opaque payloads flow through
+    * as 'unknown' rows (the honest seam for formats the engine does not
+    * decode). Oracle-exact: the oracle restates the construction
+    * arithmetic, so any parse defect breaks the hash. */
+  def q98ImageHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = ImageBytes.payload(id, text)
+          val (fmt, w, h, c) = decodeImageHeader(bytes)
+          (id, bytes.length.toLong, fmt, w, h, c)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "format", "img_w", "img_h", "channels")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_binary_meta" -> (q70BinaryMeta _),
     "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _),
-    "q72_frame_sample" -> (q72FrameSample _))
+    "q72_frame_sample" -> (q72FrameSample _),
+    "q98_image_header" -> (q98ImageHeader _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -151,5 +268,28 @@ object Binary extends QueryPack {
          |  md5(text) AS content_md5,
          |  320 + (CAST(octet_length(encode(text)) AS BIGINT) % 32) * 16 AS decode_w,
          |  240 + (${TextOps.sqlPolyHash("text", 31L)} % 24) * 10 AS decode_h
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q98's twin restates the payload CONSTRUCTION arithmetic (never the
+    // parse): PNG = 33 header bytes (8 sig + 25 IHDR chunk), JPEG =
+    // 39 + 3·ncomp (SOI + APP0 + COM + SOF0), opaque = the text bytes.
+    // The engine side actually parses those layouts, so a decoder bug
+    // (wrong offset, wrong endianness, broken marker walk) hash-fails.
+    "q98_image_header" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 33
+        |    WHEN 1 THEN 39 + 3 * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)
+        |    ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 < 2
+        |    THEN 16 + (doc_id * 7919) % 1017 END AS BIGINT) AS img_w,
+        |  CAST(CASE WHEN doc_id % 3 < 2
+        |    THEN 16 + (doc_id * 104729) % 761 END AS BIGINT) AS img_h,
+        |  CAST(CASE WHEN doc_id % 3 = 0
+        |      THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+        |    WHEN doc_id % 3 = 1
+        |      THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+        |    END AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
