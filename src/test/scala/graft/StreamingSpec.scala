@@ -87,6 +87,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("s1 end-to-end from a real file source: csv dir -> frame -> parse -> state") {
+    // closes the "seam only" gap the sandbox allows: the SAME pipeline
+    // the Kafka wiring feeds (publisher frame rules -> q19 tolerant
+    // parse -> entity state), driven once by an actual readStream FILE
+    // source instead of MemoryStream — real source discovery, real
+    // micro-batch boundaries (one per arriving file), real bad-row
+    // traffic through the drop rules
+    import graft.streaming.{KafkaPublisher, KafkaSource}
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvsrc_").toFile
+    val sink = nextName()
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = new java.io.File(dir, "." + name + ".tmp")
+      java.nio.file.Files.write(tmp.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      // atomic rename: the source must never list a half-written file
+      tmp.renameTo(new java.io.File(dir, name))
+    }
+    writeFile("batch1.csv", Seq(
+      "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderpriority",
+      "100,1,O,10.00,P",
+      "101,1,F,5.50,P",
+      "102,2,O,7.25,P",
+      "junk",
+      "bad,notanum,O,zz,P"))
+    val frame = KafkaPublisher.csvDirStream(spark, dir.getAbsolutePath,
+      headerPrefix = "o_orderkey")
+    val events = KafkaSource.orderEvents(frame.select($"value").as[String])
+    val q = Streams.entityStream(events)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table(sink).as[EntityUpdate].collect().map(u => u.custkey -> u).toMap
+      // the header, the short line, and the poison line never became state
+      assert(b1.keySet == Set(1L, 2L), s"unexpected keys: ${b1.keySet}")
+      assert(b1(1).state == "New" && b1(1).totalTrips == 2 && b1(1).totalAmount == 15.5)
+      assert(b1(1).openTrips == 1 && b1(1).fulfilledTrips == 1)
+      assert(b1(2).state == "New" && b1(2).totalAmount == 7.25)
+
+      // a new file LANDS in the watched dir -> next micro-batch; per-key
+      // state must carry across real file-source batches
+      writeFile("batch2.csv", Seq("103,1,F,4.50,P"))
+      q.processAllAvailable()
+      val mods = spark.table(sink).as[EntityUpdate].collect().filter(_.state == "Modified")
+      assert(mods.length == 1, s"expected one Modified: ${mods.mkString("|")}")
+      val u = mods.head
+      assert(u.custkey == 1 && u.totalTrips == 3 && u.totalAmount == 20.0)
+      assert(u.maxAmount == 10.0 && u.fulfilledTrips == 2)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("s2 profile stream: store-seeded keys are updates, unseen keys are inserts") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Reading]
