@@ -74,7 +74,10 @@ object ScaleSmoke {
       // edge build is the exact all-pairs tier BY CONTRACT; its scale
       // twin q96b (LSH edges + the same integer walk) is in.
       "q93_lm_fluency", "q94_drift_tv", "q95_compact_scan",
-      "q96b_knn_centrality_lsh")
+      // q86b: the index build pays one corpus tokenize (scales with
+      // data); the PROBE reads only the query terms' posting files —
+      // manifest skip keeps the serving read sub-corpus at any R
+      "q96b_knn_centrality_lsh", "q86b_bm25_index", "q98_image_header")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh
