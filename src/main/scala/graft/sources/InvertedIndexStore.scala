@@ -47,11 +47,11 @@ object InvertedIndexStore extends QueryPack {
   def manifestPath(storePath: String): String = storePath + ".manifest"
   def statsPath(storePath: String): String = storePath + ".stats"
 
-  /** Tokenize `docs` once and write the term-clustered posting relation,
-    * its per-file term-range manifest, and the one-row corpus stats.
-    * Nothing is collected; the only shuffles are the posting groupBy and
-    * the range partition on term. */
-  def build(docs: DataFrame, path: String, files: Int): Unit = {
+  /** The posting relation for `docs` — one row per (term, doc):
+    * (term, doc_id, dl, tf). Shared by the batch build and the
+    * streaming segment refresh ([[graft.streaming.IndexRefreshSink]]),
+    * so both tiers index with the identical tokenization. */
+  def postings(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextOps.toks(lower(col("text"))).as("tk"))
     toks
@@ -59,17 +59,36 @@ object InvertedIndexStore extends QueryPack {
         explode(col("tk")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .repartitionByRange(files, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    val s = docs.sparkSession
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+  }
+
+  /** The corpus-stats aggregate BM25's length normalization needs —
+    * one row (n_docs, tot_tokens); segment stores keep one per segment
+    * and SUM them at probe time. */
+  def statsAgg(docs: DataFrame): DataFrame = docs
+    .agg(count(lit(1)).as("n_docs"),
+      sum(size(TextOps.toks(lower(col("text")))).cast("long")).as("tot_tokens"))
+
+  /** Derive the per-file (min term, max term) manifest of the posting
+    * files under `path` and write it to `to` — one aggregate over the
+    * written files, nothing collected. */
+  def writeManifest(s: SparkSession, path: String, to: String): Unit =
     s.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min("term").as("mn"), max("term").as("mx"))
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
-    docs
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextOps.toks(lower(col("text")))).cast("long")).as("tot_tokens"))
+      .write.mode(SaveMode.Overwrite).parquet(to)
+
+  /** Tokenize `docs` once and write the term-clustered posting relation,
+    * its per-file term-range manifest, and the one-row corpus stats.
+    * Nothing is collected; the only shuffles are the posting groupBy and
+    * the range partition on term. */
+  def build(docs: DataFrame, path: String, files: Int): Unit = {
+    postings(docs)
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeManifest(docs.sparkSession, path, manifestPath(path))
+    statsAgg(docs)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(path))
   }
 
