@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Num, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-run auditing — the two reports a production data platform
+  * runs between ingest rounds and before training rounds:
+  *
+  *  - q100: snapshot CDC diff (what changed between run N-1 and run N —
+  *    the Delta CDF / Iceberg changelog question, and the batch twin of
+  *    the reference's Kudu upsert stream: q22 emits the write batch,
+  *    this audits what the writes DID to the store);
+  *  - q101: declarative data-quality constraint validation (the
+  *    Deequ / Great-Expectations idea): every constraint checked in
+  *    bounded passes, reported as an explicit row even at zero
+  *    violations — "checked and clean" is information, absence is not.
+  *
+  * Both are pure aggregates/joins on keyed frames, so both are
+  * oracle-exact; at scale q100 is two partial-aggregable keyed
+  * aggregates + one co-partitioned full-outer join (entity-sized, not
+  * fact-sized), and q101 is one conditional-counter corpus scan (the
+  * q17 pattern) + one keyed aggregate for the uniqueness constraint —
+  * no constraint adds a pass.
+  */
+object Audit extends QueryPack {
+  import Num.cents
+
+  private val (cut1, cut2) = ("1997-01-01", "1998-01-01")
+
+  /** Per-customer entity snapshot as of `cutoff` (the q21/q22 fold). */
+  private def snapshot(orders: DataFrame, cutoff: String): DataFrame =
+    orders.filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("trips"),
+        sum(cents(col("o_totalprice"))).as("amount_c"),
+        max(col("o_totalprice")).as("mx"))
+
+  /** q100: CDC audit between two snapshot versions of the entity store.
+    * Full-outer join of the two keyed aggregates classifies every key
+    * ADDED / CHANGED / UNCHANGED / REMOVED; the report pins all four op
+    * rows (a clean op reports 0 — checked, not missing) with key counts
+    * and exact integer-cents deltas. Append-only stores make REMOVED
+    * structurally zero here; the row exists because a real CDC audit's
+    * job is to PROVE that. */
+  def q100SnapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiff(s, Tables.orders(s, dir))
+
+  private[graft] def snapshotDiff(s: SparkSession, orders: DataFrame): DataFrame = {
+    val v1 = snapshot(orders, cut1)
+      .select(col("o_custkey").as("k1"), col("trips").as("t1"),
+        col("amount_c").as("a1"), col("mx").as("m1"))
+    val v2 = snapshot(orders, cut2)
+      .select(col("o_custkey").as("k2"), col("trips").as("t2"),
+        col("amount_c").as("a2"), col("mx").as("m2"))
+    val diff = v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        when(col("k1").isNull, "ADDED")
+          .when(col("k2").isNull, "REMOVED")
+          .when(col("t1") === col("t2") && col("a1") === col("a2")
+            && col("m1") === col("m2"), "UNCHANGED")
+          .otherwise("CHANGED").as("op"),
+        (coalesce(col("t2"), lit(0L)) - coalesce(col("t1"), lit(0L))).as("td"),
+        (coalesce(col("a2"), lit(0L)) - coalesce(col("a1"), lit(0L))).as("ad"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), sum(col("td")).as("tds"),
+        sum(col("ad")).as("ads"))
+    import s.implicits._
+    val ops = Seq("ADDED", "CHANGED", "REMOVED", "UNCHANGED").toDF("op")
+    ops.join(broadcast(diff), Seq("op"), "left_outer")
+      .select(col("op"),
+        coalesce(col("n"), lit(0L)).as("n_keys"),
+        coalesce(col("tds"), lit(0L)).as("trips_delta"),
+        (coalesce(col("ads"), lit(0L)) / 100.0).as("amount_delta"))
+      .orderBy(col("op"))
+  }
+
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** q101: constraint validation over the documents corpus. Five
+    * row-local constraints ride ONE conditional-counter scan; the
+    * uniqueness constraint is the only keyed aggregate. Violations
+    * count ROWS in breach; status makes the report actionable at a
+    * glance. */
+  def q101ConstraintReport(s: SparkSession, dir: String): DataFrame =
+    constraintReport(Tables.documents(s, dir))
+
+  private[graft] def constraintReport(docs: DataFrame): DataFrame = {
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val rowLocal = docs.agg(
+      count(lit(1)).as("n_checked"),
+      cnt(col("doc_id").isNull).as("v_id_null"),
+      cnt(col("text").isNull || length(col("text")) === 0).as("v_text_empty"),
+      cnt(!(col("n_chars") <=> length(col("text")))).as("v_chars"),
+      cnt(coalesce(!col("lang").isin(Langs: _*), lit(true))).as("v_lang"),
+      cnt(col("source").isNull).as("v_source"))
+    val dupRows = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("v_dup"))
+    rowLocal.crossJoin(broadcast(dupRows))
+      .select(expr(
+        """stack(6,
+          |  'doc_id_not_null', v_id_null,
+          |  'doc_id_unique', v_dup,
+          |  'lang_in_taxonomy', v_lang,
+          |  'n_chars_consistent', v_chars,
+          |  'source_not_null', v_source,
+          |  'text_nonempty', v_text_empty) AS (constraint_name, violations)"""
+          .stripMargin),
+        col("n_checked"))
+      .select(col("constraint_name"), col("violations"), col("n_checked"),
+        when(col("violations") > 0, "fail").otherwise("pass").as("status"))
+      .orderBy(col("constraint_name"))
+  }
+
+  private val S = Num.sql
+
+  val queries: Map[String, Q] = Map(
+    "q100_snapshot_diff" -> (q100SnapshotDiff _),
+    "q101_constraint_report" -> (q101ConstraintReport _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q100_snapshot_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT o_custkey AS k1, count(*) AS t1,
+         |    CAST(sum(${S.cents("o_totalprice")}) AS BIGINT) AS a1,
+         |    max(o_totalprice) AS m1
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut1' GROUP BY 1
+         |), v2 AS (
+         |  SELECT o_custkey AS k2, count(*) AS t2,
+         |    CAST(sum(${S.cents("o_totalprice")}) AS BIGINT) AS a2,
+         |    max(o_totalprice) AS m2
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2' GROUP BY 1
+         |), diff AS (
+         |  SELECT CASE WHEN k1 IS NULL THEN 'ADDED'
+         |              WHEN k2 IS NULL THEN 'REMOVED'
+         |              WHEN t1 = t2 AND a1 = a2 AND m1 = m2 THEN 'UNCHANGED'
+         |              ELSE 'CHANGED' END AS op,
+         |    coalesce(t2, 0) - coalesce(t1, 0) AS td,
+         |    coalesce(a2, 0) - coalesce(a1, 0) AS ad
+         |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+         |), agg AS (
+         |  SELECT op, count(*) AS n, sum(td) AS tds, sum(ad) AS ads
+         |  FROM diff GROUP BY 1)
+         |SELECT ops.op, coalesce(n, 0) AS n_keys,
+         |  CAST(coalesce(tds, 0) AS BIGINT) AS trips_delta,
+         |  coalesce(ads, 0) / 100.0 AS amount_delta
+         |FROM (VALUES ('ADDED'), ('CHANGED'), ('REMOVED'), ('UNCHANGED')) ops(op)
+         |LEFT JOIN agg ON ops.op = agg.op
+         |ORDER BY ops.op""".stripMargin,
+    "q101_constraint_report" ->
+      s"""WITH rl AS (
+         |  SELECT count(*) AS n_checked,
+         |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_id_null,
+         |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_text_empty,
+         |    sum(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS v_chars,
+         |    sum(CASE WHEN coalesce(lang NOT IN (${Langs.map("'" + _ + "'").mkString(",")}), TRUE) THEN 1 ELSE 0 END) AS v_lang,
+         |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS v_source
+         |  FROM documents
+         |), du AS (
+         |  SELECT coalesce(sum(c), 0) AS v_dup FROM (
+         |    SELECT count(*) AS c FROM documents GROUP BY doc_id HAVING count(*) > 1))
+         |SELECT constraint_name, CAST(violations AS BIGINT) AS violations,
+         |  CAST(n_checked AS BIGINT) AS n_checked,
+         |  CASE WHEN violations > 0 THEN 'fail' ELSE 'pass' END AS status
+         |FROM rl, du, LATERAL (VALUES
+         |  ('doc_id_not_null', v_id_null),
+         |  ('doc_id_unique', v_dup),
+         |  ('lang_in_taxonomy', v_lang),
+         |  ('n_chars_consistent', v_chars),
+         |  ('source_not_null', v_source),
+         |  ('text_nonempty', v_text_empty)) t(constraint_name, violations)
+         |ORDER BY constraint_name""".stripMargin)
+}

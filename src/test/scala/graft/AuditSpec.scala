@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Audit
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q100/q101 law tests: the CDC diff must account for every key and
+  * prove the append-only invariant; the constraint report must count
+  * planted violations exactly and report clean constraints as explicit
+  * zero rows. */
+class AuditSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("q100 pins all four ops, proves append-only, accounts every key") {
+    val out = Audit.q100SnapshotDiff(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("ADDED", "CHANGED", "REMOVED", "UNCHANGED"))
+    val byOp = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // append-only store: nothing is ever REMOVED — and the report
+    // PROVES it rather than omitting the row
+    assert(byOp("REMOVED") == ((0L, 0L, 0.0)))
+    // UNCHANGED keys by definition have zero delta
+    assert(byOp("UNCHANGED")._2 == 0L && byOp("UNCHANGED")._3 == 0.0)
+    // every v2 key is accounted for exactly once across ADDED/CHANGED/
+    // UNCHANGED (v1 ⊆ v2 keys in an append-only world)
+    val v2Keys = Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter($"o_orderdate" < "1998-01-01")
+      .select($"o_custkey").distinct().count()
+    assert(byOp("ADDED")._1 + byOp("CHANGED")._1 + byOp("UNCHANGED")._1 == v2Keys)
+    assert(byOp("ADDED")._1 > 0 && byOp("CHANGED")._1 > 0,
+      "degenerate diff: no adds or changes between the two cutoffs")
+  }
+
+  test("q101 counts planted violations exactly; clean constraints report 0") {
+    // (doc_id, text, lang, source, n_chars) with one planted breach per
+    // constraint — and row 1 clean on every axis
+    val docs = Seq[(java.lang.Long, String, String, String, java.lang.Long)](
+      (1L, "good text", "en", "srcA", 9L),       // clean
+      (2L, "dup id", "de", "srcA", 6L),          // dup pair (rows 2+3)
+      (2L, "dup id", "de", "srcA", 6L),
+      (3L, "", "fr", "srcA", 0L),                // empty text
+      (4L, "bad lang", "xx", "srcA", 8L),        // off-taxonomy lang
+      (5L, "bad count", "es", "srcA", 99L),      // n_chars mismatch
+      (6L, "no source", "zh", null, 9L),         // null source
+      (null, "no id", "en", "srcA", 5L)          // null doc_id
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = Audit.constraintReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rep("doc_id_not_null") == ((1L, 8L, "fail")))
+    assert(rep("doc_id_unique") == ((2L, 8L, "fail"))) // both dup ROWS count
+    assert(rep("lang_in_taxonomy") == ((1L, 8L, "fail")))
+    assert(rep("n_chars_consistent") == ((1L, 8L, "fail")))
+    assert(rep("source_not_null") == ((1L, 8L, "fail")))
+    assert(rep("text_nonempty") == ((1L, 8L, "fail")))
+  }
+
+  test("q101 on the real corpus: every constraint passes with non-zero coverage") {
+    val rep = Audit.q101ConstraintReport(spark, "/root/testdata/sf0.001").collect()
+    assert(rep.length == 6)
+    assert(rep.forall(_.getString(3) == "pass"),
+      s"violations in generated corpus: ${rep.mkString("; ")}")
+    assert(rep.forall(_.getLong(2) > 0))
+  }
+}
