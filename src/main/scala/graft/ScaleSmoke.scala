@@ -77,7 +77,12 @@ object ScaleSmoke {
       // q86b: the index build pays one corpus tokenize (scales with
       // data); the PROBE reads only the query terms' posting files —
       // manifest skip keeps the serving read sub-corpus at any R
-      "q96b_knn_centrality_lsh", "q86b_bm25_index", "q98_image_header")
+      "q96b_knn_centrality_lsh", "q86b_bm25_index", "q98_image_header",
+      // q101: one conditional-counter scan + one doc_id aggregate —
+      // should track raw scan cost. (q100 reads orders, which this
+      // smoke does not replicate; its scale shape is two keyed
+      // aggregates + one entity-sized join, argued in SURVEY §2.H.)
+      "q101_constraint_report")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh

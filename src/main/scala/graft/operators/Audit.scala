@@ -42,7 +42,16 @@ object Audit extends QueryPack {
     * rows (a clean op reports 0 — checked, not missing) with key counts
     * and exact integer-cents deltas. Append-only stores make REMOVED
     * structurally zero here; the row exists because a real CDC audit's
-    * job is to PROVE that. */
+    * job is to PROVE that.
+    *
+    * The join is deliberate: in production the two snapshots are two
+    * INDEPENDENT store versions (yesterday's table and today's), so the
+    * co-partitioned full-outer join is the correct — and only — scale
+    * shape; deriving both sides from the one `orders` fact table here
+    * is just how the harness manufactures two versions. (When both
+    * versions ARE known to come from one append-only fact table, a
+    * single conditional-aggregate scan beats the join — that fused
+    * shape is exactly q21/q22's.) */
   def q100SnapshotDiff(s: SparkSession, dir: String): DataFrame =
     snapshotDiff(s, Tables.orders(s, dir))
 

@@ -48,6 +48,10 @@ object IndexRefreshSink {
     * own directories, Overwrite for replay idempotence. */
   def appendBatch(batch: DataFrame, path: String, batchId: Long,
       segFiles: Int = 4): Unit = {
+    // an empty micro-batch must not land a part-file-less segment dir:
+    // the manifest derivation reads the segment back, and a dir with
+    // only _SUCCESS fails schema inference and kills the stream
+    if (batch.isEmpty) return
     val seg = segName(batchId)
     InvertedIndexStore.postings(batch)
       .repartitionByRange(segFiles, col("term"))

@@ -64,6 +64,16 @@ class IndexRefreshSpec extends AnyFunSuite {
       val replayed = IndexRefreshSink.probe(spark, path).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(replayed.sameElements(expAll), "batch replay changed the index")
+
+      // an empty micro-batch is a no-op, not a part-file-less segment
+      // dir that would break the manifest read
+      IndexRefreshSink.appendBatch(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), path, batchId = 99L)
+      assert(!new java.io.File(s"$path/${IndexRefreshSink.segName(99L)}").exists,
+        "empty batch landed a segment directory")
+      val afterEmpty = IndexRefreshSink.probe(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(afterEmpty.sameElements(expAll), "empty batch changed the index")
     } finally q.stop()
   }
 
