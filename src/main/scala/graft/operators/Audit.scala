@@ -123,11 +123,51 @@ object Audit extends QueryPack {
       .orderBy(col("constraint_name"))
   }
 
+  /** q103: source-weight suggestion — the step that CLOSES the mixture
+    * loop q67/q75 leave open (q67 reports the mix, q75 materializes
+    * given weights; something has to propose them). Each source's raw
+    * char mass is discounted twice, the DoReMi-adjacent heuristic a
+    * pipeline can defend: by its internal duplication (only DISTINCT
+    * content counts — a mirrored crawl must not buy weight with copies)
+    * and by its mean q31 quality score; weights are the normalized ppm
+    * shares of the discounted mass. All ratios floor-divided integers
+    * (quality doubles enter once via the bit-stable q31 formula and are
+    * immediately rounded to ppm), so the report is ORACLE-EXACT. At
+    * scale: one doc-keyed join, one digest aggregate, two source-keyed
+    * aggregates, a 1-row broadcast — no new pass shapes. */
+  def q103SourceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("dg"))
+    val quality = Text.q31QualityScore(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_ppm"))
+    val bySrc = docs.join(quality, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("q_ppm")).as("q_ppm_sum"))
+    val distinctChars = docs.groupBy(col("source"), col("dg"))
+      .agg(min(col("n_chars")).as("nc"))
+      .groupBy(col("source")).agg(sum(col("nc")).as("chars_distinct"))
+    val scored = bySrc.join(distinctChars, "source")
+      .withColumn("mean_quality_ppm", expr("q_ppm_sum div n_docs"))
+      .withColumn("effective_chars",
+        expr("(chars_distinct * mean_quality_ppm) div 1000000"))
+    val total = scored.agg(sum(col("effective_chars")).as("tot"))
+    scored.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("chars_total"),
+        col("chars_distinct"), col("mean_quality_ppm"), col("effective_chars"),
+        expr("(effective_chars * 1000000) div tot").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
   private val S = Num.sql
 
   val queries: Map[String, Q] = Map(
     "q100_snapshot_diff" -> (q100SnapshotDiff _),
-    "q101_constraint_report" -> (q101ConstraintReport _))
+    "q101_constraint_report" -> (q101ConstraintReport _),
+    "q103_source_weights" -> (q103SourceWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "q100_snapshot_diff" ->
@@ -180,5 +220,39 @@ object Audit extends QueryPack {
          |  ('n_chars_consistent', v_chars),
          |  ('source_not_null', v_source),
          |  ('text_nonempty', v_text_empty)) t(constraint_name, violations)
-         |ORDER BY constraint_name""".stripMargin)
+         |ORDER BY constraint_name""".stripMargin,
+    "q103_source_weights" -> {
+      // the q31 quality formula verbatim (its own gate proves the two
+      // engines agree bit-for-bit), rounded to ppm on entry
+      val nToks = "CAST(len(string_split(lower(text), ' ')) AS BIGINT)"
+      val stop = "CAST(len(list_filter(string_split(lower(text), ' '), " +
+        "t -> t IN ('the','a','of','to','and','in','is'))) AS BIGINT)"
+      val punct = "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)"
+      s"""WITH q AS (
+         |  SELECT doc_id, source, n_chars, md5(text) AS dg,
+         |    CAST(round((least(1.0, CAST($nToks AS DOUBLE) / 100.0) * 0.7
+         |      + (CAST($stop AS DOUBLE) / $nToks) * 0.2
+         |      + (1.0 - CAST($punct AS DOUBLE) / length(text)) * 0.1)
+         |      * 1000000) AS BIGINT) AS q_ppm
+         |  FROM documents
+         |), by_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |    CAST(sum(q_ppm) AS BIGINT) AS q_ppm_sum
+         |  FROM q GROUP BY 1
+         |), dc AS (
+         |  SELECT source, CAST(sum(nc) AS BIGINT) AS chars_distinct FROM (
+         |    SELECT source, dg, min(n_chars) AS nc FROM q GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), scored AS (
+         |  SELECT by_src.source, n_docs, chars_total, chars_distinct,
+         |    q_ppm_sum // n_docs AS mean_quality_ppm,
+         |    (chars_distinct * (q_ppm_sum // n_docs)) // 1000000 AS effective_chars
+         |  FROM by_src JOIN dc ON by_src.source = dc.source
+         |), tot AS (SELECT CAST(sum(effective_chars) AS BIGINT) AS tot FROM scored)
+         |SELECT source, n_docs, chars_total, chars_distinct,
+         |  mean_quality_ppm, effective_chars,
+         |  (effective_chars * 1000000) // tot AS weight_ppm
+         |FROM scored, tot ORDER BY source""".stripMargin
+    })
 }

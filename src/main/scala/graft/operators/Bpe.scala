@@ -164,9 +164,37 @@ object Bpe extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** q102: tokenizer fertility report — the per-language evaluation a
+    * tokenizer build runs after q88/q89 (a vocab trained on one
+    * language's statistics over-segments the others; fertility —
+    * BPE tokens per word — is the standard metric for that, and it
+    * directly prices each language's share of a fixed token budget).
+    * Aggregates q89's per-doc counts (shared via FrameCache: the merge
+    * folds are NOT re-run) against the documents lang column; ratios in
+    * floor-divided ppm so every row is bit-deterministic. Rows-only
+    * (BPE upstream); fertility≥1e6 / compression≤1e6 laws + lockstep
+    * with q89's totals spec-asserted. */
+  def q102TokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = graft.FrameCache.persisted(s, s"q102tok:$dir") {
+      bpeTokenize(s, dir, DefaultMerges)
+    }
+    perDoc
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        expr("(n_bpe_tokens * 1000000) div n_words").as("fertility_ppm"),
+        expr("(n_bpe_tokens * 1000000) div n_chars").as("tokens_per_char_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_bpe_vocab" -> (q88BpeVocab _),
-    "q89_bpe_tokenize" -> (q89BpeTokenize _))
+    "q89_bpe_tokenize" -> (q89BpeTokenize _),
+    "q102_token_fertility" -> (q102TokenFertility _))
 
   // rows-only by design: the iterative merge build (and the tokenize
   // that replays it) has no one-shot ANSI twin (the q38b/q62

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.streaming.Streams.EntityUpdate
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Change-data-capture emission on top of [[UpsertSink]] — the
+  * streaming twin of q100: q100 diffs two store versions after the
+  * fact; this emits the diff AS IT HAPPENS, per micro-batch, the way a
+  * table format's change feed does (Delta CDF / Iceberg changelog), so
+  * downstream consumers can subscribe to entity changes instead of
+  * re-diffing snapshots.
+  *
+  * Per batch, incoming merged entities are classified against the
+  * CURRENT store — INSERT (key absent) or UPDATE (key present with
+  * different state) with before/after values; identical replays
+  * classify as no-ops and are dropped. The changelog batch is written
+  * to its own `batch_<id>` directory with Overwrite BEFORE the store
+  * merge runs, so a foreachBatch replay regenerates the same changelog
+  * from the same pre-merge store state instead of appending duplicates
+  * (the merge itself is idempotent, so the replayed classification sees
+  * the store as the first attempt left it only if the merge completed —
+  * in that case the replay emits no-op rows that dedup to an empty
+  * changelog... which is exactly what a consumer that already saw
+  * batch N wants: re-delivery carries no new changes).
+  *
+  * The store read is shared conceptually with the merge's own read; at
+  * this demo scale it is paid twice per batch (classification + merge)
+  * — a table-format deployment gets the changelog from the write path
+  * for free, which is the production answer.
+  */
+object ChangelogSink {
+
+  /** Classify one micro-batch against the current store state. Emits
+    * (op, custkey, trips_before, trips_after, amount_before,
+    * amount_after); unchanged replays emit nothing. */
+  def classify(batch: Dataset[EntityUpdate], storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val incoming = batch.toDF()
+      .select(col("custkey"), col("totalTrips").as("trips_after"),
+        col("totalAmount").as("amount_after"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+        spark.read.parquet(storeDir)
+          .select(col("custkey"), col("totalTrips").as("trips_before"),
+            col("totalAmount").as("amount_before"))
+      else null
+    val joined =
+      if (existing == null)
+        incoming.withColumn("trips_before", lit(null).cast("long"))
+          .withColumn("amount_before", lit(null).cast("double"))
+      else incoming.join(existing, Seq("custkey"), "left_outer")
+    joined
+      .select(
+        when(col("trips_before").isNull, "INSERT")
+          .otherwise("UPDATE").as("op"),
+        col("custkey"), col("trips_before"), col("trips_after"),
+        col("amount_before"), col("amount_after"))
+      // identical state = replay no-op, not a change event
+      .filter(col("trips_before").isNull ||
+        col("trips_before") =!= col("trips_after") ||
+        col("amount_before") =!= col("amount_after"))
+  }
+
+  /** Upsert sink + change feed: every batch first writes its changelog
+    * (Overwrite into the batch's own dir — replay-idempotent), then
+    * merges into the store via [[UpsertSink.mergeBatch]]. */
+  def writeTo(updates: Dataset[EntityUpdate], storeDir: String,
+      changelogDir: String, checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[EntityUpdate], batchId: Long) =>
+        classify(batch, storeDir)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$changelogDir/batch_$batchId")
+        UpsertSink.mergeBatch(batch, storeDir)
+      }
+      .start()
+}

@@ -56,6 +56,24 @@ class AuditSpec extends AnyFunSuite {
     assert(rep("text_nonempty") == ((1L, 8L, "fail")))
   }
 
+  test("q103 weights are a normalized partition of the discounted mass") {
+    val rows = Audit.q103SourceWeights(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"distinct chars exceed total for ${r.getString(0)}")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L,
+        s"mean quality out of [0, 1e6] for ${r.getString(0)}")
+      assert(r.getLong(5) <= r.getLong(3),
+        s"effective chars exceed distinct for ${r.getString(0)}")
+    }
+    // floor-divided ppm shares must sum to 1e6 minus at most one ulp
+    // per source (each floor loses < 1 ppm)
+    val wsum = rows.map(_.getLong(6)).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length,
+      s"weights do not partition ppm space: $wsum over ${rows.length} sources")
+  }
+
   test("q101 on the real corpus: every constraint passes with non-zero coverage") {
     val rep = Audit.q101ConstraintReport(spark, "/root/testdata/sf0.001").collect()
     assert(rep.length == 6)

@@ -104,4 +104,21 @@ class BpeSpec extends AnyFunSuite {
     val merged = rows.map(_.getString(3))
     assert(merged.distinct.length == merged.length, "duplicate merge learned")
   }
+
+  test("q102 fertility laws: >=1 token per word, <=1 token per char, totals lockstep with q89") {
+    val rep = graft.operators.Bpe.q102TokenFertility(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getLong(4) >= 1000000L,
+        s"fertility below 1 token/word for ${r.getString(0)}")
+      assert(r.getLong(5) <= 1000000L,
+        s"more BPE tokens than chars for ${r.getString(0)}")
+    }
+    // per-lang sums must re-aggregate exactly to q89's corpus totals
+    val q89 = graft.operators.Bpe.q89BpeTokenize(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens")).head()
+    assert(rep.map(_.getLong(2)).sum == q89.getLong(0))
+    assert(rep.map(_.getLong(3)).sum == q89.getLong(1))
+  }
 }
