@@ -71,12 +71,17 @@ object Similarity extends QueryPack {
       .select(col("e").as("qe"), col("n2").as("qn2"))
 
   def q50KnnBrute(s: SparkSession, dir: String): DataFrame =
+    knnBrute(s, dir, 10)
+
+  /** The exact query-vs-corpus cosine scan at parameterized k — q50 at
+    * k=10 is the gated tier; q104's fusion pulls a k=20 list. */
+  private[graft] def knnBrute(s: SparkSession, dir: String, k: Int): DataFrame =
     vecs(s, dir).filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(s, dir)))
       .select(col("vec_id"),
         cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
 
   // Default LSH geometry: 12 tables x 12 sign bits; fixed gaussian
   // hyperplanes (seed 7). 12-bit codes (not 6) because the query side
@@ -709,6 +714,44 @@ object Similarity extends QueryPack {
     centralityTail(pageRankOn(vertices, edges, iters = 5))
   }
 
+  /** q104: hybrid retrieval — reciprocal-rank fusion of the engine's
+    * two retrieval systems (the production RAG answer: BM25 catches
+    * exact-term matches embeddings blur, embeddings catch paraphrases
+    * BM25 misses; RRF [Cormack et al., SIGIR'09] fuses WITHOUT score
+    * calibration because it only consumes RANKS). Lexical list = q86's
+    * BM25 top-20; vector list = the q50 scan at k=20 (vec 0 is the
+    * query's embedding, excluded from results); each doc contributes
+    * `10⁹ div (60 + rank)` per list it appears in — integer floor
+    * division, so fusion is bit-deterministic and the whole query
+    * ORACLE-EXACT (ranks are total orders: score desc then id). Both
+    * source lists are ≤20 rows at ANY corpus scale — the fusion
+    * windows/join are constant-size; the real work is the two
+    * upstream retrievals, each already scale-shaped (q86b serves the
+    * lexical side from the persisted index in production). */
+  def q104HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.operators.Text.q86Bm25(s, dir)
+      .select(col("doc_id"), col("score"))
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("lex_rank"))
+    val vec = knnBrute(s, dir, 20)
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_score",
+        expr("CASE WHEN lex_rank > 0 THEN 1000000000 div (60 + lex_rank) ELSE 0 END") +
+          expr("CASE WHEN vec_rank > 0 THEN 1000000000 div (60 + vec_rank) ELSE 0 END"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   // ---- oracle SQL ----
 
   private val V = VectorOps
@@ -732,9 +775,37 @@ object Similarity extends QueryPack {
     "q85_matryoshka" -> (q85Matryoshka _),
     "q92_ivf_kmeans" -> (q92IvfKmeans _),
     "q96_knn_centrality" -> (q96KnnCentrality _),
-    "q96b_knn_centrality_lsh" -> (q96bKnnCentralityLsh _))
+    "q96b_knn_centrality_lsh" -> (q96bKnnCentralityLsh _),
+    "q104_hybrid_rrf" -> (q104HybridRrf _))
 
   val oracleSql: Map[String, String] = Map(
+    "q104_hybrid_rrf" ->
+      s"""WITH lex0 AS (${graft.operators.Text.bm25OracleSql}),
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS lex_rank
+         |  FROM lex0),
+         |v AS ($vSql), q AS ($qSql),
+         |vec0 AS (
+         |  SELECT vec_id AS doc_id,
+         |    ${V.sqlDot("v.e", "q.qe")} / (sqrt(v.n2) * sqrt(q.qn2)) AS cos
+         |  FROM v CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY cos DESC, doc_id LIMIT 20),
+         |vec AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+         |    AS BIGINT) AS vec_rank
+         |  FROM vec0),
+         |j AS (
+         |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |    coalesce(lex_rank, 0) AS lex_rank,
+         |    coalesce(vec_rank, 0) AS vec_rank
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank,
+         |  (CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END
+         |   + CASE WHEN vec_rank > 0 THEN 1000000000 // (60 + vec_rank) ELSE 0 END)
+         |  AS rrf_score
+         |FROM j WHERE doc_id <> 0
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "q96_knn_centrality" -> {
       val iters = 5
       val head =

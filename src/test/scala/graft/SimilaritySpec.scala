@@ -325,4 +325,19 @@ class SimilaritySpec extends AnyFunSuite {
     val n = Tables.embeddings(spark, sf).count()
     prs.foreach(p => assert(p < n * 1000000000000L, s"rank $p above total mass"))
   }
+
+  test("q104 RRF fusion: row-local recomputation, membership, descending order") {
+    val out = graft.operators.Similarity.q104HybridRrf(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (lex, vec, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val exp = (if (lex > 0) 1000000000L / (60 + lex) else 0L) +
+        (if (vec > 0) 1000000000L / (60 + vec) else 0L)
+      assert(rrf == exp, s"rrf not reciprocal-rank arithmetic for ${r.getLong(0)}")
+      assert(lex > 0 || vec > 0, "fused doc in neither source list")
+      assert(r.getLong(0) != 0L, "query vector leaked into results")
+    }
+    val scores = out.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-_)), "not rrf-descending")
+  }
 }
