@@ -162,12 +162,58 @@ object Audit extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** q107: deletion-propagation (right-to-be-forgotten) impact audit —
+    * the report a pipeline produces BEFORE executing a purge: given a
+    * deletion predicate over the entity table, how many rows does the
+    * purge remove from each downstream fact table once foreign keys are
+    * followed? Here the deletion list is AUTOMOBILE-segment customers
+    * with c_custkey % 10 = 7 (a stand-in for an erasure-request batch);
+    * propagation follows customer → orders → lineitem. Every table
+    * reports purged/retained counts and the purged share in ppm (floor
+    * division — oracle-exact).
+    *
+    * Scale shape: the deletion list is small BY NATURE (an erasure
+    * batch), so it broadcasts; orders classifies via one broadcast
+    * probe, and lineitem via a semi-join against the purged order KEYS
+    * (entity-sized, not fact-sized — broadcast here, a shuffle semi
+    * join under AQE when the purge set outgrows the threshold). One
+    * pass per fact table, no shuffle wider than the key sets. */
+  def q107PurgeAudit(s: SparkSession, dir: String): DataFrame =
+    purgeAudit(Tables.customer(s, dir), Tables.orders(s, dir),
+      Tables.lineitem(s, dir))
+
+  private[graft] def purgeAudit(customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val isDel = col("c_mktsegment") === "AUTOMOBILE" &&
+      col("c_custkey") % 10 === 7
+    val del = customer.filter(isDel).select(col("c_custkey").as("k"))
+    def report(name: String, df: DataFrame, purged: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_total"),
+        sum(when(purged, 1L).otherwise(0L)).as("n_purged"))
+        .select(lit(name).as("table_name"), col("n_purged"),
+          (col("n_total") - col("n_purged")).as("n_retained"),
+          expr("(n_purged * 1000000) div n_total").as("purged_ppm"))
+    val c = report("customer", customer, isDel)
+    val o = report("orders",
+      orders.join(broadcast(del), col("o_custkey") === col("k"), "left_outer"),
+      col("k").isNotNull)
+    val purgedOrders = orders
+      .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("ok"))
+    val l = report("lineitem",
+      lineitem.join(broadcast(purgedOrders),
+        col("l_orderkey") === col("ok"), "left_outer"),
+      col("ok").isNotNull)
+    c.unionAll(o).unionAll(l).orderBy(col("table_name"))
+  }
+
   private val S = Num.sql
 
   val queries: Map[String, Q] = Map(
     "q100_snapshot_diff" -> (q100SnapshotDiff _),
     "q101_constraint_report" -> (q101ConstraintReport _),
-    "q103_source_weights" -> (q103SourceWeights _))
+    "q103_source_weights" -> (q103SourceWeights _),
+    "q107_purge_audit" -> (q107PurgeAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "q100_snapshot_diff" ->
@@ -221,6 +267,36 @@ object Audit extends QueryPack {
          |  ('source_not_null', v_source),
          |  ('text_nonempty', v_text_empty)) t(constraint_name, violations)
          |ORDER BY constraint_name""".stripMargin,
+    "q107_purge_audit" ->
+      """WITH del AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7),
+        |po AS (
+        |  SELECT o_orderkey AS ok FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM del)),
+        |c AS (
+        |  SELECT 'customer' AS table_name,
+        |    sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7
+        |      THEN 1 ELSE 0 END) AS n_purged,
+        |    count(*) AS n_total
+        |  FROM customer),
+        |o AS (
+        |  SELECT 'orders' AS table_name,
+        |    sum(CASE WHEN o_custkey IN (SELECT k FROM del)
+        |      THEN 1 ELSE 0 END) AS n_purged,
+        |    count(*) AS n_total
+        |  FROM orders),
+        |l AS (
+        |  SELECT 'lineitem' AS table_name,
+        |    sum(CASE WHEN l_orderkey IN (SELECT ok FROM po)
+        |      THEN 1 ELSE 0 END) AS n_purged,
+        |    count(*) AS n_total
+        |  FROM lineitem),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+        |SELECT table_name, CAST(n_purged AS BIGINT) AS n_purged,
+        |  CAST(n_total - n_purged AS BIGINT) AS n_retained,
+        |  CAST((n_purged * 1000000) // n_total AS BIGINT) AS purged_ppm
+        |FROM u ORDER BY table_name""".stripMargin,
     "q103_source_weights" -> {
       // the q31 quality formula verbatim (its own gate proves the two
       // engines agree bit-for-bit), rounded to ppm on entry

@@ -195,6 +195,129 @@ object Binary extends QueryPack {
     } else ("unknown", None, None, None)
   }
 
+  // ---- q105: REAL audio-header decode (the audio twin of q98) ----
+
+  /** Format-true synthetic WAV payloads per the public RIFF/WAVE spec
+    * (Microsoft/IBM "Multimedia Programming Interface and Data
+    * Specifications 1.0", 1991: RIFF header + little-endian chunk walk;
+    * fmt chunk layout per the PCM common fields). Four payload classes
+    * keyed by doc_id % 4 exercise the full parser contract:
+    *
+    *   0 — canonical 16-bit PCM WAV: RIFF/WAVE + fmt(16) + data;
+    *   1 — 8-bit PCM with an ODD-sized JUNK chunk before fmt: forces a
+    *       real chunk walk with the spec's even-byte padding rule (a
+    *       reader that assumes fmt at offset 12 or forgets the pad byte
+    *       desyncs and fails the gate);
+    *   2 — truncated RIFF (fmt declared longer than the payload): must
+    *       degrade to 'unknown', never throw;
+    *   3 — opaque non-audio bytes: pass through as 'unknown'.
+    *
+    * Header parameters derive from doc_id by integer arithmetic so the
+    * ORACLE restates the CONSTRUCTION while the engine runs the PARSE —
+    * same closed loop as q98. */
+  private[graft] object WavBytes {
+    def sampleRate(id: Long): Long = 8000L + (id * 2711L) % 40001L
+    def channels(id: Long): Long = 1L + (id / 4) % 2
+    def bits(id: Long): Long = if (id % 4 == 0) 16L else 8L
+    def nFrames(id: Long): Long = 16L + (id * 127L) % 257L
+    def blockAlign(id: Long): Long = channels(id) * bits(id) / 8
+    def dataSize(id: Long): Long = nFrames(id) * blockAlign(id)
+
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def fmtChunk(id: Long): Array[Byte] =
+      fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels(id)) ++
+        le32(sampleRate(id)) ++ le32(sampleRate(id) * blockAlign(id)) ++
+        le16(blockAlign(id)) ++ le16(bits(id))
+    private def dataChunk(id: Long): Array[Byte] =
+      fourcc("data") ++ le32(dataSize(id)) ++
+        Array.fill(dataSize(id).toInt)(0.toByte)
+    private def riff(body: Array[Byte]): Array[Byte] =
+      fourcc("RIFF") ++ le32(body.length + 4L) ++ fourcc("WAVE") ++ body
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => riff(fmtChunk(id) ++ dataChunk(id))
+      case 1 =>
+        // JUNK size 5 is odd: the spec's pad byte must be skipped
+        riff(fourcc("JUNK") ++ le32(5) ++ "graft".getBytes("US-ASCII") ++
+          Array[Byte](0) ++ fmtChunk(id) ++ dataChunk(id))
+      case 2 => riff(fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(1))
+      case _ => text.getBytes("UTF-8")
+    }
+  }
+
+  /** Pure-JVM WAV-header decode: verify the RIFF/WAVE container, walk
+    * little-endian chunks (size + odd-size pad byte) to the PCM fmt
+    * fields and the data chunk size. Defensive on truncation and
+    * malformed sizes — a corrupt blob degrades to 'unknown', never
+    * throws. Returns (format, channels, sample_rate, bits, n_frames,
+    * duration_ms); n_frames = data_size / block_align and duration from
+    * byte rate, both computed from PARSED fields only. */
+  private[graft] def decodeWavHeader(b: Array[Byte])
+      : (String, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long]) = {
+    val unknown = ("unknown", None, None, None, None, None)
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def cc(i: Int, s: String): Boolean =
+      s.indices.forall(j => u8(i + j) == s.charAt(j).toInt)
+    if (b.length < 12 || !cc(0, "RIFF") || !cc(8, "WAVE")) return unknown
+    var i = 12
+    var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, align, bits
+    var data: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(i + 4)
+      if (cc(i, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return unknown
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 20), le16(i + 22)))
+      } else if (cc(i, "data")) {
+        if (i + 8 + size > b.length) return unknown
+        data = Some(size)
+      }
+      i += 8 + size.toInt + (size & 1).toInt // chunk sizes pad to even
+    }
+    (fmt, data) match {
+      case (Some((ch, rate, align, bits)), Some(ds))
+          if ch > 0 && rate > 0 && align > 0 =>
+        ("wav", Some(ch), Some(rate), Some(bits), Some(ds / align),
+          Some(ds * 1000L / (rate * align)))
+      case _ => unknown
+    }
+  }
+
+  /** q105: typed audio-header extraction — the multimodal tier's audio
+    * decoder, completing the image (q98) / audio pair. Same q71
+    * mapPartitions batch seam; the decoder body parses the real RIFF
+    * chunk structure (see [[WavBytes]] for the format-true payloads and
+    * [[decodeWavHeader]] for the walk). Oracle-exact: the oracle
+    * restates the construction arithmetic, so a parse defect (fixed
+    * fmt offset, missed pad byte, unchecked truncation) breaks the
+    * hash. Scale shape: row-local decode, no shuffle before the
+    * presentation sort — identical to q98's measured 2.6x @16x. */
+  def q105WavHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = WavBytes.payload(id, text)
+          val (fmt, ch, rate, bits, frames, ms) = decodeWavHeader(bytes)
+          (id, bytes.length.toLong, fmt, ch, rate, bits, frames, ms)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "format", "channels", "sample_rate",
+        "bits", "n_frames", "duration_ms")
+      .orderBy(col("doc_id"))
+  }
+
   /** q98: typed image-header extraction — the multimodal tier's decode
     * seam made REAL: the q71 mapPartitions batch shape, but the decoder
     * body actually parses PNG/JPEG header structures from the public
@@ -223,7 +346,8 @@ object Binary extends QueryPack {
     "q70_binary_meta" -> (q70BinaryMeta _),
     "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _),
     "q72_frame_sample" -> (q72FrameSample _),
-    "q98_image_header" -> (q98ImageHeader _))
+    "q98_image_header" -> (q98ImageHeader _),
+    "q105_wav_header" -> (q105WavHeader _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -274,6 +398,35 @@ object Binary extends QueryPack {
     // 39 + 3·ncomp (SOI + APP0 + COM + SOF0), opaque = the text bytes.
     // The engine side actually parses those layouts, so a decoder bug
     // (wrong offset, wrong endianness, broken marker walk) hash-fails.
+    // q105's twin restates the WAV payload CONSTRUCTION: canonical
+    // layout is 12 (RIFF/WAVE) + 24 (fmt) + 8 + data bytes; the JUNK
+    // variant adds 14 (8 + 5 + 1 pad); the truncated variant stops at
+    // 24 bytes. duration = floor(n_frames * 1000 / rate) because the
+    // block align cancels exactly in data_size*1000/(rate*align).
+    "q105_wav_header" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    1 + (doc_id // 4) % 2 AS ch,
+        |    CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS bt,
+        |    8000 + (doc_id * 2711) % 40001 AS rate,
+        |    16 + (doc_id * 127) % 257 AS nf,
+        |    octet_length(encode(text)) AS tb
+        |  FROM documents),
+        |q AS (SELECT *, (ch * bt) // 8 AS al FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 44 + nf * al
+        |    WHEN 1 THEN 58 + nf * al
+        |    WHEN 2 THEN 24
+        |    ELSE tb END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 4 <= 1 THEN 'wav' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN ch END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN rate END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN bt END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN nf END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN (nf * 1000) // rate END AS BIGINT)
+        |    AS duration_ms
+        |FROM q ORDER BY doc_id""".stripMargin,
     "q98_image_header" ->
       """SELECT doc_id,
         |  CAST(CASE doc_id % 3

@@ -326,6 +326,33 @@ object Similarity extends QueryPack {
     * broadcast — no driver collect. Degenerate all-zero codes guard the
     * division (score -2.0 sorts last) identically in both engines. */
   def q54KnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    val qv = quantizedVecs(s, dir)
+    val qq = qv.filter(col("vec_id") === 0)
+      .select(col("q").as("cq"), col("qn2").as("cqn2"))
+    qv.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        quantCos(col("q"), col("qn2"), col("cq"), col("cqn2")).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Quantized cosine from integer dots, with the all-zero-code guard
+    * (score -2.0 sorts last) mirrored in the oracle — shared by q54 and
+    * q106 so the two tiers cannot drift. */
+  private def quantCos(q: Column, qn2: Column, cq: Column, cqn2: Column): Column =
+    when(qn2 === 0 || cqn2 === 0, lit(-2.0))
+      .otherwise(intDot(q, cq).cast("double") /
+        (sqrt(qn2.cast("double")) * sqrt(cqn2.cast("double"))))
+
+  /** (vec_id, q: array<bigint>, qn2) — the 8-bit affine-quantized frame
+    * shared by q54's gated scan and q106's eval (FrameCache-persisted
+    * so an eval run quantizes the corpus ONCE, not once per retriever).
+    * Codebook = per-dimension min/max over the corpus: one
+    * partial-aggregable pass, kept distributed and broadcast — no
+    * driver collect. */
+  private[graft] def quantizedVecs(s: SparkSession, dir: String): DataFrame =
+    graft.FrameCache.persisted(s, s"quantizedVecs:$dir") {
     val v = vecs(s, dir)
     val mmx = v.select(posexplode(col("e")).as(Seq("pos", "val")))
       .groupBy(col("pos"))
@@ -342,20 +369,9 @@ object Similarity extends QueryPack {
         when(hi > lo, round((x - lo) * 255.0 / (hi - lo)).cast("long"))
           .otherwise(lit(0L))
       })
-    val qv = v.crossJoin(broadcast(mmx))
+    v.crossJoin(broadcast(mmx))
       .select(col("vec_id"), quant(col("e"), col("mn"), col("mx")).as("q"))
       .withColumn("qn2", intDot(col("q"), col("q")))
-    val qq = qv.filter(col("vec_id") === 0)
-      .select(col("q").as("cq"), col("qn2").as("cqn2"))
-    qv.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(qq))
-      .select(col("vec_id"),
-        when(col("qn2") === 0 || col("cqn2") === 0, lit(-2.0))
-          .otherwise(intDot(col("q"), col("cq")).cast("double") /
-            (sqrt(col("qn2").cast("double")) * sqrt(col("cqn2").cast("double"))))
-          .as("qcos"))
-      .orderBy(col("qcos").desc, col("vec_id"))
-      .limit(10)
   }
 
   /** Exact cosine kNN GRAPH (top-3 neighbors for EVERY vector) — the
@@ -752,6 +768,67 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** q106: retrieval-quality evaluation — the harness that JUSTIFIES an
+    * ANN/compression tier before it ships: for a deterministic sample of
+    * query vectors (vec_id % 31 = 0, so the sample scales with the
+    * corpus), run the exact cosine retriever as ground truth and the
+    * 8-bit quantized retriever (q54's tier) as the system under test,
+    * and report per-query recall@10 and the true nearest neighbor's
+    * rank/reciprocal-rank in the system list. All quality numbers are
+    * integer (ppm floor divisions) over deterministic ranked lists, so
+    * the report is ORACLE-EXACT — unusual for an eval harness, and
+    * exactly why the quantized tier is the one evaluated here (the LSH
+    * tiers' recall laws live in SimilaritySpec instead, where
+    * probabilistic retrieval belongs).
+    *
+    * Scale shape: ground truth on a SAMPLE is the production eval
+    * contract — the exact side is O(|sample|·n) by design, never n².
+    * Both scans broadcast the sample, score per partition, and reduce
+    * through the bounded top-k aggregate (k rows per task per query
+    * cross the shuffle); the final joins are sample-sized. */
+  def q106RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val topk = udaf(new TopKByScore(k))
+    def ranked(scored: DataFrame, score: String): DataFrame =
+      scored.groupBy(col("qid")).agg(topk(col(score), col("vec_id")).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+          col("t.key").as("id"))
+    val v = vecs(s, dir)
+    val sample = v.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("sqe"), col("n2").as("sqn2"))
+    val truth = ranked(v.crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineFrom(dot(col("e"), col("sqe")), col("n2"), col("sqn2")).as("cos")),
+      "cos")
+    val qv = quantizedVecs(s, dir)
+    val qsample = qv.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("cq"), col("qn2").as("cqn2"))
+    val system = ranked(qv.crossJoin(broadcast(qsample))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        quantCos(col("q"), col("qn2"), col("cq"), col("cqn2")).as("qcos")),
+      "qcos")
+    val hits = truth.select(col("qid"), col("id"))
+      .join(system.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    val nn = truth.filter(col("rk") === 1).select(col("qid"), col("id"))
+      .join(system.select(col("qid"), col("id"), col("rk")),
+        Seq("qid", "id"), "left_outer")
+      .select(col("qid"), coalesce(col("rk"), lit(0L)).as("nn_rank"))
+    sample.select(col("qid"))
+      .join(hits, Seq("qid"), "left_outer")
+      .join(nn, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("nn_rank"), lit(0L)).as("nn_rank"))
+      .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
+      .withColumn("rr_ppm",
+        expr("CASE WHEN nn_rank > 0 THEN 1000000 div nn_rank ELSE 0 END"))
+      .orderBy(col("qid"))
+  }
+
   // ---- oracle SQL ----
 
   private val V = VectorOps
@@ -761,6 +838,36 @@ object Similarity extends QueryPack {
        |FROM embeddings""".stripMargin
   private val qSql =
     s"SELECT e AS qe, n2 AS qn2 FROM ($vSql) WHERE vec_id = 0"
+
+  /** The 8-bit quantization CTE chain (expects a CTE `v` = [[vSql]];
+    * yields `qn` = (vec_id, q, qn2)) — shared by the q54 and q106
+    * oracles, mirroring the shared [[quantizedVecs]] on the engine
+    * side. */
+  private val quantCtes =
+    """ex AS (
+      |  SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS val FROM v),
+      |mm AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY 1),
+      |mmx AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      |  FROM mm),
+      |qv AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(e) + 1), i ->
+      |      CASE WHEN mx[i] > mn[i]
+      |        THEN CAST(round((e[i] - mn[i]) * 255.0 / (mx[i] - mn[i])) AS BIGINT)
+      |        ELSE 0 END) AS q
+      |  FROM v CROSS JOIN mmx),
+      |qn AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
+      |  FROM qv)""".stripMargin
+
+  /** Quantized cosine with the zero-guard — the SQL twin of [[quantCos]]. */
+  private def quantCosSql(q: String, qn2: String, cq: String, cqn2: String): String =
+    s"""CASE WHEN $qn2 = 0 OR $cqn2 = 0 THEN -2.0
+       |    ELSE CAST(CAST(list_sum(list_transform(list_zip($q, $cq),
+       |        p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST($qn2 AS DOUBLE)) * sqrt(CAST($cqn2 AS DOUBLE))) END"""
+      .stripMargin
 
   val queries: Map[String, Q] = Map(
     "q50_knn_brute" -> (q50KnnBrute _),
@@ -776,7 +883,8 @@ object Similarity extends QueryPack {
     "q92_ivf_kmeans" -> (q92IvfKmeans _),
     "q96_knn_centrality" -> (q96KnnCentrality _),
     "q96b_knn_centrality_lsh" -> (q96bKnnCentralityLsh _),
-    "q104_hybrid_rrf" -> (q104HybridRrf _))
+    "q104_hybrid_rrf" -> (q104HybridRrf _),
+    "q106_retrieval_eval" -> (q106RetrievalEval _))
 
   val oracleSql: Map[String, String] = Map(
     "q104_hybrid_rrf" ->
@@ -890,30 +998,51 @@ object Similarity extends QueryPack {
          |ORDER BY label, rk""".stripMargin,
     "q54_knn_quantized" ->
       s"""WITH v AS ($vSql),
-         |ex AS (
-         |  SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS val FROM v),
-         |mm AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY 1),
-         |mmx AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
-         |  FROM mm),
-         |qv AS (
-         |  SELECT vec_id,
-         |    list_transform(range(1, len(e) + 1), i ->
-         |      CASE WHEN mx[i] > mn[i]
-         |        THEN CAST(round((e[i] - mn[i]) * 255.0 / (mx[i] - mn[i])) AS BIGINT)
-         |        ELSE 0 END) AS q
-         |  FROM v CROSS JOIN mmx),
-         |qn AS (
-         |  SELECT vec_id, q,
-         |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
-         |  FROM qv),
+         |$quantCtes,
          |qq AS (SELECT q AS cq, qn2 AS cqn2 FROM qn WHERE vec_id = 0)
          |SELECT vec_id,
-         |  CASE WHEN qn2 = 0 OR cqn2 = 0 THEN -2.0
-         |    ELSE CAST(CAST(list_sum(list_transform(list_zip(q, cq),
-         |        p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
-         |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cqn2 AS DOUBLE))) END AS qcos
+         |  ${quantCosSql("q", "qn2", "cq", "cqn2")} AS qcos
          |FROM qn CROSS JOIN qq WHERE vec_id <> 0
          |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin,
+    "q106_retrieval_eval" ->
+      s"""WITH v AS ($vSql),
+         |$quantCtes,
+         |s AS (SELECT vec_id AS qid, e AS sqe, n2 AS sqn2 FROM v
+         |  WHERE vec_id % 31 = 0),
+         |tp AS (
+         |  SELECT qid, v.vec_id AS id,
+         |    ${V.sqlDot("v.e", "s.sqe")} / (sqrt(v.n2) * sqrt(s.sqn2)) AS cos
+         |  FROM v CROSS JOIN s WHERE v.vec_id <> qid),
+         |truth AS (SELECT qid, id, rk FROM (
+         |  SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, id) AS BIGINT) AS rk FROM tp) WHERE rk <= 10),
+         |qs AS (SELECT vec_id AS qid, q AS cq, qn2 AS cqn2 FROM qn
+         |  WHERE vec_id % 31 = 0),
+         |sp AS (
+         |  SELECT qid, qn.vec_id AS id,
+         |    ${quantCosSql("q", "qn2", "cq", "cqn2")} AS qcos
+         |  FROM qn CROSS JOIN qs WHERE qn.vec_id <> qid),
+         |sys AS (SELECT qid, id, rk FROM (
+         |  SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY qcos DESC, id) AS BIGINT) AS rk FROM sp) WHERE rk <= 10),
+         |hits AS (
+         |  SELECT truth.qid, count(*) AS h
+         |  FROM truth JOIN sys ON truth.qid = sys.qid AND truth.id = sys.id
+         |  GROUP BY 1),
+         |nn AS (
+         |  SELECT truth.qid, coalesce(sys.rk, 0) AS nr
+         |  FROM truth LEFT JOIN sys
+         |    ON truth.qid = sys.qid AND truth.id = sys.id
+         |  WHERE truth.rk = 1)
+         |SELECT s.qid,
+         |  CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(nr, 0) AS BIGINT) AS nn_rank,
+         |  CAST((coalesce(h, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN coalesce(nr, 0) > 0 THEN 1000000 // nr
+         |    ELSE 0 END AS BIGINT) AS rr_ppm
+         |FROM s LEFT JOIN hits ON s.qid = hits.qid
+         |LEFT JOIN nn ON s.qid = nn.qid
+         |ORDER BY s.qid""".stripMargin,
     "q53_centroid_search" ->
       s"""WITH v AS ($vSql), q AS ($qSql),
          |ex AS (

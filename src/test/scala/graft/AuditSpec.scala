@@ -74,6 +74,39 @@ class AuditSpec extends AnyFunSuite {
       s"weights do not partition ppm space: $wsum over ${rows.length} sources")
   }
 
+  test("q107 propagates a planted deletion batch through the key chain exactly") {
+    // customers 7 and 27 match the erasure predicate; 8 fails the key
+    // rule, 17 fails the segment rule
+    val customer = Seq(
+      (7L, "AUTOMOBILE"), (17L, "BUILDING"), (27L, "AUTOMOBILE"),
+      (8L, "AUTOMOBILE")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (100L, 7L), (101L, 27L), (102L, 8L), (103L, 17L), (104L, 7L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(100L, 100L, 101L, 102L, 103L).toDF("l_orderkey")
+    val rep = Audit.purgeAudit(customer, orders, lineitem).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep("customer") == ((2L, 2L, 500000L)), s"customer: $rep")
+    assert(rep("orders") == ((3L, 2L, 600000L)), s"orders: $rep")
+    // lineitems of orders 100 (x2) and 101 purge; 102's customer is
+    // retained, so its lineitem survives even though 8 is AUTOMOBILE
+    assert(rep("lineitem") == ((3L, 2L, 600000L)), s"lineitem: $rep")
+  }
+
+  test("q107 on the real corpus: purge shares are consistent and plausible") {
+    val rows = Audit.q107PurgeAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("customer", "lineitem", "orders"))
+    rows.foreach { r =>
+      val (p, kept, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(p > 0, s"${r.getString(0)}: empty purge set — degenerate test")
+      assert(ppm == p * 1000000L / (p + kept), s"${r.getString(0)} ppm drift")
+      // an erasure batch is a sliver of the corpus, never the bulk
+      assert(ppm < 200000L, s"${r.getString(0)} purges ${ppm} ppm")
+    }
+  }
+
   test("q101 on the real corpus: every constraint passes with non-zero coverage") {
     val rep = Audit.q101ConstraintReport(spark, "/root/testdata/sf0.001").collect()
     assert(rep.length == 6)

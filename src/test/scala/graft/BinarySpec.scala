@@ -72,4 +72,66 @@ class BinarySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- q105: WAV/RIFF decoder contract ----
+
+  test("decodes a handcrafted canonical WAV: LE fields, frames and duration derived") {
+    // 2ch 16-bit 8000 Hz, 4 frames (16 data bytes, align 4): 0.5 ms floors to 0
+    val wav = b('R', 'I', 'F', 'F', 48, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 2, 0, 0x40, 0x1F, 0, 0, 0, 0x7D, 0, 0, 4, 0, 16, 0,
+      'd', 'a', 't', 'a', 16, 0, 0, 0) ++ Array.fill(16)(0.toByte)
+    assert(Binary.decodeWavHeader(wav) ==
+      (("wav", Some(2L), Some(8000L), Some(16L), Some(4L), Some(0L))))
+  }
+
+  test("walks an odd-sized unknown chunk with the spec pad byte before fmt") {
+    // a 3-byte 'ABC ' chunk (padded to 4) precedes fmt; a reader that
+    // forgets the pad byte desyncs and misses the fmt fourcc
+    val wav = b('R', 'I', 'F', 'F', 60, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'x', 'y', 'z', ' ', 3, 0, 0, 0, 1, 2, 3, 0,
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0x10, 0x27, 0, 0, 0x10, 0x27, 0, 0, 1, 0, 8, 0,
+      'd', 'a', 't', 'a', 10, 0, 0, 0) ++ Array.fill(10)(0.toByte)
+    // 10000 Hz mono 8-bit, 10 frames -> 1 ms
+    assert(Binary.decodeWavHeader(wav) ==
+      (("wav", Some(1L), Some(10000L), Some(8L), Some(10L), Some(1L))))
+  }
+
+  test("malformed RIFF payloads degrade to unknown without throwing") {
+    val cases = Seq(
+      Array.emptyByteArray,
+      b('R', 'I', 'F', 'F', 4, 0, 0, 0), // no WAVE tag
+      b('R', 'I', 'F', 'F', 20, 0, 0, 0, 'W', 'A', 'V', 'E',
+        'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0), // fmt truncated
+      b('R', 'I', 'F', 'F', 20, 0, 0, 0, 'W', 'A', 'V', 'E',
+        'd', 'a', 't', 'a', 0x7F, 0x7F, 0, 0, 1, 2), // data len past EOF
+      b('R', 'I', 'F', 'F', 16, 0, 0, 0, 'W', 'A', 'V', 'E',
+        'J', 'U', 'N', 'K', 4, 0, 0, 0, 1, 2, 3, 4), // no fmt/data at all
+      "plain text payload".getBytes("UTF-8"))
+    cases.foreach { c =>
+      val (fmt, ch, rate, bits, frames, ms) = Binary.decodeWavHeader(c)
+      assert(fmt == "unknown" && ch.isEmpty && rate.isEmpty && bits.isEmpty &&
+        frames.isEmpty && ms.isEmpty,
+        s"payload ${c.take(12).mkString(",")} decoded as $fmt")
+    }
+  }
+
+  test("synthesized WAV payloads round-trip the construction parameters") {
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 40L, 41L, 997L, 1000L).foreach { id =>
+      val W = Binary.WavBytes
+      val (fmt, ch, rate, bits, frames, ms) =
+        Binary.decodeWavHeader(W.payload(id, "opaque text"))
+      if (id % 4 <= 1) {
+        assert(fmt == "wav" && ch.contains(W.channels(id)) &&
+          rate.contains(W.sampleRate(id)) && bits.contains(W.bits(id)) &&
+          frames.contains(W.nFrames(id)) &&
+          ms.contains(W.nFrames(id) * 1000L / W.sampleRate(id)),
+          s"id $id: $fmt $ch $rate $bits $frames $ms")
+      } else {
+        assert(fmt == "unknown" && ch.isEmpty,
+          s"id $id: $fmt $ch $rate $bits $frames $ms")
+      }
+    }
+  }
 }

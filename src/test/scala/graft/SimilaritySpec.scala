@@ -340,4 +340,33 @@ class SimilaritySpec extends AnyFunSuite {
     val scores = out.map(_.getLong(3))
     assert(scores.sameElements(scores.sortBy(-_)), "not rrf-descending")
   }
+
+  test("q106 eval: complete sample, internal arithmetic, q50/q54 lockstep") {
+    val rows = operators.Similarity.q106RetrievalEval(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == (0L until n).count(_ % 31 == 0),
+      "eval must report every sampled query, hits or not")
+    rows.foreach { r =>
+      val (qid, hits, nnRank, recall, rr) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(qid % 31 == 0, s"off-sample qid $qid")
+      assert(hits >= 0 && hits <= 10 && nnRank >= 0 && nnRank <= 10)
+      assert(recall == hits * 100000L, s"recall_ppm drift at $qid")
+      assert(rr == (if (nnRank > 0) 1000000L / nnRank else 0L),
+        s"rr_ppm drift at $qid")
+    }
+    // qid 0 is in the sample and its truth/system lists are exactly the
+    // gated q50/q54 queries (same query vector, same self-exclusion) —
+    // the eval must agree with their intersection
+    val exact = operators.Similarity.q50KnnBrute(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val quant = operators.Similarity.q54KnnQuantized(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val row0 = rows.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == (exact & quant).size.toLong,
+      s"q106 row for qid 0 disagrees with |q50 ∩ q54|")
+    // 8-bit quantization must preserve ranking well in aggregate
+    val meanRecall = rows.map(_.getLong(3)).sum / rows.length
+    assert(meanRecall >= 500000L, s"mean recall@10 only $meanRecall ppm")
+  }
 }
