@@ -267,6 +267,34 @@ object Streams {
       .drop(graft.operators.MlStats.QualityFeatureNames: _*)
   }
 
+  // ---- s16: NRT erasure gate (q107's enforcement twin) ----
+
+  case class UserEvent(userId: Long, eventId: Long, value: Double)
+
+  /** Streaming enforcement of an accepted erasure batch — the NRT half
+    * of q107's story: the audit report sizes the purge, batch jobs
+    * rewrite history, and THIS gate keeps rows for erased entities from
+    * landing in any store while that rewrite runs (and after). The
+    * tombstone list arrives as a STATIC keyed frame (the erasure store
+    * the batch purge also reads); the stream-static left join
+    * broadcasts it, so the gate is stateless — no watermark, no state
+    * store, no stream-side shuffle (the s9/s12 line-rate contract;
+    * zero state operators are spec-asserted). Matching is EXACT by
+    * construction (an erasure gate tolerates neither false positives
+    * nor false negatives, so no bloom tier exists here). New erasure
+    * batches refresh by query restart — the broadcast-refresh pattern.
+    * Emits every row with a `purged` flag rather than dropping
+    * silently, so the caller splits retained rows from the per-batch
+    * purge counters that continue q107's audit into the stream. */
+  def purgeGate(in: Dataset[UserEvent], tombstones: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tomb = broadcast(tombstones.select(col("k")).distinct())
+    in.toDF()
+      .join(tomb, col("userId") === col("k"), "left_outer")
+      .withColumn("purged", col("k").isNotNull)
+      .drop("k")
+  }
+
   // ---- s3: watermarked tumbling-window counts ----
 
   case class TimedEvent(ts: java.sql.Timestamp, eventType: String, value: Double)

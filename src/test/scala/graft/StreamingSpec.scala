@@ -390,6 +390,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s16 purge gate flags exactly the tombstoned users, holds no state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tombstones = Seq(7L, 27L).toDF("k")
+    val in = MemoryStream[Streams.UserEvent]
+    val sink = nextName()
+    val q = Streams.purgeGate(in.toDS(), tombstones)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Streams.UserEvent(7L, 1L, 1.0),   // tombstoned
+        Streams.UserEvent(8L, 2L, 2.0),   // retained
+        Streams.UserEvent(27L, 3L, 3.0),  // tombstoned
+        Streams.UserEvent(17L, 4L, 4.0))  // retained
+      q.processAllAvailable()
+      // a later batch still purges: the gate is not a one-shot filter
+      in.addData(Streams.UserEvent(7L, 5L, 5.0), Streams.UserEvent(9L, 6L, 6.0))
+      q.processAllAvailable()
+      val rows = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("eventId") -> r.getAs[Boolean]("purged")).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+        5L -> true, 6L -> false))
+      // every row flows through flagged — audit needs the purged rows
+      // COUNTED, not silently dropped
+      assert(rows.size == 6)
+      // stateless: the stream-static broadcast join registers no state
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        "purge gate registered state")
+    } finally q.stop()
+  }
+
   test("s9 decontam gate flags a train-copied doc, passes novel text, holds no state") {
     implicit val sqlCtx = spark.sqlContext
     val bloom = operators.Dedup.trainShingleBloom(spark, TestSpark.sf)
