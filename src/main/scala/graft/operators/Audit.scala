@@ -207,13 +207,74 @@ object Audit extends QueryPack {
     c.unionAll(o).unionAll(l).orderBy(col("table_name"))
   }
 
+  /** Epoch micros of 2024-01-16 00:00 UTC — the window cutoff splitting
+    * the events month into profile windows A and B. */
+  private val DriftCutUs = 1705363200000000L
+
+  /** q108: column-profile drift between two ingest windows — the
+    * Deequ-style profile-anomaly audit that catches what q94's
+    * single-column TV distance cannot: a column going null, cardinality
+    * collapsing (an upstream join starting to fan out or a generator
+    * getting stuck), or a numeric range walking away. Each column
+    * reports its window-A and window-B profile (distinct counts, null
+    * ppm, cent-scaled extremes, row counts) as explicit rows with
+    * integer deltas — ORACLE-EXACT, and "0 delta" rows are information
+    * (checked, stable), the q101 contract.
+    *
+    * Scale shape: ONE corpus scan — every non-distinct metric is a
+    * conditional counter, and the distinct counts ride Spark's
+    * multi-distinct Expand (rows × 5 distinct groups, each
+    * partial-aggregable, state bounded by column cardinality). Adding a
+    * row-local metric adds a counter, not a pass; profiles run once per
+    * ingest batch, so the Expand multiplier is the accepted industry
+    * shape (it is what any profile library compiles to). */
+  def q108ProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(s, dir)
+      .withColumn("w2", col("ts_us") >= DriftCutUs)
+    def inW(w2: Boolean, c: org.apache.spark.sql.Column) =
+      when(col("w2") === w2, c)
+    def nullsIn(w2: Boolean, c: org.apache.spark.sql.Column) =
+      sum(when(col("w2") === w2 && c.isNull, 1L).otherwise(0L))
+    val prof = e.agg(
+      sum(when(!col("w2"), 1L).otherwise(0L)).as("rows1"),
+      sum(when(col("w2"), 1L).otherwise(0L)).as("rows2"),
+      count_distinct(inW(false, col("user_id"))).as("du1"),
+      count_distinct(inW(true, col("user_id"))).as("du2"),
+      count_distinct(inW(false, col("event_type"))).as("dt1"),
+      count_distinct(inW(true, col("event_type"))).as("dt2"),
+      nullsIn(false, col("props")).as("np1"),
+      nullsIn(true, col("props")).as("np2"),
+      nullsIn(false, col("value")).as("nv1"),
+      nullsIn(true, col("value")).as("nv2"),
+      min(inW(false, cents(col("value")))).as("mn1"),
+      min(inW(true, cents(col("value")))).as("mn2"),
+      max(inW(false, cents(col("value")))).as("mx1"),
+      max(inW(true, cents(col("value")))).as("mx2"))
+    prof.select(expr(
+      """stack(7,
+        |  '_row',       'n_rows',       rows1, rows2,
+        |  'user_id',    'n_distinct',   du1,   du2,
+        |  'event_type', 'n_distinct',   dt1,   dt2,
+        |  'props',      'null_ppm',     (np1 * 1000000) div rows1,
+        |                                (np2 * 1000000) div rows2,
+        |  'value',      'null_ppm',     (nv1 * 1000000) div rows1,
+        |                                (nv2 * 1000000) div rows2,
+        |  'value',      'min_c',        mn1,   mn2,
+        |  'value',      'max_c',        mx1,   mx2
+        |) AS (column_name, metric, v1, v2)""".stripMargin))
+      .select(col("column_name"), col("metric"), col("v1"), col("v2"),
+        (col("v2") - col("v1")).as("delta"))
+      .orderBy(col("column_name"), col("metric"))
+  }
+
   private val S = Num.sql
 
   val queries: Map[String, Q] = Map(
     "q100_snapshot_diff" -> (q100SnapshotDiff _),
     "q101_constraint_report" -> (q101ConstraintReport _),
     "q103_source_weights" -> (q103SourceWeights _),
-    "q107_purge_audit" -> (q107PurgeAudit _))
+    "q107_purge_audit" -> (q107PurgeAudit _),
+    "q108_profile_drift" -> (q108ProfileDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q100_snapshot_diff" ->
@@ -267,6 +328,51 @@ object Audit extends QueryPack {
          |  ('source_not_null', v_source),
          |  ('text_nonempty', v_text_empty)) t(constraint_name, violations)
          |ORDER BY constraint_name""".stripMargin,
+    "q108_profile_drift" ->
+      s"""WITH p AS (
+         |  SELECT
+         |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS rows1,
+         |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS rows2,
+         |    count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN user_id END) AS du1,
+         |    count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN user_id END) AS du2,
+         |    count(DISTINCT CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN event_type END) AS dt1,
+         |    count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN event_type END) AS dt2,
+         |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND props IS NULL
+         |      THEN 1 ELSE 0 END) AS np1,
+         |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND props IS NULL
+         |      THEN 1 ELSE 0 END) AS np2,
+         |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value IS NULL
+         |      THEN 1 ELSE 0 END) AS nv1,
+         |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND value IS NULL
+         |      THEN 1 ELSE 0 END) AS nv2,
+         |    min(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN ${S.cents("value")} END) AS mn1,
+         |    min(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN ${S.cents("value")} END) AS mn2,
+         |    max(CASE WHEN ts < TIMESTAMP '2024-01-16'
+         |      THEN ${S.cents("value")} END) AS mx1,
+         |    max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         |      THEN ${S.cents("value")} END) AS mx2
+         |  FROM events),
+         |r AS (
+         |  SELECT * FROM p, LATERAL (VALUES
+         |    ('_row',       'n_rows',     rows1, rows2),
+         |    ('user_id',    'n_distinct', du1,   du2),
+         |    ('event_type', 'n_distinct', dt1,   dt2),
+         |    ('props',      'null_ppm',   (np1 * 1000000) // rows1,
+         |                                 (np2 * 1000000) // rows2),
+         |    ('value',      'null_ppm',   (nv1 * 1000000) // rows1,
+         |                                 (nv2 * 1000000) // rows2),
+         |    ('value',      'min_c',      mn1,   mn2),
+         |    ('value',      'max_c',      mx1,   mx2)
+         |  ) t(column_name, metric, v1, v2))
+         |SELECT column_name, metric, CAST(v1 AS BIGINT) AS v1,
+         |  CAST(v2 AS BIGINT) AS v2, CAST(v2 - v1 AS BIGINT) AS delta
+         |FROM r ORDER BY column_name, metric""".stripMargin,
     "q107_purge_audit" ->
       """WITH del AS (
         |  SELECT c_custkey AS k FROM customer

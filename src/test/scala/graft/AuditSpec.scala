@@ -107,6 +107,30 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 profile drift: complete metric grid, internal arithmetic, non-vacuous windows") {
+    val rows = Audit.q108ProfileDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("_row", "n_rows"), ("event_type", "n_distinct"), ("props", "null_ppm"),
+      ("user_id", "n_distinct"), ("value", "max_c"), ("value", "min_c"),
+      ("value", "null_ppm")))
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // delta is always v2 - v1
+    m.values.foreach { case (v1, v2, d) => assert(d == v2 - v1) }
+    // both windows must be populated or every profile is vacuous
+    val (r1, r2, _) = m(("_row", "n_rows"))
+    assert(r1 > 0 && r2 > 0, s"empty profile window: $r1 / $r2")
+    // distincts are bounded by rows; null ppm by the ppm space
+    val (u1, u2, _) = m(("user_id", "n_distinct"))
+    assert(u1 > 0 && u1 <= r1 && u2 > 0 && u2 <= r2)
+    m.collect { case ((_, "null_ppm"), (v1, v2, _)) =>
+      assert(v1 >= 0 && v1 <= 1000000L && v2 >= 0 && v2 <= 1000000L)
+    }
+    val (mn1, mn2, _) = m(("value", "min_c"))
+    val (mx1, mx2, _) = m(("value", "max_c"))
+    assert(mn1 <= mx1 && mn2 <= mx2, "window extremes inverted")
+  }
+
   test("q101 on the real corpus: every constraint passes with non-zero coverage") {
     val rep = Audit.q101ConstraintReport(spark, "/root/testdata/sf0.001").collect()
     assert(rep.length == 6)
