@@ -9,7 +9,8 @@ object SparkEntry {
     operators.Text, operators.Bpe, operators.Dedup, operators.Similarity,
     operators.MlStats, operators.Binary, operators.Sampling, operators.Audit,
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
-    sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore)
+    sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore,
+    sources.VersionedStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

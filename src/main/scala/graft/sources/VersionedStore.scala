@@ -1,0 +1,203 @@
+package graft.sources
+
+import graft.{Engine, Num, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned store with time travel — the table-format
+  * transaction-log idea (Delta/Iceberg snapshots) done storage-natively,
+  * completing the store family's write-side story: [[ManifestStore]]
+  * shows stats-based file SKIP, [[CompactStore]] shows file-count
+  * maintenance, this shows how a store EVOLVES without ever rewriting
+  * history:
+  *
+  *   - data files are IMMUTABLE — every write batch lands new files;
+  *   - a version is a parquet manifest TABLE listing its member files
+  *     (data, not driver metadata — the ManifestStore contract);
+  *   - an APPEND version's manifest = parent manifest + the new files
+  *     (zero data rewritten — the O(delta) ingest contract at any store
+  *     size);
+  *   - an UPDATE version copies-on-write ONLY the files whose key range
+  *     owns updated rows (found via per-file min/max stats, the q82
+  *     planning step): every other file is SHARED with the parent
+  *     version byte-for-byte;
+  *   - reading "as of v" lists exactly v's manifest — old versions stay
+  *     readable forever (audit/reproducibility: the training run that
+  *     read v1 can be replayed against v1 after v3 shipped).
+  *
+  * The harness manufactures three versions of the orders entity store:
+  * v1 = orders before 1997, v2 = v1 + the 1997 append batch, v3 = v2
+  * with a contiguous custkey band's amounts adjusted (+1.00 each — the
+  * copy-on-write case). The gated query reads each version THROUGH ITS
+  * MANIFEST and reports logical summaries; the oracle restates the three
+  * version definitions as cutoff/CASE SQL over the raw table, so a
+  * manifest defect (file lost, shared file double-counted, rewrite
+  * leaking into v2) breaks row counts or integer-cent sums — ORACLE-
+  * EXACT physical time travel. The physical theses (immutability, file
+  * sharing, bounded rewrite set) are spec-asserted in
+  * VersionedStoreSpec.
+  *
+  * Scale shape: version commits are O(changed data) + one manifest
+  * write; reads are manifest-listing + member-file scan, so an as-of
+  * read costs what that version's data costs, independent of how many
+  * versions exist. Ref: reference upserts mutate the store in place
+  * (Kudu upsert path, `ConnectedCarStreaming.scala`) — versioning is
+  * what a 100 TB batch lake does instead so that history stays
+  * replayable.
+  */
+object VersionedStore extends QueryPack {
+
+  private val (cut1, cut2) = ("1997-01-01", "1998-01-01")
+
+  def dataPath(p: String): String = p + "/data"
+  def manifestPath(p: String, v: Int): String = p + s"/manifest/v$v"
+
+  /** Canonical file identity: a plain filesystem path, no scheme — the
+    * one form under which manifests, directory listings, and
+    * `input_file_name()` results (which URI-encode with a scheme) can
+    * be compared and subtracted. */
+  private[graft] def canon(f: String): String =
+    if (f.contains(":/")) new java.net.URI(f).getPath else f
+
+  private def hadoopLs(s: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.isFile).map(st => canon(st.getPath.toString))
+      .filter { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        // data files only: no _SUCCESS markers, no .crc side files
+        name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")
+      }.toSet
+  }
+
+  private def writeManifest(s: SparkSession, path: String, v: Int,
+      files: Iterable[String]): Unit = {
+    import s.implicits._
+    files.toSeq.sorted.toDF("file")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
+  }
+
+  /** Files of version `v`, read from its manifest table. */
+  def versionFiles(s: SparkSession, path: String, v: Int): Array[String] =
+    s.read.parquet(manifestPath(path, v))
+      .select(col("file")).collect().map(_.getString(0)).sorted
+
+  /** Read the store as of version `v` — the manifest's member files,
+    * nothing else. */
+  def readVersion(s: SparkSession, path: String, v: Int): DataFrame =
+    s.read.parquet(versionFiles(s, path, v): _*)
+
+  /** The copy-on-write custkey band for a store built over `orders`:
+    * 10% of the key space, derived from the v2 frame's key extremes by
+    * the same floor arithmetic the oracle restates. */
+  private[graft] def updateBand(v2: DataFrame): (Long, Long) = {
+    val r = v2.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    (mn + (mx - mn + 1) * 4 / 10, mn + (mx - mn + 1) * 5 / 10)
+  }
+
+  /** Build the three-version store. Each version commit writes only its
+    * delta plus a manifest; data files are never modified in place. */
+  def build(s: SparkSession, dir: String, path: String): Unit = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        Num.cents(col("o_totalprice")).as("amount_c"), col("o_orderdate"))
+    val dp = dataPath(path)
+
+    // v1: the initial snapshot, custkey-clustered
+    orders.filter(col("o_orderdate") < to_timestamp(lit(cut1)))
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(dp)
+    val f1 = hadoopLs(s, dp)
+    writeManifest(s, path, 1, f1)
+
+    // v2: append-only commit — the 1997 batch lands as NEW files; the
+    // manifest inherits every v1 file untouched
+    orders.filter(col("o_orderdate") >= to_timestamp(lit(cut1)) &&
+        col("o_orderdate") < to_timestamp(lit(cut2)))
+      .repartitionByRange(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode(SaveMode.Append).parquet(dp)
+    val afterV2 = hadoopLs(s, dp)
+    val f2 = f1 ++ (afterV2 -- f1)
+    writeManifest(s, path, 2, f2)
+
+    // v3: copy-on-write update — adjust the band's amounts by +100
+    // cents. Per-file stats (the q82 planning step) find the OWNING
+    // files; only those rewrite, every other file is shared with v2.
+    val v2df = s.read.parquet(f2.toSeq: _*)
+    val (lo, hi) = updateBand(v2df)
+    val stats = v2df.groupBy(input_file_name().as("file"))
+      .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"))
+    val owning = stats.filter(col("mx") >= lo && col("mn") <= hi)
+      .select(col("file")).collect().map(r => canon(r.getString(0))).toSet
+    require(owning.nonEmpty && owning.size < f2.size,
+      s"degenerate copy-on-write: ${owning.size} of ${f2.size} files own the band")
+    s.read.parquet(owning.toSeq: _*)
+      .withColumn("amount_c",
+        when(col("o_custkey") >= lo && col("o_custkey") <= hi,
+          col("amount_c") + 100L).otherwise(col("amount_c")))
+      .repartitionByRange(math.max(1, owning.size), col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode(SaveMode.Append).parquet(dp)
+    val afterV3 = hadoopLs(s, dp)
+    writeManifest(s, path, 3, (f2 -- owning) ++ (afterV3 -- afterV2))
+  }
+
+  /** Per-JVM store cache — the q28/q76 amortized-build contract. */
+  private val built = scala.collection.mutable.Map.empty[String, String]
+
+  def store(s: SparkSession, dir: String): String = synchronized {
+    built.getOrElseUpdate(dir, {
+      val path = Engine.storePath("graft-versioned-store", dir)
+      build(s, dir, path)
+      path
+    })
+  }
+
+  /** q109: time travel across the three committed versions — each read
+    * lists ONLY that version's manifest, and the logical summaries must
+    * match the oracle's restatement of the version definitions (v1/v2
+    * cutoffs, v3's banded adjustment) exactly: a manifest defect (lost
+    * file, double-counted shared file, rewrite leaking into an older
+    * version) breaks a count or an integer-cent sum. */
+  def q109TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = store(s, dir)
+    (1 to 3).map { v =>
+      readVersion(s, path, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("amount_c")).as("amount_c"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("amount_c"),
+          col("n_customers"))
+    }.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q109_time_travel" -> (q109TimeTravel _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q109_time_travel" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a, o_orderdate
+         |  FROM orders),
+         |v2 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '$cut2'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM v2),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm)
+         |SELECT 1 AS version, count(*) AS n_rows,
+         |  CAST(sum(a) AS BIGINT) AS amount_c,
+         |  count(DISTINCT o_custkey) AS n_customers
+         |FROM o WHERE o_orderdate < TIMESTAMP '$cut1'
+         |UNION ALL
+         |SELECT 2, count(*), CAST(sum(a) AS BIGINT), count(DISTINCT o_custkey)
+         |FROM v2
+         |UNION ALL
+         |SELECT 3, count(*),
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT),
+         |  count(DISTINCT o_custkey)
+         |FROM v2, k
+         |ORDER BY version""".stripMargin)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.VersionedStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned store's PHYSICAL contracts — the properties the
+  * oracle-exact q109 gate cannot see because they live in the file
+  * layout: immutability (a version's files are never modified by later
+  * commits), structural sharing (an update version reuses the parent's
+  * untouched files byte-for-byte), and bounded copy-on-write (only the
+  * files whose key range owns updated rows are rewritten). */
+class VersionedStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("append shares every parent file; copy-on-write rewrites only owning files") {
+    val path = VersionedStore.store(spark, dir)
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    val f2 = VersionedStore.versionFiles(spark, path, 2).toSet
+    val f3 = VersionedStore.versionFiles(spark, path, 3).toSet
+    // append commit: v2 inherits EVERY v1 file and only adds
+    assert(f1.subsetOf(f2), "append must not drop or rewrite parent files")
+    assert((f2 -- f1).nonEmpty, "append landed no new files")
+    // copy-on-write commit: v3 shares most of v2 and both drops
+    // (rewritten) and adds (rewrites) something
+    val shared = f2 & f3
+    val rewritten = f2 -- f3
+    assert(shared.nonEmpty, "update version shares nothing with its parent")
+    assert(rewritten.nonEmpty && (f3 -- f2).nonEmpty)
+    assert(rewritten.size < f2.size / 2,
+      s"copy-on-write rewrote ${rewritten.size} of ${f2.size} files — not bounded")
+    // ...and the rewritten set is exactly the files whose key range
+    // overlaps the update band (per-file stats, the q82 planning step)
+    val (lo, hi) = VersionedStore.updateBand(
+      spark.read.parquet(f2.toSeq: _*))
+    val stats = spark.read.parquet(f2.toSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"))
+      .collect()
+      .map(r => VersionedStore.canon(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    rewritten.foreach { f =>
+      val (mn, mx) = stats(f)
+      assert(mx >= lo && mn <= hi,
+        s"rewrote a file outside the update band: $f [$mn,$mx] vs [$lo,$hi]")
+    }
+    // ...and every v2 file NOT overlapping the band survives into v3
+    f2.foreach { f =>
+      val (mn, mx) = stats(f)
+      if (!(mx >= lo && mn <= hi))
+        assert(f3.contains(f), s"non-owning file dropped by the update: $f")
+    }
+  }
+
+  test("old versions stay readable and bit-stable after later commits") {
+    val path = VersionedStore.store(spark, dir)
+    // v1 re-read AFTER v3 exists must equal the logical v1 frame exactly
+    val v1 = VersionedStore.readVersion(spark, path, 1)
+    val logical = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        Num.cents(col("o_totalprice")).as("amount_c"), col("o_orderdate"))
+    assert(v1.count() == logical.count())
+    assert(v1.except(logical).isEmpty && logical.except(v1).isEmpty,
+      "v1 drifted after later commits — immutability broken")
+    // v2 must NOT see v3's adjustment: its band-sum equals the raw sum
+    val v2 = VersionedStore.readVersion(spark, path, 2)
+    val (lo, hi) = VersionedStore.updateBand(v2)
+    val v2Band = v2.filter(col("o_custkey").between(lo, hi))
+      .agg(sum(col("amount_c"))).head().getLong(0)
+    val v3Band = VersionedStore.readVersion(spark, path, 3)
+      .filter(col("o_custkey").between(lo, hi))
+      .agg(sum(col("amount_c")), count(lit(1))).head()
+    assert(v3Band.getLong(0) == v2Band + 100L * v3Band.getLong(1),
+      "v3 adjustment arithmetic drifted")
+  }
+
+  test("q109 gated query: one summary row per version, monotone growth") {
+    val rows = VersionedStore.q109TimeTravel(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val n = rows.map(_.getLong(1))
+    assert(n(0) > 0 && n(0) < n(1) && n(1) == n(2),
+      s"row counts not (grow, equal): ${n.toSeq}")
+    assert(rows(2).getLong(2) > rows(1).getLong(2),
+      "v3 adjustment must raise the cent sum")
+  }
+}
