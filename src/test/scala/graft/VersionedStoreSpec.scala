@@ -77,6 +77,33 @@ class VersionedStoreSpec extends AnyFunSuite {
       "v3 adjustment arithmetic drifted")
   }
 
+  test("q110 maintains the view from the delta only, never rescanning v1 facts") {
+    val path = VersionedStore.store(spark, dir)
+    val out = VersionedStore.incrementalMv(spark, path)
+    // the fact-side scan reads exactly the v1->v2 manifest diff
+    val delta = VersionedStore.deltaFiles(spark, path, 1, 2).toSet
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    assert(delta.nonEmpty && (delta & f1).isEmpty)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // node whose children are not visible to collect()
+    val scannedFacts = out.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.inputFiles.exists(_.contains("/data/")) =>
+        sc.relation.location.inputFiles.map(VersionedStore.canon).toSet
+    }
+    assert(scannedFacts.nonEmpty, "no fact scan found in the plan")
+    scannedFacts.foreach { files =>
+      assert(files == delta,
+        s"fact scan reads ${files.size} files, expected the ${delta.size}-file delta")
+    }
+    // incremental == full recompute (the IVM statement, also the oracle)
+    val full = VersionedStore.readVersion(spark, path, 2)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("trips"), sum(col("amount_c")).as("amount_c"))
+    assert(out.except(full).isEmpty && full.except(out).isEmpty,
+      "incremental maintenance drifted from the full recompute")
+  }
+
   test("q109 gated query: one summary row per version, monotone growth") {
     val rows = VersionedStore.q109TimeTravel(spark, dir).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
