@@ -79,10 +79,11 @@ object ScaleSmoke {
       // manifest skip keeps the serving read sub-corpus at any R
       "q96b_knn_centrality_lsh", "q86b_bm25_index", "q98_image_header",
       // q101: one conditional-counter scan + one doc_id aggregate —
-      // should track raw scan cost. (q100/q107 read orders/customer/
-      // lineitem, which this smoke does not replicate; their scale
-      // shapes are keyed aggregates + entity-sized joins, argued in
-      // SURVEY §2.H. q106 is absent BY CONTRACT, the q27 reason: its
+      // should track raw scan cost. (q100/q107/q108/q109/q110 read
+      // orders/customer/lineitem/events-by-time, which this smoke does
+      // not replicate; their scale shapes are keyed aggregates +
+      // entity-sized joins + manifest-diff delta scans, argued in
+      // SURVEY §2.A/§2.H. q106 is absent BY CONTRACT, the q27 reason: its
       // query sample is 1/31 of the corpus, so replicating the corpus
       // grows sample x corpus quadratically — a production eval holds
       // the SAMPLE fixed as the corpus grows, which is exactly the
