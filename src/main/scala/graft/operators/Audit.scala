@@ -200,8 +200,13 @@ object Audit extends QueryPack {
     val purgedOrders = orders
       .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
       .select(col("o_orderkey").as("ok"))
+    // no broadcast hint here: purgedOrders is fact-derived (every order
+    // key of every purged customer), so its size tracks the erasure
+    // batch's order volume — AQE picks broadcast while it fits and a
+    // shuffle join once it does not; a hard hint would force the
+    // driver to collect it regardless
     val l = report("lineitem",
-      lineitem.join(broadcast(purgedOrders),
+      lineitem.join(purgedOrders,
         col("l_orderkey") === col("ok"), "left_outer"),
       col("ok").isNotNull)
     c.unionAll(o).unionAll(l).orderBy(col("table_name"))

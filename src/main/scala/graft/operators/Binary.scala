@@ -273,7 +273,7 @@ object Binary extends QueryPack {
     var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, align, bits
     var data: Option[Long] = None
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val size = le32(i + 4)
+      val size = le32(i + 4) // unsigned 32-bit: 0..4294967295, as Long
       if (cc(i, "fmt ")) {
         if (size < 16 || i + 8 + 16 > b.length) return unknown
         fmt = Some((le16(i + 10), le32(i + 12), le16(i + 20), le16(i + 22)))
@@ -281,7 +281,12 @@ object Binary extends QueryPack {
         if (i + 8 + size > b.length) return unknown
         data = Some(size)
       }
-      i += 8 + size.toInt + (size & 1).toInt // chunk sizes pad to even
+      // advance in Long space: a declared size near 2^32 must neither
+      // truncate to a non-advancing/negative Int (infinite loop) nor
+      // index past the array (AIOOBE) — a chunk that cannot fit simply
+      // ends the walk, and the fmt/data state decides the outcome
+      val next = i.toLong + 8L + size + (size & 1L) // sizes pad to even
+      i = if (next > b.length) b.length else next.toInt
     }
     (fmt, data) match {
       case (Some((ch, rate, align, bits)), Some(ds))

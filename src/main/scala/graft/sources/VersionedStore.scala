@@ -120,8 +120,9 @@ object VersionedStore extends QueryPack {
       .repartitionByRange(4, col("o_custkey"))
       .sortWithinPartitions("o_custkey")
       .write.mode(SaveMode.Append).parquet(dp)
-    val afterV2 = hadoopLs(s, dp)
-    val f2 = f1 ++ (afterV2 -- f1)
+    // an append removes nothing, so v2's membership IS the listing
+    // (the spec asserts f1 ⊆ f2 independently)
+    val f2 = hadoopLs(s, dp)
     writeManifest(s, path, 2, f2)
 
     // v3: copy-on-write update — adjust the band's amounts by +100
@@ -143,7 +144,7 @@ object VersionedStore extends QueryPack {
       .sortWithinPartitions("o_custkey")
       .write.mode(SaveMode.Append).parquet(dp)
     val afterV3 = hadoopLs(s, dp)
-    writeManifest(s, path, 3, (f2 -- owning) ++ (afterV3 -- afterV2))
+    writeManifest(s, path, 3, (f2 -- owning) ++ (afterV3 -- f2))
   }
 
   /** Per-JVM store cache — the q28/q76 amortized-build contract. */

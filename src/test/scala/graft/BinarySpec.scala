@@ -108,6 +108,13 @@ class BinarySpec extends AnyFunSuite {
         'd', 'a', 't', 'a', 0x7F, 0x7F, 0, 0, 1, 2), // data len past EOF
       b('R', 'I', 'F', 'F', 16, 0, 0, 0, 'W', 'A', 'V', 'E',
         'J', 'U', 'N', 'K', 4, 0, 0, 0, 1, 2, 3, 4), // no fmt/data at all
+      // adversarial chunk sizes: 0xFFFFFFF8 truncates to a NEGATIVE Int
+      // (-8 — a naive walk stops advancing and spins forever), and
+      // 0x7FFFFFFF overflows the index into negative array positions
+      b('R', 'I', 'F', 'F', 12, 0, 0, 0, 'W', 'A', 'V', 'E',
+        'X', 'X', 'X', 'X', 0xF8, 0xFF, 0xFF, 0xFF),
+      b('R', 'I', 'F', 'F', 12, 0, 0, 0, 'W', 'A', 'V', 'E',
+        'X', 'X', 'X', 'X', 0xFF, 0xFF, 0xFF, 0x7F, 1, 2),
       "plain text payload".getBytes("UTF-8"))
     cases.foreach { c =>
       val (fmt, ch, rate, bits, frames, ms) = Binary.decodeWavHeader(c)
