@@ -272,6 +272,42 @@ object Audit extends QueryPack {
       .orderBy(col("column_name"), col("metric"))
   }
 
+  /** q111: join/aggregation-key skew diagnosis — the audit a pipeline
+    * runs BEFORE choosing a partitioning strategy, closing the loop to
+    * q24 (which applies salting; something must decide it is needed):
+    * per (relation, key) the report pins row/key cardinalities, the
+    * heaviest key's share in ppm, and the count of HOT keys (>10× the
+    * mean key load — the keys a shuffle partition inherits whole, so
+    * their load bounds any equi-partitioned stage's straggler). Floor
+    * arithmetic → ORACLE-EXACT.
+    *
+    * Scale shape: one keyed count per relation (partial-aggregable),
+    * then two small aggregates over the counts frame; the counts
+    * subtree is IDENTICAL in both consumers, so Spark's exchange reuse
+    * materializes the shuffle once (plan-asserted in the spec — at
+    * 100 TB the relation scan is the cost, and it happens once). */
+  def q111SkewReport(s: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, df: DataFrame, key: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(
+        sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_rows"))
+      val hot = counts.crossJoin(broadcast(tot))
+        .filter(col("c") * col("n_keys") > col("n_rows") * 10)
+        .agg(count(lit(1)).as("hot_keys"))
+      tot.crossJoin(broadcast(hot))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          expr("(max_key_rows * 1000000) div n_rows").as("top1_share_ppm"),
+          col("hot_keys"))
+    }
+    profile("events.user_id", Tables.events(s, dir), "user_id")
+      .unionAll(profile("lineitem.l_orderkey", Tables.lineitem(s, dir),
+        "l_orderkey"))
+      .unionAll(profile("orders.o_custkey", Tables.orders(s, dir), "o_custkey"))
+      .orderBy(col("relation"))
+  }
+
   private val S = Num.sql
 
   val queries: Map[String, Q] = Map(
@@ -279,9 +315,28 @@ object Audit extends QueryPack {
     "q101_constraint_report" -> (q101ConstraintReport _),
     "q103_source_weights" -> (q103SourceWeights _),
     "q107_purge_audit" -> (q107PurgeAudit _),
-    "q108_profile_drift" -> (q108ProfileDrift _))
+    "q108_profile_drift" -> (q108ProfileDrift _),
+    "q111_skew_report" -> (q111SkewReport _))
 
   val oracleSql: Map[String, String] = Map(
+    "q111_skew_report" -> {
+      def one(name: String, table: String, key: String): String =
+        s"""SELECT '$name' AS relation, n_rows, n_keys, max_key_rows,
+           |  (max_key_rows * 1000000) // n_rows AS top1_share_ppm, hot_keys
+           |FROM (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows,
+           |    CAST(sum(CASE WHEN c * (SELECT count(*) FROM
+           |      (SELECT $key, count(*) AS c FROM $table GROUP BY 1))
+           |      > 10 * (SELECT count(*) FROM $table) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hot_keys
+           |  FROM (SELECT $key, count(*) AS c FROM $table GROUP BY 1))"""
+          .stripMargin
+      Seq(one("events.user_id", "events", "user_id"),
+        one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        one("orders.o_custkey", "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
     "q100_snapshot_diff" ->
       s"""WITH v1 AS (
          |  SELECT o_custkey AS k1, count(*) AS t1,

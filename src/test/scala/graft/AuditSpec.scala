@@ -131,6 +131,29 @@ class AuditSpec extends AnyFunSuite {
     assert(mn1 <= mx1 && mn2 <= mx2, "window extremes inverted")
   }
 
+  test("q111 skew report: internal arithmetic and one counts-shuffle per relation") {
+    val out = Audit.q111SkewReport(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("events.user_id", "lineitem.l_orderkey", "orders.o_custkey"))
+    rows.foreach { r =>
+      val (n, k, mx, top1, hot) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(k > 0 && k <= n && mx >= 1 && mx <= n)
+      assert(top1 == mx * 1000000L / n, s"${r.getString(0)} top1 ppm drift")
+      // max >= mean always; a hot key must carry > 10x the mean
+      assert(mx * k >= n)
+      assert(hot >= 0 && hot <= k)
+      if (hot > 0) assert(mx * k > 10L * n,
+        s"${r.getString(0)} reports hot keys but max is under the threshold")
+    }
+    // the counts subtree feeds both the totals aggregate and the
+    // hot-key filter: exchange reuse must materialize it once
+    val reused = out.queryExecution.executedPlan.toString
+    assert(reused.contains("ReusedExchange"),
+      "counts shuffle not reused — the relation would be scanned twice")
+  }
+
   test("q101 on the real corpus: every constraint passes with non-zero coverage") {
     val rep = Audit.q101ConstraintReport(spark, "/root/testdata/sf0.001").collect()
     assert(rep.length == 6)
