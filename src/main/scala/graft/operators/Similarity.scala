@@ -786,7 +786,19 @@ object Similarity extends QueryPack {
     * Both scans broadcast the sample, score per partition, and reduce
     * through the bounded top-k aggregate (k rows per task per query
     * cross the shuffle); the final joins are sample-sized. */
-  def q106RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+  def q106RetrievalEval(s: SparkSession, dir: String): DataFrame =
+    retrievalEval(s, dir, modulus = 31)
+
+  /** q106 at a parameterized sampling modulus — THE production knob:
+    * the gated tier evaluates every 31st vector; a corpus 100× larger
+    * raises the modulus ~100× so |sample| (and the eval's cost) stays
+    * constant. Because the eval is per-query independent, a query
+    * sampled at any modulus gets the IDENTICAL row at every other
+    * modulus that samples it (nested samples: m | m' ⇒ the m'-sample ⊆
+    * the m-sample) — spec-asserted, so turning the dial provably
+    * changes coverage, never semantics. */
+  private[graft] def retrievalEval(s: SparkSession, dir: String,
+      modulus: Int): DataFrame = {
     val k = 10
     val topk = udaf(new TopKByScore(k))
     def ranked(scored: DataFrame, score: String): DataFrame =
@@ -795,7 +807,7 @@ object Similarity extends QueryPack {
         .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
           col("t.key").as("id"))
     val v = vecs(s, dir)
-    val sample = v.filter(col("vec_id") % 31 === 0)
+    val sample = v.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("qid"), col("e").as("sqe"), col("n2").as("sqn2"))
     val truth = ranked(v.crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid"))
@@ -803,7 +815,7 @@ object Similarity extends QueryPack {
         cosineFrom(dot(col("e"), col("sqe")), col("n2"), col("sqn2")).as("cos")),
       "cos")
     val qv = quantizedVecs(s, dir)
-    val qsample = qv.filter(col("vec_id") % 31 === 0)
+    val qsample = qv.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("qid"), col("q").as("cq"), col("qn2").as("cqn2"))
     val system = ranked(qv.crossJoin(broadcast(qsample))
       .filter(col("vec_id") =!= col("qid"))

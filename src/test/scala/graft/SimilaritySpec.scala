@@ -369,4 +369,22 @@ class SimilaritySpec extends AnyFunSuite {
     val meanRecall = rows.map(_.getLong(3)).sum / rows.length
     assert(meanRecall >= 500000L, s"mean recall@10 only $meanRecall ppm")
   }
+
+  test("q106 modulus knob: nested samples, identical rows for shared queries") {
+    // 62 = 2 * 31, so the coarser sample is a strict subset of the gated
+    // tier's — and because the eval is per-query independent, every
+    // shared query must get the IDENTICAL row: the knob changes
+    // coverage, never semantics
+    val fine = operators.Similarity.retrievalEval(spark, sf, modulus = 31)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val coarse = operators.Similarity.retrievalEval(spark, sf, modulus = 62)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(coarse.nonEmpty && coarse.size < fine.size)
+    assert(coarse.keySet.subsetOf(fine.keySet), "samples not nested")
+    coarse.foreach { case (qid, row) =>
+      assert(fine(qid) == row, s"qid $qid drifted across moduli")
+    }
+  }
 }
