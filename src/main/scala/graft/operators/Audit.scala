@@ -286,26 +286,34 @@ object Audit extends QueryPack {
     * subtree is IDENTICAL in both consumers, so Spark's exchange reuse
     * materializes the shuffle once (plan-asserted in the spec — at
     * 100 TB the relation scan is the cost, and it happens once). */
-  def q111SkewReport(s: SparkSession, dir: String): DataFrame = {
-    def profile(name: String, df: DataFrame, key: String): DataFrame = {
-      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-      val tot = counts.agg(
-        sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
-        max(col("c")).as("max_key_rows"))
-      val hot = counts.crossJoin(broadcast(tot))
-        .filter(col("c") * col("n_keys") > col("n_rows") * 10)
-        .agg(count(lit(1)).as("hot_keys"))
-      tot.crossJoin(broadcast(hot))
-        .select(lit(name).as("relation"), col("n_rows"), col("n_keys"),
-          col("max_key_rows"),
-          expr("(max_key_rows * 1000000) div n_rows").as("top1_share_ppm"),
-          col("hot_keys"))
-    }
-    profile("events.user_id", Tables.events(s, dir), "user_id")
-      .unionAll(profile("lineitem.l_orderkey", Tables.lineitem(s, dir),
+  def q111SkewReport(s: SparkSession, dir: String): DataFrame =
+    skewProfile("events.user_id", Tables.events(s, dir), "user_id")
+      .unionAll(skewProfile("lineitem.l_orderkey", Tables.lineitem(s, dir),
         "l_orderkey"))
-      .unionAll(profile("orders.o_custkey", Tables.orders(s, dir), "o_custkey"))
+      .unionAll(skewProfile("orders.o_custkey", Tables.orders(s, dir),
+        "o_custkey"))
       .orderBy(col("relation"))
+
+  /** One relation's skew profile. The hot predicate is the division
+    * form `c > (10·n_rows) div n_keys` — for positive integers exactly
+    * equivalent to `c·n_keys > 10·n_rows` (c·k > t ⟺ c > ⌊t/k⌋) but
+    * immune to the product overflowing Long on a 10¹²-row relation
+    * with 10⁹ keys, which is precisely the regime a skew audit serves;
+    * the oracle mirrors the same division form. */
+  private[graft] def skewProfile(name: String, df: DataFrame,
+      key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(
+      sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_key_rows"))
+    val hot = counts.crossJoin(broadcast(tot))
+      .filter(col("c") > expr("(n_rows * 10) div n_keys"))
+      .agg(count(lit(1)).as("hot_keys"))
+    tot.crossJoin(broadcast(hot))
+      .select(lit(name).as("relation"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        expr("(max_key_rows * 1000000) div n_rows").as("top1_share_ppm"),
+        col("hot_keys"))
   }
 
   private val S = Num.sql
@@ -326,10 +334,10 @@ object Audit extends QueryPack {
            |FROM (
            |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
            |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows,
-           |    CAST(sum(CASE WHEN c * (SELECT count(*) FROM
-           |      (SELECT $key, count(*) AS c FROM $table GROUP BY 1))
-           |      > 10 * (SELECT count(*) FROM $table) THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS hot_keys
+           |    CAST(sum(CASE WHEN c > (10 * (SELECT count(*) FROM $table))
+           |      // (SELECT count(*) FROM
+           |        (SELECT $key, count(*) AS c FROM $table GROUP BY 1))
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
            |  FROM (SELECT $key, count(*) AS c FROM $table GROUP BY 1))"""
           .stripMargin
       Seq(one("events.user_id", "events", "user_id"),

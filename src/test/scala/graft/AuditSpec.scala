@@ -142,9 +142,10 @@ class AuditSpec extends AnyFunSuite {
       assert(k > 0 && k <= n && mx >= 1 && mx <= n)
       assert(top1 == mx * 1000000L / n, s"${r.getString(0)} top1 ppm drift")
       // max >= mean always; a hot key must carry > 10x the mean
-      assert(mx * k >= n)
+      // (division forms — the overflow-safe shape the operator uses)
+      assert(mx >= n / k)
       assert(hot >= 0 && hot <= k)
-      if (hot > 0) assert(mx * k > 10L * n,
+      if (hot > 0) assert(mx > 10L * n / k,
         s"${r.getString(0)} reports hot keys but max is under the threshold")
     }
     // the counts subtree feeds both the totals aggregate and the
@@ -152,6 +153,18 @@ class AuditSpec extends AnyFunSuite {
     val reused = out.queryExecution.executedPlan.toString
     assert(reused.contains("ReusedExchange"),
       "counts shuffle not reused — the relation would be scanned twice")
+  }
+
+  test("q111 hot-key threshold: strict at exactly 10x mean, trips just above") {
+    // key 0 at c plus 10 distinct singles gives n = c + 10, k = 11, so
+    // the threshold (10n) div k equals c exactly when c = 100 — the
+    // boundary must NOT count (strict >), and c = 101 must
+    def frame(c: Int) =
+      ((1 to 10).map(i => i.toLong) ++ Seq.fill(c)(0L)).toDF("uid")
+    def hotOf(c: Int): Long =
+      Audit.skewProfile("t.uid", frame(c), "uid").collect().head.getLong(5)
+    assert(hotOf(100) == 0L, "c == 10x mean must not count as hot (strict)")
+    assert(hotOf(101) == 1L, "c just above 10x mean must count as hot")
   }
 
   test("q101 on the real corpus: every constraint passes with non-zero coverage") {
