@@ -79,8 +79,9 @@ object ScaleSmoke {
       // manifest skip keeps the serving read sub-corpus at any R
       "q96b_knn_centrality_lsh", "q86b_bm25_index", "q98_image_header",
       // q101: one conditional-counter scan + one doc_id aggregate —
-      // should track raw scan cost. (q100/q107/q108/q109/q110 read
-      // orders/customer/lineitem/events-by-time, which this smoke does
+      // should track raw scan cost. q108 reads only events (replicated
+      // here): one scan + the multi-distinct Expand. (q100/q107/q109/
+      // q110/q111 read orders/customer/lineitem, which this smoke does
       // not replicate; their scale shapes are keyed aggregates +
       // entity-sized joins + manifest-diff delta scans, argued in
       // SURVEY §2.A/§2.H. q106 is absent BY CONTRACT, the q27 reason: its
@@ -88,7 +89,7 @@ object ScaleSmoke {
       // grows sample x corpus quadratically — a production eval holds
       // the SAMPLE fixed as the corpus grows, which is exactly the
       // O(|sample|·n) shape the q106 scaladoc pins.)
-      "q101_constraint_report", "q105_wav_header")
+      "q101_constraint_report", "q105_wav_header", "q108_profile_drift")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh
