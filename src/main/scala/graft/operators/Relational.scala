@@ -338,6 +338,69 @@ object Relational extends QueryPack {
     * UNPARTITIONED window over the already-aggregated handful of
     * category rows (the q65 post-aggregation rule — a second lazy
     * aggregate would re-execute the whole counts subtree instead). */
+  /** q112: point-in-time enrichment — the feature-store correctness
+    * join: every event picks up the SCD2 dimension version (q81's
+    * intervals) that was CURRENT at its timestamp, never a later one
+    * (no feature leakage) and never an earlier one (no staleness).
+    *
+    * The engine runs a real AS-OF mechanism, not a theta join: interval
+    * starts and events union into one frame ordered per user by the
+    * EVENT ordering key (ts, event_id — two runs can share a start
+    * timestamp, so a timestamp-only carry-forward cannot place the
+    * boundary; the interval row carries its first event's id and sorts
+    * immediately BEFORE it), and the dimension attributes carry forward
+    * through one user-keyed window — one shuffle, the q26 shape. The
+    * ORACLE recomputes each event's run attributes INDEPENDENTLY via
+    * window functions (no join at all), so any boundary defect in the
+    * as-of placement — off-by-one at a version change, same-timestamp
+    * tie broken the wrong way — breaks the hash: ORACLE-EXACT.
+    *
+    * At scale: dimension rows ≪ fact rows ride the same user-keyed
+    * exchange the facts already pay; no driver state, no broadcast of
+    * anything fact-sized. */
+  def q112PitEnrich(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(wOrd)
+    val base = Tables.eventsTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    // the SCD2 dimension (q81's intervals), carrying each run's FIRST
+    // event id as its position in the per-user event order
+    val dims = base.groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("d_from"),
+        min(struct(col("ts_us"), col("event_id"))).as("first"),
+        count(lit(1)).as("d_n"))
+      .select(col("user_id"), col("first.ts_us").as("ts_us"),
+        col("first.event_id").as("ord_id"), lit(0L).as("kind"),
+        col("event_type").as("d_type"), col("d_from"), col("d_n"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"))
+    val facts = base
+      .select(col("user_id"), col("ts_us"), col("event_id").as("ord_id"),
+        lit(1L).as("kind"), lit(null).cast("string").as("d_type"),
+        lit(null).cast("long").as("d_from"), lit(null).cast("long").as("d_n"),
+        col("event_id"), col("event_type"))
+    // per user: (ts, event_id, kind) puts each version row immediately
+    // before its first event; carry the version forward from there
+    val wAsOf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("ord_id"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dims.unionAll(facts)
+      .withColumn("dim_type", last(col("d_type"), ignoreNulls = true).over(wAsOf))
+      .withColumn("dim_from_us", last(col("d_from"), ignoreNulls = true).over(wAsOf))
+      .withColumn("dim_run_events", last(col("d_n"), ignoreNulls = true).over(wAsOf))
+      .filter(col("kind") === 1L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("dim_type"), col("dim_from_us"),
+        col("dim_run_events"))
+      .orderBy(col("event_id"))
+  }
+
   def q94DriftTv(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsTs(s, dir).select(col("ts_us"), col("event_type"))
     val mm = ev.agg(min(col("ts_us")).as("tmn"), max(col("ts_us")).as("tmx"))
@@ -596,7 +659,8 @@ object Relational extends QueryPack {
     "q78_funnel" -> (q78Funnel _),
     "q80_resample" -> (q80Resample _),
     "q81_scd2" -> (q81Scd2 _),
-    "q94_drift_tv" -> (q94DriftTv _))
+    "q94_drift_tv" -> (q94DriftTv _),
+    "q112_pit_enrich" -> (q112PitEnrich _))
 
   val oracleSql: Map[String, String] = Map(
     "q94_drift_tv" ->
@@ -619,6 +683,26 @@ object Relational extends QueryPack {
         |SELECT event_type, n_early, n_late, share_early_ppb, share_late_ppb,
         |  abs(share_early_ppb - share_late_ppb) AS drift_ppb
         |FROM sh ORDER BY event_type""".stripMargin,
+    // q112's twin derives each event's run attributes INDEPENDENTLY
+    // (window recomputation, no join), so the engine's as-of mechanism
+    // is gated against a derivation that shares none of its moving parts
+    "q112_pit_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM c)
+        |SELECT event_id, user_id, ts_us, event_type,
+        |  event_type AS dim_type,
+        |  min(ts_us) OVER (PARTITION BY user_id, run_id) AS dim_from_us,
+        |  count(*) OVER (PARTITION BY user_id, run_id) AS dim_run_events
+        |FROM r ORDER BY event_id""".stripMargin,
     "q81_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

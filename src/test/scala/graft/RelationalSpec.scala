@@ -105,4 +105,20 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sum
     assert(withF + anti == c)
   }
+
+  test("q112 PIT enrichment: every event lands in its own version, never a later one") {
+    val rows = operators.Relational.q112PitEnrich(spark, sf).collect()
+    val n = Tables.events(spark, sf).count()
+    assert(rows.length == n, "enrichment must cover every fact exactly once")
+    rows.foreach { r =>
+      // the event that OPENED or extended a run belongs to that run:
+      // its own type equals the as-of version's type (a leaked FUTURE
+      // version or a stale past one would disagree at every change)
+      assert(r.getString(3) == r.getString(4),
+        s"event ${r.getLong(0)} enriched with a foreign version")
+      assert(r.getLong(5) <= r.getLong(2),
+        s"event ${r.getLong(0)} version starts after the event — leakage")
+      assert(r.getLong(6) >= 1)
+    }
+  }
 }
