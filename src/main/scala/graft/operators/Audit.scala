@@ -186,20 +186,25 @@ object Audit extends QueryPack {
       orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val isDel = col("c_mktsegment") === "AUTOMOBILE" &&
       col("c_custkey") % 10 === 7
-    val del = customer.filter(isDel).select(col("c_custkey").as("k"))
+    // distinct on both key frames: the left_outer classification below
+    // must implement IN semantics (a fact row is purged or not, never
+    // counted twice), which a duplicate deletion key would break — the
+    // audit holds by construction, not by assuming key uniqueness
+    val del = customer.filter(isDel).select(col("c_custkey").as("k")).distinct()
     def report(name: String, df: DataFrame, purged: org.apache.spark.sql.Column) =
       df.agg(count(lit(1)).as("n_total"),
         sum(when(purged, 1L).otherwise(0L)).as("n_purged"))
         .select(lit(name).as("table_name"), col("n_purged"),
           (col("n_total") - col("n_purged")).as("n_retained"),
-          expr("(n_purged * 1000000) div n_total").as("purged_ppm"))
+          expr("if(n_total = 0, 0L, (n_purged * 1000000) div n_total)")
+            .as("purged_ppm"))
     val c = report("customer", customer, isDel)
     val o = report("orders",
       orders.join(broadcast(del), col("o_custkey") === col("k"), "left_outer"),
       col("k").isNotNull)
     val purgedOrders = orders
       .join(broadcast(del), col("o_custkey") === col("k"), "left_semi")
-      .select(col("o_orderkey").as("ok"))
+      .select(col("o_orderkey").as("ok")).distinct()
     // no broadcast hint here: purgedOrders is fact-derived (every order
     // key of every purged customer), so its size tracks the erasure
     // batch's order volume — AQE picks broadcast while it fits and a
@@ -260,10 +265,10 @@ object Audit extends QueryPack {
         |  '_row',       'n_rows',       rows1, rows2,
         |  'user_id',    'n_distinct',   du1,   du2,
         |  'event_type', 'n_distinct',   dt1,   dt2,
-        |  'props',      'null_ppm',     (np1 * 1000000) div rows1,
-        |                                (np2 * 1000000) div rows2,
-        |  'value',      'null_ppm',     (nv1 * 1000000) div rows1,
-        |                                (nv2 * 1000000) div rows2,
+        |  'props',      'null_ppm',     if(rows1 = 0, 0L, (np1 * 1000000) div rows1),
+        |                                if(rows2 = 0, 0L, (np2 * 1000000) div rows2),
+        |  'value',      'null_ppm',     if(rows1 = 0, 0L, (nv1 * 1000000) div rows1),
+        |                                if(rows2 = 0, 0L, (nv2 * 1000000) div rows2),
         |  'value',      'min_c',        mn1,   mn2,
         |  'value',      'max_c',        mx1,   mx2
         |) AS (column_name, metric, v1, v2)""".stripMargin))
@@ -309,10 +314,15 @@ object Audit extends QueryPack {
     val hot = counts.crossJoin(broadcast(tot))
       .filter(col("c") > expr("(n_rows * 10) div n_keys"))
       .agg(count(lit(1)).as("hot_keys"))
+    // zero-denominator guard: an EMPTY relation profiles as all-zero
+    // rather than NULLing (Spark div) or erroring (DuckDB //) — the
+    // engine and the oracle degrade identically on degenerate input
     tot.crossJoin(broadcast(hot))
-      .select(lit(name).as("relation"), col("n_rows"), col("n_keys"),
-        col("max_key_rows"),
-        expr("(max_key_rows * 1000000) div n_rows").as("top1_share_ppm"),
+      .select(lit(name).as("relation"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("n_keys"),
+        coalesce(col("max_key_rows"), lit(0L)).as("max_key_rows"),
+        expr("if(coalesce(n_rows, 0L) = 0, 0L, " +
+          "(max_key_rows * 1000000) div n_rows)").as("top1_share_ppm"),
         col("hot_keys"))
   }
 
@@ -329,8 +339,11 @@ object Audit extends QueryPack {
   val oracleSql: Map[String, String] = Map(
     "q111_skew_report" -> {
       def one(name: String, table: String, key: String): String =
-        s"""SELECT '$name' AS relation, n_rows, n_keys, max_key_rows,
-           |  (max_key_rows * 1000000) // n_rows AS top1_share_ppm, hot_keys
+        s"""SELECT '$name' AS relation, coalesce(n_rows, 0) AS n_rows,
+           |  n_keys, coalesce(max_key_rows, 0) AS max_key_rows,
+           |  CASE WHEN coalesce(n_rows, 0) = 0 THEN 0
+           |       ELSE (max_key_rows * 1000000) // n_rows
+           |  END AS top1_share_ppm, hot_keys
            |FROM (
            |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
            |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows,
@@ -431,10 +444,12 @@ object Audit extends QueryPack {
          |    ('_row',       'n_rows',     rows1, rows2),
          |    ('user_id',    'n_distinct', du1,   du2),
          |    ('event_type', 'n_distinct', dt1,   dt2),
-         |    ('props',      'null_ppm',   (np1 * 1000000) // rows1,
-         |                                 (np2 * 1000000) // rows2),
-         |    ('value',      'null_ppm',   (nv1 * 1000000) // rows1,
-         |                                 (nv2 * 1000000) // rows2),
+         |    ('props',      'null_ppm',
+         |       CASE WHEN rows1 = 0 THEN 0 ELSE (np1 * 1000000) // rows1 END,
+         |       CASE WHEN rows2 = 0 THEN 0 ELSE (np2 * 1000000) // rows2 END),
+         |    ('value',      'null_ppm',
+         |       CASE WHEN rows1 = 0 THEN 0 ELSE (nv1 * 1000000) // rows1 END,
+         |       CASE WHEN rows2 = 0 THEN 0 ELSE (nv2 * 1000000) // rows2 END),
          |    ('value',      'min_c',      mn1,   mn2),
          |    ('value',      'max_c',      mx1,   mx2)
          |  ) t(column_name, metric, v1, v2))
@@ -469,7 +484,8 @@ object Audit extends QueryPack {
         |u AS (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
         |SELECT table_name, CAST(n_purged AS BIGINT) AS n_purged,
         |  CAST(n_total - n_purged AS BIGINT) AS n_retained,
-        |  CAST((n_purged * 1000000) // n_total AS BIGINT) AS purged_ppm
+        |  CAST(CASE WHEN n_total = 0 THEN 0
+        |       ELSE (n_purged * 1000000) // n_total END AS BIGINT) AS purged_ppm
         |FROM u ORDER BY table_name""".stripMargin,
     "q103_source_weights" -> {
       // the q31 quality formula verbatim (its own gate proves the two

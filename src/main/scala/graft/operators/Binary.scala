@@ -247,7 +247,12 @@ object Binary extends QueryPack {
         riff(fourcc("JUNK") ++ le32(5) ++ "graft".getBytes("US-ASCII") ++
           Array[Byte](0) ++ fmtChunk(id) ++ dataChunk(id))
       case 2 => riff(fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(1))
-      case _ => text.getBytes("UTF-8")
+      // 0x00 lead byte: no RIFF container can start with NUL (the
+      // fourcc is ASCII 'RIFF'), so the opaque class is structurally
+      // un-parseable — the oracle's hardcoded 'unknown' for this class
+      // can never collide with corpus text that happens to spell a
+      // valid RIFF/WAVE header
+      case _ => Array[Byte](0) ++ text.getBytes("UTF-8")
     }
   }
 
@@ -406,7 +411,8 @@ object Binary extends QueryPack {
     // q105's twin restates the WAV payload CONSTRUCTION: canonical
     // layout is 12 (RIFF/WAVE) + 24 (fmt) + 8 + data bytes; the JUNK
     // variant adds 14 (8 + 5 + 1 pad); the truncated variant stops at
-    // 24 bytes. duration = floor(n_frames * 1000 / rate) because the
+    // 24 bytes; the opaque class is text + 1 NUL lead byte.
+    // duration = floor(n_frames * 1000 / rate) because the
     // block align cancels exactly in data_size*1000/(rate*align).
     "q105_wav_header" ->
       """WITH p AS (
@@ -423,7 +429,7 @@ object Binary extends QueryPack {
         |    WHEN 0 THEN 44 + nf * al
         |    WHEN 1 THEN 58 + nf * al
         |    WHEN 2 THEN 24
-        |    ELSE tb END AS BIGINT) AS n_bytes,
+        |    ELSE tb + 1 END AS BIGINT) AS n_bytes,
         |  CASE WHEN doc_id % 4 <= 1 THEN 'wav' ELSE 'unknown' END AS format,
         |  CAST(CASE WHEN doc_id % 4 <= 1 THEN ch END AS BIGINT) AS channels,
         |  CAST(CASE WHEN doc_id % 4 <= 1 THEN rate END AS BIGINT) AS sample_rate,

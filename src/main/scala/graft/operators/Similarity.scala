@@ -825,17 +825,26 @@ object Similarity extends QueryPack {
     val hits = truth.select(col("qid"), col("id"))
       .join(system.select(col("qid"), col("id")), Seq("qid", "id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    // recall normalizes by the ACTUAL truth-list size (≤ k when the
+    // corpus holds fewer than k non-self vectors or the modulus is
+    // aggressive) — a 100%-recall query must report 1000000 ppm even
+    // when its truth list is short, not a silently deflated n_hits/k
+    val tsz = truth.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
     val nn = truth.filter(col("rk") === 1).select(col("qid"), col("id"))
       .join(system.select(col("qid"), col("id"), col("rk")),
         Seq("qid", "id"), "left_outer")
       .select(col("qid"), coalesce(col("rk"), lit(0L)).as("nn_rank"))
     sample.select(col("qid"))
       .join(hits, Seq("qid"), "left_outer")
+      .join(tsz, Seq("qid"), "left_outer")
       .join(nn, Seq("qid"), "left_outer")
       .select(col("qid"),
         coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("nt"), lit(0L)).as("nt"),
         coalesce(col("nn_rank"), lit(0L)).as("nn_rank"))
-      .withColumn("recall_ppm", expr(s"(n_hits * 1000000) div $k"))
+      .withColumn("recall_ppm",
+        expr("if(nt = 0, 0L, (n_hits * 1000000) div nt)"))
+      .drop("nt")
       .withColumn("rr_ppm",
         expr("CASE WHEN nn_rank > 0 THEN 1000000 div nn_rank ELSE 0 END"))
       .orderBy(col("qid"))
@@ -1045,14 +1054,17 @@ object Similarity extends QueryPack {
          |  SELECT truth.qid, coalesce(sys.rk, 0) AS nr
          |  FROM truth LEFT JOIN sys
          |    ON truth.qid = sys.qid AND truth.id = sys.id
-         |  WHERE truth.rk = 1)
+         |  WHERE truth.rk = 1),
+         |tsz AS (SELECT qid, count(*) AS nt FROM truth GROUP BY 1)
          |SELECT s.qid,
          |  CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(nr, 0) AS BIGINT) AS nn_rank,
-         |  CAST((coalesce(h, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN coalesce(nt, 0) = 0 THEN 0
+         |    ELSE (coalesce(h, 0) * 1000000) // nt END AS BIGINT) AS recall_ppm,
          |  CAST(CASE WHEN coalesce(nr, 0) > 0 THEN 1000000 // nr
          |    ELSE 0 END AS BIGINT) AS rr_ppm
          |FROM s LEFT JOIN hits ON s.qid = hits.qid
+         |LEFT JOIN tsz ON s.qid = tsz.qid
          |LEFT JOIN nn ON s.qid = nn.qid
          |ORDER BY s.qid""".stripMargin,
     "q53_centroid_search" ->

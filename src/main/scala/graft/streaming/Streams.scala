@@ -286,13 +286,17 @@ object Streams {
     * Emits every row with a `purged` flag rather than dropping
     * silently, so the caller splits retained rows from the per-batch
     * purge counters that continue q107's audit into the stream. */
-  def purgeGate(in: Dataset[UserEvent], tombstones: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val tomb = broadcast(tombstones.select(col("k")).distinct())
+  def purgeGate(in: Dataset[UserEvent], tombstones: org.apache.spark.sql.DataFrame,
+      keyCol: String = "k"): org.apache.spark.sql.DataFrame = {
+    // normalize the caller's key column to an internal name that cannot
+    // collide with the stream's schema — the gate is robust to any
+    // single-key tombstone shape, not just frames already named "k"
+    val tomb = broadcast(
+      tombstones.select(col(keyCol).as("__graft_tomb_k")).distinct())
     in.toDF()
-      .join(tomb, col("userId") === col("k"), "left_outer")
-      .withColumn("purged", col("k").isNotNull)
-      .drop("k")
+      .join(tomb, col("userId") === col("__graft_tomb_k"), "left_outer")
+      .withColumn("purged", col("__graft_tomb_k").isNotNull)
+      .drop("__graft_tomb_k")
   }
 
   // ---- s3: watermarked tumbling-window counts ----
