@@ -89,7 +89,13 @@ object ScaleSmoke {
       // grows sample x corpus quadratically — a production eval holds
       // the SAMPLE fixed as the corpus grows, which is exactly the
       // O(|sample|·n) shape the q106 scaladoc pins.)
-      "q101_constraint_report", "q105_wav_header", "q108_profile_drift")
+      "q101_constraint_report", "q105_wav_header", "q108_profile_drift",
+      // ANN store probes: the build pays one corpus pass + KMeans fit
+      // (scales with data); the PROBES read manifest-selected bucket /
+      // cell files — q92b's cell count scales with the corpus (cell
+      // SIZE constant), so its probe wall is the store-size-independent
+      // claim under measurement, the vector twin of q86b's row
+      "q51b_knn_lsh_index", "q92b_ivf_index", "q104b_hybrid_rrf_index")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh

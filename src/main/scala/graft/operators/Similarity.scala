@@ -112,7 +112,7 @@ object Similarity extends QueryPack {
     * [[graft.functions.HyperplaneCodes]] expression (the builtin
     * composition needs ~4600 literal nodes and falls out of codegen).
     * Join key = (array position, code). */
-  private def lshCodes(e: Column, tables: Int = LshTables,
+  private[graft] def lshCodes(e: Column, tables: Int = LshTables,
       bits: Int = LshBits): Column =
     org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.HyperplaneCodes(
@@ -122,7 +122,7 @@ object Similarity extends QueryPack {
   /** XOR masks for multiprobe at Hamming radius `r` over `bits`-bit codes
     * (identity mask included): radius 1 -> bits+1 probes, radius 2 ->
     * 1 + bits + bits*(bits-1)/2. */
-  private[operators] def probeMasks(bits: Int, r: Int): Array[Long] = {
+  private[graft] def probeMasks(bits: Int, r: Int): Array[Long] = {
     val singles = (0 until bits).map(i => 1L << i)
     val pairs = for { i <- 0 until bits; j <- i + 1 until bits }
       yield (1L << i) | (1L << j)

@@ -1,0 +1,304 @@
+package graft.sources
+
+import graft.{Engine, QueryPack, Tables}
+import graft.functions.VectorOps._
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the vector twin of [[InvertedIndexStore]]: the
+  * serving state every vector-retrieval tier in the engine previously
+  * rebuilt per JVM (q51's LSH code tables, q92's IVF cells + centroid
+  * fit) materialized as plain parquet relations, so a FRESH process
+  * answers its first ANN query from manifest-pruned file reads instead
+  * of paying a full corpus pass. The reference persists both of its
+  * serving indexes — Solr for search (`solr/ny_taxi/schema.xml`,
+  * `common/SolrSupport.java:79-135`) and Kudu tables whose scans seed
+  * streaming state (`ConnectedCarStreaming.scala:69-83`) — and round 9
+  * gave graft's lexical tier that move (q86 → q86b); this store replays
+  * it for vectors. Layout under one base path:
+  *
+  *  - `vectors` (+ `.manifest`): (vec_id, e, n2), range-clustered and
+  *    sorted on vec_id — the id-keyed embedding store; point fetches
+  *    (the query's own vector, q99-style gets) open only the files
+  *    whose id range can hold the key;
+  *  - `codes` (+ `.manifest`): the LSH code tables as postings —
+  *    one row per (table, code, vector) keyed by tc = t·2^bits + code,
+  *    range-clustered and SORTED on tc, with the vector's (e, n2)
+  *    INLINE. The inline payload multiplies storage by `tables` (the
+  *    classic LSH-forest space-for-latency trade; q54's 8-bit codes are
+  *    the compression lever when that bill matters) and buys the probe
+  *    everything it needs from the probed buckets' files alone — no
+  *    second corpus-sized fetch join;
+  *  - `cells` (+ `.manifest`): the IVF relation — every vector in
+  *    exactly ONE KMeans cell (no duplication), clustered so a cell is
+  *    a contiguous file range; `centroids` holds the k (cell, c, cn2)
+  *    rows. Cell count scales with the corpus (ceil(n / 200), floor 8),
+  *    so probed-cell row volume — and probe wall — stays ~constant as
+  *    the store grows: the 100 TB contract, spec-smoked at 16×.
+  *
+  * Probes:
+  *  - q51b: multiprobe LSH against `codes` — BIT-IDENTICAL output to
+  *    q51's in-memory tier (same seed-7 hyperplanes, same Hamming-2
+  *    ball, same exact-cosine rescore on the same candidate set;
+  *    spec-asserted), reading only manifest-selected posting files with
+  *    the tc predicate pushed to the parquet reader;
+  *  - q92b: IVF against `cells`/`centroids` — the q92 laws (nprobe
+  *    nesting, nprobe = k ≡ the exact scan) hold on the persisted
+  *    structure; file reads are the probed cells' files only;
+  *  - q104b: RRF fusion of the two PERSISTED serving tiers (q86b's
+  *    inverted-index probe + the IVF probe) — the production retrieval
+  *    path end-to-end store-served.
+  *
+  * All three are rows-only gates (LSH/IVF retrieval has no ANSI twin —
+  * the q51/q92 precedent); their determinism, recall, and parity laws
+  * live in AnnIndexStoreSpec.
+  */
+object AnnIndexStore extends QueryPack {
+
+  /** Cell-count rule: one cell per ~200 vectors, floor 8 — cells (not
+    * cell size) grow with the corpus, so nprobe cells is a constant
+    * probe cost at any store size. At the gated scales (sf0.001/0.01)
+    * the floor makes this exactly q92's k = 8 geometry. */
+  private[graft] val TargetCellRows = 200L
+  private[graft] def cellCount(n: Long): Int =
+    math.max(8L, (n + TargetCellRows - 1) / TargetCellRows).toInt
+
+  def vectorsPath(p: String): String = p + "/vectors"
+  def codesPath(p: String): String = p + "/codes"
+  def cellsPath(p: String): String = p + "/cells"
+  def centroidsPath(p: String): String = p + "/centroids"
+  def manifestPath(rel: String): String = rel + ".manifest"
+
+  /** Per-file [min, max] manifest over `keyCol` of the parquet files at
+    * `path` — one distributed aggregate, nothing collected (the
+    * [[InvertedIndexStore.writeManifest]] pattern on a long key). */
+  private def writeManifest(s: SparkSession, path: String, keyCol: String): Unit =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(keyCol).as("mn"), max(keyCol).as("mx"))
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+
+  /** Build every relation from a (vec_id, e: array<double>, n2) frame.
+    * Cost: one id-range shuffle (vectors), one code explode + tc-range
+    * shuffle (codes), one KMeans fit + cell-range shuffle (cells) —
+    * all partial-aggregable or row-local before their one shuffle each,
+    * paid once per store like every store-family build. */
+  def build(v0: DataFrame, path: String, vecFiles: Int = 8,
+      codeFiles: Int = 16): Unit = {
+    val s = v0.sparkSession
+    val v = v0.select(col("vec_id"), col("e"), col("n2"))
+
+    v.repartitionByRange(vecFiles, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(vectorsPath(path))
+    writeManifest(s, vectorsPath(path), "vec_id")
+
+    val bits = Similarity.LshBits
+    v.select(col("vec_id"), col("e"), col("n2"),
+        posexplode(Similarity.lshCodes(col("e"))).as(Seq("t", "code")))
+      .select((shiftleft(col("t").cast("long"), bits)
+        .bitwiseOR(col("code"))).as("tc"),
+        col("vec_id"), col("e"), col("n2"))
+      .repartitionByRange(codeFiles, col("tc"))
+      .sortWithinPartitions("tc", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(codesPath(path))
+    writeManifest(s, codesPath(path), "tc")
+
+    val k = cellCount(v.count())
+    val cents = graft.ml.KMeans.fit(v.select(col("vec_id"), col("e")), k, iters = 5)
+    import scala.jdk.CollectionConverters._
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i.toLong, c.toSeq, c.map(x => x * x).sum)
+    }.toSeq
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("cn2",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    s.createDataFrame(centRows.asJava, centSchema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
+    v.withColumn("cell",
+        graft.ml.KMeans.assign(col("e"), cents).getField("cluster").cast("long"))
+      .repartitionByRange(k, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(cellsPath(path))
+    writeManifest(s, cellsPath(path), "cell")
+  }
+
+  /** Per-JVM store cache (the store-family amortization contract). */
+  private val built = scala.collection.mutable.Map.empty[String, String]
+
+  def store(s: SparkSession, dir: String): String = synchronized {
+    built.getOrElseUpdate(dir, {
+      val path = Engine.storePath("graft-ann-index", dir)
+      build(decoded(s, dir), path)
+      path
+    })
+  }
+
+  private def decoded(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n2", norm2(col("e")))
+
+  /** Files at `rel` whose [mn, mx] manifest range can contain any of
+    * `keys` — the point-probe file skip, run as a distributed semi-join
+    * against the (bounded) key list; only selected paths materialize. */
+  def filesForKeys(s: SparkSession, rel: String, keys: Seq[Long]): Array[String] = {
+    val m = s.read.parquet(manifestPath(rel))
+    val kdf = s.createDataset(keys)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("k")
+    m.join(broadcast(kdf), col("mn") <= col("k") && col("mx") >= col("k"),
+        "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).sorted
+  }
+
+  /** Point-fetch one vector by id through the vectors manifest — opens
+    * only the file(s) whose id range holds the key (the q99 pattern on
+    * the embedding store). */
+  private[graft] def fetchVector(s: SparkSession, path: String, id: Long): DataFrame = {
+    val files = filesForKeys(s, vectorsPath(path), Seq(id))
+    require(files.nonEmpty, s"vector $id not covered by any store file")
+    s.read.parquet(files: _*).filter(col("vec_id") === id)
+  }
+
+  // ---- q51b: multiprobe LSH served from the persisted code tables ----
+
+  def q51bKnnLshIndex(s: SparkSession, dir: String): DataFrame =
+    knnLshIndex(s, dir)
+
+  /** The q51 probe against the store, knobs matching [[Similarity.knnLsh]]
+    * (radius = multiprobe Hamming ball). Candidate generation reads ONLY
+    * the posting files whose tc range can hold a probed bucket key
+    * (manifest skip) with the bucket predicate pushed into the parquet
+    * scan (row-group skip inside the tc-sorted files); candidates carry
+    * their (e, n2) inline, so the exact-cosine rescore follows with no
+    * further store read. The probe-key list is bounded driver state —
+    * tables × |Hamming ball| longs (948 at the default geometry), the
+    * q86b query-terms contract. */
+  private[graft] def knnLshIndex(s: SparkSession, dir: String,
+      radius: Int = 2): DataFrame = {
+    val path = store(s, dir)
+    val bits = Similarity.LshBits
+    val q = fetchVector(s, path, 0L)
+      .select(col("e").as("qe"), col("n2").as("qn2"))
+    val qCodes = q.select(posexplode(Similarity.lshCodes(col("qe")))
+      .as(Seq("t", "code")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val masks = Similarity.probeMasks(bits, radius)
+    val probeKeys: Seq[Long] = qCodes.flatMap { case (t, code) =>
+      masks.map(m => (t.toLong << bits) | (code ^ m))
+    }.toSeq.distinct.sorted
+    val files = filesForKeys(s, codesPath(path), probeKeys)
+    require(files.nonEmpty, "manifest selected no code files for the probe")
+    // cosine BEFORE the cross-table dedup: a vector's duplicate code
+    // rows carry identical (e, n2), so max(cos) per vec_id IS the
+    // dedup — and unlike dropDuplicates over array payloads it plans
+    // as a partial-aggregable HashAggregate (each task reduces its
+    // bucket rows to one row per candidate before the only shuffle)
+    s.read.parquet(files: _*)
+      .filter(col("tc").isin(probeKeys: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---- q92b: IVF served from the persisted cells + centroid table ----
+
+  def q92bIvfIndex(s: SparkSession, dir: String): DataFrame =
+    ivfIndex(s, dir, nprobe = 2, k = 10)
+
+  /** Number of cells in the persisted store for `dir` (the nprobe upper
+    * bound the spec's "nprobe = cells ≡ exact scan" law needs). */
+  private[graft] def storeCellCount(s: SparkSession, dir: String): Int =
+    s.read.parquet(centroidsPath(store(s, dir))).count().toInt
+
+  /** The IVF probe: rank the k-row persisted centroid table driver-side
+    * (bounded k × dim state — the KMeans contract), open only the
+    * `nprobe` probed cells' files via the cells manifest, exact cosine
+    * inside. The probed cell set is nested in nprobe, so recall is
+    * monotone and nprobe = |cells| IS the exact scan — the q92 laws,
+    * spec-asserted on the persisted structure. */
+  private[graft] def ivfIndex(s: SparkSession, dir: String, nprobe: Int,
+      k: Int): DataFrame = {
+    val path = store(s, dir)
+    val cents = s.read.parquet(centroidsPath(path))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe in [1, ${cents.length}], got $nprobe")
+    val qe = fetchVector(s, path, 0L).select(col("e"))
+      .head.getSeq[Double](0).toArray
+    // driver-side cell ranking by L2 (the assignment metric), ties by
+    // cell index — mirrors Similarity.ivfKmeans
+    val probed = cents.map { case (i, c) =>
+      (c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val files = filesForKeys(s, cellsPath(path), probed)
+    require(files.nonEmpty, "manifest selected no cell files for the probe")
+    val q = fetchVector(s, path, 0L)
+      .select(col("e").as("qe"), col("n2").as("qn2"))
+    s.read.parquet(files: _*)
+      .filter(col("cell").isin(probed: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---- q104b: hybrid fusion over the two persisted serving tiers ----
+
+  /** RRF fusion of the PERSISTED retrieval paths: lexical list = q86b's
+    * inverted-index probe (top-20, bit-identical to q86), vector list =
+    * the IVF store probe at k = 20 — the q104 arithmetic (integer
+    * `10⁹ div (60 + rank)` per list) over store-served inputs, making
+    * the production RAG path end-to-end index-backed. Both lists are
+    * ≤ 20 rows at any store size, so fusion cost is constant; the
+    * upstream probes are the manifest-pruned reads above. Rows-only
+    * (the vector side is IVF-approximate); the lexical-rank parity,
+    * fusion-arithmetic, and membership laws live in AnnIndexStoreSpec. */
+  def q104bHybridRrfIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = InvertedIndexStore.q86bBm25Index(s, dir)
+      .select(col("doc_id"), col("score"))
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("lex_rank"))
+    val vec = ivfIndex(s, dir, nprobe = 2, k = 20)
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long").as("vec_rank"))
+    // both frames are ≤20 rows by construction (the q104 tiny-frame
+    // proof for the un-partitioned rank windows above)
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_score",
+        expr("CASE WHEN lex_rank > 0 THEN 1000000000 div (60 + lex_rank) ELSE 0 END") +
+          expr("CASE WHEN vec_rank > 0 THEN 1000000000 div (60 + vec_rank) ELSE 0 END"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q51b_knn_lsh_index" -> (q51bKnnLshIndex _),
+    "q92b_ivf_index" -> (q92bIvfIndex _),
+    "q104b_hybrid_rrf_index" -> (q104bHybridRrfIndex _))
+
+  // rows-only by design: LSH planes and the KMeans iteration are
+  // engine-internal (the q51/q92 precedent); laws in AnnIndexStoreSpec.
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.sources.{AnnIndexStore, InvertedIndexStore}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted ANN index's contract — the vector twin of
+  * InvertedIndexStoreSpec:
+  *
+  *  - q51b serves BIT-IDENTICAL results to q51's in-memory LSH tier
+  *    (same hyperplanes + Hamming ball ⇒ same candidate set, same
+  *    exact-cosine rescore) while reading only manifest-selected code
+  *    files with the bucket predicate pushed into the scan;
+  *  - q92b obeys the q92 IVF laws ON THE PERSISTED STRUCTURE: probe-all
+  *    equals the exact scan, recall monotone in nprobe, results only
+  *    from probed cells — and opens only the probed cells' files;
+  *  - q104b fuses the two persisted serving tiers with the exact q104
+  *    integer RRF arithmetic (law-checked per row) over lists that are
+  *    provably the store probes' own rankings.
+  */
+class AnnIndexStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q51b index probe is bit-identical to q51's in-memory LSH tier") {
+    val fromIndex = AnnIndexStore.q51bKnnLshIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = operators.Similarity.q51KnnLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex.nonEmpty, "probe returned nothing — vacuous")
+    assert(fromIndex == inMemory,
+      s"store probe diverged from in-memory LSH:\n  index=$fromIndex\n  mem=$inMemory")
+  }
+
+  test("q92b on the persisted cells: probe-all equals exact scan; recall monotone; no cell leak") {
+    val exact = operators.Similarity.q50KnnBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cells = AnnIndexStore.storeCellCount(spark, sf)
+    val all = AnnIndexStore.ivfIndex(spark, sf, nprobe = cells, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(all.toSeq == exact.toSeq,
+      s"probe-all over the store diverged from exact scan:\n$all\nvs\n$exact")
+    val exactIds = exact.map(_._1).toSet
+    val byProbe = Seq(1, 2, cells).map { np =>
+      val ids = AnnIndexStore.ivfIndex(spark, sf, np, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      (exactIds & ids).size.toDouble / exactIds.size
+    }
+    assert(byProbe == byProbe.sorted, s"q92b recall not monotone: $byProbe")
+    assert(byProbe.last == 1.0)
+    val one = AnnIndexStore.ivfIndex(spark, sf, 1, k = 10).collect()
+    assert(one.map(_.getLong(1)).toSet.size <= 1, "nprobe=1 leaked cells")
+  }
+
+  test("probes open only manifest-selected files; predicates reach the scan") {
+    val path = AnnIndexStore.store(spark, sf)
+
+    // vectors point-fetch: the query's file only
+    val vecFilesAll = spark.read.parquet(AnnIndexStore.vectorsPath(path))
+      .select(input_file_name()).distinct().count()
+    val qFiles = AnnIndexStore.filesForKeys(
+      spark, AnnIndexStore.vectorsPath(path), Seq(0L))
+    assert(qFiles.nonEmpty && qFiles.length < vecFilesAll,
+      s"vector point-fetch pruned nothing: ${qFiles.length} of $vecFilesAll")
+
+    // cells probe: nprobe cells select a strict subset of cell files,
+    // and the scan opens exactly those
+    val cellFilesAll = spark.read.parquet(AnnIndexStore.cellsPath(path))
+      .select(input_file_name()).distinct().count()
+    val probed = Seq(0L, 1L)
+    val cellFiles = AnnIndexStore.filesForKeys(
+      spark, AnnIndexStore.cellsPath(path), probed)
+    assert(cellFiles.nonEmpty && cellFiles.length < cellFilesAll,
+      s"cell manifest pruned nothing: ${cellFiles.length} of $cellFilesAll")
+    val cellProbe = spark.read.parquet(cellFiles: _*)
+      .filter(col("cell").isin(probed: _*))
+    cellProbe.collect()
+    val cellScan = cellProbe.queryExecution.executedPlan.collectFirst {
+      case sc: FileSourceScanExec => sc
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(cellScan.metrics("numFiles").value == cellFiles.length)
+    assert(cellScan.metadata("PushedFilters").contains("In(cell"),
+      s"cell filter not pushed: ${cellScan.metadata("PushedFilters")}")
+
+    // codes probe: single-probe (radius 0) keys are 12 scattered buckets
+    // — file skip must engage; the gated radius-2 probe's wider key set
+    // then relies on the pushed tc predicate for row-group skip, and
+    // must still read a small fraction of the postings
+    val bits = operators.Similarity.LshBits
+    val qv = AnnIndexStore.fetchVector(spark, path, 0L)
+    val qCodes = qv.select(posexplode(
+        operators.Similarity.lshCodes(col("e"))).as(Seq("t", "code")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val r0Keys = qCodes.map { case (t, c) => (t.toLong << bits) | c }.toSeq
+    val codeFilesAll = spark.read.parquet(AnnIndexStore.codesPath(path))
+      .select(input_file_name()).distinct().count()
+    val r0Files = AnnIndexStore.filesForKeys(
+      spark, AnnIndexStore.codesPath(path), r0Keys)
+    assert(r0Files.nonEmpty && r0Files.length < codeFilesAll,
+      s"radius-0 code probe pruned nothing: ${r0Files.length} of $codeFilesAll")
+    val masks = operators.Similarity.probeMasks(bits, 2)
+    val r2Keys = qCodes.flatMap { case (t, c) =>
+      masks.map(m => (t.toLong << bits) | (c ^ m))
+    }.toSeq.distinct
+    val r2Files = AnnIndexStore.filesForKeys(
+      spark, AnnIndexStore.codesPath(path), r2Keys)
+    val codeProbe = spark.read.parquet(r2Files: _*)
+      .filter(col("tc").isin(r2Keys: _*))
+    val matched = codeProbe.count()
+    val codeScan = codeProbe.queryExecution.executedPlan.collectFirst {
+      case sc: FileSourceScanExec => sc
+    }.getOrElse(fail("no FileSourceScanExec"))
+    assert(codeScan.metadata("PushedFilters").contains("tc"),
+      s"tc filter not pushed: ${codeScan.metadata("PushedFilters")}")
+    // candidate volume is a small fraction of the postings — the LSH
+    // selectivity that makes the probed read sub-corpus. (At this test
+    // scale each file is one row group, so the pushed tc predicate's
+    // row-group skip is only observable as the radius-0 file skip
+    // above; at production file counts the sorted tc layout skips
+    // groups inside every opened file too.)
+    val allCodes = spark.read.parquet(AnnIndexStore.codesPath(path)).count()
+    assert(matched > 0 && matched < allCodes / 2,
+      s"probe matched $matched of $allCodes code rows — no selectivity")
+  }
+
+  test("q104b fuses the two persisted serving tiers with the q104 arithmetic") {
+    val fused = AnnIndexStore.q104bHybridRrfIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty)
+    // integer RRF law per row
+    fused.foreach { case (id, lr, vr, score) =>
+      val expect = (if (lr > 0) 1000000000L / (60 + lr) else 0L) +
+        (if (vr > 0) 1000000000L / (60 + vr) else 0L)
+      assert(score == expect, s"doc $id: rrf $score != $expect (lex=$lr vec=$vr)")
+      assert(id != 0, "query doc leaked into the fused list")
+    }
+    // the lexical ranks ARE q86b's ranking (which is itself q86-exact)
+    val lexList = InvertedIndexStore.q86bBm25Index(spark, sf)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    fused.filter(_._2 > 0).foreach { case (id, lr, _, _) =>
+      assert(lexList(lr.toInt - 1) == id,
+        s"doc $id claims lex rank $lr but q86b has ${lexList(lr.toInt - 1)}")
+    }
+    // the vector ranks ARE the IVF store probe's ranking
+    val vecList = AnnIndexStore.ivfIndex(spark, sf, nprobe = 2, k = 20)
+      .collect().map(_.getLong(0)).toSeq
+    fused.filter(_._3 > 0).foreach { case (id, _, vr, _) =>
+      assert(vecList(vr.toInt - 1) == id,
+        s"doc $id claims vec rank $vr but the IVF probe has ${vecList(vr.toInt - 1)}")
+    }
+    // membership: fused docs come from the two source lists and nowhere else
+    val members = (lexList.toSet ++ vecList.toSet) - 0L
+    assert(fused.map(_._1).toSet.subsetOf(members), "fused doc outside both lists")
+  }
+
+  test("cell-count rule scales cells with the corpus, never cell size") {
+    assert(AnnIndexStore.cellCount(100) == 8, "floor holds at tiny corpora")
+    assert(AnnIndexStore.cellCount(1500) == 8, "gated scale keeps q92's k = 8")
+    assert(AnnIndexStore.cellCount(24000) == 120)
+    val big = AnnIndexStore.cellCount(2400000)
+    assert(big == 12000 && 2400000 / big <= AnnIndexStore.TargetCellRows,
+      "cell size must stay bounded as the corpus grows")
+  }
+}
