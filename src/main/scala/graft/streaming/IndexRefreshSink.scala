@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.sources.InvertedIndexStore
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -21,9 +22,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * O(corpus) per batch — wrong at any scale); a probe unions segments,
   * which stays exact because a doc lives in exactly one segment, so
   * per-term df and corpus stats are plain sums across segments. The
-  * many-small-segments problem this trades into is the store family's
-  * existing business: [[graft.sources.CompactStore]] IS the OPTIMIZE /
-  * segment-merge tier.
+  * many-small-segments problem this trades into is handled by THIS
+  * sink's own OPTIMIZE tier, [[mergeSegments]] — the Lucene
+  * merge-policy step, done segment-natively (the flat-store
+  * [[graft.sources.CompactStore]] knows nothing of segment manifests
+  * or stats rows):
+  *
+  *  - a merge folds every LIVE segment into ONE new segment named by
+  *    the batch-id range it spans (`seg_m<lo>_<hi>`): postings
+  *    re-range-clustered and sorted on term into size-targeted files
+  *    (restoring per-file manifest skip that tiny per-batch segments
+  *    dilute), manifest re-derived, stats = the SUM of the folded
+  *    segments' stats rows (exact — a doc lives in exactly one folded
+  *    segment);
+  *  - COMMIT is the stats row's _SUCCESS marker, written LAST (the
+  *    same write order appendBatch already uses): readers resolve the
+  *    live segment set as "committed segments not strictly covered by
+  *    a committed merged segment", so a crashed half-merge is simply
+  *    invisible and a re-run overwrites the same deterministic target
+  *    — the table-format swap done with naming instead of a log;
+  *  - folded segments become garbage, not errors: [[vacuum]] deletes
+  *    them physically, and until it runs the range-coverage rule keeps
+  *    them out of every probe;
+  *  - replay stays exactly-once ACROSS merges: a checkpoint-replayed
+  *    batch id inside a committed merged range is SKIPPED by
+  *    appendBatch (re-creating its segment after the merge would
+  *    double-count its docs — the one case Overwrite cannot fix).
   *
   * Exactly-once: every write targets the batch's own segment directory
   * with Overwrite, so a checkpoint-replayed batch id reproduces the
@@ -39,6 +63,54 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object IndexRefreshSink {
 
   def segName(batchId: Long): String = s"seg_$batchId"
+  def mergedSegName(lo: Long, hi: Long): String = s"seg_m${lo}_$hi"
+
+  /** One segment's identity: its directory name and the batch-id range
+    * it holds (a base segment's range is [id, id]). */
+  private[graft] case class Seg(name: String, lo: Long, hi: Long,
+      merged: Boolean)
+
+  private val BaseRe = """seg_(\d+)""".r
+  private val MergedRe = """seg_m(\d+)_(\d+)""".r
+  private[graft] def parseSeg(name: String): Option[Seg] = name match {
+    case BaseRe(id) => Some(Seg(name, id.toLong, id.toLong, merged = false))
+    case MergedRe(lo, hi) => Some(Seg(name, lo.toLong, hi.toLong, merged = true))
+    case _ => None
+  }
+
+  private def fs(s: SparkSession, p: String): FileSystem =
+    FileSystem.get(new Path(p).toUri, s.sparkContext.hadoopConfiguration)
+
+  /** Segments whose stats row carries the _SUCCESS commit marker — the
+    * write order (postings, manifest, stats LAST) makes that marker the
+    * segment's commit record, for base appends and merges alike. A
+    * driver-side listing bounded by segment count (the planner's own
+    * cardinality), no data read. */
+  private[graft] def committedSegs(s: SparkSession, path: String): Seq[Seg] = {
+    val f = fs(s, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => parseSeg(st.getPath.getName))
+      .filter(sg => f.exists(new Path(
+        s"${InvertedIndexStore.statsPath(path)}/${sg.name}/_SUCCESS")))
+  }
+
+  /** The segments a reader serves from: committed, minus any segment
+    * STRICTLY covered by a committed merged segment's range (the folded
+    * inputs of a merge — garbage awaiting [[vacuum]], never double
+    * reads). */
+  private[graft] def liveSegments(s: SparkSession, path: String): Seq[Seg] = {
+    val committed = committedSegs(s, path)
+    committed.filterNot(sg => committed.exists(o => o.merged &&
+      o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
+      .sortBy(_.lo)
+  }
+
+  /** Is `batchId` already folded into a committed merged segment? */
+  private def mergeCovered(s: SparkSession, path: String, batchId: Long): Boolean =
+    committedSegs(s, path)
+      .exists(sg => sg.merged && sg.lo <= batchId && batchId <= sg.hi)
 
   /** Index one micro-batch as an immutable segment: postings range-
     * clustered on term into `segFiles` files (so the manifest can skip
@@ -52,6 +124,11 @@ object IndexRefreshSink {
     // the manifest derivation reads the segment back, and a dir with
     // only _SUCCESS fails schema inference and kills the stream
     if (batch.isEmpty) return
+    // a checkpoint-replayed batch id already folded into a committed
+    // merged segment must NOT re-create its base segment — the merged
+    // segment holds its docs, so Overwrite-idempotence alone would
+    // double-count them; skipping preserves exactly-once across merges
+    if (mergeCovered(batch.sparkSession, path, batchId)) return
     val seg = segName(batchId)
     InvertedIndexStore.postings(batch)
       .repartitionByRange(segFiles, col("term"))
@@ -74,21 +151,83 @@ object IndexRefreshSink {
       }
       .start()
 
+  /** OPTIMIZE: fold every live segment into one merged segment. The
+    * postings union is re-range-clustered and sorted on term into
+    * `ceil(bytes / targetFileBytes)` files (bytes from the folded
+    * segments' file LISTING — metadata only, the CompactStore sizing
+    * step), the manifest is re-derived, and the stats row is the SUM of
+    * the folded stats rows (exact: each doc lives in exactly one folded
+    * segment). The stats write lands LAST and its _SUCCESS is the
+    * commit — until then readers resolve the old live set, and a
+    * re-run overwrites the same deterministic `seg_m<lo>_<hi>` target.
+    * One term-range shuffle over the live postings, size-proportional;
+    * run it from the maintenance cadence (every N batches, or when the
+    * live-segment count passes a threshold — the Lucene merge policy
+    * knob). Returns the merged segment name, or None when fewer than
+    * two segments are live. */
+  def mergeSegments(s: SparkSession, path: String,
+      targetFileBytes: Long = 4L << 20): Option[String] = {
+    val live = liveSegments(s, path)
+    if (live.size < 2) return None
+    val seg = mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
+    val f = fs(s, path)
+    val bytes = live.map { sg =>
+      f.listStatus(new Path(s"$path/${sg.name}"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    s.read.parquet(live.map(sg => s"$path/${sg.name}"): _*)
+      .repartitionByRange(n, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$seg")
+    InvertedIndexStore.writeManifest(s, s"$path/$seg",
+      s"${InvertedIndexStore.manifestPath(path)}/$seg")
+    s.read.parquet(live.map(sg =>
+        s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tot_tokens")).as("tot_tokens"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${InvertedIndexStore.statsPath(path)}/$seg")
+    Some(seg)
+  }
+
+  /** Physically delete segments folded into a committed merged segment
+    * (the coverage rule already hides them from every reader, so this
+    * is storage reclamation, not correctness). */
+  def vacuum(s: SparkSession, path: String): Unit = {
+    val committed = committedSegs(s, path)
+    val covered = committed.filter(sg => committed.exists(o => o.merged &&
+      o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
+    val f = fs(s, path)
+    covered.foreach { sg =>
+      f.delete(new Path(s"$path/${sg.name}"), true)
+      f.delete(new Path(
+        s"${InvertedIndexStore.manifestPath(path)}/${sg.name}"), true)
+      f.delete(new Path(
+        s"${InvertedIndexStore.statsPath(path)}/${sg.name}"), true)
+    }
+  }
+
   /** BM25 point query over the segmented index — the q86b probe shape
-    * against the union of segment manifests: only files whose term
-    * range can contain a query term are opened; df comes free from the
-    * probed postings; corpus stats are the sum of segment rows. */
+    * against the union of LIVE segments' manifests: only files whose
+    * term range can contain a query term are opened; df comes free from
+    * the probed postings; corpus stats are the sum of live segments'
+    * rows. Segment resolution is the coverage rule above, so the probe
+    * is undisturbed by an in-flight or freshly committed merge. */
   def probe(s: SparkSession, path: String,
       terms: Seq[String] = graft.operators.Text.Bm25Query): DataFrame = {
-    val m = s.read.option("recursiveFileLookup", "true")
-      .parquet(InvertedIndexStore.manifestPath(path))
+    val live = liveSegments(s, path)
+    require(live.nonEmpty, s"no committed segments under $path")
+    val m = s.read.parquet(live.map(sg =>
+      s"${InvertedIndexStore.manifestPath(path)}/${sg.name}"): _*)
     val selected = InvertedIndexStore.filesFor(m, terms)
     require(selected.nonEmpty, s"no posting files can contain $terms")
     val tf = s.read.parquet(selected: _*)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val stats = s.read.option("recursiveFileLookup", "true")
-      .parquet(InvertedIndexStore.statsPath(path))
+    val stats = s.read.parquet(live.map(sg =>
+        s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("tot_tokens")).as("tot_tokens"))
     graft.operators.Text.bm25Score(tf, stats)

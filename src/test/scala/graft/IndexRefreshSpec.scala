@@ -101,4 +101,83 @@ class IndexRefreshSpec extends AnyFunSuite {
     val exp = expected(all.toSeq.toDF("doc_id", "text"))
     assert(got.sameElements(exp))
   }
+
+  test("segment merge: bit-identical serving, fewer files, replay-safe, vacuum-safe") {
+    def liveFiles(path: String): Long =
+      IndexRefreshSink.liveSegments(spark, path).map { sg =>
+        Option(new java.io.File(s"$path/${sg.name}").listFiles()).toSeq
+          .flatten.count(_.getName.endsWith(".parquet")).toLong
+      }.sum
+
+    val base = Files.createTempDirectory("graft_ixr_merge_").toString
+    val path = s"$base/index"
+    val all = docs("/root/testdata/sf0.001").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = all.grouped(6).toSeq
+    batches.zipWithIndex.foreach { case (g, i) =>
+      IndexRefreshSink.appendBatch(
+        g.toSeq.toDF("doc_id", "text"), path, batchId = i.toLong)
+    }
+    val before = IndexRefreshSink.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val filesBefore = liveFiles(path)
+    val segsBefore = IndexRefreshSink.liveSegments(spark, path).size
+    assert(segsBefore == batches.size, "one live segment per batch")
+
+    // OPTIMIZE: one merged segment, strictly fewer live posting files,
+    // and the probe serves the SAME bits (scores and stats are exact
+    // sums, so the layout change is invisible)
+    val merged = IndexRefreshSink.mergeSegments(spark, path)
+    assert(merged.contains(IndexRefreshSink.mergedSegName(0, batches.size - 1)))
+    val after = IndexRefreshSink.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(after.sameElements(before), "merge changed served scores")
+    assert(IndexRefreshSink.liveSegments(spark, path).size == 1,
+      "merge did not collapse the live set")
+    assert(liveFiles(path) < filesBefore,
+      s"merge did not reduce live files: ${liveFiles(path)} vs $filesBefore")
+
+    // pre-vacuum, the folded base segments still EXIST physically; the
+    // coverage rule must already hide them from serving (asserted by
+    // the identity check above). vacuum then reclaims them.
+    IndexRefreshSink.vacuum(spark, path)
+    batches.indices.foreach { i =>
+      assert(!new java.io.File(s"$path/${IndexRefreshSink.segName(i.toLong)}").exists,
+        s"vacuum left folded segment $i")
+    }
+    val afterVacuum = IndexRefreshSink.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(afterVacuum.sameElements(before), "vacuum changed serving")
+
+    // replay idempotence ACROSS the merge: re-appending a folded batch
+    // id must be a SKIP — with the base segment vacuumed, Overwrite
+    // idempotence alone would re-create it and double-count its docs
+    IndexRefreshSink.appendBatch(
+      batches(2).toSeq.toDF("doc_id", "text"), path, batchId = 2L)
+    assert(!new java.io.File(s"$path/${IndexRefreshSink.segName(2L)}").exists,
+      "replayed folded batch re-created its base segment")
+    val replayed = IndexRefreshSink.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(replayed.sameElements(before), "replay after merge changed serving")
+
+    // the NRT loop continues: new batches append beside the merged
+    // segment, and a SECOND merge folds merged + new into one range
+    val seen = all.map(_._1).toSet
+    val extra = docs("/root/testdata/sf0.001")
+      .filter(!col("doc_id").isin(seen.toSeq: _*)).limit(10).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    IndexRefreshSink.appendBatch(
+      extra.toSeq.toDF("doc_id", "text"), path, batchId = batches.size.toLong)
+    val exp2 = expected((all ++ extra).toSeq.toDF("doc_id", "text"))
+    val got2 = IndexRefreshSink.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got2.sameElements(exp2), "post-merge append diverged from batch tier")
+    val merged2 = IndexRefreshSink.mergeSegments(spark, path)
+    assert(merged2.contains(IndexRefreshSink.mergedSegName(0, batches.size)))
+    IndexRefreshSink.vacuum(spark, path)
+    val got3 = IndexRefreshSink.probe(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got3.sameElements(exp2), "second merge changed serving")
+    assert(IndexRefreshSink.liveSegments(spark, path).size == 1)
+  }
 }

@@ -94,6 +94,18 @@ class PipelineSpec extends AnyFunSuite {
       // only stateful machinery is foreachBatch's own bookkeeping
       assert(q.lastProgress.stateOperators.isEmpty,
         "gate composition registered streaming state")
+
+      // maintenance step: OPTIMIZE the accumulated micro-batch segments
+      // while the pipeline is live — serving is bit-identical across
+      // merge and vacuum, and the live set collapses to one segment
+      assert(IndexRefreshSink.mergeSegments(spark, path).nonEmpty,
+        "merge found nothing to fold")
+      IndexRefreshSink.vacuum(spark, path)
+      val afterMerge = IndexRefreshSink.probe(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(afterMerge.sameElements(expected),
+        "segment merge changed the served scores")
+      assert(IndexRefreshSink.liveSegments(spark, path).size == 1)
     } finally q.stop()
   }
 }
