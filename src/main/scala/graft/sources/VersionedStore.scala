@@ -175,6 +175,50 @@ object VersionedStore extends QueryPack {
     }.reduce(_.unionAll(_)).orderBy(col("version"))
   }
 
+  /** Committed version numbers at `path`, from the manifest directory
+    * listing (driver-side, bounded by version count). */
+  def versions(s: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.sorted
+  }
+
+  /** Retention: expire all but the newest `keepVersions` versions —
+    * drop their manifests and physically delete every data file no
+    * RETAINED manifest references (the Delta VACUUM / Iceberg
+    * expire_snapshots service; without it a store that commits daily
+    * keeps every superseded file forever). File sharing makes the
+    * reference count the ONLY safe deletion rule: a file written for
+    * v1 and still listed by v3's manifest survives v1's expiry —
+    * deletable = (files referenced only by expired manifests) −
+    * (files referenced by any retained manifest). Manifests drop LAST,
+    * so a crash mid-vacuum leaves dangling manifests over partially
+    * deleted data (loud failure on read) rather than silently
+    * corrupted retained versions; re-running completes the expiry.
+    * Cost: manifest-table reads + a bounded driver file-set diff +
+    * one delete per expired file — no data scanned. Returns
+    * (expired version count, deleted file count). */
+  def vacuum(s: SparkSession, path: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, s"must retain at least one version")
+    val vs = versions(s, path)
+    val drop = vs.dropRight(keepVersions)
+    if (drop.isEmpty) return (0, 0)
+    val keep = vs.takeRight(keepVersions)
+    val retained = keep.flatMap(v => versionFiles(s, path, v)).toSet
+    val deletable = drop.flatMap(v => versionFiles(s, path, v)).toSet -- retained
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    deletable.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true))
+    (drop.size, deletable.size)
+  }
+
   /** The append delta between two versions, straight from the manifest
     * diff — the file set an incremental consumer scans INSTEAD of the
     * store. */
@@ -228,9 +272,69 @@ object VersionedStore extends QueryPack {
       .orderBy(col("o_custkey"))
   }
 
+  /** Materialized v2-level aggregate (q110's refresh result), built
+    * once per JVM next to the store — the table q110b maintains across
+    * the copy-on-write commit. */
+  private def mv2Path(path: String): String = path + "/mv/v2"
+  private val mv2Built = scala.collection.mutable.Set.empty[String]
+
+  private def mv2(s: SparkSession, path: String): DataFrame = synchronized {
+    if (!mv2Built.contains(path)) {
+      incrementalMv(s, path)
+        .write.mode(SaveMode.Overwrite).parquet(mv2Path(path))
+      mv2Built += path
+    }
+    s.read.parquet(mv2Path(path))
+  }
+
+  /** q110b: IVM across the UPDATE commit (v2→v3) — the refresh q110
+    * cannot do: a copy-on-write commit REMOVES files (the rewritten
+    * band owners) as well as adding their replacements, so the delta
+    * consumer must RETRACT the removed files' partial aggregates and
+    * merge the added files' in. The manifest diff yields both sets;
+    * the refresh is
+    *
+    *   mv3(c) = mv2(c) − partial(removed)(c) + partial(added)(c)
+    *
+    * — additive aggregates (counts, integer-cent sums) retract as
+    * exactly as they merge, and the three-way merge is the same
+    * co-partitioned entity-sized outer join as q110 (the q100 CDC
+    * shape). Customers whose every fact was removed leave the view
+    * (trips = 0 rows drop — exact retraction semantics). The fact
+    * scans touch ONLY removed ∪ added files (spec-asserted via
+    * inputFiles): at 100 TB the correction batch costs its own size,
+    * never the store's. The oracle recomputes the v3 aggregate from
+    * scratch — the gate PROVES incremental-across-update ≡ full. */
+  def q110bIncrementalMvCow(s: SparkSession, dir: String): DataFrame = {
+    val path = store(s, dir)
+    val f2 = versionFiles(s, path, 2).toSet
+    val f3 = versionFiles(s, path, 3).toSet
+    val removed = (f2 -- f3).toSeq.sorted
+    val added = (f3 -- f2).toSeq.sorted
+    require(removed.nonEmpty && added.nonEmpty,
+      "v2->v3 is not a copy-on-write commit")
+    def partial(files: Seq[String], t: String, a: String) =
+      s.read.parquet(files: _*)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(t), sum(col("amount_c")).as(a))
+    val base = mv2(s, path)
+      .select(col("o_custkey"), col("trips").as("t2"), col("amount_c").as("a2"))
+    base
+      .join(partial(removed, "tr", "ar"), Seq("o_custkey"), "full_outer")
+      .join(partial(added, "ta", "aa"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("t2"), lit(0L)) - coalesce(col("tr"), lit(0L))
+          + coalesce(col("ta"), lit(0L))).as("trips"),
+        (coalesce(col("a2"), lit(0L)) - coalesce(col("ar"), lit(0L))
+          + coalesce(col("aa"), lit(0L))).as("amount_c"))
+      .filter(col("trips") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_time_travel" -> (q109TimeTravel _),
-    "q110_incremental_mv" -> (q110IncrementalMv _))
+    "q110_incremental_mv" -> (q110IncrementalMv _),
+    "q110b_incremental_mv_cow" -> (q110bIncrementalMvCow _))
 
   val oracleSql: Map[String, String] = Map(
     // the IVM correctness statement: incremental maintenance from the
@@ -240,6 +344,19 @@ object VersionedStore extends QueryPack {
          |  CAST(sum(${Num.sql.cents("o_totalprice")}) AS BIGINT) AS amount_c
          |FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the update-commit IVM statement: retract-and-merge from the
+    // manifest diff must equal the from-scratch v3 aggregate
+    "q110b_incremental_mv_cow" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm)
+         |SELECT o_custkey, count(*) AS trips,
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
+         |FROM o, k GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q109_time_travel" ->
       s"""WITH o AS (
          |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a, o_orderdate

@@ -104,6 +104,68 @@ class VersionedStoreSpec extends AnyFunSuite {
       "incremental maintenance drifted from the full recompute")
   }
 
+  test("q110b refreshes across the update commit from removed+added files only") {
+    val path = VersionedStore.store(spark, dir)
+    val out = VersionedStore.q110bIncrementalMvCow(spark, dir)
+    val f2 = VersionedStore.versionFiles(spark, path, 2).toSet
+    val f3 = VersionedStore.versionFiles(spark, path, 3).toSet
+    val (removed, added) = (f2 -- f3, f3 -- f2)
+    assert(removed.nonEmpty && added.nonEmpty,
+      "v2->v3 must remove AND add files (copy-on-write)")
+    // the fact-side scans read exactly removed ∪ added — the rewritten
+    // band's old files (retraction) and their replacements (merge);
+    // shared files are NEVER rescanned
+    val scannedFacts = out.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.inputFiles.exists(_.contains("/data/")) =>
+        sc.relation.location.inputFiles.map(VersionedStore.canon).toSet
+    }
+    assert(scannedFacts.nonEmpty, "no fact scan found in the plan")
+    assert(scannedFacts.toSet == Set(removed, added),
+      s"fact scans ${scannedFacts.map(_.size)} != {removed ${removed.size}, added ${added.size}}")
+    // retract-and-merge == full v3 recompute (the update-IVM statement)
+    val full = VersionedStore.readVersion(spark, path, 3)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("trips"), sum(col("amount_c")).as("amount_c"))
+    assert(out.except(full).isEmpty && full.except(out).isEmpty,
+      "update-commit IVM drifted from the full v3 recompute")
+  }
+
+  test("vacuum expires old versions, keeps shared files, leaves retained reads bit-stable") {
+    // a PRIVATE store build — vacuum mutates history, so it must not
+    // touch the cached store the gated queries share
+    val base = java.nio.file.Files.createTempDirectory("graft_vac_").toString
+    val path = s"$base/store"
+    VersionedStore.build(spark, dir, path)
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    val f2 = VersionedStore.versionFiles(spark, path, 2).toSet
+    val f3 = VersionedStore.versionFiles(spark, path, 3).toSet
+    val sharedIntoV3 = (f1 | f2) & f3
+    val exclusiveToOld = (f1 | f2) -- f3 // the rewritten band owners
+    assert(sharedIntoV3.nonEmpty && exclusiveToOld.nonEmpty,
+      "store must have both shared and superseded files for the test to bite")
+    val before = VersionedStore.readVersion(spark, path, 3)
+      .agg(count(lit(1)), sum(col("amount_c"))).head()
+
+    val (expired, deleted) = VersionedStore.vacuum(spark, path, keepVersions = 1)
+    assert(expired == 2 && deleted == exclusiveToOld.size,
+      s"vacuum expired $expired versions, deleted $deleted files; " +
+        s"expected 2 and ${exclusiveToOld.size}")
+    // superseded files physically gone; every v3-referenced file —
+    // including those WRITTEN for v1 and shared forward — survives
+    exclusiveToOld.foreach(f =>
+      assert(!new java.io.File(f).exists, s"superseded file survived: $f"))
+    f3.foreach(f =>
+      assert(new java.io.File(f).exists, s"retained file deleted: $f"))
+    assert(VersionedStore.versions(spark, path) == Seq(3), "manifests not expired")
+    // the retained version reads the same bits as before the vacuum
+    val after = VersionedStore.readVersion(spark, path, 3)
+      .agg(count(lit(1)), sum(col("amount_c"))).head()
+    assert(after == before, "vacuum changed the retained version's content")
+    // idempotent re-run: nothing left to expire
+    assert(VersionedStore.vacuum(spark, path, keepVersions = 1) == ((0, 0)))
+  }
+
   test("q109 gated query: one summary row per version, monotone growth") {
     val rows = VersionedStore.q109TimeTravel(spark, dir).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
