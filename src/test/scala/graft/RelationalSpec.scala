@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class RelationalSpec extends AnyFunSuite {
@@ -120,5 +121,21 @@ class RelationalSpec extends AnyFunSuite {
         s"event ${r.getLong(0)} version starts after the event — leakage")
       assert(r.getLong(6) >= 1)
     }
+  }
+
+  test("q112b: the store-resident dimension serves the identical PIT enrichment") {
+    // the persisted SCD2 store minus its anchor column IS q81's output
+    val dim = spark.read.parquet(sources.Scd2Store.store(spark, sf))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+    val q81 = operators.Relational.q81Scd2(spark, sf)
+    assert(dim.except(q81).isEmpty && q81.except(dim).isEmpty,
+      "store content drifted from the q81 derivation")
+    // and the store-fed as-of join is bit-identical to the self-derived
+    // q112 (both are gated by the same independent-window oracle; this
+    // pins them to each other directly too)
+    val a = sources.Scd2Store.q112bPitEnrichStore(spark, sf).collect().toSeq
+    val b = operators.Relational.q112PitEnrich(spark, sf).collect().toSeq
+    assert(a == b, "store-fed PIT enrichment diverged from q112")
   }
 }
