@@ -521,6 +521,29 @@ object Relational extends QueryPack {
       .agg(sum(col("c")).as("cnt"), (sum(col("vc")) / 100.0).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Skew-mitigated equi-JOIN — q24's salting applied to the other
+    * skew victim (q111 diagnoses both): when one join key owns a huge
+    * share of the fact rows, an equi-partitioned shuffle join hands
+    * that key's whole load to one task. Salting splits it: the fact
+    * side derives a deterministic salt in [0, salts) from a row-unique
+    * column (no rand() — replays must reproduce), the dimension side
+    * replicates each row once per salt value, and the join runs on
+    * (key, salt) — the hot key's rows spread across `salts` tasks, at
+    * the cost of a salts× dimension replication (entity-sized, the
+    * acceptable side). Results are identical to the direct join by
+    * construction (spec-asserted on a planted hot key, alongside the
+    * AQE skew-split path that handles the same regime without a code
+    * change when sizes cross its thresholds). */
+  def saltedJoin(fact: DataFrame, saltSrc: org.apache.spark.sql.Column,
+      dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1)
+    val f = fact.withColumn("__graft_salt",
+      pmod(saltSrc.cast("long"), lit(salts.toLong)))
+    val d = dim.withColumn("__graft_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    f.join(d, Seq(key, "__graft_salt")).drop("__graft_salt")
+  }
+
   def q17ConditionalCounters(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
