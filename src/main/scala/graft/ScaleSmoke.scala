@@ -95,7 +95,12 @@ object ScaleSmoke {
       // cell files — q92b's cell count scales with the corpus (cell
       // SIZE constant), so its probe wall is the store-size-independent
       // claim under measurement, the vector twin of q86b's row
-      "q51b_knn_lsh_index", "q92b_ivf_index", "q104b_hybrid_rrf_index")
+      "q51b_knn_lsh_index", "q92b_ivf_index", "q104b_hybrid_rrf_index",
+      // q112b: the store-build pays the q81 derivation once; the PIT
+      // union itself rides one user-keyed exchange over 16x the
+      // per-user traffic (q110b is absent: the smoke does not
+      // replicate orders; its O(delta) shape is spec-asserted)
+      "q112b_pit_enrich_store")
 
     // optional subset for iterating on one pipeline's scale shape:
     // SPARK_GRAFT_SMOKE_KEYS=q73b_knn_graph_lsh,q44b_dedup_embedding_lsh

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** NRT vector-index refresh — the ANN twin of [[IndexRefreshSink]],
+  * completing round-10's serving story: [[graft.sources.AnnIndexStore]]
+  * persists the batch-built IVF index; THIS sink keeps it fresh as
+  * embeddings stream in, the way the reference's streaming path keeps
+  * its serving stores current per micro-batch
+  * (`ConnectedCarStreaming.scala` upserts profiles; Solr sees new docs
+  * seconds after ingest).
+  *
+  * The production IVF maintenance contract: the coarse quantizer (the
+  * centroid table) is TRAINED OFFLINE and held STABLE between
+  * retrains — online work is assignment only, one codegen'd argmin per
+  * vector (re-clustering the corpus per batch would be O(store) per
+  * trigger). Each micro-batch becomes an immutable cell-clustered
+  * segment `path/seg_<batchId>` with a per-file cell-range manifest
+  * written LAST (the segment's commit artifact — the [[Segments]]
+  * lifecycle, shared verbatim with the lexical index: coverage-rule
+  * reads, merge-range replay skip, vacuum GC). A probe unions the LIVE
+  * segments' manifests, opens only the probed cells' files in each
+  * segment, and runs the exact cosine inside — correct because a
+  * vector lives in exactly one segment and cell membership is a pure
+  * function of the stable centroids, so the union IS the batch index
+  * over the streamed corpus (spec-asserted bit-identical).
+  *
+  * [[mergeSegments]] is the OPTIMIZE tier: many small per-batch
+  * segments re-range-clustered into one (cell assignments are already
+  * in the rows — a merge never re-assigns), restoring the per-file
+  * manifest skip that tiny segments dilute.
+  */
+object AnnRefreshSink {
+
+  def manifestPath(path: String): String = path + ".manifest"
+
+  /** Commit artifact: the per-segment manifest dir is written LAST. */
+  private def commitDir(path: String)(seg: String): String =
+    s"${manifestPath(path)}/$seg"
+
+  private[graft] def liveSegments(s: SparkSession, path: String): Seq[Segments.Seg] =
+    Segments.liveSegments(s, path, commitDir(path))
+
+  private def writeCellManifest(s: SparkSession, dataDir: String,
+      to: String): Unit =
+    s.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("cell").as("mn"), max("cell").as("mx"))
+      .write.mode(SaveMode.Overwrite).parquet(to)
+
+  /** Index one micro-batch of (vec_id, e: array<double>) as an
+    * immutable cell-clustered segment under the STABLE centroids. */
+  def appendBatch(batch: DataFrame, path: String, batchId: Long,
+      cents: Array[Array[Double]], segFiles: Int = 4): Unit = {
+    if (batch.isEmpty) return
+    if (Segments.mergeCovered(batch.sparkSession, path, commitDir(path),
+        batchId)) return
+    val seg = Segments.segName(batchId)
+    batch
+      .select(col("vec_id"), col("e"))
+      .withColumn("n2", norm2(col("e")))
+      .withColumn("cell",
+        graft.ml.KMeans.assign(col("e"), cents).getField("cluster").cast("long"))
+      .repartitionByRange(segFiles, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$seg")
+    writeCellManifest(batch.sparkSession, s"$path/$seg",
+      s"${manifestPath(path)}/$seg")
+  }
+
+  /** Maintain the segmented vector index from a stream of
+    * (vec_id, e). */
+  def writeTo(vecs: DataFrame, path: String, cents: Array[Array[Double]],
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, path, batchId, cents)
+      }
+      .start()
+
+  /** IVF probe over the streamed segments: rank the stable centroids
+    * driver-side against the query vector, open only files whose cell
+    * range can hold a probed cell (live segments' manifest union),
+    * exact cosine inside — the q92b probe shape over segment files. */
+  def probe(s: SparkSession, path: String, cents: Array[Array[Double]],
+      qe: Array[Double], nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length)
+    val live = liveSegments(s, path)
+    require(live.nonEmpty, s"no committed segments under $path")
+    val probed = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val m = s.read.parquet(live.map(sg =>
+      s"${manifestPath(path)}/${sg.name}"): _*)
+    val kdf = s.createDataset(probed)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("k")
+    val files = m.join(broadcast(kdf),
+        col("mn") <= col("k") && col("mx") >= col("k"), "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    require(files.nonEmpty, "manifest selected no cell files")
+    val qn2 = qe.map(x => x * x).sum
+    s.read.parquet(files: _*)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"),
+        cosineFrom(dot(col("e"), array(qe.map(lit): _*)),
+          col("n2"), lit(qn2)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** OPTIMIZE: fold the live segments into one. Cell assignments ride
+    * the rows, so a merge is pure re-clustering — one cell-range
+    * shuffle sized from the folded segments' listing, manifest
+    * re-derived and written LAST (the commit). */
+  def mergeSegments(s: SparkSession, path: String,
+      targetFileBytes: Long = 4L << 20): Option[String] = {
+    val live = liveSegments(s, path)
+    if (live.size < 2) return None
+    val seg = Segments.mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
+    val f = Segments.fs(s, path)
+    val bytes = live.map { sg =>
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$path/${sg.name}"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    s.read.parquet(live.map(sg => s"$path/${sg.name}"): _*)
+      .repartitionByRange(n, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$seg")
+    writeCellManifest(s, s"$path/$seg", s"${manifestPath(path)}/$seg")
+    Some(seg)
+  }
+
+  /** Reclaim folded segments (the coverage rule already hides them). */
+  def vacuum(s: SparkSession, path: String): Unit =
+    Segments.vacuum(s, path, commitDir(path), seg => Seq(
+      s"$path/$seg", s"${manifestPath(path)}/$seg"))
+}

@@ -62,55 +62,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object IndexRefreshSink {
 
-  def segName(batchId: Long): String = s"seg_$batchId"
-  def mergedSegName(lo: Long, hi: Long): String = s"seg_m${lo}_$hi"
+  def segName(batchId: Long): String = Segments.segName(batchId)
+  def mergedSegName(lo: Long, hi: Long): String = Segments.mergedSegName(lo, hi)
 
-  /** One segment's identity: its directory name and the batch-id range
-    * it holds (a base segment's range is [id, id]). */
-  private[graft] case class Seg(name: String, lo: Long, hi: Long,
-      merged: Boolean)
+  /** The commit artifact: the per-segment stats dir is written LAST by
+    * both appendBatch and mergeSegments, so its _SUCCESS marker is the
+    * segment's commit record (the [[Segments]] lifecycle contract). */
+  private def commitDir(path: String)(seg: String): String =
+    s"${InvertedIndexStore.statsPath(path)}/$seg"
 
-  private val BaseRe = """seg_(\d+)""".r
-  private val MergedRe = """seg_m(\d+)_(\d+)""".r
-  private[graft] def parseSeg(name: String): Option[Seg] = name match {
-    case BaseRe(id) => Some(Seg(name, id.toLong, id.toLong, merged = false))
-    case MergedRe(lo, hi) => Some(Seg(name, lo.toLong, hi.toLong, merged = true))
-    case _ => None
-  }
-
-  private def fs(s: SparkSession, p: String): FileSystem =
-    FileSystem.get(new Path(p).toUri, s.sparkContext.hadoopConfiguration)
-
-  /** Segments whose stats row carries the _SUCCESS commit marker — the
-    * write order (postings, manifest, stats LAST) makes that marker the
-    * segment's commit record, for base appends and merges alike. A
-    * driver-side listing bounded by segment count (the planner's own
-    * cardinality), no data read. */
-  private[graft] def committedSegs(s: SparkSession, path: String): Seq[Seg] = {
-    val f = fs(s, path)
-    val root = new Path(path)
-    if (!f.exists(root)) return Nil
-    f.listStatus(root).toSeq.filter(_.isDirectory)
-      .flatMap(st => parseSeg(st.getPath.getName))
-      .filter(sg => f.exists(new Path(
-        s"${InvertedIndexStore.statsPath(path)}/${sg.name}/_SUCCESS")))
-  }
-
-  /** The segments a reader serves from: committed, minus any segment
-    * STRICTLY covered by a committed merged segment's range (the folded
-    * inputs of a merge — garbage awaiting [[vacuum]], never double
-    * reads). */
-  private[graft] def liveSegments(s: SparkSession, path: String): Seq[Seg] = {
-    val committed = committedSegs(s, path)
-    committed.filterNot(sg => committed.exists(o => o.merged &&
-      o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
-      .sortBy(_.lo)
-  }
-
-  /** Is `batchId` already folded into a committed merged segment? */
-  private def mergeCovered(s: SparkSession, path: String, batchId: Long): Boolean =
-    committedSegs(s, path)
-      .exists(sg => sg.merged && sg.lo <= batchId && batchId <= sg.hi)
+  private[graft] def liveSegments(s: SparkSession, path: String): Seq[Segments.Seg] =
+    Segments.liveSegments(s, path, commitDir(path))
 
   /** Index one micro-batch as an immutable segment: postings range-
     * clustered on term into `segFiles` files (so the manifest can skip
@@ -128,7 +90,7 @@ object IndexRefreshSink {
     // merged segment must NOT re-create its base segment — the merged
     // segment holds its docs, so Overwrite-idempotence alone would
     // double-count them; skipping preserves exactly-once across merges
-    if (mergeCovered(batch.sparkSession, path, batchId)) return
+    if (Segments.mergeCovered(batch.sparkSession, path, commitDir(path), batchId)) return
     val seg = segName(batchId)
     InvertedIndexStore.postings(batch)
       .repartitionByRange(segFiles, col("term"))
@@ -170,7 +132,7 @@ object IndexRefreshSink {
     val live = liveSegments(s, path)
     if (live.size < 2) return None
     val seg = mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
-    val f = fs(s, path)
+    val f = Segments.fs(s, path)
     val bytes = live.map { sg =>
       f.listStatus(new Path(s"$path/${sg.name}"))
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -195,19 +157,11 @@ object IndexRefreshSink {
   /** Physically delete segments folded into a committed merged segment
     * (the coverage rule already hides them from every reader, so this
     * is storage reclamation, not correctness). */
-  def vacuum(s: SparkSession, path: String): Unit = {
-    val committed = committedSegs(s, path)
-    val covered = committed.filter(sg => committed.exists(o => o.merged &&
-      o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
-    val f = fs(s, path)
-    covered.foreach { sg =>
-      f.delete(new Path(s"$path/${sg.name}"), true)
-      f.delete(new Path(
-        s"${InvertedIndexStore.manifestPath(path)}/${sg.name}"), true)
-      f.delete(new Path(
-        s"${InvertedIndexStore.statsPath(path)}/${sg.name}"), true)
-    }
-  }
+  def vacuum(s: SparkSession, path: String): Unit =
+    Segments.vacuum(s, path, commitDir(path), seg => Seq(
+      s"$path/$seg",
+      s"${InvertedIndexStore.manifestPath(path)}/$seg",
+      s"${InvertedIndexStore.statsPath(path)}/$seg"))
 
   /** BM25 point query over the segmented index — the q86b probe shape
     * against the union of LIVE segments' manifests: only files whose

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The segment LIFECYCLE shared by every streamed store in the engine
+  * (the lexical index refresh [[IndexRefreshSink]] and the vector
+  * index refresh [[AnnRefreshSink]]): immutable per-micro-batch
+  * segment directories, a deterministic merged-segment naming scheme,
+  * commit via the _SUCCESS marker of each segment's LAST-written
+  * artifact, and range-coverage resolution of the live set.
+  *
+  * The rules, once, for both stores:
+  *
+  *  - a BASE segment `seg_<batchId>` spans [batchId, batchId]; a
+  *    MERGED segment `seg_m<lo>_<hi>` spans [lo, hi];
+  *  - a segment is COMMITTED iff its commit artifact's _SUCCESS
+  *    exists (the caller names which artifact is written last);
+  *  - a committed segment is LIVE unless a committed merged segment
+  *    STRICTLY covers its range — so a crashed half-merge is
+  *    invisible, folded inputs are garbage (not double reads), and a
+  *    merge re-run overwrites the same deterministic target;
+  *  - a replayed batch id inside a committed merged range must be
+  *    SKIPPED by the appender (Overwrite idempotence cannot help once
+  *    the base segment's rows live inside a merged segment).
+  */
+object Segments {
+
+  def segName(batchId: Long): String = s"seg_$batchId"
+  def mergedSegName(lo: Long, hi: Long): String = s"seg_m${lo}_$hi"
+
+  /** One segment's identity: directory name + the batch-id range it
+    * holds. */
+  case class Seg(name: String, lo: Long, hi: Long, merged: Boolean)
+
+  private val BaseRe = """seg_(\d+)""".r
+  private val MergedRe = """seg_m(\d+)_(\d+)""".r
+  def parseSeg(name: String): Option[Seg] = name match {
+    case BaseRe(id) => Some(Seg(name, id.toLong, id.toLong, merged = false))
+    case MergedRe(lo, hi) => Some(Seg(name, lo.toLong, hi.toLong, merged = true))
+    case _ => None
+  }
+
+  def fs(s: SparkSession, p: String): FileSystem =
+    FileSystem.get(new Path(p).toUri, s.sparkContext.hadoopConfiguration)
+
+  /** Committed segments under `path`: those whose commit artifact (the
+    * caller's `commitDir(segName)` — the LAST dir its writer produces)
+    * carries _SUCCESS. Driver-side listing bounded by segment count. */
+  def committedSegs(s: SparkSession, path: String,
+      commitDir: String => String): Seq[Seg] = {
+    val f = fs(s, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => parseSeg(st.getPath.getName))
+      .filter(sg => f.exists(new Path(s"${commitDir(sg.name)}/_SUCCESS")))
+  }
+
+  /** Committed minus strictly-covered — what a reader serves from. */
+  def liveSegments(s: SparkSession, path: String,
+      commitDir: String => String): Seq[Seg] = {
+    val committed = committedSegs(s, path, commitDir)
+    committed.filterNot(sg => committed.exists(o => o.merged &&
+      o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
+      .sortBy(_.lo)
+  }
+
+  /** Is `batchId` already folded into a committed merged segment? */
+  def mergeCovered(s: SparkSession, path: String,
+      commitDir: String => String, batchId: Long): Boolean =
+    committedSegs(s, path, commitDir)
+      .exists(sg => sg.merged && sg.lo <= batchId && batchId <= sg.hi)
+
+  /** Physically delete segments folded into a committed merged segment
+    * (reclamation only — the coverage rule already hides them). The
+    * caller lists every directory a segment owns. */
+  def vacuum(s: SparkSession, path: String, commitDir: String => String,
+      segDirs: String => Seq[String]): Unit = {
+    val committed = committedSegs(s, path, commitDir)
+    val covered = committed.filter(sg => committed.exists(o => o.merged &&
+      o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
+    val f = fs(s, path)
+    covered.foreach(sg =>
+      segDirs(sg.name).foreach(d => f.delete(new Path(d), true)))
+  }
+}
