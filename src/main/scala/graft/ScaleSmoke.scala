@@ -96,6 +96,10 @@ object ScaleSmoke {
       // SIZE constant), so its probe wall is the store-size-independent
       // claim under measurement, the vector twin of q86b's row
       "q51b_knn_lsh_index", "q92b_ivf_index", "q104b_hybrid_rrf_index",
+      // q54b: the compressed-SCAN tier — wall scales with rows (by
+      // design, like q54's), but at 8x fewer bytes and zero per-JVM
+      // quantization passes
+      "q54b_knn_quantized_index",
       // q112b: the store-build pays the q81 derivation once; the PIT
       // union itself rides one user-keyed exchange over 16x the
       // per-user traffic (q110b is absent: the smoke does not

@@ -353,8 +353,15 @@ object Similarity extends QueryPack {
     * driver collect. */
   private[graft] def quantizedVecs(s: SparkSession, dir: String): DataFrame =
     graft.FrameCache.persisted(s, s"quantizedVecs:$dir") {
-    val v = vecs(s, dir)
-    val mmx = v.select(posexplode(col("e")).as(Seq("pos", "val")))
+      quantizeCorpus(vecs(s, dir))
+    }
+
+  /** The per-dimension min/max codebook of a (vec_id, e) frame — one
+    * row (mn: array, mx: array); the serving store persists it so a
+    * fresh process can quantize QUERIES with the corpus's own affine
+    * map. */
+  private[graft] def corpusCodebook(v: DataFrame): DataFrame =
+    v.select(posexplode(col("e")).as(Seq("pos", "val")))
       .groupBy(col("pos"))
       .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
       .groupBy()
@@ -362,6 +369,13 @@ object Similarity extends QueryPack {
         array_sort(collect_list(struct(col("pos"), col("mx")))).as("mxs"))
       .select(transform(col("mns"), x => x.getField("mn")).as("mn"),
         transform(col("mxs"), x => x.getField("mx")).as("mx"))
+
+  /** 8-bit affine quantization of a (vec_id, e) frame against its own
+    * [[corpusCodebook]] — (vec_id, q: array<bigint>, qn2). Shared by
+    * the in-memory q54/q106 tier and the persisted store build
+    * ([[graft.sources.AnnIndexStore]]), so the two tiers fold the
+    * identical integer codes and stay gated by the same oracle. */
+  private[graft] def quantizeCorpus(v: DataFrame): DataFrame = {
     def quant(e: Column, mn: Column, mx: Column): Column =
       transform(e, (x, i) => {
         val lo = element_at(mn, i + 1)
@@ -369,10 +383,14 @@ object Similarity extends QueryPack {
         when(hi > lo, round((x - lo) * 255.0 / (hi - lo)).cast("long"))
           .otherwise(lit(0L))
       })
-    v.crossJoin(broadcast(mmx))
+    v.crossJoin(broadcast(corpusCodebook(v)))
       .select(col("vec_id"), quant(col("e"), col("mn"), col("mx")).as("q"))
       .withColumn("qn2", intDot(col("q"), col("q")))
   }
+
+  /** Integer dot as a column function for the store probe (the native
+    * codegen'd LongDot behind q54's arithmetic). */
+  private[graft] def intDotCol(a: Column, b: Column): Column = intDot(a, b)
 
   /** Exact cosine kNN GRAPH (top-3 neighbors for EVERY vector) — the
     * all-nodes generalization of q50's single-query scan, the structure

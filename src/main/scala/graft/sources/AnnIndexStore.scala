@@ -68,6 +68,8 @@ object AnnIndexStore extends QueryPack {
   def codesPath(p: String): String = p + "/codes"
   def cellsPath(p: String): String = p + "/cells"
   def centroidsPath(p: String): String = p + "/centroids"
+  def quantPath(p: String): String = p + "/quant"
+  def codebookPath(p: String): String = p + "/codebook"
   def manifestPath(rel: String): String = rel + ".manifest"
 
   /** Per-file [min, max] manifest over `keyCol` of the parquet files at
@@ -104,6 +106,18 @@ object AnnIndexStore extends QueryPack {
       .sortWithinPartitions("tc", "vec_id")
       .write.mode(SaveMode.Overwrite).parquet(codesPath(path))
     writeManifest(s, codesPath(path), "tc")
+
+    // the compressed-scan tier: 8-bit codes (8x smaller than the
+    // decoded doubles) + the one-row codebook a fresh process needs to
+    // quantize QUERIES with the corpus's own affine map — persisted so
+    // q54's scan pays neither corpus pass (min/max, quantize) again
+    Similarity.quantizeCorpus(v)
+      .repartitionByRange(vecFiles, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(quantPath(path))
+    writeManifest(s, quantPath(path), "vec_id")
+    Similarity.corpusCodebook(v)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(codebookPath(path))
 
     val k = cellCount(v.count())
     val cents = graft.ml.KMeans.fit(v.select(col("vec_id"), col("e")), k, iters = 5)
@@ -256,6 +270,38 @@ object AnnIndexStore extends QueryPack {
       .limit(k)
   }
 
+  // ---- q54b: the quantized scan served from the persisted codes ----
+
+  /** q54b: q54's 8-bit quantized kNN against the PERSISTED code
+    * relation — the compressed-SCAN serving tier beside the pruned-READ
+    * tiers above (brute-force ANN at 100 TB is scan-bound, so the
+    * persisted 8-bit codes make the scan pay 8× fewer bytes AND spare a
+    * fresh process both corpus passes the in-memory tier pays per JVM:
+    * the min/max codebook fit and the quantize). The query's code comes
+    * off the id-range manifest (point-get); the scan folds the
+    * IDENTICAL integer-dot arithmetic as q54 — shared
+    * [[Similarity.quantizeCorpus]] build, shared LongDot kernel — so
+    * this tier is gated by the SAME DuckDB twin: an ORACLE-EXACT
+    * store-served ANN row (the q86b property, which no probabilistic
+    * LSH/IVF tier can offer). */
+  def q54bKnnQuantizedIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = store(s, dir)
+    val qFiles = filesForKeys(s, quantPath(path), Seq(0L))
+    require(qFiles.nonEmpty, "query code not covered by any store file")
+    val qq = s.read.parquet(qFiles: _*).filter(col("vec_id") === 0)
+      .select(col("q").as("cq"), col("qn2").as("cqn2"))
+    s.read.parquet(quantPath(path))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        when(col("qn2") === 0 || col("cqn2") === 0, lit(-2.0))
+          .otherwise(Similarity.intDotCol(col("q"), col("cq")).cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("cqn2").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ---- q104b: hybrid fusion over the two persisted serving tiers ----
 
   /** RRF fusion of the PERSISTED retrieval paths: lexical list = q86b's
@@ -296,9 +342,14 @@ object AnnIndexStore extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q51b_knn_lsh_index" -> (q51bKnnLshIndex _),
     "q92b_ivf_index" -> (q92bIvfIndex _),
+    "q54b_knn_quantized_index" -> (q54bKnnQuantizedIndex _),
     "q104b_hybrid_rrf_index" -> (q104bHybridRrfIndex _))
 
-  // rows-only by design: LSH planes and the KMeans iteration are
-  // engine-internal (the q51/q92 precedent); laws in AnnIndexStoreSpec.
-  val oracleSql: Map[String, String] = Map.empty
+  // q51b/q92b/q104b are rows-only by design (LSH planes and the KMeans
+  // iteration are engine-internal — the q51/q92 precedent; laws in
+  // AnnIndexStoreSpec). q54b's quantization is deterministic integer
+  // math, so the persisted tier shares q54's exact DuckDB twin.
+  val oracleSql: Map[String, String] = Map(
+    "q54b_knn_quantized_index" ->
+      Similarity.oracleSql("q54_knn_quantized"))
 }

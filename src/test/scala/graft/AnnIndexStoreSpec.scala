@@ -156,6 +156,24 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(fused.map(_._1).toSet.subsetOf(members), "fused doc outside both lists")
   }
 
+  test("q54b serves the quantized scan bit-identically from the persisted codes") {
+    val fromIndex = AnnIndexStore.q54bKnnQuantizedIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = operators.Similarity.q54KnnQuantized(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inMemory,
+      s"persisted quantized scan diverged:\n  index=$fromIndex\n  mem=$inMemory")
+    // the codebook is persisted (a fresh process must quantize QUERIES
+    // with the corpus's own affine map) and matches the live derivation
+    val path = AnnIndexStore.store(spark, sf)
+    val stored = spark.read.parquet(AnnIndexStore.codebookPath(path)).head()
+    val live = operators.Similarity.corpusCodebook(
+      spark.read.parquet(AnnIndexStore.vectorsPath(path))).head()
+    assert(stored.getSeq[Double](0) == live.getSeq[Double](0) &&
+      stored.getSeq[Double](1) == live.getSeq[Double](1),
+      "persisted codebook drifted from the corpus derivation")
+  }
+
   test("cell-count rule scales cells with the corpus, never cell size") {
     assert(AnnIndexStore.cellCount(100) == 8, "floor holds at tiny corpora")
     assert(AnnIndexStore.cellCount(1500) == 8, "gated scale keeps q92's k = 8")
