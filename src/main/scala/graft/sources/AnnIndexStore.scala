@@ -244,13 +244,26 @@ object AnnIndexStore extends QueryPack {
   private[graft] def ivfIndex(s: SparkSession, dir: String, nprobe: Int,
       k: Int): DataFrame = {
     val path = store(s, dir)
+    val qe = fetchVector(s, path, 0L).select(col("e"))
+      .head.getSeq[Double](0).toArray
+    ivfProbeVector(s, path, qe, nprobe, k, excludeId = Some(0L))
+  }
+
+  /** The SERVING entry point: IVF top-k for an ARBITRARY query vector —
+    * the q92b probe with the query supplied by the caller (a production
+    * ANN request carries its own embedding; the gated q92b tier is this
+    * probe pointed at vec 0's stored vector). Centroid ranking is a
+    * k-row driver computation against the persisted centroid table;
+    * the data read is the probed cells' files. `excludeId` drops one
+    * corpus id from the results (the query itself, when it lives in
+    * the store). */
+  def ivfProbeVector(s: SparkSession, path: String, qe: Array[Double],
+      nprobe: Int, k: Int, excludeId: Option[Long] = None): DataFrame = {
     val cents = s.read.parquet(centroidsPath(path))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(nprobe >= 1 && nprobe <= cents.length,
       s"nprobe in [1, ${cents.length}], got $nprobe")
-    val qe = fetchVector(s, path, 0L).select(col("e"))
-      .head.getSeq[Double](0).toArray
     // driver-side cell ranking by L2 (the assignment metric), ties by
     // cell index — mirrors Similarity.ivfKmeans
     val probed = cents.map { case (i, c) =>
@@ -258,16 +271,33 @@ object AnnIndexStore extends QueryPack {
     }.sortBy(identity).take(nprobe).map(_._2).toSeq
     val files = filesForKeys(s, cellsPath(path), probed)
     require(files.nonEmpty, "manifest selected no cell files for the probe")
-    val q = fetchVector(s, path, 0L)
-      .select(col("e").as("qe"), col("n2").as("qn2"))
-    s.read.parquet(files: _*)
+    val qn2 = qe.map(x => x * x).sum
+    val base = s.read.parquet(files: _*)
       .filter(col("cell").isin(probed: _*))
-      .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
+    excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cell"),
-        cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
+        cosineFrom(dot(col("e"), array(qe.map(lit): _*)),
+          col("n2"), lit(qn2)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Quantize a RAW query vector with the STORE's codebook — the step
+    * a fresh serving process needs before probing the q54b relation
+    * with its own query (corpus codes were quantized under this affine
+    * map; a query quantized under any other map would score garbage).
+    * Bounded driver math: one codebook row. */
+  def quantizeQuery(s: SparkSession, path: String,
+      qe: Array[Double]): Array[Long] = {
+    val cb = s.read.parquet(codebookPath(path)).head()
+    val (mn, mx) = (cb.getSeq[Double](0), cb.getSeq[Double](1))
+    require(mn.length == qe.length,
+      s"query dim ${qe.length} != codebook dim ${mn.length}")
+    qe.indices.map { i =>
+      if (mx(i) > mn(i))
+        math.round((qe(i) - mn(i)) * 255.0 / (mx(i) - mn(i)))
+      else 0L
+    }.toArray
   }
 
   // ---- q54b: the quantized scan served from the persisted codes ----

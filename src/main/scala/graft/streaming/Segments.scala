@@ -57,14 +57,24 @@ object Segments {
       .filter(sg => f.exists(new Path(s"${commitDir(sg.name)}/_SUCCESS")))
   }
 
-  /** Committed minus strictly-covered — what a reader serves from. */
-  def liveSegments(s: SparkSession, path: String,
-      commitDir: String => String): Seq[Seg] = {
-    val committed = committedSegs(s, path, commitDir)
+  /** The PURE live-set resolution: committed minus strictly-covered.
+    * Exactly-once serving rests on one structural invariant the
+    * merge API maintains — merged ranges are NESTED (every merge folds
+    * ALL live segments, so each new range contains every previously
+    * committed merged range it overlaps). Under nesting, each batch id
+    * is served by exactly one live segment (property-tested in
+    * SegmentsSpec); partially overlapping merged ranges can only arise
+    * from hand-written segment dirs, never from [[IndexRefreshSink]] /
+    * [[AnnRefreshSink]]. */
+  def resolveLive(committed: Seq[Seg]): Seq[Seg] =
     committed.filterNot(sg => committed.exists(o => o.merged &&
       o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
       .sortBy(_.lo)
-  }
+
+  /** Committed minus strictly-covered — what a reader serves from. */
+  def liveSegments(s: SparkSession, path: String,
+      commitDir: String => String): Seq[Seg] =
+    resolveLive(committedSegs(s, path, commitDir))
 
   /** Is `batchId` already folded into a committed merged segment? */
   def mergeCovered(s: SparkSession, path: String,

@@ -174,6 +174,36 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       "persisted codebook drifted from the corpus derivation")
   }
 
+  test("serving API: arbitrary-vector probe and stored-codebook query quantization") {
+    val path = AnnIndexStore.store(spark, sf)
+    val all = spark.read.parquet(AnnIndexStore.vectorsPath(path))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qe = all.find(_._1 == 7L).get._2
+    // probe-all with a caller-supplied query ≡ the exact scan computed
+    // off-engine (the serving path takes the REQUEST's embedding; the
+    // gated q92b is this probe pointed at vec 0)
+    val cells = AnnIndexStore.storeCellCount(spark, sf)
+    val got = AnnIndexStore.ivfProbeVector(spark, path, qe,
+      nprobe = cells, k = 5, excludeId = Some(7L))
+      .collect().map(_.getLong(0)).toSeq
+    val qn = math.sqrt(qe.map(x => x * x).sum)
+    val exp = all.filterNot(_._1 == 7L).map { case (id, e) =>
+      val c = e.zip(qe).map { case (a, b) => a * b }.sum /
+        (math.sqrt(e.map(x => x * x).sum) * qn)
+      (id, c)
+    }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    assert(got == exp, s"serving probe diverged: $got vs $exp")
+
+    // quantizing a raw query through the STORED codebook reproduces the
+    // store's own code for that vector — queries and corpus share one
+    // affine map by construction
+    val rawQ = AnnIndexStore.quantizeQuery(spark, path, qe).toSeq
+    val storedQ = spark.read.parquet(AnnIndexStore.quantPath(path))
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .head().getSeq[Long](1).toSeq
+    assert(rawQ == storedQ, "query quantization drifted from the stored codes")
+  }
+
   test("cell-count rule scales cells with the corpus, never cell size") {
     assert(AnnIndexStore.cellCount(100) == 8, "floor holds at tiny corpora")
     assert(AnnIndexStore.cellCount(1500) == 8, "gated scale keeps q92's k = 8")
