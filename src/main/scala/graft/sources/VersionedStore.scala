@@ -59,7 +59,7 @@ object VersionedStore extends QueryPack {
   private[graft] def canon(f: String): String =
     if (f.contains(":/")) new java.net.URI(f).getPath else f
 
-  private def hadoopLs(s: SparkSession, dir: String): Set[String] = {
+  private[graft] def hadoopLs(s: SparkSession, dir: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
@@ -71,7 +71,7 @@ object VersionedStore extends QueryPack {
       }.toSet
   }
 
-  private def writeManifest(s: SparkSession, path: String, v: Int,
+  private[graft] def writeManifest(s: SparkSession, path: String, v: Int,
       files: Iterable[String]): Unit = {
     import s.implicits._
     files.toSeq.sorted.toDF("file")
