@@ -537,8 +537,11 @@ object Relational extends QueryPack {
   def saltedJoin(fact: DataFrame, saltSrc: org.apache.spark.sql.Column,
       dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1)
+    // NULL saltSrc must not drop the row (a NULL salt never equi-joins):
+    // park it in bucket 0 — identity with the direct join holds for
+    // every row, not just rows with a non-null salt source
     val f = fact.withColumn("__graft_salt",
-      pmod(saltSrc.cast("long"), lit(salts.toLong)))
+      coalesce(pmod(saltSrc.cast("long"), lit(salts.toLong)), lit(0L)))
     val d = dim.withColumn("__graft_salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     f.join(d, Seq(key, "__graft_salt")).drop("__graft_salt")

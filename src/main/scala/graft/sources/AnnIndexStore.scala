@@ -73,13 +73,20 @@ object AnnIndexStore extends QueryPack {
   def manifestPath(rel: String): String = rel + ".manifest"
 
   /** Per-file [min, max] manifest over `keyCol` of the parquet files at
-    * `path` — one distributed aggregate, nothing collected (the
-    * [[InvertedIndexStore.writeManifest]] pattern on a long key). */
-  private def writeManifest(s: SparkSession, path: String, keyCol: String): Unit =
-    s.read.parquet(path)
+    * `dataDir`, written to `to` — one distributed aggregate, nothing
+    * collected (the [[InvertedIndexStore.writeManifest]] pattern on a
+    * long key). Shared with the streaming segment refresh
+    * ([[graft.streaming.AnnRefreshSink]]) so both tiers derive
+    * manifests identically. */
+  private[graft] def writeKeyManifest(s: SparkSession, dataDir: String,
+      keyCol: String, to: String): Unit =
+    s.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(min(keyCol).as("mn"), max(keyCol).as("mx"))
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+      .write.mode(SaveMode.Overwrite).parquet(to)
+
+  private def writeManifest(s: SparkSession, path: String, keyCol: String): Unit =
+    writeKeyManifest(s, path, keyCol, manifestPath(path))
 
   /** Build every relation from a (vec_id, e: array<double>, n2) frame.
     * Cost: one id-range shuffle (vectors), one code explode + tc-range
@@ -159,17 +166,33 @@ object AnnIndexStore extends QueryPack {
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n2", norm2(col("e")))
 
-  /** Files at `rel` whose [mn, mx] manifest range can contain any of
-    * `keys` — the point-probe file skip, run as a distributed semi-join
-    * against the (bounded) key list; only selected paths materialize. */
-  def filesForKeys(s: SparkSession, rel: String, keys: Seq[Long]): Array[String] = {
-    val m = s.read.parquet(manifestPath(rel))
+  /** Files whose [mn, mx] range in any of `manifests` can contain one
+    * of `keys` — the point-probe file skip, run as a distributed
+    * semi-join against the (bounded) key list; only selected paths
+    * materialize. Multi-manifest so the streaming refresh's per-segment
+    * manifests probe through the SAME rule as the batch store's. */
+  def filesForKeysIn(s: SparkSession, manifests: Seq[String],
+      keys: Seq[Long]): Array[String] = {
+    val m = s.read.parquet(manifests: _*)
     val kdf = s.createDataset(keys)(org.apache.spark.sql.Encoders.scalaLong)
       .toDF("k")
     m.join(broadcast(kdf), col("mn") <= col("k") && col("mx") >= col("k"),
         "left_semi")
       .select(col("file")).collect().map(_.getString(0)).sorted
   }
+
+  def filesForKeys(s: SparkSession, rel: String, keys: Seq[Long]): Array[String] =
+    filesForKeysIn(s, Seq(manifestPath(rel)), keys)
+
+  /** Driver-side IVF cell ranking: the `nprobe` nearest cells to `qe`
+    * by squared L2 (the assignment metric), ties by cell index — ONE
+    * rule for the batch probe, the serving API, and the streaming
+    * refresh probe. */
+  private[graft] def rankCells(cents: Seq[(Long, Array[Double])],
+      qe: Array[Double], nprobe: Int): Seq[Long] =
+    cents.map { case (i, c) =>
+      (c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
 
   /** Point-fetch one vector by id through the vectors manifest — opens
     * only the file(s) whose id range holds the key (the q99 pattern on
@@ -264,11 +287,7 @@ object AnnIndexStore extends QueryPack {
       .sortBy(_._1)
     require(nprobe >= 1 && nprobe <= cents.length,
       s"nprobe in [1, ${cents.length}], got $nprobe")
-    // driver-side cell ranking by L2 (the assignment metric), ties by
-    // cell index — mirrors Similarity.ivfKmeans
-    val probed = cents.map { case (i, c) =>
-      (c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val probed = rankCells(cents.toSeq, qe, nprobe)
     val files = filesForKeys(s, cellsPath(path), probed)
     require(files.nonEmpty, "manifest selected no cell files for the probe")
     val qn2 = qe.map(x => x * x).sum

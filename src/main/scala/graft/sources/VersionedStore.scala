@@ -175,16 +175,51 @@ object VersionedStore extends QueryPack {
     }.reduce(_.unionAll(_)).orderBy(col("version"))
   }
 
-  /** Committed version numbers at `path`, from the manifest directory
-    * listing (driver-side, bounded by version count). */
-  def versions(s: SparkSession, path: String): Seq[Int] = {
-    val p = new org.apache.hadoop.fs.Path(path + "/manifest")
+  /** The txn-record directory a STREAMING writer
+    * ([[graft.streaming.VersionedCommitSink]]) adds next to the
+    * manifests: when it exists, a version's commit record is its txn
+    * dir's `batch_<id>.marker` file, created LAST by the sink — not
+    * the manifest's existence (a crash mid-commit leaves an
+    * uncommitted manifest the next attempt overwrites, which retention
+    * and readers must never honor over committed versions). */
+  def txnDir(path: String): String = path + "/txn"
+  def txnPath(path: String, v: Int): String = txnDir(path) + s"/v$v"
+
+  /** Versions whose txn record carries its commit marker — pure FS
+    * listing, bounded by version count. */
+  private[graft] def committedTxnVersions(s: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(txnDir(path))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten
+      .filter(v => fs.listStatus(new org.apache.hadoop.fs.Path(txnPath(path, v)))
+        .exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch_") && n.endsWith(".marker")
+        })
+      .sorted
+  }
+
+  /** COMMITTED version numbers at `path` (driver-side listing, bounded
+    * by version count). Batch-built stores have no txn dir — their
+    * manifests ARE the commits; under a streaming writer only versions
+    * whose txn record committed count. */
+  def versions(s: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/manifest")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val listed = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
       .flatten.sorted
+    if (!fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) listed
+    else {
+      val committed = committedTxnVersions(s, path).toSet
+      listed.filter(committed)
+    }
   }
 
   /** Retention: expire all but the newest `keepVersions` versions —

@@ -46,10 +46,7 @@ object AnnRefreshSink {
 
   private def writeCellManifest(s: SparkSession, dataDir: String,
       to: String): Unit =
-    s.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min("cell").as("mn"), max("cell").as("mx"))
-      .write.mode(SaveMode.Overwrite).parquet(to)
+    graft.sources.AnnIndexStore.writeKeyManifest(s, dataDir, "cell", to)
 
   /** Index one micro-batch of (vec_id, e: array<double>) as an
     * immutable cell-clustered segment under the STABLE centroids. */
@@ -91,16 +88,12 @@ object AnnRefreshSink {
     require(nprobe >= 1 && nprobe <= cents.length)
     val live = liveSegments(s, path)
     require(live.nonEmpty, s"no committed segments under $path")
-    val probed = cents.zipWithIndex.map { case (c, i) =>
-      (c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
-    }.sortBy(identity).take(nprobe).map(_._2).toSeq
-    val m = s.read.parquet(live.map(sg =>
-      s"${manifestPath(path)}/${sg.name}"): _*)
-    val kdf = s.createDataset(probed)(org.apache.spark.sql.Encoders.scalaLong)
-      .toDF("k")
-    val files = m.join(broadcast(kdf),
-        col("mn") <= col("k") && col("mx") >= col("k"), "left_semi")
-      .select(col("file")).collect().map(_.getString(0)).sorted
+    // the batch store's own ranking and file-skip rules, on the
+    // segments' manifests — one implementation, no parity drift
+    val probed = graft.sources.AnnIndexStore.rankCells(
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq, qe, nprobe)
+    val files = graft.sources.AnnIndexStore.filesForKeysIn(s,
+      live.map(sg => s"${manifestPath(path)}/${sg.name}"), probed)
     require(files.nonEmpty, "manifest selected no cell files")
     val qn2 = qe.map(x => x * x).sum
     s.read.parquet(files: _*)
@@ -117,24 +110,12 @@ object AnnRefreshSink {
     * shuffle sized from the folded segments' listing, manifest
     * re-derived and written LAST (the commit). */
   def mergeSegments(s: SparkSession, path: String,
-      targetFileBytes: Long = 4L << 20): Option[String] = {
-    val live = liveSegments(s, path)
-    if (live.size < 2) return None
-    val seg = Segments.mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
-    val f = Segments.fs(s, path)
-    val bytes = live.map { sg =>
-      f.listStatus(new org.apache.hadoop.fs.Path(s"$path/${sg.name}"))
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
-    }.sum
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    s.read.parquet(live.map(sg => s"$path/${sg.name}"): _*)
-      .repartitionByRange(n, col("cell"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/$seg")
-    writeCellManifest(s, s"$path/$seg", s"${manifestPath(path)}/$seg")
-    Some(seg)
-  }
+      targetFileBytes: Long = 4L << 20): Option[String] =
+    Segments.mergeSegments(s, path, commitDir(path), targetFileBytes)(
+      recluster = (df, n) => df.repartitionByRange(n, col("cell"))
+        .sortWithinPartitions("cell", "vec_id"),
+      commitArtifacts = (seg, _) =>
+        writeCellManifest(s, s"$path/$seg", s"${manifestPath(path)}/$seg"))
 
   /** Reclaim folded segments (the coverage rule already hides them). */
   def vacuum(s: SparkSession, path: String): Unit =

@@ -128,31 +128,20 @@ object IndexRefreshSink {
     * knob). Returns the merged segment name, or None when fewer than
     * two segments are live. */
   def mergeSegments(s: SparkSession, path: String,
-      targetFileBytes: Long = 4L << 20): Option[String] = {
-    val live = liveSegments(s, path)
-    if (live.size < 2) return None
-    val seg = mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
-    val f = Segments.fs(s, path)
-    val bytes = live.map { sg =>
-      f.listStatus(new Path(s"$path/${sg.name}"))
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
-    }.sum
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    s.read.parquet(live.map(sg => s"$path/${sg.name}"): _*)
-      .repartitionByRange(n, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/$seg")
-    InvertedIndexStore.writeManifest(s, s"$path/$seg",
-      s"${InvertedIndexStore.manifestPath(path)}/$seg")
-    s.read.parquet(live.map(sg =>
-        s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("tot_tokens")).as("tot_tokens"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${InvertedIndexStore.statsPath(path)}/$seg")
-    Some(seg)
-  }
+      targetFileBytes: Long = 4L << 20): Option[String] =
+    Segments.mergeSegments(s, path, commitDir(path), targetFileBytes)(
+      recluster = (df, n) => df.repartitionByRange(n, col("term"))
+        .sortWithinPartitions("term", "doc_id"),
+      commitArtifacts = (seg, live) => {
+        InvertedIndexStore.writeManifest(s, s"$path/$seg",
+          s"${InvertedIndexStore.manifestPath(path)}/$seg")
+        s.read.parquet(live.map(sg =>
+            s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("tot_tokens")).as("tot_tokens"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${InvertedIndexStore.statsPath(path)}/$seg")
+      })
 
   /** Physically delete segments folded into a committed merged segment
     * (the coverage rule already hides them from every reader, so this

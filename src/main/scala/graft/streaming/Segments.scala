@@ -82,6 +82,36 @@ object Segments {
     committedSegs(s, path, commitDir)
       .exists(sg => sg.merged && sg.lo <= batchId && batchId <= sg.hi)
 
+  /** The shared OPTIMIZE skeleton both segmented stores run: fold every
+    * live segment into one `seg_m<lo>_<hi>` — size the output from the
+    * folded segments' file LISTING (metadata only), rewrite through the
+    * caller's `recluster(df, nFiles)` (the only store-specific plan
+    * step), then let `commitArtifacts(segName, live)` derive the new
+    * segment's manifest/stats and write the COMMIT artifact last. One
+    * implementation of the sizing, naming and ordering rules, so the
+    * two stores' merge semantics cannot drift. Returns the merged
+    * segment name, or None when fewer than two segments are live. */
+  def mergeSegments(s: SparkSession, path: String,
+      commitDir: String => String, targetFileBytes: Long)(
+      recluster: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame,
+      commitArtifacts: (String, Seq[Seg]) => Unit): Option[String] = {
+    val live = liveSegments(s, path, commitDir)
+    if (live.size < 2) return None
+    val seg = mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
+    val f = fs(s, path)
+    val bytes = live.map { sg =>
+      f.listStatus(new Path(s"$path/${sg.name}"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    recluster(s.read.parquet(live.map(sg => s"$path/${sg.name}"): _*), n)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$seg")
+    commitArtifacts(seg, live)
+    Some(seg)
+  }
+
   /** Physically delete segments folded into a committed merged segment
     * (reclamation only — the coverage rule already hides them). The
     * caller lists every directory a segment owns. */

@@ -32,39 +32,59 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object VersionedCommitSink {
 
-  def txnDir(path: String): String = path + "/txn"
-  def txnPath(path: String, v: Int): String = txnDir(path) + s"/v$v"
+  def txnDir(path: String): String = VersionedStore.txnDir(path)
+  def txnPath(path: String, v: Int): String = VersionedStore.txnPath(path, v)
   private def batchDataDir(path: String, batchId: Long): String =
     path + s"/data/batch_$batchId"
+  /** The commit marker: a `batch_<id>.marker` file inside the txn
+    * record, created LAST (after the txn parquet) — so its single
+    * atomic create IS the version commit, and it doubles as the
+    * replay check (one fs.exists, never a Spark job — per-trigger
+    * overhead stays constant no matter how many versions the stream
+    * has committed). A crashed attempt leaves a marker-less txn dir
+    * that the retry's Overwrite replaces. */
+  private def batchMarker(path: String, v: Int, batchId: Long): String =
+    s"${txnPath(path, v)}/batch_$batchId.marker"
 
-  /** Versions whose txn record carries _SUCCESS — the committed set
-    * (a manifest without its txn is an uncommitted leftover). */
-  def committedVersions(s: SparkSession, path: String): Seq[Int] = {
-    val p = new Path(txnDir(path))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
-      .flatten
-      .filter(v => fs.exists(new Path(s"${txnPath(path, v)}/_SUCCESS")))
-      .sorted
+  /** Versions whose txn record carries its commit marker — the
+    * committed set (a manifest without it is an uncommitted leftover).
+    * Pure FS listing, no Spark jobs. */
+  def committedVersions(s: SparkSession, path: String): Seq[Int] =
+    VersionedStore.committedTxnVersions(s, path)
+
+  /** batchId → version for every committed txn — from the marker-file
+    * names alone (one directory listing per committed version, zero
+    * Spark jobs; bounded by version count). */
+  def committedBatchIds(s: SparkSession, path: String): Map[Long, Int] = {
+    val fs = new Path(txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    committedVersions(s, path).flatMap { v =>
+      fs.listStatus(new Path(txnPath(path, v))).toSeq
+        .map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith("batch_") && n.endsWith(".marker") =>
+          n.stripPrefix("batch_").stripSuffix(".marker").toLong -> v
+        }
+    }.toMap
   }
 
-  /** batchId → version for every committed txn (bounded by version
-    * count — one 1-row parquet read per version). */
-  def committedBatchIds(s: SparkSession, path: String): Map[Long, Int] =
-    committedVersions(s, path).map { v =>
-      s.read.parquet(txnPath(path, v)).head().getLong(0) -> v
-    }.toMap
+  /** Has `batchId` already committed? ONE existence test against the
+    * newest versions' markers — the per-trigger fast path (a streaming
+    * replay can only be a recent batch id; the full map above is the
+    * audit surface). */
+  private def alreadyCommitted(s: SparkSession, path: String,
+      versions: Seq[Int], batchId: Long): Boolean = {
+    val fs = new Path(txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    versions.exists(v => fs.exists(new Path(batchMarker(path, v, batchId))))
+  }
 
   /** Commit one micro-batch as the next version. Returns the committed
     * version, or None when the batch was empty or already committed. */
   def appendBatch(batch: DataFrame, path: String, batchId: Long): Option[Int] = {
     if (batch.isEmpty) return None
     val s = batch.sparkSession
-    if (committedBatchIds(s, path).contains(batchId)) return None
     val versions = committedVersions(s, path)
+    if (alreadyCommitted(s, path, versions, batchId)) return None
     val v = versions.lastOption.getOrElse(0) + 1
     val dataDir = batchDataDir(path, batchId)
     batch.write.mode(SaveMode.Overwrite).parquet(dataDir)
@@ -73,10 +93,17 @@ object VersionedCommitSink {
       .map(pv => VersionedStore.versionFiles(s, path, pv).toSet)
       .getOrElse(Set.empty[String])
     VersionedStore.writeManifest(s, path, v, parent ++ newFiles)
-    // txn LAST: its _SUCCESS is the commit
+    // txn parquet, then the marker LAST: the marker's single atomic
+    // create is the commit (a crash anywhere earlier leaves an
+    // uncommitted leftover the retry overwrites), and its name carries
+    // the batch id so replay checks and the batchId→version map need
+    // only filesystem listings
     import s.implicits._
     Seq(batchId).toDF("batch_id")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
+    val fs = new Path(txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new Path(batchMarker(path, v, batchId)), true).close()
     Some(v)
   }
 

@@ -54,6 +54,18 @@ class SkewJoinSpec extends AnyFunSuite {
     val spread = fact.withColumn("s", pmod(xxhash64(col("row_id")), lit(8L)))
       .filter(col("k") === 0L).select(col("s")).distinct().count()
     assert(spread == 8, s"hot key spread over $spread of 8 salt buckets")
+
+    // a NULL salt source must not drop the row (review finding): the
+    // identity-with-direct-join contract holds for every row. The salt
+    // column here is the RAW nullable column (xxhash64 would mask the
+    // case — it hashes NULL to its seed), so pmod propagates the NULL
+    // and only the coalesce guard keeps the row joined.
+    val nullFact = fact.withColumn("row_id",
+      when(col("row_id") === 2L, lit(null).cast("long")).otherwise(col("row_id")))
+    val nullSalted = operators.Relational
+      .saltedJoin(nullFact, col("row_id"), dim, "k", salts = 8)
+    assert(nullSalted.count() == fact.count(),
+      "NULL salt source dropped rows from the salted join")
   }
 
   test("AQE splits the skewed partition of a shuffle join on the planted key") {

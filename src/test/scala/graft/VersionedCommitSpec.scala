@@ -63,6 +63,15 @@ class VersionedCommitSpec extends AnyFunSuite {
     // batch-side retention applies to the stream-built store: keeping
     // only v2 deletes nothing (append-only — every v1 file is shared)
     // and v2 stays bit-stable
+    // a crash-leftover manifest (written, txn never committed) must be
+    // INVISIBLE to version resolution and retention: vacuum keeps the
+    // newest COMMITTED version, never the orphan — else retention would
+    // delete committed manifests and strand the stream (review finding)
+    VersionedStore.writeManifest(spark, path, 9,
+      VersionedStore.versionFiles(spark, path, 2).toSet)
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2),
+      "uncommitted manifest leaked into the committed version set")
+
     val (expired, deleted) = VersionedStore.vacuum(spark, path, keepVersions = 1)
     assert(expired == 1 && deleted == 0)
     assert(VersionedStore.versions(spark, path) == Seq(2))
