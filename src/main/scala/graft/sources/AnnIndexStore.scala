@@ -351,6 +351,73 @@ object AnnIndexStore extends QueryPack {
       .limit(10)
   }
 
+  // ---- q106b: the retrieval-eval harness pointed at the SERVING tier ----
+
+  def q106bRetrievalEvalIvf(s: SparkSession, dir: String): DataFrame =
+    retrievalEvalIvf(s, dir, modulus = 31, nprobe = 2)
+
+  /** q106's eval contract run against the PERSISTED IVF index: for the
+    * deterministic query sample (vec_id % modulus — the q106 scale
+    * knob), per-query recall@10 of the store probe vs the exact cosine
+    * ground truth. Set-oriented end to end — no per-query probe loop:
+    * cell ranking for ALL sample queries is one bounded driver
+    * computation (|sample| × |cells| distances over the k-row centroid
+    * table), the (qid, cell) probe pairs broadcast against the cells
+    * relation to form each query's candidate set in ONE join, and both
+    * ranked lists reduce through the bounded top-k aggregate. Rows-only
+    * (the cell structure is the KMeans iteration's — the q92 precedent);
+    * the recall laws (probe-all ⇒ 10⁶ ppm everywhere, monotone mean
+    * recall in nprobe) are spec-asserted in AnnIndexStoreSpec. */
+  private[graft] def retrievalEvalIvf(s: SparkSession, dir: String,
+      modulus: Int, nprobe: Int): DataFrame = {
+    val path = store(s, dir)
+    val k = 10
+    val topk = udaf(new graft.operators.TopKByScore(k))
+    def ranked(scored: DataFrame): DataFrame =
+      scored.groupBy(col("qid")).agg(topk(col("cos"), col("vec_id")).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.key").as("id"))
+    val v = s.read.parquet(vectorsPath(path))
+    val samp = v.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"))
+    val truth = ranked(v.crossJoin(broadcast(samp))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos")))
+    // driver-side cell ranking for the WHOLE sample: |sample| × k cells
+    val cents = s.read.parquet(centroidsPath(path))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    require(nprobe >= 1 && nprobe <= cents.length)
+    val qvecs = samp.select(col("qid"), col("qe")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probePairs = qvecs.flatMap { case (qid, qe) =>
+      rankCells(cents, qe, nprobe).map(c => (qid, c))
+    }.toSeq
+    import s.implicits._
+    val probeDf = probePairs.toDF("qid", "cell")
+    val cells = s.read.parquet(cellsPath(path))
+    val system = ranked(cells
+      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(samp), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos")))
+    val hits = truth.join(system, Seq("qid", "id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    val tsz = truth.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
+    samp.select(col("qid"))
+      .join(hits, Seq("qid"), "left_outer")
+      .join(tsz, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .withColumn("recall_ppm",
+        expr("if(nt = 0, 0L, (n_hits * 1000000) div nt)"))
+      .drop("nt")
+      .orderBy(col("qid"))
+  }
+
   // ---- q104b: hybrid fusion over the two persisted serving tiers ----
 
   /** RRF fusion of the PERSISTED retrieval paths: lexical list = q86b's
@@ -392,6 +459,7 @@ object AnnIndexStore extends QueryPack {
     "q51b_knn_lsh_index" -> (q51bKnnLshIndex _),
     "q92b_ivf_index" -> (q92bIvfIndex _),
     "q54b_knn_quantized_index" -> (q54bKnnQuantizedIndex _),
+    "q106b_retrieval_eval_ivf" -> (q106bRetrievalEvalIvf _),
     "q104b_hybrid_rrf_index" -> (q104bHybridRrfIndex _))
 
   // q51b/q92b/q104b are rows-only by design (LSH planes and the KMeans

@@ -204,6 +204,23 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(rawQ == storedQ, "query quantization drifted from the stored codes")
   }
 
+  test("q106b: serving-tier eval obeys the recall laws (probe-all perfect, monotone)") {
+    val cells = AnnIndexStore.storeCellCount(spark, sf)
+    // probe-all searches every cell — recall@10 must be 10^6 ppm for
+    // EVERY sampled query (the candidate set is the whole corpus)
+    val full = AnnIndexStore.retrievalEvalIvf(spark, sf, modulus = 31,
+      nprobe = cells).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getLong(2) == 1000000L,
+      s"query ${r.getLong(0)} recall ${r.getLong(2)} at probe-all"))
+    // nested probed cells per query -> mean recall monotone in nprobe
+    val means = Seq(1, 2, cells).map { np =>
+      val rows = AnnIndexStore.retrievalEvalIvf(spark, sf, 31, np).collect()
+      rows.map(_.getLong(2)).sum.toDouble / rows.length
+    }
+    assert(means == means.sorted, s"mean recall not monotone: $means")
+  }
+
   test("cell-count rule scales cells with the corpus, never cell size") {
     assert(AnnIndexStore.cellCount(100) == 8, "floor holds at tiny corpora")
     assert(AnnIndexStore.cellCount(1500) == 8, "gated scale keeps q92's k = 8")
