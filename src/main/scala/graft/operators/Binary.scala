@@ -195,6 +195,98 @@ object Binary extends QueryPack {
     } else ("unknown", None, None, None)
   }
 
+  // ---- q113: REAL GIF-header decode (the third format family) ----
+
+  /** Format-true synthetic GIF payloads per the public GIF87a/89a spec
+    * (CompuServe GIF, 1987/1989: 6-byte signature+version, then the
+    * 7-byte Logical Screen Descriptor — little-endian 16-bit dims, a
+    * packed byte whose bit 7 flags a Global Color Table and whose low
+    * 3 bits size it at 2^(n+1) entries of 3 bytes). Four classes by
+    * doc_id % 4 exercise the parser contract:
+    *
+    *   0 — GIF89a WITH a global color table (the packed-byte decode
+    *       and the palette sizing must both be right for n_bytes and
+    *       palette_colors to match the construction);
+    *   1 — GIF87a without one (flag bit clear ⇒ 0 palette colors,
+    *       and the version byte distinguishes 87a from 89a);
+    *   2 — truncated (signature + 3 bytes): degrade to 'unknown';
+    *   3 — opaque text behind a NUL lead byte (corpus text CAN begin
+    *       with the ASCII signature "GIF87a", so the lead byte makes
+    *       the class structurally un-parseable — the q105 rule). */
+  private[graft] object GifBytes {
+    def width(id: Long): Long = 8L + (id * 4391L) % 1200L
+    def height(id: Long): Long = 8L + (id * 6869L) % 900L
+    /** GCT size field n in [1, 3] ⇒ 2^(n+1) ∈ {4, 8, 16} entries. */
+    def gctBits(id: Long): Int = (1L + (id / 4) % 3L).toInt
+    def paletteColors(id: Long): Long =
+      if (id % 4 == 0) 1L << (gctBits(id) + 1) else 0L
+
+    private def le16(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 =>
+        val n = gctBits(id)
+        "GIF89a".getBytes("US-ASCII") ++
+          le16(width(id)) ++ le16(height(id)) ++
+          Array[Byte]((0x80 | n).toByte, 0, 0) ++
+          Array.fill(3 * (1 << (n + 1)))(0x2A.toByte)
+      case 1 =>
+        "GIF87a".getBytes("US-ASCII") ++
+          le16(width(id)) ++ le16(height(id)) ++
+          Array[Byte](0x07, 0, 0)
+      case 2 =>
+        "GIF89a".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+      case _ =>
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+  }
+
+  /** Pure-JVM GIF-header decode: verify the signature, accept only the
+    * two published versions, read the little-endian screen dimensions
+    * and unpack the Global-Color-Table flag + size. Defensive on
+    * truncation — anything shorter than signature + screen descriptor
+    * degrades to 'unknown'. Returns (format, version, width, height,
+    * palette_colors). */
+  private[graft] def decodeGifHeader(b: Array[Byte])
+      : (String, Option[String], Option[Long], Option[Long], Option[Long]) = {
+    val unknown = ("unknown", None, None, None, None)
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    if (b.length < 13) return unknown
+    val sig = new String(b.slice(0, 6), "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return unknown
+    val packed = u8(10)
+    val colors = if ((packed & 0x80) != 0) 1L << ((packed & 0x07) + 1) else 0L
+    ("gif", Some(sig.drop(3)), Some(le16(6)), Some(le16(8)), Some(colors))
+  }
+
+  /** q113: typed GIF-header extraction — the third REAL parser of the
+    * multimodal family (PNG/JPEG big-endian chunk/marker reads, WAV
+    * little-endian chunk walk, and now the GIF packed-bitfield +
+    * little-endian screen descriptor). Same closed loop: payloads are
+    * format-true per the public spec with parameters derived from
+    * doc_id, the engine PARSES, the oracle restates the CONSTRUCTION,
+    * and the hash gate catches any wrong offset, endianness, or
+    * bitfield decode. Row-local mapPartitions — the q98/q105 scale
+    * shape (no shuffle but the presentation sort). */
+  def q113GifHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = GifBytes.payload(id, text)
+          val (fmt, ver, w, h, pc) = decodeGifHeader(bytes)
+          (id, bytes.length.toLong, fmt, ver, w, h, pc)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "format", "gif_version", "img_w", "img_h",
+        "palette_colors")
+      .orderBy(col("doc_id"))
+  }
+
   // ---- q105: REAL audio-header decode (the audio twin of q98) ----
 
   /** Format-true synthetic WAV payloads per the public RIFF/WAVE spec
@@ -357,7 +449,8 @@ object Binary extends QueryPack {
     "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _),
     "q72_frame_sample" -> (q72FrameSample _),
     "q98_image_header" -> (q98ImageHeader _),
-    "q105_wav_header" -> (q105WavHeader _))
+    "q105_wav_header" -> (q105WavHeader _),
+    "q113_gif_header" -> (q113GifHeader _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -369,6 +462,31 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // q113's twin restates the GIF payload CONSTRUCTION: signature (6)
+    // + logical screen descriptor (7) + global color table
+    // (3 * 2^(n+1), class 0 only); the truncated class stops at 9
+    // bytes; the opaque class is text + 1 NUL lead byte.
+    "q113_gif_header" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(1 + (doc_id // 4) % 3 AS BIGINT) AS n,
+        |    8 + (doc_id * 4391) % 1200 AS w,
+        |    8 + (doc_id * 6869) % 900 AS h,
+        |    octet_length(encode(text)) AS tb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 13 + 3 * (1 << (n + 1))
+        |    WHEN 1 THEN 13
+        |    WHEN 2 THEN 9
+        |    ELSE tb + 1 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 4 <= 1 THEN 'gif' ELSE 'unknown' END AS format,
+        |  CASE doc_id % 4 WHEN 0 THEN '89a' WHEN 1 THEN '87a' END AS gif_version,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN w END AS BIGINT) AS img_w,
+        |  CAST(CASE WHEN doc_id % 4 <= 1 THEN h END AS BIGINT) AS img_h,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 << (n + 1)
+        |       WHEN doc_id % 4 = 1 THEN 0 END AS BIGINT) AS palette_colors
+        |FROM p ORDER BY doc_id""".stripMargin,
     // DuckDB has no BLOB substring; the corpus is verified pure ASCII
     // (octet_length(encode(text)) == length(text) for every row), so
     // char slicing on the VARCHAR equals the Spark side's byte slicing

@@ -124,6 +124,38 @@ class BinarySpec extends AnyFunSuite {
     }
   }
 
+  test("synthesized GIF payloads round-trip the construction parameters") {
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 40L, 997L, 1000L).foreach { id =>
+      val G = operators.Binary.GifBytes
+      val (fmt, ver, w, h, pc) =
+        operators.Binary.decodeGifHeader(G.payload(id, "opaque text"))
+      if (id % 4 <= 1) {
+        val expVer = if (id % 4 == 0) "89a" else "87a"
+        assert(fmt == "gif" && ver.contains(expVer) &&
+          w.contains(G.width(id)) && h.contains(G.height(id)) &&
+          pc.contains(G.paletteColors(id)),
+          s"id $id: $fmt $ver $w $h $pc")
+      } else {
+        assert(fmt == "unknown" && ver.isEmpty && pc.isEmpty,
+          s"id $id: $fmt $ver $w $h $pc")
+      }
+    }
+  }
+
+  test("GIF decoder degrades to unknown on malformed bytes, never throws") {
+    val cases = Seq(
+      Array.emptyByteArray,
+      "GIF89a".getBytes("US-ASCII"),                    // no descriptor
+      "GIF90a0000000".getBytes("US-ASCII"),             // unpublished version
+      "GIF87".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte), // short sig
+      Array.fill(13)(0xFF.toByte))                      // wrong magic
+    cases.foreach { c =>
+      val (fmt, ver, w, h, pc) = operators.Binary.decodeGifHeader(c)
+      assert(fmt == "unknown" && ver.isEmpty && w.isEmpty && h.isEmpty &&
+        pc.isEmpty, s"payload ${c.take(12).mkString(",")} decoded as $fmt")
+    }
+  }
+
   test("synthesized WAV payloads round-trip the construction parameters") {
     Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 40L, 41L, 997L, 1000L).foreach { id =>
       val W = Binary.WavBytes
