@@ -254,6 +254,52 @@ object VersionedStore extends QueryPack {
     (drop.size, deletable.size)
   }
 
+  /** OPTIMIZE as a table-format COMMIT: rewrite the CURRENT version's
+    * files into `ceil(bytes/targetFileBytes)` files clustered+sorted on
+    * `clusterCol`, and commit the result as a NEW version whose
+    * manifest lists only the compacted files — the logical content is
+    * unchanged, so the commit removes every old file and adds the
+    * replacements, which is exactly the shape q110b's retract-and-merge
+    * refresh already handles: a downstream view follows a compaction
+    * incrementally and provably does not move (all contributions
+    * cancel — spec-asserted). Old versions stay readable until
+    * [[vacuum]] reclaims them ([[CompactStore]] swaps a POINTER and
+    * keeps one version; this keeps them all, the table-format way).
+    * On a stream-built store ([[graft.streaming.VersionedCommitSink]])
+    * the commit writes a txn record with the pseudo batch id
+    * `-(new version)` — negative, so it can never collide with a
+    * stream batch id — keeping the marker-commit rule uniform.
+    * Returns the committed version number. */
+  def compactCommit(s: SparkSession, path: String, clusterCol: String,
+      targetFileBytes: Long): Int = {
+    val vs = versions(s, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val cur = vs.last
+    val files = versionFiles(s, path, cur)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val v = cur + 1
+    val outDir = dataPath(path) + s"/compact_v$v"
+    s.read.parquet(files: _*)
+      .repartitionByRange(n, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    writeManifest(s, path, v, hadoopLs(s, outDir))
+    // a stream-built store commits through its txn-marker rule; the
+    // pseudo batch id is negative so stream replay checks never match
+    if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
+      import s.implicits._
+      Seq(-v.toLong).toDF("batch_id")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+    }
+    v
+  }
+
   /** The append delta between two versions, straight from the manifest
     * diff — the file set an incremental consumer scans INSTEAD of the
     * store. */

@@ -79,4 +79,66 @@ class VersionedCommitSpec extends AnyFunSuite {
       .agg(sum(col("amount"))).head().getLong(0) ==
       (b1 ++ b2).map(_.amount).sum)
   }
+
+  test("compaction commits a new version views can follow; vacuum reclaims the olds") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_vcs_opt_").toString
+    val (path, ckpt) = (s"$base/store", s"$base/ckpt")
+    val batches = (0 until 5).map(b =>
+      (b * 20 + 1 to b * 20 + 20).map(i => VcsReading(i.toLong, i * 100L)))
+    val in = MemoryStream[VcsReading]
+    val q = VersionedCommitSink.writeTo(in.toDF(), path, ckpt)
+    try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val cur = VersionedStore.versions(spark, path).last
+    val before = VersionedStore.readVersion(spark, path, cur)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val filesBefore = VersionedStore.versionFiles(spark, path, cur)
+
+    val v = VersionedStore.compactCommit(spark, path, "key",
+      targetFileBytes = 1L << 20)
+    assert(v == cur + 1)
+    val filesAfter = VersionedStore.versionFiles(spark, path, v)
+    assert(filesAfter.length < filesBefore.length,
+      s"compaction did not reduce files: ${filesAfter.length} vs ${filesBefore.length}")
+    val after = VersionedStore.readVersion(spark, path, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, "compaction changed the logical content")
+    // the parent version is still readable until vacuum
+    assert(VersionedStore.readVersion(spark, path, cur).count() == before.size)
+
+    // a downstream view FOLLOWS the compaction commit incrementally and
+    // does not move: the manifest diff removes every old file and adds
+    // the compacted ones, so retract-and-merge cancels exactly
+    val removed = filesBefore.toSet -- filesAfter.toSet
+    val added = filesAfter.toSet -- filesBefore.toSet
+    assert(removed == filesBefore.toSet && added == filesAfter.toSet)
+    def partial(files: Set[String], tn: String, an: String) =
+      spark.read.parquet(files.toSeq: _*).groupBy(col("key"))
+        .agg(count(lit(1)).as(tn), sum(col("amount")).as(an))
+    val mvBefore = partial(filesBefore.toSet, "n", "a")
+    val refreshed = mvBefore
+      .join(partial(removed, "rn", "ra"), Seq("key"), "full_outer")
+      .join(partial(added, "an2", "aa"), Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("rn"), lit(0L))
+          + coalesce(col("an2"), lit(0L))).as("n"),
+        (coalesce(col("a"), lit(0L)) - coalesce(col("ra"), lit(0L))
+          + coalesce(col("aa"), lit(0L))).as("a"))
+      .filter(col("n") > 0)
+    assert(refreshed.except(mvBefore).isEmpty && mvBefore.except(refreshed).isEmpty,
+      "view moved across a logically-empty compaction commit")
+
+    // retention reclaims every superseded file; the compacted version
+    // survives bit-stable, and the stream can keep committing
+    val (_, deletedN) = VersionedStore.vacuum(spark, path, keepVersions = 1)
+    assert(deletedN == filesBefore.length)
+    assert(VersionedStore.readVersion(spark, path, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == before)
+    val next = VersionedCommitSink.appendBatch(
+      Seq(VcsReading(999L, 1L)).toDF(), path, batchId = 99L)
+    assert(next.contains(v + 1), s"post-compaction append committed $next")
+    assert(VersionedStore.readVersion(spark, path, v + 1).count() ==
+      before.size + 1)
+  }
 }
