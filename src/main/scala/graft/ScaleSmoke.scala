@@ -96,6 +96,10 @@ object ScaleSmoke {
       // SIZE constant), so its probe wall is the store-size-independent
       // claim under measurement, the vector twin of q86b's row
       "q51b_knn_lsh_index", "q92b_ivf_index", "q104b_hybrid_rrf_index",
+      // q96c: the centrality walk over the PERSISTED graph — the LSH
+      // edge build is amortized into the store, so the measured wall is
+      // the 5 distributed rank rounds alone
+      "q96c_knn_centrality_index",
       // q54b: the compressed-SCAN tier — wall scales with rows (by
       // design, like q54's), but at 8x fewer bytes and zero per-JVM
       // quantization passes

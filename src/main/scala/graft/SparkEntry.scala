@@ -10,7 +10,8 @@ object SparkEntry {
     operators.MlStats, operators.Binary, operators.Sampling, operators.Audit,
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
     sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore,
-    sources.VersionedStore, sources.AnnIndexStore, sources.Scd2Store)
+    sources.VersionedStore, sources.AnnIndexStore, sources.Scd2Store,
+    sources.KnnGraphStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -735,6 +735,14 @@ object Similarity extends QueryPack {
     * design (LSH retrieval is probabilistic, the q73b precedent); the
     * planted-hub agreement with exact-graph centrality and the
     * variable-degree division law are spec-asserted in SimilaritySpec. */
+  /** The q96b walk over a caller-supplied (src, dst, deg) edge frame —
+    * shared with the persisted graph tier
+    * ([[graft.sources.KnnGraphStore]]) so the two serve bit-identical
+    * trajectories from the same longs. */
+  private[graft] def centralityFromEdges(vertices: DataFrame,
+      edgesWithDeg: DataFrame): DataFrame =
+    centralityTail(pageRankOn(vertices, edgesWithDeg, iters = 5))
+
   def q96bKnnCentralityLsh(s: SparkSession, dir: String): DataFrame = {
     // persist the edge frame WITH degrees attached: all 5 rounds (and a
     // repeated run) read the bounded (src, dst, deg) relation from cache
