@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-suite bench at a 10x-replicated scale ("sf1-equivalent") — the
+  * second measurement point the per-round sf0.1 bench can't give:
+  * sub-second sf0.1 rows are mostly fixed overhead, so a super-linear
+  * regression hides until the data grows. The driver testdata stops at
+  * sf0.1, so this derives a 10x dir from it the way the 16x/64x smokes
+  * do — every table replicated with key-consistent offsets (orders and
+  * lineitem share the orderkey offset so joins keep their semantics;
+  * dimension tables stay as-is, the star-schema scaling rule):
+  *
+  *   orders/lineitem: orderkey += rep * 10^9   (custkey unchanged —
+  *     10x facts per entity, the entity-aggregate growth axis)
+  *   events: event_id offset (10x traffic per user)
+  *   documents/embeddings: doc_id/vec_id offset (the re-ingest regime)
+  *
+  * Runs every gated query EXCEPT the by-contract O(n^2)/O(output^2)
+  * oracle tiers (q27 output-quadratic under two-sided replication;
+  * q44/q52/q73/q87/q96 exact all-pairs tiers whose scale twins ARE in
+  * the run; q106/q106b sample-growth by the fixed-modulus contract —
+  * the ScaleSmoke exclusion list, same reasons, documented there).
+  * Emits ONE JSON line (bench_sf1.json shape) with per-query seconds;
+  * SURVEY §7 tabulates the sf1/sf0.1 ratios against the 16x smoke
+  * expectations.
+  *
+  * `sbt "runMain graft.BenchScale [replicas]"` (default 10).
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_sf1_${replicas}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    def replicate(table: String, keyOffsets: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val out = keyOffsets.foldLeft(df.crossJoin(reps)) { case (d, (k, off)) =>
+        d.withColumn(k, col(k) + col("rep") * off)
+      }.drop("rep")
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$table.parquet")
+    }
+    val marker = new java.io.File(s"$dst/_READY")
+    if (!marker.exists()) {
+      replicate("orders", Map("o_orderkey" -> 1000000000L))
+      replicate("lineitem", Map("l_orderkey" -> 1000000000L))
+      replicate("events", Map("event_id" -> 100000000L))
+      replicate("documents", Map("doc_id" -> 10000000L))
+      replicate("embeddings", Map("vec_id" -> 10000000L))
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
+      }
+      marker.createNewFile()
+    }
+
+    // by-contract exclusions (see scaladoc); everything else runs
+    val excluded = Set("q27_range_join", "q44_dedup_embedding",
+      "q52_pairwise_topk", "q73_knn_graph", "q87_semantic_decontam",
+      "q96_knn_centrality", "q106_retrieval_eval", "q106b_retrieval_eval_ivf")
+    val keys = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
+
+    def runOne(key: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(key)(spark, dst).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one warm-up pass (JIT/codegen/store builds), then one timed pass
+    keys.foreach(runOne)
+    val times = keys.map(k => k -> runOne(k))
+    val total = times.map(_._2).sum
+    val qjson = times.map { case (k, t) =>
+      val short = k.split("_")(0)
+      s""""$short":${math.round(t * 1e3) / 1e3.toDouble}"""
+    }.mkString(",")
+    val line = s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3.toDouble},"unit":"sec","queries":{$qjson},"sf":"sf0.1 x $replicas","excluded":${excluded.size}}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_sf1.json"),
+      line.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

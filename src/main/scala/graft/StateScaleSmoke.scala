@@ -1,0 +1,130 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{OrderEvent, SessEvent}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-state scale smoke — the streaming analog of the 16x/64x
+  * batch smokes: drive the stateful cores s1 (entity fold) and s6
+  * (timeout sessions) under the RocksDB state-store provider at ~100x
+  * the key cardinality the specs exercise, through a REAL file source
+  * (one parquet file per micro-batch), and measure
+  *
+  *  - batch-duration FLATNESS as state accumulates (the in-heap
+  *    provider's failure mode is batch time growing with total keys;
+  *    RocksDB keeps per-batch work proportional to the BATCH),
+  *  - the provider's own state metrics (numRowsTotal must equal the
+  *    driven key cardinality; memory usage stays bounded).
+  *
+  * This is a harness main, not a gated query (the streaming gates stay
+  * in StreamingSpec): it puts numbers behind the "state at 100x keys"
+  * claim. Reference anchor: updateStateByKey keeps one state per
+  * vendor/VIN forever (`NyTaxiYellowTripStreaming.scala:139-161`) —
+  * unbounded cardinality is the NORMAL regime, not a corner.
+  *
+  * `sbt "runMain graft.StateScaleSmoke [keysPerBatch] [batches]"`
+  * (defaults 100000 x 10 = 1M distinct keys for s1; s6 drives the same
+  * volume with HALF the keys re-seen so sessions extend and close).
+  */
+object StateScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val keysPerBatch = args.headOption.map(_.toInt).getOrElse(100000)
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Engine.RocksDbStateStoreProvider)
+    import spark.implicits._
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    // ---- s1: 1M-key entity fold ----
+    // every batch introduces keysPerBatch NEW keys (worst case: state
+    // only ever grows) — total state rows = keysPerBatch * batches
+    val s1src = tmp("graft_state_s1_src_")
+    (0 until batches).foreach { b =>
+      spark.range(keysPerBatch)
+        .select((col("id") + b.toLong * keysPerBatch).as("custkey"),
+          (col("id") % 100 / 10.0 + 1.0).as("amount"),
+          when(col("id") % 2 === 0, "O").otherwise("F").as("status"))
+        .coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$s1src/b$b")
+    }
+    val s1in = spark.readStream
+      .schema("custkey LONG, amount DOUBLE, status STRING")
+      .option("maxFilesPerTrigger", 4) // one dir's files ≈ one batch
+      .parquet(s"$s1src/b*")
+      .as[OrderEvent]
+    val s1q = Streams.entityStream(s1in)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft_state_s1_ckpt_"))
+      .format("noop")
+      .start()
+    s1q.processAllAvailable()
+    val s1prog = s1q.recentProgress.toSeq
+    s1q.stop()
+
+    // ---- s6: sessions at scale, half the keys re-seen, then closed ----
+    val gapMin = 30
+    val s6src = tmp("graft_state_s6_src_")
+    (0 until batches).foreach { b =>
+      spark.range(keysPerBatch)
+        .select((col("id") % (keysPerBatch.toLong * batches / 2)).as("userId"),
+          // event time advances 1 minute per batch; a final far-future
+          // batch pushes the watermark past every open session's gap
+          timestamp_micros(lit(1704067200000000L) + col("id") % 60 * 1000000L
+            + b.toLong * 60000000L).as("ts"),
+          (col("id") % 97).cast("double").as("value"))
+        .coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$s6src/b$b")
+    }
+    spark.range(1)
+      .select(lit(0L).as("userId"),
+        timestamp_micros(lit(1704067200000000L) + (batches + gapMin + 60) * 60000000L).as("ts"),
+        lit(0.0).as("value"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$s6src/zfinal")
+    val s6in = spark.readStream
+      .schema("userId LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 4)
+      .parquet(s"$s6src/*")
+      .as[SessEvent]
+    val s6q = Streams.sessionStream(s6in, gapMinutes = gapMin)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("graft_state_s6_ckpt_"))
+      .format("noop")
+      .start()
+    s6q.processAllAvailable()
+    val s6prog = s6q.recentProgress.toSeq
+    s6q.stop()
+
+    def report(name: String, prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Map[String, Any] = {
+      val withState = prog.filter(_.stateOperators.nonEmpty)
+      val rows = withState.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val durs = withState.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      val mem = withState.lastOption.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.memoryUsedBytes).sum
+      println(f"$name%-4s batches=${withState.size}%3d stateRowsFinal=${rows.lastOption.getOrElse(0L)}%9d " +
+        f"memMB=${mem / 1e6}%8.1f firstHalfAvgMs=${avg(durs.take(durs.size / 2))}%8.0f " +
+        f"secondHalfAvgMs=${avg(durs.drop(durs.size / 2))}%8.0f")
+      Map("batches" -> withState.size,
+        "state_rows" -> rows.lastOption.getOrElse(0L),
+        "mem_bytes" -> mem,
+        "first_half_avg_ms" -> avg(durs.take(durs.size / 2)),
+        "second_half_avg_ms" -> avg(durs.drop(durs.size / 2)))
+    }
+    val m1 = report("s1", s1prog)
+    val m6 = report("s6", s6prog)
+    def j(m: Map[String, Any]): String =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"smoke":"state_scale","keys_per_batch":$keysPerBatch,"batches":$batches,"s1":${j(m1)},"s6":${j(m6)}}""")
+    spark.stop()
+  }
+
+  private def avg(xs: Seq[Long]): Double =
+    if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.size
+}

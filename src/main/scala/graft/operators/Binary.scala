@@ -35,11 +35,13 @@ object Binary extends QueryPack {
   /** Typed partition-batched decode seam — the Scala analog of a
     * mapInPandas media decoder: binary payloads stream through
     * mapPartitions in partition-sized batches, the decoder emits a
-    * fixed-shape feature vector per item. The decoder body is a STUB
-    * (deterministic bytes -> 8 floats; a real one would call an image/
-    * audio library unavailable in this environment) but the plumbing —
-    * schema, encoders, partitioning, batch iteration — is the real
-    * production shape.
+    * fixed-shape feature vector per item. The decoder BODY is the
+    * pluggable [[PayloadDecoder]] seam's stub instance
+    * ([[StrideSumDecoder]] — a real deployment swaps in a codec-backed
+    * instance, see [[BmpPixelDecoder]]/q114 for the full-payload real
+    * implementation this seam carries today); the plumbing — schema,
+    * encoders, partitioning, batch iteration — is the real production
+    * shape.
     *
     * The feature vector is emitted as 8 scalar columns (f0..f7) rather
     * than one array column: the gate's comparator sorts result columns,
@@ -52,13 +54,7 @@ object Binary extends QueryPack {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          // STUB decode: deterministic per-byte-stride sums, not a real
-          // codec. Integer accumulators -> exact, engine-portable values.
-          val features = Array.tabulate(8) { i =>
-            var acc = 0L; var j = i
-            while (j < bytes.length) { acc += bytes(j) & 0xFF; j += 8 }
-            acc
-          }
+          val features = StrideSumDecoder.decode(bytes).get
           (id, bytes.length.toLong, features(0), features(1), features(2),
             features(3), features(4), features(5), features(6), features(7))
         }
@@ -420,6 +416,213 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q114: FULL-PAYLOAD pixel decode through the pluggable seam ----
+
+  /** The pluggable payload-decoder seam the multimodal tier's stub
+    * decoders occupy (the [[graft.streaming.SearchDocSink]] transport-
+    * seam pattern applied to decoding): the Spark-side plumbing — the
+    * mapPartitions batch shape, schema, partitioning — is fixed by the
+    * operators; the BYTES → features body is an implementation of this
+    * trait, swappable for a native codec library in an environment that
+    * ships one. `None` = "this decoder cannot parse the payload" and
+    * must degrade to an `unknown` row, never an exception (the corrupt-
+    * blob-in-a-100TB-corpus rule q98/q105/q113 already follow). */
+  trait PayloadDecoder[T] extends Serializable {
+    /** Format tag stamped on successfully decoded rows. */
+    def format: String
+    def decode(bytes: Array[Byte]): Option[T]
+  }
+
+  /** q71's stub body, restated as the seam it occupies: deterministic
+    * per-byte-stride sums standing in for a codec's feature vector.
+    * Always decodes (any byte string has stride sums) — the honest
+    * contract for a stub that types like a featurizer. */
+  object StrideSumDecoder extends PayloadDecoder[Array[Long]] {
+    val format = "stub"
+    def decode(bytes: Array[Byte]): Option[Array[Long]] = Some(
+      Array.tabulate(8) { i =>
+        var acc = 0L; var j = i
+        while (j < bytes.length) { acc += bytes(j) & 0xFF; j += 8 }
+        acc
+      })
+  }
+
+  /** Format-true synthetic BMP payloads per the public Windows BMP
+    * layout (BITMAPFILEHEADER + BITMAPINFOHEADER, the format Microsoft
+    * documents publicly and every codec ships): uncompressed BI_RGB
+    * 24-bit pixels, rows padded to 4-byte strides, bottom-up unless
+    * biHeight is negative. BMP is the one mainstream image format whose
+    * PIXELS are parseable with no codec library — which is exactly why
+    * it carries the tier's first full-payload (not header-only) decode.
+    * Four classes by doc_id % 4 exercise the decode contract:
+    *
+    *   0 — bottom-up 24-bit BMP (biHeight = +h): the row-flip case;
+    *   1 — TOP-DOWN 24-bit BMP (biHeight = -h, the spec's top-down
+    *       encoding): file row order IS image row order — a decoder
+    *       that always flips gets orientation-sensitive stats wrong;
+    *   2 — truncated (header declares more pixel bytes than exist):
+    *       degrade to 'unknown', never throw or read junk;
+    *   3 — opaque text behind a NUL lead byte (structurally never a
+    *       'BM' signature — the q105 rule).
+    *
+    * Pixel bytes are a deterministic function of (doc_id, file row,
+    * column, channel); row-padding bytes are 0xFF so a decoder that
+    * sums stride bytes instead of pixel bytes fails the gate. Dims stay
+    * tiny (w ≤ 8, h ≤ 7) so the ORACLE can restate the construction
+    * with a per-doc range expansion. */
+  private[graft] object BmpBytes {
+    def width(id: Long): Long = 2L + (id * 37L) % 7L
+    def height(id: Long): Long = 2L + (id * 53L) % 6L
+    def stride(id: Long): Long = (3L * width(id) + 3L) / 4L * 4L
+    /** Pixel byte value at file row `fr`, column `x`, channel `c`
+      * (0 = B, 1 = G, 2 = R — the BMP byte order). */
+    def px(id: Long, fr: Long, x: Long, c: Long): Long =
+      (id + 11L * fr + 5L * x + 7L * c) % 251L
+
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+    /** 54-byte header: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40).
+      * `biHeight` carries the orientation sign. */
+    private def header(id: Long, biHeight: Long, pixelBytes: Long): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(54L + pixelBytes) ++ le32(0) ++
+        le32(54) ++
+        le32(40) ++ le32(width(id)) ++ le32(biHeight & 0xFFFFFFFFL) ++
+        le16(1) ++ le16(24) ++ le32(0) ++ le32(pixelBytes) ++
+        le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+
+    private def pixelArray(id: Long): Array[Byte] = {
+      val (w, h, st) = (width(id).toInt, height(id).toInt, stride(id).toInt)
+      val out = Array.fill(st * h)(0xFF.toByte) // pad bytes are 0xFF
+      var fr = 0
+      while (fr < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            out(fr * st + 3 * x + c) = px(id, fr, x, c).toByte
+            c += 1
+          }
+          x += 1
+        }
+        fr += 1
+      }
+      out
+    }
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 =>
+        val pix = pixelArray(id)
+        header(id, height(id), pix.length) ++ pix
+      case 1 =>
+        val pix = pixelArray(id)
+        header(id, -height(id), pix.length) ++ pix
+      case 2 =>
+        // header declares the full pixel array; only 4 bytes follow
+        header(id, height(id), stride(id) * height(id)) ++
+          Array.fill(4)(0x2A.toByte)
+      case _ =>
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+  }
+
+  /** Decoded whole-image statistics: dimensions, pixel count, per-
+    * channel sums, and the orientation-sensitive luminance moment
+    * Σ y·(b+g+r) over IMAGE coordinates (bottom-up files must flip
+    * rows before weighting). */
+  private[graft] case class BmpStats(w: Long, h: Long, nPx: Long,
+      sumB: Long, sumG: Long, sumR: Long, ysumLum: Long)
+
+  /** The REAL full-payload implementation of the seam: parse the BMP
+    * headers at their spec offsets (little-endian), then walk the
+    * actual pixel array — stride-padded rows, bottom-up row flip unless
+    * biHeight < 0 — accumulating exact integer channel sums and the
+    * y-weighted luminance moment. Accepts only the layout it can fully
+    * decode (uncompressed BI_RGB 24-bit, one plane); anything else —
+    * wrong magic, compressed, truncated pixel data — degrades to None.
+    * Row-local integer arithmetic end to end: the decode distributes
+    * with the rows and the stats are engine-portable. */
+  private[graft] object BmpPixelDecoder extends PayloadDecoder[BmpStats] {
+    val format = "bmp"
+    def decode(b: Array[Byte]): Option[BmpStats] = {
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)
+      def s32(i: Int): Long = le32(i).toInt.toLong // sign-extend biHeight
+      if (b.length < 54 || u8(0) != 'B'.toInt || u8(1) != 'M'.toInt) return None
+      val dataOffset = le32(10)
+      val biSize = le32(14)
+      val w = s32(18)
+      val hSigned = s32(22)
+      val planes = le16(26)
+      val bitCount = le16(28)
+      val compression = le32(30)
+      val h = math.abs(hSigned)
+      if (biSize < 40 || planes != 1 || bitCount != 24 || compression != 0 ||
+          w <= 0 || hSigned == 0 || dataOffset < 54) return None
+      val stride = (3L * w + 3L) / 4L * 4L
+      if (dataOffset + stride * h > b.length) return None // truncated
+      var (sb, sg, sr, yl) = (0L, 0L, 0L, 0L)
+      var fr = 0L
+      while (fr < h) {
+        val y = if (hSigned > 0) h - 1 - fr else fr // bottom-up flips
+        var x = 0L
+        var rowB = 0L; var rowG = 0L; var rowR = 0L
+        while (x < w) {
+          val base = (dataOffset + fr * stride + 3 * x).toInt
+          rowB += u8(base); rowG += u8(base + 1); rowR += u8(base + 2)
+          x += 1
+        }
+        sb += rowB; sg += rowG; sr += rowR
+        yl += y * (rowB + rowG + rowR)
+        fr += 1
+      }
+      Some(BmpStats(w, h, w * h, sb, sg, sr, yl))
+    }
+  }
+
+  /** q114: whole-payload pixel statistics — the multimodal tier's first
+    * FULL-payload decode (q98/q105/q113 stop at headers): format-true
+    * uncompressed BMPs parsed pixel by pixel through the pluggable
+    * [[PayloadDecoder]] seam, [[BmpPixelDecoder]] as the real
+    * implementation. The oracle restates the payload CONSTRUCTION
+    * (per-pixel value arithmetic expanded over each doc's w×h range) —
+    * the engine runs the PARSE, so a wrong stride, an unapplied
+    * bottom-up flip, padding bytes summed as pixels, or an unchecked
+    * truncation all hash-fail. Scale shape: row-local mapPartitions
+    * decode, no shuffle before the presentation sort (the q98 shape);
+    * a real-codec deployment swaps the decoder instance, not the
+    * operator. */
+  def q114BmpPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = BmpBytes.payload(id, text)
+          BmpPixelDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, bytes.length.toLong, BmpPixelDecoder.format, Option(st.w),
+                Option(st.h), Option(st.nPx), Option(st.sumB), Option(st.sumG),
+                Option(st.sumR), Option(st.ysumLum))
+            case None =>
+              (id, bytes.length.toLong, "unknown", None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "format", "img_w", "img_h", "n_px",
+        "sum_b", "sum_g", "sum_r", "ysum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   /** q98: typed image-header extraction — the multimodal tier's decode
     * seam made REAL: the q71 mapPartitions batch shape, but the decoder
     * body actually parses PNG/JPEG header structures from the public
@@ -450,7 +653,8 @@ object Binary extends QueryPack {
     "q72_frame_sample" -> (q72FrameSample _),
     "q98_image_header" -> (q98ImageHeader _),
     "q105_wav_header" -> (q105WavHeader _),
-    "q113_gif_header" -> (q113GifHeader _))
+    "q113_gif_header" -> (q113GifHeader _),
+    "q114_bmp_pixels" -> (q114BmpPixels _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -462,6 +666,53 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // q114's twin restates the BMP payload CONSTRUCTION, pixels
+    // included: per-doc w x h expansion of the pixel-value arithmetic
+    // (two unnest(range) stages, the q72 pattern), channel sums, and
+    // the orientation moment with the bottom-up flip applied for class
+    // 0 and not for the top-down class 1. The engine PARSES the real
+    // layout, so a wrong stride, pad bytes summed as pixels, a missed
+    // row flip, or unchecked truncation all hash-fail.
+    "q114_bmp_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    2 + (doc_id * 37) % 7 AS w,
+        |    2 + (doc_id * 53) % 6 AS h,
+        |    octet_length(encode(text)) AS tb
+        |  FROM documents),
+        |q AS (SELECT doc_id, w, h, tb, ((3 * w + 3) // 4) * 4 AS st FROM p),
+        |r1 AS (
+        |  SELECT doc_id, w, h, unnest(range(0, h)) AS fr
+        |  FROM q WHERE doc_id % 4 <= 1),
+        |px AS (SELECT doc_id, h, fr, unnest(range(0, w)) AS x FROM r1),
+        |v AS (
+        |  SELECT doc_id, h, fr,
+        |    (doc_id + 11 * fr + 5 * x) % 251 AS vb,
+        |    (doc_id + 11 * fr + 5 * x + 7) % 251 AS vg,
+        |    (doc_id + 11 * fr + 5 * x + 14) % 251 AS vr
+        |  FROM px),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(vb) AS sb, sum(vg) AS sg, sum(vr) AS sr,
+        |    sum((CASE WHEN doc_id % 4 = 0 THEN h - 1 - fr ELSE fr END)
+        |      * (vb + vg + vr)) AS yl
+        |  FROM v GROUP BY doc_id)
+        |SELECT q.doc_id,
+        |  CAST(CASE q.doc_id % 4
+        |    WHEN 0 THEN 54 + st * h
+        |    WHEN 1 THEN 54 + st * h
+        |    WHEN 2 THEN 58
+        |    ELSE tb + 1 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN q.doc_id % 4 <= 1 THEN 'bmp' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN q.doc_id % 4 <= 1 THEN w END AS BIGINT) AS img_w,
+        |  CAST(CASE WHEN q.doc_id % 4 <= 1 THEN h END AS BIGINT) AS img_h,
+        |  CAST(CASE WHEN q.doc_id % 4 <= 1 THEN w * h END AS BIGINT) AS n_px,
+        |  CAST(agg.sb AS BIGINT) AS sum_b,
+        |  CAST(agg.sg AS BIGINT) AS sum_g,
+        |  CAST(agg.sr AS BIGINT) AS sum_r,
+        |  CAST(agg.yl AS BIGINT) AS ysum_lum
+        |FROM q LEFT JOIN agg ON q.doc_id = agg.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
     // q113's twin restates the GIF payload CONSTRUCTION: signature (6)
     // + logical screen descriptor (7) + global color table
     // (3 * 2^(n+1), class 0 only); the truncated class stops at 9

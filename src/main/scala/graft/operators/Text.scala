@@ -647,8 +647,8 @@ object Text extends QueryPack {
   // ---- q86: BM25 retrieval scoring ----
 
   private[graft] val Bm25Query = Seq("spark", "query", "hash")
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
 
   /** BM25 scoring of the corpus against a fixed query term set — the
     * retrieval scorer of a RAG stack (the step after q84's chunking and

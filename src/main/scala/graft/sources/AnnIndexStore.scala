@@ -194,6 +194,30 @@ object AnnIndexStore extends QueryPack {
       (c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum, i)
     }.sortBy(identity).take(nprobe).map(_._2).toSeq
 
+  /** [[rankCells]] for a whole QUERY FRAME, cluster-side: broadcast the
+    * k-row persisted centroid table against (qid, qe), fold squared L2
+    * as a left-to-right array aggregate (the exact FP order of the
+    * driver rule — parity spec-asserted), rank per query by (distance,
+    * cell) — the same tie rule — and keep each query's `nprobe`
+    * nearest. Returns (qid, cell). The per-qid window shuffles only
+    * |sample| × k rows, and the driver holds NOTHING — the shape that
+    * lets the q106b eval scale its sample with the corpus. */
+  private[graft] def rankCellsDf(s: SparkSession, path: String,
+      queries: DataFrame, nprobe: Int): DataFrame = {
+    val centsDf = s.read.parquet(centroidsPath(path))
+      .select(col("cell"), col("c"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+    queries.select(col("qid"), col("qe"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("qid"), col("cell"),
+        aggregate(zip_with(col("c"), col("qe"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cell"))
+  }
+
   /** Point-fetch one vector by id through the vectors manifest — opens
     * only the file(s) whose id range holds the key (the q99 pattern on
     * the embedding store). */
@@ -305,7 +329,14 @@ object AnnIndexStore extends QueryPack {
     * a fresh serving process needs before probing the q54b relation
     * with its own query (corpus codes were quantized under this affine
     * map; a query quantized under any other map would score garbage).
-    * Bounded driver math: one codebook row. */
+    * Bounded driver math: one codebook row. Rounding is BigDecimal
+    * HALF_UP — the SAME rule Spark's `round` applied to the corpus
+    * codes in [[Similarity.quantizeCorpus]] (JVM `math.round` is
+    * floor(x+0.5), which diverges by one at the .5 boundaries of
+    * negative arguments) — and codes clamp to the u8 range [0, 255],
+    * so a query component outside the corpus's per-dimension min/max
+    * saturates on the one affine map the codes were built under
+    * instead of escaping it. */
   def quantizeQuery(s: SparkSession, path: String,
       qe: Array[Double]): Array[Long] = {
     val cb = s.read.parquet(codebookPath(path)).head()
@@ -313,9 +344,11 @@ object AnnIndexStore extends QueryPack {
     require(mn.length == qe.length,
       s"query dim ${qe.length} != codebook dim ${mn.length}")
     qe.indices.map { i =>
-      if (mx(i) > mn(i))
-        math.round((qe(i) - mn(i)) * 255.0 / (mx(i) - mn(i)))
-      else 0L
+      if (mx(i) > mn(i)) {
+        val r = BigDecimal((qe(i) - mn(i)) * 255.0 / (mx(i) - mn(i)))
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+        math.max(0L, math.min(255L, r))
+      } else 0L
     }.toArray
   }
 
@@ -359,15 +392,18 @@ object AnnIndexStore extends QueryPack {
   /** q106's eval contract run against the PERSISTED IVF index: for the
     * deterministic query sample (vec_id % modulus — the q106 scale
     * knob), per-query recall@10 of the store probe vs the exact cosine
-    * ground truth. Set-oriented end to end — no per-query probe loop:
-    * cell ranking for ALL sample queries is one bounded driver
-    * computation (|sample| × |cells| distances over the k-row centroid
-    * table), the (qid, cell) probe pairs broadcast against the cells
-    * relation to form each query's candidate set in ONE join, and both
-    * ranked lists reduce through the bounded top-k aggregate. Rows-only
-    * (the cell structure is the KMeans iteration's — the q92 precedent);
-    * the recall laws (probe-all ⇒ 10⁶ ppm everywhere, monotone mean
-    * recall in nprobe) are spec-asserted in AnnIndexStoreSpec. */
+    * ground truth. Set-oriented end to end — no per-query probe loop
+    * AND nothing sample-sized on the driver: cell ranking for ALL
+    * sample queries runs cluster-side ([[rankCellsDf]] — the k-row
+    * centroid table broadcasts against the sample frame, so at a
+    * corpus-proportional sample the driver holds only the k centroids,
+    * never the sample's vectors), the (qid, cell) probe pairs broadcast
+    * against the cells relation to form each query's candidate set in
+    * ONE join, and both ranked lists reduce through the bounded top-k
+    * aggregate. Rows-only (the cell structure is the KMeans iteration's
+    * — the q92 precedent); the recall laws (probe-all ⇒ 10⁶ ppm
+    * everywhere, monotone mean recall in nprobe) and the cluster≡driver
+    * ranking parity are spec-asserted in AnnIndexStoreSpec. */
   private[graft] def retrievalEvalIvf(s: SparkSession, dir: String,
       modulus: Int, nprobe: Int): DataFrame = {
     val path = store(s, dir)
@@ -384,18 +420,8 @@ object AnnIndexStore extends QueryPack {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos")))
-    // driver-side cell ranking for the WHOLE sample: |sample| × k cells
-    val cents = s.read.parquet(centroidsPath(path))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
-    require(nprobe >= 1 && nprobe <= cents.length)
-    val qvecs = samp.select(col("qid"), col("qe")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probePairs = qvecs.flatMap { case (qid, qe) =>
-      rankCells(cents, qe, nprobe).map(c => (qid, c))
-    }.toSeq
-    import s.implicits._
-    val probeDf = probePairs.toDF("qid", "cell")
+    require(nprobe >= 1 && nprobe <= storeCellCount(s, dir))
+    val probeDf = rankCellsDf(s, path, samp.select(col("qid"), col("qe")), nprobe)
     val cells = s.read.parquet(cellsPath(path))
     val system = ranked(cells
       .join(broadcast(probeDf), Seq("cell"))

@@ -234,6 +234,24 @@ object VersionedStore extends QueryPack {
     * so a crash mid-vacuum leaves dangling manifests over partially
     * deleted data (loud failure on read) rather than silently
     * corrupted retained versions; re-running completes the expiry.
+    *
+    * METADATA is reclaimed with the data, so listings stay bounded by
+    * the retained-version count on a long-lived stream store: an
+    * expired version's TXN record goes with its manifest (a commit
+    * marker exists for replay checks, and an expired version is far
+    * behind any replay horizon — on restart a stream can only replay
+    * its LAST batch, whose version keepVersions >= 1 always retains),
+    * and crash leftovers BELOW the tip — an uncommitted manifest or a
+    * marker-less txn dir whose version number the writer can never
+    * claim again (it claims tip + 1) — are dropped too. An uncommitted
+    * manifest AT or above the tip is left alone: that is the in-flight
+    * slot the writer's next attempt overwrites.
+    *
+    * SINGLE-WRITER REQUIREMENT (shared with [[compactCommit]]): run
+    * retention from the one writer's maintenance schedule, never
+    * concurrently with a live commit — vacuum deletes uncommitted
+    * metadata a concurrent committer may be mid-write on.
+    *
     * Cost: manifest-table reads + a bounded driver file-set diff +
     * one delete per expired file — no data scanned. Returns
     * (expired version count, deleted file count). */
@@ -241,17 +259,38 @@ object VersionedStore extends QueryPack {
     require(keepVersions >= 1, s"must retain at least one version")
     val vs = versions(s, path)
     val drop = vs.dropRight(keepVersions)
-    if (drop.isEmpty) return (0, 0)
     val keep = vs.takeRight(keepVersions)
-    val retained = keep.flatMap(v => versionFiles(s, path, v)).toSet
-    val deletable = drop.flatMap(v => versionFiles(s, path, v)).toSet -- retained
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    deletable.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    drop.foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true))
-    (drop.size, deletable.size)
+    var deleted = 0
+    if (drop.nonEmpty) {
+      val retained = keep.flatMap(v => versionFiles(s, path, v)).toSet
+      val deletable = drop.flatMap(v => versionFiles(s, path, v)).toSet -- retained
+      deletable.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(txnPath(path, v)), true)
+      }
+      deleted = deletable.size
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
+      val committed = vs.toSet
+      val tip = vs.lastOption.getOrElse(0)
+      def subTipOrphans(parent: String): Seq[Int] = {
+        val p = new org.apache.hadoop.fs.Path(parent)
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+          .flatten.filter(v => !committed.contains(v) && v < tip)
+      }
+      subTipOrphans(path + "/manifest").foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true))
+      subTipOrphans(txnDir(path)).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(txnPath(path, v)), true))
+    }
+    (drop.size, deleted)
   }
 
   /** OPTIMIZE as a table-format COMMIT: rewrite the CURRENT version's
@@ -269,6 +308,17 @@ object VersionedStore extends QueryPack {
     * the commit writes a txn record with the pseudo batch id
     * `-(new version)` — negative, so it can never collide with a
     * stream batch id — keeping the marker-commit rule uniform.
+    *
+    * SINGLE-WRITER REQUIREMENT: the version claim (cur + 1) is derived
+    * from the committed set with no coordination, so compaction must
+    * run from the one writer's maintenance schedule — the stream
+    * stopped or quiesced between triggers, as VersionedCommitSpec
+    * does — never concurrently with a live sink: two uncoordinated
+    * writers could both claim cur + 1 and overwrite each other's
+    * manifest/txn record. The same discipline every table format
+    * demands of stores without a coordinating catalog or lock service;
+    * [[vacuum]] shares it.
+    *
     * Returns the committed version number. */
   def compactCommit(s: SparkSession, path: String, clusterCol: String,
       targetFileBytes: Long): Int = {

@@ -113,15 +113,33 @@ object Segments {
   }
 
   /** Physically delete segments folded into a committed merged segment
-    * (reclamation only — the coverage rule already hides them). The
-    * caller lists every directory a segment owns. */
+    * (reclamation only — the coverage rule already hides them), plus
+    * UNCOMMITTED merged-segment leftovers: a crashed merge writes data
+    * under its deterministic seg_m target but never the commit
+    * artifact, and once a LATER merge commits a wider target that
+    * orphan name is never claimed again — without this rule it leaks
+    * disk forever (it is never served either way). An uncommitted
+    * merged dir is garbage BY DEFINITION under the commit rule, so
+    * vacuum may always reclaim it — under the store family's
+    * single-maintainer discipline (merge and vacuum run from one
+    * maintenance schedule, as IndexRefreshSink/AnnRefreshSink drive
+    * them), never racing an in-flight merge that is writing that very
+    * dir. The caller lists every directory a segment owns. */
   def vacuum(s: SparkSession, path: String, commitDir: String => String,
       segDirs: String => Seq[String]): Unit = {
-    val committed = committedSegs(s, path, commitDir)
+    val f = fs(s, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return
+    val all = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => parseSeg(st.getPath.getName))
+    val committed = all.filter(sg =>
+      f.exists(new Path(s"${commitDir(sg.name)}/_SUCCESS")))
+    val committedNames = committed.map(_.name).toSet
     val covered = committed.filter(sg => committed.exists(o => o.merged &&
       o.lo <= sg.lo && sg.hi <= o.hi && (o.lo < sg.lo || sg.hi < o.hi)))
-    val f = fs(s, path)
-    covered.foreach(sg =>
+    val orphanMerged = all.filter(sg => sg.merged &&
+      !committedNames.contains(sg.name))
+    (covered ++ orphanMerged).foreach(sg =>
       segDirs(sg.name).foreach(d => f.delete(new Path(d), true)))
   }
 }

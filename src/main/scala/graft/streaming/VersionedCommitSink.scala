@@ -67,15 +67,54 @@ object VersionedCommitSink {
     }.toMap
   }
 
-  /** Has `batchId` already committed? ONE existence test against the
-    * newest versions' markers — the per-trigger fast path (a streaming
-    * replay can only be a recent batch id; the full map above is the
-    * audit surface). */
-  private def alreadyCommitted(s: SparkSession, path: String,
-      versions: Seq[Int], batchId: Long): Boolean = {
+  /** How many newest committed versions the per-trigger replay check
+    * probes. Structured streaming can only replay the LAST batch of a
+    * checkpoint (offsets written, commit log not), so a window this
+    * deep is already generous; [[committedBatchIds]] stays the audit
+    * surface for anything older. The window — not a full-history scan —
+    * is what keeps per-trigger overhead CONSTANT in store age: one
+    * txn-dir listing + at most ReplayWindow marker existence tests,
+    * however many versions the stream has committed. */
+  private val ReplayWindow = 8
+
+  /** Version numbers present under txn/ (committed or not) — ONE
+    * directory listing, no per-version calls. */
+  private def txnVersionNumbers(s: SparkSession, path: String): Seq[Int] = {
+    val p = new Path(txnDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.sorted
+  }
+
+  /** The newest COMMITTED version: marker probes newest-first over the
+    * single txn-dir listing, stopping at the first hit — in steady
+    * state the newest version IS committed, so this is two filesystem
+    * calls; a crash leftover at the tip costs one extra probe. */
+  private def latestCommitted(s: SparkSession, path: String): Option[Int] = {
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    versions.exists(v => fs.exists(new Path(batchMarker(path, v, batchId))))
+    txnVersionNumbers(s, path).reverse.find { v =>
+      val d = new Path(txnPath(path, v))
+      fs.exists(d) && fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_") && n.endsWith(".marker")
+      }
+    }
+  }
+
+  /** Has `batchId` already committed? Marker existence tests against
+    * the newest [[ReplayWindow]] committed versions only — the
+    * per-trigger fast path (a streaming replay can only be a recent
+    * batch id; the full map above is the audit surface). */
+  private def alreadyCommitted(s: SparkSession, path: String,
+      latest: Option[Int], batchId: Long): Boolean = latest.exists { tip =>
+    val fs = new Path(txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    (math.max(1, tip - ReplayWindow + 1) to tip).exists(v =>
+      fs.exists(new Path(batchMarker(path, v, batchId))))
   }
 
   /** Commit one micro-batch as the next version. Returns the committed
@@ -83,13 +122,13 @@ object VersionedCommitSink {
   def appendBatch(batch: DataFrame, path: String, batchId: Long): Option[Int] = {
     if (batch.isEmpty) return None
     val s = batch.sparkSession
-    val versions = committedVersions(s, path)
-    if (alreadyCommitted(s, path, versions, batchId)) return None
-    val v = versions.lastOption.getOrElse(0) + 1
+    val latest = latestCommitted(s, path)
+    if (alreadyCommitted(s, path, latest, batchId)) return None
+    val v = latest.getOrElse(0) + 1
     val dataDir = batchDataDir(path, batchId)
     batch.write.mode(SaveMode.Overwrite).parquet(dataDir)
     val newFiles = VersionedStore.hadoopLs(s, dataDir)
-    val parent = versions.lastOption
+    val parent = latest
       .map(pv => VersionedStore.versionFiles(s, path, pv).toSet)
       .getOrElse(Set.empty[String])
     VersionedStore.writeManifest(s, path, v, parent ++ newFiles)

@@ -221,6 +221,43 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(means == means.sorted, s"mean recall not monotone: $means")
   }
 
+  test("cluster-side cell ranking matches the driver rule exactly") {
+    // q106b ranks cells for the whole sample CLUSTER-side (no driver
+    // collect of sample vectors); the distance fold and tie rule must
+    // agree with rankCells — the ONE ranking rule the store family
+    // shares — for every sampled query, bit for bit
+    val path = AnnIndexStore.store(spark, sf)
+    val cents = spark.read.parquet(AnnIndexStore.centroidsPath(path))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val samp = spark.read.parquet(AnnIndexStore.vectorsPath(path))
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 31 === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("e").as("qe"))
+    for (np <- Seq(1, 2, cents.size)) {
+      val clusterSide = AnnIndexStore.rankCellsDf(spark, path, samp, np)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val driverSide = samp.collect().map { r =>
+        r.getLong(0) ->
+          AnnIndexStore.rankCells(cents, r.getSeq[Double](1).toArray, np).toSet
+      }.toMap
+      assert(clusterSide == driverSide, s"nprobe=$np ranking diverged")
+    }
+  }
+
+  test("quantizeQuery clamps out-of-corpus-range queries onto the u8 map") {
+    val path = AnnIndexStore.store(spark, sf)
+    val cb = spark.read.parquet(AnnIndexStore.codebookPath(path)).head()
+    val (mn, mx) = (cb.getSeq[Double](0), cb.getSeq[Double](1))
+    // a query far below/above the corpus extremes must hit the clamped
+    // ends of the affine map, never escape [0, 255]
+    val below = mn.indices.map(i => mn(i) - 10.0 * (mx(i) - mn(i) + 1)).toArray
+    val above = mn.indices.map(i => mx(i) + 10.0 * (mx(i) - mn(i) + 1)).toArray
+    assert(AnnIndexStore.quantizeQuery(spark, path, below).forall(_ == 0L))
+    assert(AnnIndexStore.quantizeQuery(spark, path, above).forall(_ == 255L))
+  }
+
   test("cell-count rule scales cells with the corpus, never cell size") {
     assert(AnnIndexStore.cellCount(100) == 8, "floor holds at tiny corpora")
     assert(AnnIndexStore.cellCount(1500) == 8, "gated scale keeps q92's k = 8")

@@ -173,4 +173,83 @@ class BinarySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- q114: full-payload BMP pixel decode through the seam ----
+
+  /** Handcrafted 2x2 24-bit BMP: stride 8 (2 pad bytes per row, 0xFF),
+    * pixel bytes chosen so every stat is hand-checkable. */
+  private def bmp2x2(hSigned: Int): Array[Byte] = {
+    def le32(v: Long) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+      (v >> 24) & 0xFF).map(_.toInt)
+    def le16(v: Long) = Seq(v & 0xFF, (v >> 8) & 0xFF).map(_.toInt)
+    b((Seq('B'.toInt, 'M'.toInt) ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(hSigned.toLong & 0xFFFFFFFFL) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      // file row 0: (1,2,3) (4,5,6) pad; file row 1: (7,8,9) (10,11,12) pad
+      Seq(1, 2, 3, 4, 5, 6, 0xFF, 0xFF,
+        7, 8, 9, 10, 11, 12, 0xFF, 0xFF)): _*)
+  }
+
+  test("decodes a handcrafted bottom-up BMP: pad bytes excluded, rows flipped") {
+    val st = Binary.BmpPixelDecoder.decode(bmp2x2(2)).get
+    assert(st.w == 2 && st.h == 2 && st.nPx == 4)
+    // channel sums over pixels only — 0xFF pads must NOT leak in
+    assert((st.sumB, st.sumG, st.sumR) == ((22L, 26L, 30L)), st)
+    // bottom-up: file row 0 is image row 1 -> ysum = 1*(1+2+3+4+5+6) = 21
+    assert(st.ysumLum == 21L, st)
+  }
+
+  test("decodes a handcrafted TOP-DOWN BMP (negative biHeight): no row flip") {
+    val st = Binary.BmpPixelDecoder.decode(bmp2x2(-2)).get
+    assert((st.w, st.h, st.nPx) == ((2L, 2L, 4L)))
+    assert((st.sumB, st.sumG, st.sumR) == ((22L, 26L, 30L)), st)
+    // top-down: file row 1 IS image row 1 -> ysum = 1*(7+..+12) = 57
+    assert(st.ysumLum == 57L, st)
+  }
+
+  test("BMP decoder degrades to None on malformed bytes, never throws") {
+    val good = bmp2x2(2)
+    val cases = Seq(
+      Array.empty[Byte],
+      b(0) ++ "GIF87a not a bmp".getBytes("UTF-8"),
+      good.take(53), // header truncated
+      good.take(60), // pixel array truncated below stride * h
+      { val c = good.clone(); c(28) = 8; c }, // bitCount 8 (unsupported)
+      { val c = good.clone(); c(30) = 1; c }, // compressed (BI_RLE8)
+      { val c = good.clone(); c(26) = 2; c }) // planes != 1
+    cases.foreach(c => assert(Binary.BmpPixelDecoder.decode(c).isEmpty,
+      s"payload ${c.take(8).mkString(",")} decoded"))
+  }
+
+  test("synthesized BMP payloads round-trip the construction stats") {
+    val B = Binary.BmpBytes
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 96L, 97L, 998L, 1001L).foreach { id =>
+      val out = Binary.BmpPixelDecoder.decode(B.payload(id, "opaque text"))
+      if (id % 4 <= 1) {
+        val st = out.get
+        val (w, h) = (B.width(id), B.height(id))
+        assert(st.w == w && st.h == h && st.nPx == w * h, s"id $id: $st")
+        // restate the construction arithmetic (the oracle's job, here
+        // for the decoder alone): channel sums + orientation moment
+        var (sb, sg, sr, yl) = (0L, 0L, 0L, 0L)
+        for (fr <- 0L until h; x <- 0L until w) {
+          val (vb, vg, vr) = (B.px(id, fr, x, 0), B.px(id, fr, x, 1), B.px(id, fr, x, 2))
+          sb += vb; sg += vg; sr += vr
+          val y = if (id % 4 == 0) h - 1 - fr else fr
+          yl += y * (vb + vg + vr)
+        }
+        assert((st.sumB, st.sumG, st.sumR, st.ysumLum) == ((sb, sg, sr, yl)),
+          s"id $id: $st != ($sb,$sg,$sr,$yl)")
+      } else assert(out.isEmpty, s"id $id decoded: $out")
+    }
+  }
+
+  test("the decoder seam: q71's stub occupies the same interface") {
+    val f = Binary.StrideSumDecoder.decode("abcdefghij".getBytes("US-ASCII")).get
+    // stride-0 sum = 'a' + 'i' = 97 + 105
+    assert(f(0) == 202L && f.length == 8)
+    val dec: Binary.PayloadDecoder[Binary.BmpStats] = Binary.BmpPixelDecoder
+    assert(dec.format == "bmp")
+  }
 }

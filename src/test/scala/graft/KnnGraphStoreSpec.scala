@@ -28,4 +28,30 @@ class KnnGraphStoreSpec extends AnyFunSuite {
       .filter(col("deg") =!= col("c")).count()
     assert(bad == 0, s"$bad nodes carry a degree != their edge count")
   }
+
+  test("layout is data-sized and per-node reads open a file subset") {
+    val path = KnnGraphStore.store(spark, sf)
+    val edges = spark.read.parquet(path)
+    val allFiles = edges.inputFiles.length
+    // the store sizes its file count from the edge count (the
+    // CompactStore ceil(bytes/target) rule) — at the gated scale's
+    // 16 KiB target that MUST yield a multi-file layout, the pruning
+    // precondition (a hardcoded count is exactly what this pins against)
+    val expected = math.max(1L, (edges.count() * 32L + (16L << 10) - 1) / (16L << 10))
+    assert(allFiles == expected,
+      s"store has $allFiles files, edge-count sizing expects $expected")
+    assert(allFiles >= 2, s"single-file store cannot exercise pruning")
+    // a per-node adjacency read opens only the manifest-selected subset
+    val src = edges.select(col("src")).orderBy(col("src")).head.getLong(0)
+    val nbrs = KnnGraphStore.neighbors(spark, path, src)
+    assert(nbrs.count() > 0, "probe node has no adjacency rows — vacuous")
+    val opened = nbrs.inputFiles.length
+    assert(opened < allFiles,
+      s"per-node read opened $opened of $allFiles files — no pruning")
+    // and the pruned read serves the SAME rows as the full-scan filter
+    val full = edges.filter(col("src") === src)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val pruned = nbrs.collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.toSeq == full.toSeq, "pruned adjacency read diverged")
+  }
 }

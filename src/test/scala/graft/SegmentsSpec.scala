@@ -69,4 +69,43 @@ class SegmentsSpec extends AnyFunSuite {
       exactlyOnce && replaySafe
     })
   }
+
+  test("vacuum reclaims covered segments AND crashed-merge orphans") {
+    import TestSpark.spark
+    val path = java.nio.file.Files.createTempDirectory("graft_segvac_").toString
+    val commitDir = (name: String) => s"$path/commits/$name"
+    def mk(name: String, committed: Boolean): Unit = {
+      val d = new java.io.File(s"$path/$name"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part.parquet").toPath,
+        "x".getBytes)
+      if (committed) {
+        val c = new java.io.File(commitDir(name)); c.mkdirs()
+        java.nio.file.Files.write(new java.io.File(c, "_SUCCESS").toPath,
+          Array.empty[Byte])
+      }
+    }
+    mk("seg_0", committed = true)
+    mk("seg_1", committed = true)
+    mk("seg_2", committed = true)
+    // a crashed merge: data dir written, commit artifact never landed.
+    // a later merge then committed the WIDER deterministic target, so
+    // seg_m0_1's name is never claimed again — the permanent-leak case
+    mk("seg_m0_1", committed = false)
+    mk("seg_m0_2", committed = true)
+    // before vacuum: resolution already hides everything but the merge
+    val live = Segments.liveSegments(spark, path, commitDir)
+    assert(live.map(_.name) == Seq("seg_m0_2"))
+    Segments.vacuum(spark, path, commitDir,
+      seg => Seq(s"$path/$seg", commitDir(seg)))
+    val left = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("seg")).sorted.toSeq
+    assert(left == Seq("seg_m0_2"),
+      s"vacuum left $left — covered bases and the orphan must both go")
+    // serving is untouched, and vacuum is idempotent
+    assert(Segments.liveSegments(spark, path, commitDir)
+      .map(_.name) == Seq("seg_m0_2"))
+    Segments.vacuum(spark, path, commitDir,
+      seg => Seq(s"$path/$seg", commitDir(seg)))
+    assert(new java.io.File(s"$path/seg_m0_2").exists())
+  }
 }

@@ -87,6 +87,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("s1 state rows under RocksDB track key cardinality exactly (the StateScaleSmoke metric)") {
+    // the provider metric the 100x-cardinality smoke (graft.StateScaleSmoke)
+    // records at 1M keys, pinned here at spec scale: numRowsTotal after the
+    // run must equal the DRIVEN key cardinality (no dropped or duplicated
+    // state rows), and the store reports real memory. This is the metric
+    // read the smoke's flatness claim rests on.
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Engine.RocksDbStateStoreProvider)
+    implicit val sqlCtx = rocks.sqlContext
+    val keys = 5000
+    val in = MemoryStream[OrderEvent]
+    val q = Streams.entityStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_rocks_card_").toString)
+      .format("noop")
+      .start()
+    try {
+      // two batches of fresh keys + one revisiting batch (state must
+      // not double-count revisited keys)
+      in.addData((0 until keys / 2).map(i => OrderEvent(i.toLong, 1.0, "O")): _*)
+      q.processAllAvailable()
+      in.addData((keys / 2 until keys).map(i => OrderEvent(i.toLong, 1.0, "F")): _*)
+      q.processAllAvailable()
+      in.addData((0 until 100).map(i => OrderEvent(i.toLong, 2.0, "F")): _*)
+      q.processAllAvailable()
+      val sop = q.lastProgress.stateOperators.head
+      assert(sop.numRowsTotal == keys.toLong,
+        s"state rows ${sop.numRowsTotal} != driven cardinality $keys")
+      assert(sop.customMetrics.keySet.asScala
+        .exists(_.toLowerCase.contains("rocksdb")), "provider not RocksDB")
+    } finally q.stop()
+  }
+
   test("s1 end-to-end from a real file source: csv dir -> frame -> parse -> state") {
     // closes the "seam only" gap the sandbox allows: the SAME pipeline
     // the Kafka wiring feeds (publisher frame rules -> q19 tolerant

@@ -141,4 +141,52 @@ class VersionedCommitSpec extends AnyFunSuite {
     assert(VersionedStore.readVersion(spark, path, v + 1).count() ==
       before.size + 1)
   }
+
+  test("vacuum reclaims expired txn records and sub-tip orphan metadata") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_vcs_meta_").toString
+    val (path, ckpt) = (s"$base/store", s"$base/ckpt")
+    val in = MemoryStream[VcsReading]
+    val q = VersionedCommitSink.writeTo(in.toDF(), path, ckpt)
+    try (1 to 3).foreach { b =>
+      in.addData(VcsReading(b.toLong, b * 100L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2, 3))
+
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def txnDirs: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(VersionedStore.txnDir(path)))
+        .map(_.getPath.getName).sorted.toSeq
+    def manifestDirs: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path + "/manifest"))
+        .map(_.getPath.getName).sorted.toSeq
+
+    // crash leftovers BELOW the tip: an uncommitted manifest + a
+    // marker-less txn dir for a version number that can never commit
+    // (the writer claims tip+1) — without reclamation these accrete
+    // forever on a long-lived stream store
+    VersionedStore.writeManifest(spark, path, 0,
+      VersionedStore.versionFiles(spark, path, 1).toSet)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(VersionedStore.txnPath(path, 0)))
+    // an uncommitted manifest AT the tip slot (v4 = a commit in flight)
+    // must survive vacuum — it is the next attempt's Overwrite target
+    VersionedStore.writeManifest(spark, path, 4,
+      VersionedStore.versionFiles(spark, path, 3).toSet)
+
+    val (expired, _) = VersionedStore.vacuum(spark, path, keepVersions = 2)
+    assert(expired == 1)
+    assert(VersionedStore.versions(spark, path) == Seq(2, 3))
+    // v1's txn record went with its manifest; the v0 leftovers went as
+    // sub-tip orphans; the in-flight v4 manifest is untouched
+    assert(txnDirs == Seq("v2", "v3"), s"txn dirs after vacuum: $txnDirs")
+    assert(manifestDirs == Seq("v2", "v3", "v4"),
+      s"manifest dirs after vacuum: $manifestDirs")
+    // retained versions read bit-stable and the replay/commit machinery
+    // still works on the reclaimed store
+    assert(VersionedStore.readVersion(spark, path, 3).count() == 3)
+    val next = VersionedCommitSink.appendBatch(
+      Seq(VcsReading(9L, 900L)).toDF(), path, batchId = 97L)
+    assert(next.contains(4))
+  }
 }
