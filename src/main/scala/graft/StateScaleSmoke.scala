@@ -73,7 +73,11 @@ object StateScaleSmoke {
     val s6src = tmp("graft_state_s6_src_")
     (0 until batches).foreach { b =>
       spark.range(keysPerBatch)
-        .select((col("id") % (keysPerBatch.toLong * batches / 2)).as("userId"),
+        // batch b covers users [b·K/2, b·K/2 + K): half of each batch's
+        // sessions EXTEND (revisited users), half are NEW — so open-
+        // session state grows ~K/2 per batch while the extend path and
+        // the in-batch fold both stay exercised
+        .select((lit(b.toLong * keysPerBatch / 2) + col("id")).as("userId"),
           // event time advances 1 minute per batch; a final far-future
           // batch pushes the watermark past every open session's gap
           timestamp_micros(lit(1704067200000000L) + col("id") % 60 * 1000000L
@@ -108,11 +112,17 @@ object StateScaleSmoke {
         Option(p.durationMs.get("triggerExecution")).map(_.toLong))
       val mem = withState.lastOption.toSeq.flatMap(_.stateOperators.toSeq)
         .map(_.memoryUsedBytes).sum
+      // final rows alone under-reports timeout-closing operators (s6
+      // drops a session's state the moment it closes — by design), so
+      // the PEAK is the capacity claim under measurement
+      val peak = rows.maxOption.getOrElse(0L)
       println(f"$name%-4s batches=${withState.size}%3d stateRowsFinal=${rows.lastOption.getOrElse(0L)}%9d " +
-        f"memMB=${mem / 1e6}%8.1f firstHalfAvgMs=${avg(durs.take(durs.size / 2))}%8.0f " +
+        f"stateRowsPeak=$peak%9d memMB=${mem / 1e6}%8.1f " +
+        f"firstHalfAvgMs=${avg(durs.take(durs.size / 2))}%8.0f " +
         f"secondHalfAvgMs=${avg(durs.drop(durs.size / 2))}%8.0f")
       Map("batches" -> withState.size,
         "state_rows" -> rows.lastOption.getOrElse(0L),
+        "state_rows_peak" -> peak,
         "mem_bytes" -> mem,
         "first_half_avg_ms" -> avg(durs.take(durs.size / 2)),
         "second_half_avg_ms" -> avg(durs.drop(durs.size / 2)))
