@@ -70,19 +70,34 @@ object FrameCache {
   def persistedFor(in: DataFrame, tag: String)(build: => DataFrame): DataFrame =
     get(Key(in.sparkSession, tag, in.queryExecution.logical.canonicalized), build)
 
-  private def get(key: Key, build: => DataFrame): DataFrame = {
-    val df = cache.synchronized {
+  private def get(key: Key, build: => DataFrame): DataFrame =
+    cache.synchronized {
       evictStopped()
       val hit = cache.get(key)
-      if (hit != null) hit
-      else { val built = build; cache.put(key, built); built }
+      if (hit != null && hit.storageLevel != StorageLevel.NONE) hit
+      else {
+        // miss, OR a harness-side clearCache emptied this entry's
+        // storage. In the cleared case the memoized Dataset must be
+        // REBUILT, not just re-persisted: its analyzed/executed plan was
+        // compiled against the now-cleared InMemoryRelations of any
+        // NESTED cached frames (e.g. the band relation inside the pair
+        // frame), and re-registering those frames in the CacheManager
+        // cannot reach a plan that is already memoized — the entry
+        // would evaluate with every nested cache COLD, multiplying the
+        // pipeline cost per materialization (measured: q45 49 s vs 3 s
+        // at 10x, the band self-join recomputing the whole signature
+        // pipeline per side per pass). Rebuilding re-runs the builder,
+        // which re-enters persisted() for each nested entry (reentrant
+        // lock, same rule applies recursively), so the fresh plan is
+        // compiled against LIVE cache registrations. Build cost is plan
+        // construction only — no materialization happens here.
+        val built = build
+        if (built.storageLevel == StorageLevel.NONE)
+          built.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, built)
+        built
+      }
     }
-    // outside the lock: persist is idempotent, and a harness-side
-    // clearCache between calls leaves storageLevel at NONE
-    if (df.storageLevel == StorageLevel.NONE)
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-    df
-  }
 
   /** Live entry count (spec hook). */
   private[graft] def size: Int = cache.synchronized { evictStopped(); cache.size() }

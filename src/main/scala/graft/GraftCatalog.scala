@@ -20,7 +20,9 @@ import org.apache.spark.sql.SparkSession
   *    `graft_quant_codes` — the ANN serving relations;
   *  - `graft_orders_v<N>` — one as-of view per committed version of the
   *    versioned store, each listing EXACTLY that version's manifest
-  *    files (time travel as a FROM clause).
+  *    files (time travel as a FROM clause);
+  *  - `graft_knn_edges` / `graft_dim_history` — the persisted kNN graph
+  *    (src, dst, deg) and the SCD2 dimension history.
   *
   * Views are lazy logical plans over parquet scans, so Catalyst
   * pushdown/pruning reach the files exactly as the Scala operators'
@@ -55,6 +57,10 @@ object GraftCatalog {
       VersionedStore.readVersion(s, vp, v)
         .createOrReplaceTempView(s"graft_orders_v$v")
     }
+    s.read.parquet(sources.KnnGraphStore.store(s, dir))
+      .createOrReplaceTempView("graft_knn_edges")
+    s.read.parquet(sources.Scd2Store.store(s, dir))
+      .createOrReplaceTempView("graft_dim_history")
   }
 
   /** Register `name` as a PRUNED view of the inverted index: only the

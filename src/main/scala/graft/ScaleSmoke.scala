@@ -90,6 +90,10 @@ object ScaleSmoke {
       // the SAMPLE fixed as the corpus grows, which is exactly the
       // O(|sample|·n) shape the q106 scaladoc pins.)
       "q101_constraint_report", "q105_wav_header", "q108_profile_drift",
+      // q114: the full-payload BMP pixel walk — row-local like q98/q105
+      // but ~decode-bound (w*h*3 byte reads per doc), so its ratio is
+      // the multimodal tier's CPU-scaling row
+      "q114_bmp_pixels",
       // ANN store probes: the build pays one corpus pass + KMeans fit
       // (scales with data); the PROBES read manifest-selected bucket /
       // cell files — q92b's cell count scales with the corpus (cell

@@ -375,6 +375,34 @@ class DedupSpec extends AnyFunSuite {
       s"FrameCache entry count changed across identical runs: $cache1 -> $cache2")
   }
 
+  test("FrameCache rebuilds cleared entries so nested caches stay live") {
+    // the round-11 sf1-bench find: after a harness clearCache, a HIT on
+    // an outer entry used to return the memoized Dataset — whose plan
+    // was compiled against the now-cleared InMemoryRelations of NESTED
+    // entries — so the nested pipeline evaluated uncached inside every
+    // materialization (q45 measured 49 s vs 3 s at 10x). The contract
+    // now: an access to a cleared entry REBUILDS it, re-entering
+    // persisted() for nested entries, so both end up re-registered.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    def inner = FrameCache.persisted(spark, "fcclear:inner")(
+      spark.range(100).toDF("id"))
+    def outer = FrameCache.persisted(spark, "fcclear:outer")(
+      inner.select((col("id") * 2).as("x")))
+    outer.count()
+    spark.catalog.clearCache()
+    val rebuilt = outer // hit path with cleared storage -> rebuild
+    rebuilt.count()
+    assert(rebuilt.storageLevel != StorageLevel.NONE,
+      "outer entry not re-persisted after clearCache")
+    // the nested entry was re-registered by the rebuild: a fresh access
+    // must be a LIVE hit (builder must not run again)
+    val innerHit = FrameCache.persisted(spark, "fcclear:inner")(
+      fail("inner rebuilt on what should be a live hit"))
+    assert(innerHit.storageLevel != StorageLevel.NONE,
+      "nested entry left uncached after the outer rebuild")
+  }
+
   test("q97 source-overlap matrix is dense, exact, and de-duplicates within source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q97_docs").toFile
