@@ -88,9 +88,12 @@ object GraftCatalog {
     * operator path. */
   def bm25Sql(postingsView: String, terms: Seq[String],
       k1: Double, b: Double): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-literal escaping: a term containing a single quote must not
+    // break (or inject into) the analyst-facing statement
+    def lit(t: String): String = "'" + t.replace("'", "''") + "'"
+    val termList = terms.map(lit).mkString(", ")
     val pivots = terms.indices
-      .map(i => s"max(CASE WHEN term = '${terms(i)}' THEN w END) AS w_$i")
+      .map(i => s"max(CASE WHEN term = ${lit(terms(i))} THEN w END) AS w_$i")
       .mkString(",\n    ")
     val score = terms.indices.map(i => s"coalesce(w_$i, 0.0d)")
       .mkString(" + ")

@@ -68,4 +68,81 @@ object KMeans {
       .agg(count(lit(1)).as("n"), sum(col("a.d2")).as("inertia"))
       .orderBy(col("cluster"))
   }
+
+  // ---------------------------------------------------------------- //
+  // Quantized-exact Lloyd's: every number in the fit is an integer,  //
+  // so the whole 5-iteration trajectory is bit-deterministic under   //
+  // ANY partitioning / merge order AND replayable in plain SQL — the //
+  // q96 chained-CTE precedent, giving q62 a DuckDB oracle instead of //
+  // a rows-only tier. Vectors are 1e-7-quantized (the q64 rule),     //
+  // centroids live on the same grid via floor division, and          //
+  // assignment is an exact integer argmin (d2 = rr - 2 r·c + cc via  //
+  // the codegen'd [[graft.functions.LongDot]]) with lowest-cluster   //
+  // tie-break. Overflow: |r| <= ~2e7 (unit-scale embeddings), so     //
+  // per-row d2 <= dim * (4e7)^2 ~ 1e17 < 2^63; only the cross-row    //
+  // inertia sum needs DECIMAL(38,0).                                 //
+  // ---------------------------------------------------------------- //
+
+  private def ldot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(graft.functions.LongDot(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(a),
+      org.apache.spark.sql.GraftSqlBridge.toExpression(b)))
+
+  /** struct(d2, cluster) of the nearest quantized centroid for an
+    * array<bigint> vector column: exact integer distances, ties to the
+    * lowest cluster id (array_sort on the (d2, cluster) struct pairs —
+    * lexicographic, so the comparison chain is total and portable). */
+  def assignQuantized(r: Column, cents: Array[Array[Long]]): Column = {
+    val rr = ldot(r, r)
+    val pairs = cents.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((rr - lit(2L) * ldot(r, typedlit(c.toSeq)) + lit(cc)).as("d2"),
+        lit(i).as("cluster"))
+    }
+    element_at(array_sort(array(pairs: _*)), 1)
+  }
+
+  /** Lloyd iterations on 1e-7-quantized vectors `(vec_id, r:
+    * array<bigint>)` from the deterministic seed (the k lowest
+    * vec_ids). Centroid update is exact floor division onto the same
+    * integer grid (`Math.floorDiv`, mirrored in SQL by the portable
+    * `(s - ((s % n) + n) % n) / n` — DuckDB's `//` truncates, so the
+    * mod form is the cross-engine floor); empty clusters keep their
+    * previous centroid. Returns the final integer centroids. */
+  def fitQuantized(rvecs0: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    val rvecs = rvecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Long]] = rvecs.orderBy(col("vec_id")).limit(k)
+      .select(col("r")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("r"), i + 1)).as(s"s_$i"))
+    for (_ <- 0 until iters) {
+      val next = rvecs
+        .select(assignQuantized(col("r"), cents).getField("cluster").as("cluster"),
+          col("r"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> Array.tabulate(dim)(i => Math.floorDiv(r.getLong(i + 2), n))
+        }
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) => next.getOrElse(i, old) }
+    }
+    rvecs.unpersist(false)
+    cents
+  }
+
+  /** Per-cluster size and inertia under quantized centroids; inertia is
+    * the exact integer d2 sum (DECIMAL(38,0) — it can pass 2^63 across
+    * rows) reported in original squared units (one deterministic double
+    * division by 1e14). */
+  def profileQuantized(rvecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    rvecs.select(assignQuantized(col("r"), cents).as("a"))
+      .groupBy(col("a.cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("a.d2").cast("decimal(38,0)")).cast("double") / 1e14).as("inertia"))
+      .orderBy(col("cluster"))
 }

@@ -12,20 +12,35 @@ import org.apache.spark.sql.functions._
   * Execution contract (the KMeans/DecisionTree pattern): the driver
   * holds ONLY the (dim+1)-weight vector and the loss history; every
   * iteration is ONE partial-aggregable aggregate over the feature
-  * frame computing the full-batch gradient and log-loss. Gradient and
-  * loss components cross the merge tree as 1e-9-scaled integer sums
-  * (the q64/q85 rule), so training is bit-deterministic under any
-  * partitioning of the data.
+  * frame computing the full-batch update direction and log-loss.
+  * Per-row contributions cross the merge tree as 1e-9-scaled integer
+  * sums (the q64/q85 rule), so training is bit-deterministic under
+  * any partitioning of the data — and because the squash is rational
+  * (see [[probability]]), the whole 20-round weight trajectory is
+  * replayable in DuckDB as chained CTEs, making q90 oracle-exact.
+  * The update direction mean((p - y) x) is the classic logistic
+  * gradient shape applied to the rational squash (a perceptron-style
+  * pseudo-gradient: (p - y) keeps the gradient's sign and saturation,
+  * so the planted-corpus learnability laws in MlSpec hold unchanged).
+  * Log-loss history is reported for monitoring only (libm log — never
+  * part of an oracle-gated output).
   */
 object Logistic {
 
-  /** p = sigmoid(w·x + b), clamped away from {0, 1} so log-loss stays
-    * finite at any weight scale. */
+  /** p = squash(w·x + b), clamped away from {0, 1} so log-loss stays
+    * finite at any weight scale. The squash is the RATIONAL fast
+    * sigmoid p = 0.5 + 0.5 * z / (1 + |z|) — same shape (monotone,
+    * symmetric, p(0)=0.5, saturating) but built from +,*,/,abs only:
+    * every operation is IEEE-754 correctly rounded and therefore
+    * bit-identical in any engine, unlike libm exp whose last-ulp
+    * differences would break the cross-engine oracle (q62/q96 rule).
+    * The z accumulation order is fixed (left fold over features, bias
+    * last) and mirrored token for token in the q90 oracle SQL. */
   private def probability(features: Seq[String], w: Array[Double]): Column = {
     val z = features.zipWithIndex
       .map { case (f, i) => col(f) * lit(w(i)) }
       .reduce(_ + _) + lit(w.last)
-    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val p = lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
     least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
   }
 

@@ -91,16 +91,21 @@ object MlStats extends QueryPack {
   }
 
   /** KMeans over embeddings (k=8, 5 Lloyd iterations, deterministic
-    * seed): per-cluster size and inertia. Rows-only — float means across
-    * rows are order-dependent, so no cross-engine oracle; convergence is
-    * spec-tested in MlSpec. */
+    * seed): per-cluster size and inertia. Oracle-exact — the fit runs
+    * [[graft.ml.KMeans.fitQuantized]] on 1e-7-quantized integer
+    * vectors, so the whole Lloyd trajectory (integer argmin
+    * assignment, floor-division centroid update) is bit-deterministic
+    * under any partitioning and replayed in DuckDB as 5 chained CTEs
+    * (the q96 PageRank-replay precedent); convergence laws are
+    * additionally spec-tested in MlSpec. */
   def q62Kmeans(s: SparkSession, dir: String): DataFrame = {
     // projection of the globally cached decode (FrameCache), so fit's
     // fit-scoped persist/unpersist and profile's rescan both read the
     // shared entry instead of re-decoding per call
-    val vecs = Similarity.decodedVecs(s, dir).select(col("vec_id"), col("e"))
-    val cents = KMeans.fit(vecs, k = 8, iters = 5)
-    KMeans.profile(vecs, cents)
+    val rvecs = Similarity.decodedVecs(s, dir).select(col("vec_id"),
+      transform(col("e"), x => round(x * 1e7).cast("long")).as("r"))
+    val cents = KMeans.fitQuantized(rvecs, k = 8, iters = 5)
+    KMeans.profileQuantized(rvecs, cents)
   }
 
   /** Per-dimension stats over the embedding column — the QA pass a
@@ -276,6 +281,124 @@ object MlStats extends QueryPack {
   private val S = Num.sql
 
   val oracleSql: Map[String, String] = Map(
+    "q90_quality_classifier" -> {
+      // DuckDB replay of the 20-round rational-squash GD trajectory —
+      // mirrors graft.ml.Logistic.fit token for token: the z fold
+      // order, the rational sigmoid (IEEE +,*,/,abs only — no libm),
+      // the [1e-12, 1-1e-12] clamp, the 1e-9 integer-scaled
+      // contribution sums, and the driver's w -= lr * ((g/1e9)/n)
+      // update arithmetic. Features mirror withQualityFeatures.
+      val iters = 20
+      val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+        .map("'" + _ + "'").mkString(", ")
+      val h = graft.functions.TextOps.sqlPolyHash61(
+        "'clf-salt-' || CAST(doc_id AS VARCHAR)")
+      val head =
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+           |         ELSE CAST(0.0 AS DOUBLE) END AS y,
+           |    least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) AS f_len,
+           |    CAST(len(list_filter(tk, t -> t IN ($stop))) AS DOUBLE)
+           |      / greatest(len(tk), 1) AS f_stop,
+           |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           |      / greatest(length(text), 1) AS f_punct,
+           |    CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+           |      / greatest(len(tk), 1) / 10.0 AS f_wlen,
+           |    CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split
+           |  FROM (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS tk
+           |        FROM documents)),
+           |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+           |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+           |  CAST(0.0 AS DOUBLE) AS wb)"""
+      def z(w: String) =
+        s"((((f.f_len * $w.w0 + f.f_stop * $w.w1) + f.f_punct * $w.w2)" +
+          s" + f.f_wlen * $w.w3) + $w.wb)"
+      def p(w: String) = {
+        val zz = z(w)
+        s"least(greatest(0.5 + (0.5 * $zz) / (1.0 + abs($zz)), 1e-12), 1.0 - 1e-12)"
+      }
+      val rounds = (1 to iters).map { i =>
+        val pw = p(s"w${i - 1}")
+        def g(fcol: String) =
+          s"CAST(sum(CAST(round((($pw - f.y) * $fcol) * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        def gb =
+          s"CAST(sum(CAST(round(($pw - f.y) * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        s""",
+           |g$i AS (
+           |  SELECT ${g("f.f_len")} AS g0, ${g("f.f_stop")} AS g1,
+           |    ${g("f.f_punct")} AS g2, ${g("f.f_wlen")} AS g3,
+           |    $gb AS gb, CAST(count(*) AS DOUBLE) AS n
+           |  FROM f, w${i - 1} WHERE f.split = 'train'),
+           |w$i AS (
+           |  SELECT w.w0 - 0.5 * ((g.g0 / 1000000000.0) / g.n) AS w0,
+           |    w.w1 - 0.5 * ((g.g1 / 1000000000.0) / g.n) AS w1,
+           |    w.w2 - 0.5 * ((g.g2 / 1000000000.0) / g.n) AS w2,
+           |    w.w3 - 0.5 * ((g.g3 / 1000000000.0) / g.n) AS w3,
+           |    w.wb - 0.5 * ((g.gb / 1000000000.0) / g.n) AS wb
+           |  FROM w${i - 1} w, g$i g)"""
+      }.mkString
+      val tail =
+        s"""
+           |SELECT f.doc_id, f.split, (f.y = 1.0) AS label,
+           |  ${p(s"w$iters")} AS score,
+           |  (${p(s"w$iters")} >= 0.5) AS predicted
+           |FROM f, w$iters ORDER BY f.doc_id"""
+      (head + rounds + tail).stripMargin
+    },
+    "q62_kmeans" -> {
+      // DuckDB replay of the quantized Lloyd trajectory (k=8, 5
+      // iterations) — every CTE is integer arithmetic: argmin with
+      // (d2, cluster) ordering, centroid update by portable floor
+      // division, empty clusters carried forward by the LEFT JOIN
+      // coalesce. Mirrors graft.ml.KMeans.fitQuantized op for op.
+      val iters = 5
+      val head =
+        """WITH q AS (
+          |  SELECT vec_id, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
+          |    CAST(round(unnest(e) * 10000000.0) AS BIGINT) AS r
+          |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+          |seed AS (
+          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+          |c0 AS (
+          |  SELECT seed.cluster, q.pos, q.r AS v
+          |  FROM seed JOIN q ON q.vec_id = seed.vec_id)"""
+      val rounds = (1 to iters).map { i =>
+        s""",
+           |d$i AS (
+           |  SELECT q.vec_id, c.cluster, sum((q.r - c.v) * (q.r - c.v)) AS d2
+           |  FROM q JOIN c${i - 1} c ON q.pos = c.pos GROUP BY 1, 2),
+           |a$i AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+           |    FROM d$i) WHERE rn = 1),
+           |s$i AS (
+           |  SELECT a.cluster, q.pos, CAST(sum(q.r) AS BIGINT) AS sm,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM a$i a JOIN q ON a.vec_id = q.vec_id GROUP BY 1, 2),
+           |c$i AS (
+           |  SELECT o.cluster, o.pos, coalesce(
+           |    CAST((s.sm - (((s.sm % s.n) + s.n) % s.n)) / s.n AS BIGINT), o.v) AS v
+           |  FROM c${i - 1} o LEFT JOIN s$i s
+           |    ON o.cluster = s.cluster AND o.pos = s.pos)"""
+      }.mkString
+      val tail =
+        s""",
+           |df AS (
+           |  SELECT q.vec_id, c.cluster, sum((q.r - c.v) * (q.r - c.v)) AS d2
+           |  FROM q JOIN c$iters c ON q.pos = c.pos GROUP BY 1, 2),
+           |af AS (
+           |  SELECT vec_id, cluster, d2 FROM (
+           |    SELECT vec_id, cluster, d2,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+           |    FROM df) WHERE rn = 1)
+           |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n,
+           |  CAST(sum(d2) AS DOUBLE) / 100000000000000.0 AS inertia
+           |FROM af GROUP BY 1 ORDER BY 1"""
+      (head + rounds + tail).stripMargin
+    },
     "q64_embedding_stats" ->
       """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |ex AS (

@@ -105,12 +105,29 @@ object Segments {
         .map(_.getLen).sum
     }.sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // The long write goes to a TEMP name parseSeg rejects, then one
+    // atomic-ish rename claims the deterministic target just before the
+    // commit artifact: a vacuum scanning mid-merge sees no uncommitted
+    // seg_m dir to reclaim (advice finding — the old in-place write left
+    // the whole merge window exposed), and a crashed attempt leaves only
+    // a .tmp_ dir the retry Overwrites / [[vacuum]] reclaims once a
+    // wider merge commits past it.
+    val tmp = tmpMergeDir(path, seg)
     recluster(s.read.parquet(live.map(sg => s"$path/${sg.name}"): _*), n)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/$seg")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val target = new Path(s"$path/$seg")
+    f.delete(target, true) // a crash-between-rename-and-commit leftover
+    require(f.rename(new Path(tmp), target),
+      s"merge staging rename failed: $tmp -> $target")
     commitArtifacts(seg, live)
     Some(seg)
   }
+
+  /** Where [[mergeSegments]] stages its output before the commit-point
+    * rename — a dot-name so segment listing (parseSeg) and parquet
+    * readers both ignore it. */
+  private def tmpMergeDir(path: String, seg: String): String =
+    s"$path/.tmp_$seg"
 
   /** Physically delete segments folded into a committed merged segment
     * (reclamation only — the coverage rule already hides them), plus
@@ -141,5 +158,16 @@ object Segments {
       !committedNames.contains(sg.name))
     (covered ++ orphanMerged).foreach(sg =>
       segDirs(sg.name).foreach(d => f.delete(new Path(d), true)))
+    // Crashed merge STAGING dirs (.tmp_seg_m*): reclaim only once a
+    // committed merged segment covers the tmp's whole range — proof the
+    // attempt that wrote it is dead (its live set has been folded past),
+    // never a dir an in-flight merge could still be writing.
+    f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(".tmp_"))
+      .flatMap(n => parseSeg(n.stripPrefix(".tmp_")).map(n -> _))
+      .filter { case (_, sg) => committed.exists(o => o.merged &&
+        o.lo <= sg.lo && sg.hi <= o.hi) }
+      .foreach { case (n, _) => f.delete(new Path(s"$path/$n"), true) }
   }
 }

@@ -106,15 +106,40 @@ object VersionedCommitSink {
   }
 
   /** Has `batchId` already committed? Marker existence tests against
-    * the newest [[ReplayWindow]] committed versions only — the
+    * the newest [[ReplayWindow]] committed versions first — the
     * per-trigger fast path (a streaming replay can only be a recent
-    * batch id; the full map above is the audit surface). */
+    * batch id). A window MISS is only definitive when the window
+    * proves the batch is genuinely new: the probe lists the window's
+    * marker names and, when `batchId` exceeds every NON-NEGATIVE
+    * (stream) batch id seen there, the miss is final (batch ids are
+    * monotone). Otherwise — maintenance [[graft.sources.VersionedStore
+    * .compactCommit]] runs each commit a version with a NEGATIVE
+    * pseudo id, so 8+ compactions between the stream's last batch and
+    * a checkpoint replay can push the real marker out of the window —
+    * fall back to the full [[committedBatchIds]] map. The full scan is
+    * paid only in that rare maintenance-heavy replay case; the steady
+    * state stays one txn-dir listing + ReplayWindow directory
+    * listings, constant in store age. */
   private def alreadyCommitted(s: SparkSession, path: String,
       latest: Option[Int], batchId: Long): Boolean = latest.exists { tip =>
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    (math.max(1, tip - ReplayWindow + 1) to tip).exists(v =>
-      fs.exists(new Path(batchMarker(path, v, batchId))))
+    val lo = math.max(1, tip - ReplayWindow + 1)
+    val windowIds = (lo to tip).flatMap { v =>
+      val d = new Path(txnPath(path, v))
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_") && n.endsWith(".marker") =>
+          n.stripPrefix("batch_").stripSuffix(".marker").toLong
+        }
+    }
+    if (windowIds.contains(batchId)) true
+    else if (lo == 1) false // window covered the full history
+    else {
+      val streamIds = windowIds.filter(_ >= 0)
+      if (streamIds.nonEmpty && batchId > streamIds.max) false
+      else committedBatchIds(s, path).contains(batchId)
+    }
   }
 
   /** Commit one micro-batch as the next version. Returns the committed

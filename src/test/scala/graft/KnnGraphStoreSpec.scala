@@ -37,10 +37,13 @@ class KnnGraphStoreSpec extends AnyFunSuite {
     // CompactStore ceil(bytes/target) rule) — at the gated scale's
     // 16 KiB target that MUST yield a multi-file layout, the pruning
     // precondition (a hardcoded count is exactly what this pins against)
+    // upper bound only: repartitionByRange may leave empty partitions
+    // (no part file) on skewed src sampling, so exact equality is flaky
+    // (advice finding); the load-bearing claims are data-sized (not a
+    // hardcoded count) and multi-file (the pruning precondition)
     val expected = math.max(1L, (edges.count() * 32L + (16L << 10) - 1) / (16L << 10))
-    assert(allFiles == expected,
-      s"store has $allFiles files, edge-count sizing expects $expected")
-    assert(allFiles >= 2, s"single-file store cannot exercise pruning")
+    assert(allFiles >= 2 && allFiles <= expected,
+      s"store has $allFiles files, edge-count sizing expects 2..$expected")
     // a per-node adjacency read opens only the manifest-selected subset
     val src = edges.select(col("src")).orderBy(col("src")).head.getLong(0)
     val nbrs = KnnGraphStore.neighbors(spark, path, src)

@@ -142,6 +142,40 @@ class VersionedCommitSpec extends AnyFunSuite {
       before.size + 1)
   }
 
+  test("replay skips even when maintenance pushed the marker out of the probe window") {
+    // 8+ compactCommit versions (negative pseudo batch ids) between a
+    // stream's last batch and its checkpoint replay push the real
+    // marker beyond the ReplayWindow fast path; the replay check must
+    // fall back to the full committed map, never recommit (advice
+    // finding: duplicated rows break exactly-once)
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_vcs_window_").toString
+    val (path, ckpt) = (s"$base/store", s"$base/ckpt")
+    val b1 = (1L to 30L).map(i => VcsReading(i, i * 100))
+    val in = MemoryStream[VcsReading]
+    val q = VersionedCommitSink.writeTo(in.toDF(), path, ckpt)
+    try { in.addData(b1: _*); q.processAllAvailable() } finally q.stop()
+    assert(VersionedCommitSink.committedVersions(spark, path) == Seq(1))
+
+    // a maintenance-heavy outage: 9 compactions, each its own version
+    (1 to 9).foreach { _ =>
+      VersionedStore.compactCommit(spark, path, "key", targetFileBytes = 1L << 20)
+    }
+    assert(VersionedStore.versions(spark, path).last == 10)
+
+    // checkpoint replay of batch 0: marker lives at v1, 9 versions deep
+    assert(VersionedCommitSink.appendBatch(b1.toDF(), path, batchId = 0L).isEmpty,
+      "replayed batch recommitted after maintenance churn")
+    assert(VersionedStore.versions(spark, path).last == 10)
+    assert(VersionedStore.readVersion(spark, path, 10).count() == b1.size.toLong)
+
+    // a genuinely NEW batch id still commits through the fast path
+    val next = VersionedCommitSink.appendBatch(
+      Seq(VcsReading(999L, 1L)).toDF(), path, batchId = 1L)
+    assert(next.contains(11))
+    assert(VersionedStore.readVersion(spark, path, 11).count() == b1.size + 1L)
+  }
+
   test("vacuum reclaims expired txn records and sub-tip orphan metadata") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft_vcs_meta_").toString
