@@ -623,6 +623,278 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Format-true PNG payload construction — the COMPRESSED-codec class
+    * q114's BMP tier stops short of: 8-bit truecolor images whose
+    * scanlines are filter-encoded (type y % 5 — every filter in the
+    * PNG spec appears) and zlib-deflated into IDAT. Pixel values are
+    * construction arithmetic, so the oracle restates the RAW image and
+    * the engine must run the real inflate + unfilter walk to match. */
+  private[graft] object PngBytes {
+    def width(id: Long): Long = 2L + (id * 41L) % 7L
+    def height(id: Long): Long = 2L + (id * 59L) % 6L
+    /** Raw pixel value at row `y`, column `x`, channel `c` (0 = R,
+      * 1 = G, 2 = B — the PNG truecolor byte order). */
+    def px(id: Long, y: Long, x: Long, c: Long): Long =
+      (id + 13L * y + 3L * x + 5L * c) % 251L
+
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    /** One chunk: length + type + data + CRC32(type ++ data). */
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+
+    private def ihdr(id: Long): Array[Byte] =
+      chunk("IHDR", be32(width(id)) ++ be32(height(id)) ++
+        Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor, no interlace
+
+    /** Scanline stream BEFORE compression: per row a filter byte
+      * (type y % 5) followed by the row's bytes filtered per the PNG
+      * spec — Sub/Up/Average/Paeth against the RAW (unfiltered)
+      * neighbors, bpp = 3. */
+    private[graft] def filteredStream(id: Long): Array[Byte] = {
+      val (w, h) = (width(id).toInt, height(id).toInt)
+      val bpr = 3 * w
+      val raw = Array.ofDim[Int](h, bpr)
+      var y = 0
+      while (y < h) {
+        var i = 0
+        while (i < bpr) {
+          raw(y)(i) = px(id, y, i / 3, i % 3).toInt
+          i += 1
+        }
+        y += 1
+      }
+      val out = new Array[Byte](h * (1 + bpr))
+      y = 0
+      while (y < h) {
+        val ft = y % 5
+        out(y * (1 + bpr)) = ft.toByte
+        var i = 0
+        while (i < bpr) {
+          val cur = raw(y)(i)
+          val left = if (i >= 3) raw(y)(i - 3) else 0
+          val up = if (y > 0) raw(y - 1)(i) else 0
+          val ul = if (y > 0 && i >= 3) raw(y - 1)(i - 3) else 0
+          val f = ft match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case _ =>
+              val p = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              val pred = if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul
+              cur - pred
+          }
+          out(y * (1 + bpr) + 1 + i) = (f & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        bos.write(buf, 0, n)
+      }
+      d.end()
+      bos.toByteArray
+    }
+
+    private val Sig = Array[Byte](
+      0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => // canonical: one IDAT
+        Sig ++ ihdr(id) ++ chunk("IDAT", deflate(filteredStream(id))) ++
+          chunk("IEND", Array.emptyByteArray)
+      case 1 => // zlib stream SPLIT across two IDAT chunks — the decoder
+        // must concatenate IDAT data before inflating
+        val z = deflate(filteredStream(id))
+        val (a, b) = z.splitAt(z.length / 2)
+        Sig ++ ihdr(id) ++ chunk("IDAT", a) ++ chunk("IDAT", b) ++
+          chunk("IEND", Array.emptyByteArray)
+      case 2 => // IDAT bytes that are NOT a zlib stream: inflate must
+        // fail closed, never crash or emit partial stats
+        Sig ++ ihdr(id) ++
+          chunk("IDAT", Array[Byte](0x2A, 0x2A, 0x2A, 0x2A)) ++
+          chunk("IEND", Array.emptyByteArray)
+      case _ => // opaque non-image payload
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+  }
+
+  /** Decoded whole-image statistics for a truecolor PNG: dimensions,
+    * pixel count, the DECOMPRESSED scanline-stream length, per-channel
+    * sums and the row-weighted luminance moment Σ y·(r+g+b) over the
+    * reconstructed raw pixels. */
+  private[graft] case class PngStats(w: Long, h: Long, nPx: Long,
+      rawLen: Long, sumR: Long, sumG: Long, sumB: Long, ysumLum: Long)
+
+  /** The REAL compressed-codec implementation of the seam: chunk walk
+    * with per-chunk CRC32 verification, IHDR validation (8-bit
+    * truecolor, no interlace — anything else degrades to None), IDAT
+    * concatenation, zlib inflate via java.util.zip.Inflater, then the
+    * per-row unfilter walk (None/Sub/Up/Average/Paeth against the
+    * reconstructed neighbors) accumulating exact integer channel sums.
+    * Truncated or over-long zlib streams, short chunks, CRC mismatches
+    * and bad filter types all fail closed — a corrupt blob in a 100 TB
+    * corpus must degrade to 'unknown', not kill the stage. Row-local,
+    * distributes with the rows. */
+  private[graft] object PngPixelDecoder extends PayloadDecoder[PngStats] {
+    val format = "png"
+    def decode(b: Array[Byte]): Option[PngStats] = {
+      if (b.length < 8) return None
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      var i = 0
+      while (i < 8) { if ((b(i) & 0xFF) != sig(i)) return None; i += 1 }
+      def be32(o: Int): Long =
+        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+      var pos = 8
+      var w = -1L; var h = -1L
+      var sawEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawEnd) {
+        if (pos + 12 > b.length) return None
+        val len = be32(pos)
+        if (len < 0 || pos + 12 + len > b.length) return None
+        val n = len.toInt
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, pos + 4, 4 + n)
+        if (crc.getValue != be32(pos + 8 + n)) return None
+        typ match {
+          case "IHDR" =>
+            if (n != 13) return None
+            w = be32(pos + 8); h = be32(pos + 12)
+            val depth = b(pos + 16) & 0xFF
+            val color = b(pos + 17) & 0xFF
+            val comp = b(pos + 18) & 0xFF
+            val filt = b(pos + 19) & 0xFF
+            val inter = b(pos + 20) & 0xFF
+            if (depth != 8 || color != 2 || comp != 0 || filt != 0 ||
+              inter != 0) return None
+          case "IDAT" => idat.write(b, pos + 8, n)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunk: skip
+        }
+        pos += 12 + n
+      }
+      if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) return None
+      val bpr = 3 * w.toInt
+      val expect = h.toInt * (1 + bpr)
+      val raw = new Array[Byte](expect)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < expect) {
+          val n = try inf.inflate(raw, off, expect - off)
+          catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0) return None // truncated or stalled stream
+          off += n
+        }
+        // the stream must END exactly here — extra pixels are malformed
+        val extra = try inf.inflate(new Array[Byte](1))
+        catch { case _: java.util.zip.DataFormatException => return None }
+        if (extra > 0 || !inf.finished()) return None
+      } finally inf.end()
+
+      val prev = new Array[Int](bpr) // zeros above row 0, per spec
+      val cur = new Array[Int](bpr)
+      var sr = 0L; var sg = 0L; var sb = 0L; var yl = 0L
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + bpr)
+        val ft = raw(base) & 0xFF
+        if (ft > 4) return None
+        var j = 0
+        while (j < bpr) {
+          val f = raw(base + 1 + j) & 0xFF
+          val left = if (j >= 3) cur(j - 3) else 0
+          val up = prev(j)
+          val ul = if (j >= 3) prev(j - 3) else 0
+          val v = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case _ =>
+              val p = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              val pred = if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul
+              f + pred
+          }
+          cur(j) = v & 0xFF
+          j += 1
+        }
+        var x = 0
+        var rr = 0L; var rg = 0L; var rb = 0L
+        while (x < w) {
+          rr += cur(3 * x); rg += cur(3 * x + 1); rb += cur(3 * x + 2)
+          x += 1
+        }
+        sr += rr; sg += rg; sb += rb
+        yl += y.toLong * (rr + rg + rb)
+        System.arraycopy(cur, 0, prev, 0, bpr)
+        y += 1
+      }
+      Some(PngStats(w, h, w * h, expect.toLong, sr, sg, sb, yl))
+    }
+  }
+
+  /** q115: COMPRESSED full-payload decode — the step past q114's
+    * uncompressed BMP walk: format-true PNGs (zlib IDAT, every PNG
+    * filter type in the scanline stream) decoded end to end through
+    * the [[PayloadDecoder]] seam with [[PngPixelDecoder]] — real
+    * chunk/CRC validation, real java.util.zip inflate, real unfilter
+    * reconstruction. The oracle restates the RAW pixel construction,
+    * so a broken inflate loop, a wrong Paeth predictor, a missed
+    * filter-byte offset, or an unverified CRC all hash-fail. Scale
+    * shape: row-local mapPartitions, no shuffle before the
+    * presentation sort. */
+  def q115PngPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = PngBytes.payload(id, text)
+          PngPixelDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, PngPixelDecoder.format, Option(st.w), Option(st.h),
+                Option(st.nPx), Option(st.rawLen), Option(st.sumR),
+                Option(st.sumG), Option(st.sumB), Option(st.ysumLum))
+            case None =>
+              (id, "unknown", None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "img_w", "img_h", "n_px", "raw_len",
+        "sum_r", "sum_g", "sum_b", "ysum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   /** q98: typed image-header extraction — the multimodal tier's decode
     * seam made REAL: the q71 mapPartitions batch shape, but the decoder
     * body actually parses PNG/JPEG header structures from the public
@@ -654,7 +926,8 @@ object Binary extends QueryPack {
     "q98_image_header" -> (q98ImageHeader _),
     "q105_wav_header" -> (q105WavHeader _),
     "q113_gif_header" -> (q113GifHeader _),
-    "q114_bmp_pixels" -> (q114BmpPixels _))
+    "q114_bmp_pixels" -> (q114BmpPixels _),
+    "q115_png_pixels" -> (q115PngPixels _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -666,6 +939,47 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // q115's twin restates the PNG payload CONSTRUCTION at the RAW
+    // pixel layer — the compressed wire format is the ENGINE's problem
+    // (inflate + unfilter must reconstruct these exact values): per-doc
+    // w x h expansion of the pixel arithmetic, channel sums, and the
+    // row-weighted moment (PNG rows are top-down — no flip). The
+    // malformed-IDAT class (2) and the opaque class (3) must degrade
+    // to 'unknown' with null stats.
+    "q115_png_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    2 + (doc_id * 41) % 7 AS w,
+        |    2 + (doc_id * 59) % 6 AS h
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, w, h, unnest(range(0, h)) AS y
+        |  FROM p WHERE doc_id % 4 <= 1),
+        |px AS (SELECT doc_id, h, y, unnest(range(0, w)) AS x FROM r1),
+        |v AS (
+        |  SELECT doc_id, y,
+        |    (doc_id + 13 * y + 3 * x) % 251 AS vr,
+        |    (doc_id + 13 * y + 3 * x + 5) % 251 AS vg,
+        |    (doc_id + 13 * y + 3 * x + 10) % 251 AS vb
+        |  FROM px),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(vr) AS sr, sum(vg) AS sg, sum(vb) AS sb,
+        |    sum(y * (vr + vg + vb)) AS yl
+        |  FROM v GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CASE WHEN p.doc_id % 4 <= 1 THEN 'png' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN w END AS BIGINT) AS img_w,
+        |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN h END AS BIGINT) AS img_h,
+        |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN w * h END AS BIGINT) AS n_px,
+        |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN h * (1 + 3 * w) END AS BIGINT)
+        |    AS raw_len,
+        |  CAST(agg.sr AS BIGINT) AS sum_r,
+        |  CAST(agg.sg AS BIGINT) AS sum_g,
+        |  CAST(agg.sb AS BIGINT) AS sum_b,
+        |  CAST(agg.yl AS BIGINT) AS ysum_lum
+        |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // q114's twin restates the BMP payload CONSTRUCTION, pixels
     // included: per-doc w x h expansion of the pixel-value arithmetic
     // (two unnest(range) stages, the q72 pattern), channel sums, and

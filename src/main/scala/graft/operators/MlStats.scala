@@ -288,13 +288,17 @@ object MlStats extends QueryPack {
       // the [1e-12, 1-1e-12] clamp, the 1e-9 integer-scaled
       // contribution sums, and the driver's w -= lr * ((g/1e9)/n)
       // update arithmetic. Features mirror withQualityFeatures.
+      // Every chained CTE is MATERIALIZED: each w_i is referenced by
+      // both g_{i+1} and w_{i+1}, so default inlining expands the
+      // 20-round chain exponentially (observed as DuckDB exhausting
+      // the fd limit re-opening documents.parquet thousands of times).
       val iters = 20
       val stop = Seq("the", "a", "of", "to", "and", "in", "is")
         .map("'" + _ + "'").mkString(", ")
       val h = graft.functions.TextOps.sqlPolyHash61(
         "'clf-salt-' || CAST(doc_id AS VARCHAR)")
       val head =
-        s"""WITH f AS (
+        s"""WITH f AS MATERIALIZED (
            |  SELECT doc_id,
            |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
            |         ELSE CAST(0.0 AS DOUBLE) END AS y,
@@ -308,7 +312,7 @@ object MlStats extends QueryPack {
            |    CASE WHEN $h % 100 < 80 THEN 'train' ELSE 'val' END AS split
            |  FROM (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS tk
            |        FROM documents)),
-           |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+           |w0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
            |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
            |  CAST(0.0 AS DOUBLE) AS wb)"""
       def z(w: String) =
@@ -325,12 +329,12 @@ object MlStats extends QueryPack {
         def gb =
           s"CAST(sum(CAST(round(($pw - f.y) * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         s""",
-           |g$i AS (
+           |g$i AS MATERIALIZED (
            |  SELECT ${g("f.f_len")} AS g0, ${g("f.f_stop")} AS g1,
            |    ${g("f.f_punct")} AS g2, ${g("f.f_wlen")} AS g3,
            |    $gb AS gb, CAST(count(*) AS DOUBLE) AS n
            |  FROM f, w${i - 1} WHERE f.split = 'train'),
-           |w$i AS (
+           |w$i AS MATERIALIZED (
            |  SELECT w.w0 - 0.5 * ((g.g0 / 1000000000.0) / g.n) AS w0,
            |    w.w1 - 0.5 * ((g.g1 / 1000000000.0) / g.n) AS w1,
            |    w.w2 - 0.5 * ((g.g2 / 1000000000.0) / g.n) AS w2,

@@ -255,7 +255,8 @@ object VersionedStore extends QueryPack {
     * Cost: manifest-table reads + a bounded driver file-set diff +
     * one delete per expired file — no data scanned. Returns
     * (expired version count, deleted file count). */
-  def vacuum(s: SparkSession, path: String, keepVersions: Int): (Int, Int) = {
+  def vacuum(s: SparkSession, path: String, keepVersions: Int): (Int, Int) =
+    WriterLease.withLease(s, path, "vacuum") {
     require(keepVersions >= 1, s"must retain at least one version")
     val vs = versions(s, path)
     val drop = vs.dropRight(keepVersions)
@@ -321,7 +322,8 @@ object VersionedStore extends QueryPack {
     *
     * Returns the committed version number. */
   def compactCommit(s: SparkSession, path: String, clusterCol: String,
-      targetFileBytes: Long): Int = {
+      targetFileBytes: Long): Int =
+    WriterLease.withLease(s, path, "compactCommit") {
     val vs = versions(s, path)
     require(vs.nonEmpty, s"no committed versions under $path")
     val cur = vs.last

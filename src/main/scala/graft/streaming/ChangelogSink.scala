@@ -40,11 +40,9 @@ object ChangelogSink {
     val incoming = batch.toDF()
       .select(col("custkey"), col("totalTrips").as("trips_after"),
         col("totalAmount").as("amount_after"))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
-        spark.read.parquet(storeDir)
+      if (graft.sources.VersionedStore.versions(spark, storeDir).nonEmpty)
+        UpsertSink.readStore(spark, storeDir)
           .select(col("custkey"), col("totalTrips").as("trips_before"),
             col("totalAmount").as("amount_before"))
       else null
@@ -78,7 +76,7 @@ object ChangelogSink {
           .coalesce(1)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$changelogDir/batch_$batchId")
-        UpsertSink.mergeBatch(batch, storeDir)
+        UpsertSink.mergeBatch(batch, storeDir, batchId); ()
       }
       .start()
 }

@@ -94,7 +94,8 @@ object Segments {
   def mergeSegments(s: SparkSession, path: String,
       commitDir: String => String, targetFileBytes: Long)(
       recluster: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame,
-      commitArtifacts: (String, Seq[Seg]) => Unit): Option[String] = {
+      commitArtifacts: (String, Seq[Seg]) => Unit): Option[String] =
+    graft.sources.WriterLease.withLease(s, path, "mergeSegments") {
     val live = liveSegments(s, path, commitDir)
     if (live.size < 2) return None
     val seg = mergedSegName(live.map(_.lo).min, live.map(_.hi).max)
@@ -143,7 +144,8 @@ object Segments {
     * them), never racing an in-flight merge that is writing that very
     * dir. The caller lists every directory a segment owns. */
   def vacuum(s: SparkSession, path: String, commitDir: String => String,
-      segDirs: String => Seq[String]): Unit = {
+      segDirs: String => Seq[String]): Unit =
+    graft.sources.WriterLease.withLease(s, path, "segmentVacuum") {
     val f = fs(s, path)
     val root = new Path(path)
     if (!f.exists(root)) return

@@ -1,7 +1,9 @@
 package graft.streaming
 
+import graft.sources.VersionedStore
 import graft.streaming.Streams.EntityUpdate
-import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
 
@@ -9,61 +11,131 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQu
   *
   * Reference origin: ny_taxi/NyTaxiYellowTripStreaming.scala:214-266
   * sendEntityToKudu (newInsert for New, newUpdate for Modified) and the
-  * kudu client session around it. Kudu is replaced by a parquet "store"
-  * directory maintained through Structured Streaming's foreachBatch:
-  * every micro-batch's entity updates are merged into the store by key,
-  * newest state wins (the stream emits full merged entities, so the merge
-  * is a keyed replace — idempotent per batch, safe under foreachBatch's
-  * at-least-once replay).
+  * kudu client session around it. Kudu's row-level upsert is re-expressed
+  * as a COPY-ON-WRITE KEYED COMMIT into the [[VersionedStore]] layout:
+  * every micro-batch rewrites ONLY the data files whose key range the
+  * batch touches (located through per-file key stats carried in the
+  * manifest — the q82 planning step, paid at write time instead of a
+  * store scan), carries every untouched file forward by reference, and
+  * commits a new manifest + txn marker (the [[VersionedCommitSink]]
+  * exactly-once discipline: a checkpoint-replayed batch id is skipped).
   *
-  * At scale the store write would target a table format with real upsert
-  * (the merge below is the same plan those formats run: full-outer keyed
-  * anti/replace). The store is re-written per batch here because plain
-  * parquet has no row-level update — the merge itself is the operator
-  * under test.
+  * Per-trigger cost therefore tracks the BATCH — bytes written =
+  * batch rows + the touched files' survivors; bytes read = the touched
+  * files — never the store. Superseded files stay referenced by older
+  * manifests (time travel through [[VersionedStore.readVersion]]) until
+  * [[VersionedStore.vacuum]] reclaims them.
   */
+/** The upsert manifest row: member file + its key band. The extra
+  * stats columns ride alongside [[VersionedStore]]'s `file` column, so
+  * every batch reader (versionFiles/readVersion/vacuum) works unchanged
+  * while the writer prunes rewrites by key range. Top-level (not nested
+  * in the object) so its Encoder stays codegen-compatible. */
+private[streaming] case class FileStats(file: String, mn: Long, mx: Long)
+
 object UpsertSink {
 
-  /** Merge one micro-batch of entity updates into the parquet store. */
-  def mergeBatch(batch: Dataset[EntityUpdate], storeDir: String): Unit = {
-    val spark = batch.sparkSession
+  /** Read the store's CURRENT state — the newest committed manifest's
+    * member files, nothing else (superseded files are invisible even
+    * though they share the data directory). */
+  def readStore(s: SparkSession, path: String): DataFrame = {
+    val vs = VersionedStore.versions(s, path)
+    require(vs.nonEmpty, s"no committed version at $path")
+    VersionedStore.readVersion(s, path, vs.max)
+  }
+
+  private def statsManifest(s: SparkSession, path: String, v: Int): Array[FileStats] = {
+    import s.implicits._
+    s.read.parquet(VersionedStore.manifestPath(path, v))
+      .select(col("file"), col("mn"), col("mx")).as[FileStats].collect()
+  }
+
+  private def writeManifest(s: SparkSession, path: String, v: Int,
+      rows: Seq[FileStats]): Unit = {
+    import s.implicits._
+    rows.sortBy(_.file).toDF()
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(VersionedStore.manifestPath(path, v))
+  }
+
+  /** Commit one keyed micro-batch copy-on-write. Returns the committed
+    * version, or None when the batch was empty or already committed
+    * (checkpoint replay). `initialPartitions` sizes the FIRST commit's
+    * file count (later commits inherit the touched-file count). */
+  def upsertBatch(batch: DataFrame, path: String, batchId: Long,
+      keyCol: String, initialPartitions: Int = 1): Option[Int] = {
+    if (batch.isEmpty) return None
+    val s = batch.sparkSession
+    val latest = VersionedCommitSink.latestCommitted(s, path)
+    if (VersionedCommitSink.alreadyCommitted(s, path, latest, batchId)) return None
+    val v = latest.getOrElse(0) + 1
+
+    // Parent manifest with per-file key stats: driver-side and bounded
+    // by the store's file count (the manifest-store contract). Touched
+    // files = those whose [mn, mx] band contains a batch key — a
+    // broadcast join of the batch's keys against the k-row stats table,
+    // collecting only distinct FILE NAMES (file-count bounded).
+    val parent: Array[FileStats] = latest
+      .map(pv => statsManifest(s, path, pv)).getOrElse(Array.empty)
+    val owning: Array[String] =
+      if (parent.isEmpty) Array.empty
+      else {
+        import s.implicits._
+        val statsDf = parent.toSeq.toDF("file", "mn", "mx")
+        batch.select(col(keyCol).cast("long").as("k")).distinct()
+          .join(broadcast(statsDf),
+            col("k") >= col("mn") && col("k") <= col("mx"))
+          .select(col("file")).distinct().as[String].collect()
+      }
+
+    // Rewrite = touched files' survivors + the batch (keyed replace:
+    // the stream emits full merged entities, newest state wins).
+    val rewritten =
+      if (owning.isEmpty) batch
+      else s.read.parquet(owning.toIndexedSeq: _*)
+        .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(batch)
+    val parts = math.max(1, if (owning.isEmpty) initialPartitions else owning.length)
+    val dataDir = path + s"/data/batch_$batchId"
+    rewritten.repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+
+    // Stats for the new files: a read-back of ONLY the files this
+    // commit wrote (O(batch)), grouped by physical file.
+    val newFiles = VersionedStore.hadoopLs(s, dataDir)
+    val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol).cast("long")).as("mn"),
+        max(col(keyCol).cast("long")).as("mx"))
+      .collect()
+      .map(r => FileStats(VersionedStore.canon(r.getString(0)),
+        r.getLong(1), r.getLong(2)))
+
+    val ownSet = owning.toSet
+    writeManifest(s, path, v,
+      parent.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
+    // txn parquet, then the marker LAST — the marker's atomic create is
+    // the commit, its name carries the batch id for the replay check
+    // (the VersionedCommitSink.appendBatch discipline).
+    import s.implicits._
+    Seq(batchId).toDF("batch_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(VersionedCommitSink.txnPath(path, v))
+    val fs = new Path(VersionedCommitSink.txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new Path(
+      s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"), true).close()
+    Some(v)
+  }
+
+  /** Merge one micro-batch of entity updates into the keyed store. */
+  def mergeBatch(batch: Dataset[EntityUpdate], storeDir: String,
+      batchId: Long): Option[Int] = {
     val incoming = batch.toDF()
       .select(col("custkey"), col("totalTrips"), col("totalAmount"),
         col("maxAmount"), col("openTrips"), col("fulfilledTrips"))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(storeDir)
-    val old = new org.apache.hadoop.fs.Path(storeDir + "_old")
-    // Crash recovery: a previous run may have died between the two swap
-    // renames below, leaving the store only at _old. Restore it first.
-    if (!fs.exists(dst) && fs.exists(old))
-      require(fs.rename(old, dst), s"restore rename $old -> $dst failed")
-    // Only a genuinely-missing store means "first batch". Any other read
-    // failure (transient FS error, corrupt footer) must propagate: treating
-    // it as first-batch would merge incoming-only and discard every stored
-    // key on the swap below.
-    val existing = if (fs.exists(dst)) spark.read.parquet(storeDir) else null
-    val merged =
-      if (existing == null) incoming
-      else existing.join(incoming.select(col("custkey")).distinct(),
-          Seq("custkey"), "left_anti") // keep untouched keys
-        .unionByName(incoming)         // replace touched keys with new state
-    // write to a tmp dir then swap: the source of the read above must not
-    // be clobbered mid-job. coalesce(1) is demo-store sizing only — a
-    // production store keeps its partitioning (or a real upsert format).
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + "_tmp")
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // Promote by renaming the current store aside first, so no point in
-    // time has zero copies: a crash leaves either dst or _old readable
-    // (foreachBatch replays the batch; the merge is idempotent).
-    // Hadoop rename/delete signal failure by returning false, not by
-    // throwing — check each result so a failed swap fails the batch and
-    // streaming replays it, instead of completing with a stale store.
-    fs.delete(old, true)
-    if (fs.exists(dst))
-      require(fs.rename(dst, old), s"rename $dst -> $old failed")
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
-    fs.delete(old, true)
+    upsertBatch(incoming, storeDir, batchId, "custkey")
   }
 
   /** Attach the upsert sink to an entity-update stream. */
@@ -72,8 +144,8 @@ object UpsertSink {
     val w: DataStreamWriter[EntityUpdate] = updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((batch: Dataset[EntityUpdate], _: Long) =>
-        mergeBatch(batch, storeDir))
+      .foreachBatch((batch: Dataset[EntityUpdate], batchId: Long) =>
+        { mergeBatch(batch, storeDir, batchId); () })
     w.start()
   }
 }

@@ -93,7 +93,7 @@ object VersionedCommitSink {
     * single txn-dir listing, stopping at the first hit — in steady
     * state the newest version IS committed, so this is two filesystem
     * calls; a crash leftover at the tip costs one extra probe. */
-  private def latestCommitted(s: SparkSession, path: String): Option[Int] = {
+  private[streaming] def latestCommitted(s: SparkSession, path: String): Option[Int] = {
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     txnVersionNumbers(s, path).reverse.find { v =>
@@ -120,7 +120,7 @@ object VersionedCommitSink {
     * paid only in that rare maintenance-heavy replay case; the steady
     * state stays one txn-dir listing + ReplayWindow directory
     * listings, constant in store age. */
-  private def alreadyCommitted(s: SparkSession, path: String,
+  private[streaming] def alreadyCommitted(s: SparkSession, path: String,
       latest: Option[Int], batchId: Long): Boolean = latest.exists { tip =>
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)

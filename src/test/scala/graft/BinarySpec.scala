@@ -252,4 +252,104 @@ class BinarySpec extends AnyFunSuite {
     val dec: Binary.PayloadDecoder[Binary.BmpStats] = Binary.BmpPixelDecoder
     assert(dec.format == "bmp")
   }
+
+  // ---- PNG full-pixel decode (q115) -------------------------------------
+
+  /** Chunk + deflate helpers INDEPENDENT of PngBytes: the handcrafted
+    * tests compress hand-written filtered scanlines with the standard
+    * library, so the decoder's unfilter walk is pinned against
+    * hand-computed raw pixels, not against the synthesizer's encoder
+    * (matching encoder/decoder bugs cannot cancel here). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    def be32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+  }
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](256)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end(); bos.toByteArray
+  }
+  private def pngSig = b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+  private def pngIhdr(w: Int, h: Int, color: Int = 2) =
+    pngChunk("IHDR", b(0, 0, 0, w, 0, 0, 0, h, 8, color, 0, 0, 0))
+  private def png(scanlines: Array[Byte], w: Int, h: Int): Array[Byte] =
+    pngSig ++ pngIhdr(w, h) ++ pngChunk("IDAT", zlib(scanlines)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+
+  test("unfilters handcrafted Sub and Up scanlines to hand-computed pixels") {
+    // 2x2 RGB: raw row0 = (1,2,3),(4,6,8); row1 = (10,20,30),(5,15,25)
+    // row0 Sub-filtered:  [1, 1,2,3, 3,4,5]
+    // row1 Up-filtered:   [2, 9,18,27, 1,9,17]
+    val scan = b(1, 1, 2, 3, 3, 4, 5, 2, 9, 18, 27, 1, 9, 17)
+    val st = Binary.PngPixelDecoder.decode(png(scan, 2, 2)).get
+    assert(st == Binary.PngStats(2, 2, 4, 14, 20, 43, 66, 105), st.toString)
+  }
+
+  test("unfilters handcrafted Average and Paeth scanlines") {
+    // 2x2 RGB: raw row0 = (10,20,30),(11,22,33); row1 = (40,50,60),(45,55,65)
+    // row0 Average-filtered: [3, 10,20,30, 6,12,18]
+    // row1 Paeth-filtered:   [4, 30,30,30, 5,5,5]
+    val scan = b(3, 10, 20, 30, 6, 12, 18, 4, 30, 30, 30, 5, 5, 5)
+    val st = Binary.PngPixelDecoder.decode(png(scan, 2, 2)).get
+    assert(st == Binary.PngStats(2, 2, 4, 14, 106, 147, 188, 315), st.toString)
+  }
+
+  test("PNG decoder fails closed on corrupt chunks and bad streams") {
+    val scan = b(0, 1, 2, 3, 0, 4, 5, 6) // 1x2, None filters
+    val good = png(scan, 1, 2)
+    assert(Binary.PngPixelDecoder.decode(good).isDefined)
+    // flip one IDAT payload byte WITHOUT fixing the CRC -> reject
+    val badCrc = good.clone()
+    val idatPos = 8 + 25 + 8 // sig + IHDR chunk + IDAT len/type
+    badCrc(idatPos + 2) = (badCrc(idatPos + 2) ^ 0x01).toByte
+    assert(Binary.PngPixelDecoder.decode(badCrc).isEmpty, "CRC not verified")
+    // truncated zlib stream (half the deflate bytes, CRC recomputed)
+    val z = zlib(scan)
+    val trunc = pngSig ++ pngIhdr(1, 2) ++
+      pngChunk("IDAT", z.take(z.length / 2)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngPixelDecoder.decode(trunc).isEmpty, "truncation accepted")
+    // stream longer than the declared dimensions -> reject
+    val over = pngSig ++ pngIhdr(1, 2) ++
+      pngChunk("IDAT", zlib(scan ++ b(0, 7, 8, 9))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngPixelDecoder.decode(over).isEmpty, "overlong accepted")
+    // unsupported color type (grayscale+alpha) -> honest None
+    val gray = pngSig ++ pngIhdr(1, 2, color = 4) ++
+      pngChunk("IDAT", zlib(scan)) ++ pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngPixelDecoder.decode(gray).isEmpty)
+    // bad filter type byte -> reject
+    val badFt = b(9, 1, 2, 3, 0, 4, 5, 6)
+    assert(Binary.PngPixelDecoder.decode(png(badFt, 1, 2)).isEmpty)
+    assert(Binary.PngPixelDecoder.decode(Array.emptyByteArray).isEmpty)
+    assert(Binary.PngPixelDecoder.decode(b(0x89, 'P', 'N')).isEmpty)
+  }
+
+  test("synthesized PNG payloads round-trip the construction stats") {
+    val P = Binary.PngBytes
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 40L, 41L, 997L, 1000L).foreach { id =>
+      val out = Binary.PngPixelDecoder.decode(P.payload(id, "opaque text"))
+      if (id % 4 <= 1) {
+        val st = out.get
+        val (w, h) = (P.width(id), P.height(id))
+        assert(st.w == w && st.h == h && st.nPx == w * h &&
+          st.rawLen == h * (1 + 3 * w), s"id $id: $st")
+        var (sr, sg, sb, yl) = (0L, 0L, 0L, 0L)
+        for (y <- 0L until h; x <- 0L until w) {
+          val (vr, vg, vb) = (P.px(id, y, x, 0), P.px(id, y, x, 1), P.px(id, y, x, 2))
+          sr += vr; sg += vg; sb += vb
+          yl += y * (vr + vg + vb)
+        }
+        assert((st.sumR, st.sumG, st.sumB, st.ysumLum) == ((sr, sg, sb, yl)),
+          s"id $id: $st != ($sr,$sg,$sb,$yl)")
+      } else assert(out.isEmpty, s"id $id decoded: $out")
+    }
+  }
 }

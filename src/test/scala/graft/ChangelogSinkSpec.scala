@@ -51,7 +51,7 @@ class ChangelogSinkSpec extends AnyFunSuite {
       assert(replay.isEmpty, "identical replayed state produced change rows")
 
       // and the store itself holds the merged truth (the UpsertSink path)
-      val after = spark.read.parquet(store)
+      val after = graft.streaming.UpsertSink.readStore(spark, store)
         .select("custkey", "totalTrips", "totalAmount").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       assert(after == Map(1L -> (2L, 16.0), 2L -> (1L, 3.0), 3L -> (1L, 1.0)))

@@ -64,4 +64,78 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows(sql) == rows(sources.VersionedStore.q109TimeTravel(spark, sf)),
       "SQL-surface time travel diverged from the q109 operator result")
   }
+
+  test("CALL graft_store_build registers the zorder/manifest/compact relations with parity") {
+    for (family <- Seq("zorder", "manifest", "compact", "keyed")) {
+      val out = GraftCatalog.call(spark,
+        s"CALL graft_store_build('$family', '$sf')").collect()
+      assert(out.nonEmpty, s"$family build returned no views")
+      out.foreach { r =>
+        val (view, path) = (r.getString(0), r.getString(1))
+        assert(spark.catalog.tableExists(view), s"$view not registered")
+        // parity: the view serves EXACTLY the store files' content
+        assert(spark.table(view).count() == spark.read.parquet(path).count(),
+          s"$view diverged from its store at $path")
+      }
+    }
+    // the q95 semantics run as plain SQL over the registered view
+    val viaSql = spark.sql(
+      """SELECT event_type, count(*) AS n FROM graft_events_compact
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect().map(_.toSeq).toSeq
+    val direct = spark.read.parquet(sources.CompactStore.store(spark, sf))
+      .groupBy("event_type").count().orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == direct, "SQL over graft_events_compact diverged")
+  }
+
+  test("CALL graft_store_drop deregisters views; files stay readable") {
+    GraftCatalog.call(spark, s"CALL graft_store_build('zorder', '$sf')")
+    assert(spark.catalog.tableExists("graft_events_zorder"))
+    val dropped = GraftCatalog.call(spark,
+      "CALL graft_store_drop('zorder')").collect().map(_.getString(0))
+    assert(dropped.sameElements(Array("graft_events_zorder")))
+    assert(!spark.catalog.tableExists("graft_events_zorder"))
+    // external-table drop semantics: the store files survive
+    val (p, _) = sources.ZOrderStore.store(spark, sf)
+    assert(spark.read.parquet(p).count() > 0)
+    // re-build re-registers
+    GraftCatalog.call(spark, s"CALL graft_store_build('zorder', '$sf')")
+    assert(spark.catalog.tableExists("graft_events_zorder"))
+  }
+
+  test("CALL graft_store_optimize commits a versioned compaction; content does not move") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_opt_").toString + "/store"
+    // a stream-shaped store: two append commits
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 500L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (501L to 900L).map(k => (k, k * 2)).toDF("k", "v"), path, 1L)
+    val tipBefore = sources.VersionedStore.versions(spark, path).max
+    val contentBefore = sources.VersionedStore
+      .readVersion(spark, path, tipBefore)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val out = GraftCatalog.call(spark,
+      s"CALL graft_store_optimize('versioned', '$path', 'k')").collect()
+    val committed = out.head.getInt(1)
+    assert(committed == tipBefore + 1, s"optimize committed $committed")
+    val contentAfter = sources.VersionedStore
+      .readVersion(spark, path, committed)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(contentAfter == contentBefore, "compaction moved the content")
+  }
+
+  test("malformed CALL statements are loud") {
+    intercept[IllegalArgumentException] {
+      GraftCatalog.call(spark, "CALL graft_store_build('nope', '/tmp/x')")
+    }
+    intercept[IllegalArgumentException] {
+      GraftCatalog.call(spark, "SELECT 1")
+    }
+    intercept[IllegalArgumentException] {
+      GraftCatalog.call(spark,
+        "CALL graft_store_optimize('zorder', '/tmp/x', 'k')")
+    }
+  }
 }

@@ -27,7 +27,7 @@ class MlSpec extends AnyFunSuite {
     val n = vecs.count()
     val prof = operators.MlStats.q62Kmeans(spark, sf).collect()
     assert(prof.map(_.getLong(1)).sum == n)
-    assert(prof.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    assert(prof.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 8L))
   }
 
   test("q63 decision tree beats (or ties) the majority baseline held-out") {

@@ -22,7 +22,7 @@ class MvMaintenanceSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
 
   private def storeMv(store: String) = MvMaintenance.mvOf(
-    spark.read.parquet(store)
+    graft.streaming.UpsertSink.readStore(spark, store)
       .select(col("custkey"), col("totalTrips"), col("totalAmount")))
 
   test("changelog folds keep the view identical to the store aggregate") {

@@ -20,13 +20,13 @@ class UpsertSinkSpec extends AnyFunSuite {
     try {
       in.addData(OrderEvent(1, 10.0, "O"), OrderEvent(2, 3.0, "F"))
       q.processAllAvailable()
-      val after1 = spark.read.parquet(store).collect()
+      val after1 = UpsertSink.readStore(spark, store).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(after1 == Map(1L -> 1L, 2L -> 1L)) // one trip each
 
       in.addData(OrderEvent(1, 6.0, "F"), OrderEvent(3, 1.0, "P"))
       q.processAllAvailable()
-      val after2 = spark.read.parquet(store)
+      val after2 = UpsertSink.readStore(spark, store)
         .select("custkey", "totalTrips", "totalAmount").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       // key 1 updated in place (2 trips, 16.0), key 2 untouched, key 3 inserted
@@ -35,34 +35,85 @@ class UpsertSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("merge replay is idempotent and a half-swapped store self-recovers") {
+  test("merge replay is skipped by its txn marker and a crashed attempt is overwritten") {
     import graft.streaming.Streams.EntityUpdate
     val store = Files.createTempDirectory("graft_store_").toString + "/entities"
     def batch(rows: (Long, Long, Double)*) =
       rows.map { case (k, n, amt) =>
         EntityUpdate(k, "Modified", n, amt, amt, 0L, n) }.toDS()
 
-    UpsertSink.mergeBatch(batch((1L, 1L, 10.0), (2L, 1L, 3.0)), store)
+    assert(UpsertSink.mergeBatch(
+      batch((1L, 1L, 10.0), (2L, 1L, 3.0)), store, 0L).contains(1))
     val b2 = batch((1L, 2L, 16.0), (3L, 1L, 1.0))
-    UpsertSink.mergeBatch(b2, store)
-    def snap() = spark.read.parquet(store).collect()
+    assert(UpsertSink.mergeBatch(b2, store, 1L).contains(2))
+    def snap() = UpsertSink.readStore(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     val once = snap()
     // foreachBatch is at-least-once: the SAME batch may be replayed after
-    // a crash. The stream emits full merged entities, so re-merging must
-    // be a no-op, not a double-count.
-    UpsertSink.mergeBatch(b2, store)
+    // a crash. A replayed batch id finds its commit marker and is skipped
+    // — no new version, no content change.
+    assert(UpsertSink.mergeBatch(b2, store, 1L).isEmpty,
+      "replayed batch id was not skipped")
     assert(snap() == once, "replaying the same batch changed the store")
+    assert(graft.sources.VersionedStore.versions(spark, store) == Seq(1, 2),
+      "replay committed a duplicate version")
 
-    // crash between the two swap renames: the store exists only at _old.
-    // The next merge must restore it and proceed with nothing lost.
+    // crash AFTER the manifest write but BEFORE the txn marker: the
+    // uncommitted version is invisible to readers, and the next merge
+    // claims the same version number, overwriting the leftover.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
-      new org.apache.hadoop.fs.Path(store + "_old")))
-    UpsertSink.mergeBatch(batch((2L, 2L, 7.5)), store)
+    val orphanManifest = new org.apache.hadoop.fs.Path(
+      graft.sources.VersionedStore.manifestPath(store, 3))
+    fs.mkdirs(orphanManifest) // simulate the leftover (empty manifest dir)
+    assert(snap() == once, "uncommitted leftover changed reader state")
+    assert(UpsertSink.mergeBatch(batch((2L, 2L, 7.5)), store, 2L).contains(3),
+      "merge after a crashed attempt did not claim the orphaned version")
     assert(snap() == Seq((1L, 2L, 16.0), (2L, 2L, 7.5), (3L, 1L, 1.0)),
-      "half-swap recovery lost state")
+      "crash recovery lost state")
+  }
+
+  test("per-trigger upsert IO tracks the batch, not the store") {
+    // The 100 TB contract: a one-key micro-batch against a many-file
+    // store must rewrite ONLY the file(s) owning that key — every
+    // untouched file is carried forward BY REFERENCE (same physical
+    // path in both manifests), and the commit's new bytes are a small
+    // fraction of the store's.
+    import graft.streaming.Streams.EntityUpdate
+    import graft.sources.VersionedStore
+    val store = Files.createTempDirectory("graft_store_").toString + "/entities"
+    val big = (1L to 5000L).map(k =>
+      EntityUpdate(k, "New", 1L, k.toDouble, k.toDouble, 0L, 1L)).toDS()
+    val bigDf = big.toDF().select($"custkey", $"totalTrips", $"totalAmount",
+      $"maxAmount", $"openTrips", $"fulfilledTrips")
+    assert(UpsertSink.upsertBatch(bigDf, store, 0L, "custkey",
+      initialPartitions = 8).contains(1))
+    val v1Files = VersionedStore.versionFiles(spark, store, 1).toSet
+    // range sampling may leave a boundary partition empty — require
+    // "many files", not an exact count (the KnnGraphStoreSpec lesson)
+    assert(v1Files.size >= 4, s"initial commit produced ${v1Files.size} files")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def bytes(files: Set[String]): Long = files.toSeq.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val storeBytes = bytes(v1Files)
+
+    val tiny = Seq(EntityUpdate(17L, "Modified", 9L, 99.0, 99.0, 0L, 9L)).toDS()
+    assert(UpsertSink.mergeBatch(tiny, store, 1L).contains(2))
+    val v2Files = VersionedStore.versionFiles(spark, store, 2).toSet
+    val newFiles = v2Files -- v1Files
+    val carried = v2Files.intersect(v1Files)
+    // exactly one owning file rewritten; the rest shared by reference
+    assert(carried.size == v1Files.size - 1,
+      s"expected 1 rewritten file, got ${v1Files.size - carried.size}")
+    assert(bytes(newFiles) * 4 < storeBytes,
+      s"one-key commit wrote ${bytes(newFiles)} of $storeBytes store bytes")
+    // and the content merged correctly
+    val r = UpsertSink.readStore(spark, store)
+      .filter($"custkey" === 17L).select("totalTrips").head().getLong(0)
+    assert(r == 9L)
+    assert(UpsertSink.readStore(spark, store).count() == 5000L)
   }
 
   test("search-doc sink resumes batch numbering after a checkpoint restart") {
@@ -124,7 +175,7 @@ class UpsertSinkSpec extends AnyFunSuite {
     val q2 = UpsertSink.writeTo(Streams.entityStream(in.toDS()), store, ckpt)
     try {
       q2.processAllAvailable()
-      val after = spark.read.parquet(store)
+      val after = UpsertSink.readStore(spark, store)
         .select("custkey", "totalTrips", "totalAmount").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
       assert(after == Map(
