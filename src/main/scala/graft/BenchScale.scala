@@ -81,7 +81,10 @@ object BenchScale {
     }.mkString(",")
     val line = s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3.toDouble},"unit":"sec","queries":{$qjson},"sf":"sf0.1 x $replicas","excluded":${excluded.size}}"""
     println(line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_sf1.json"),
+    // output name from arg 2 (default the historical name) so standing-
+    // gate runs keep per-round artifacts instead of overwriting
+    val outName = args.drop(1).headOption.getOrElse("bench_sf1.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       line.getBytes("UTF-8"))
     spark.stop()
   }

@@ -27,11 +27,23 @@ import org.apache.spark.sql.streaming.OutputMode
   * `sbt "runMain graft.StateScaleSmoke [keysPerBatch] [batches]"`
   * (defaults 100000 x 10 = 1M distinct keys for s1; s6 drives the same
   * volume with HALF the keys re-seen so sessions extend and close).
+  *
+  * `sbt "runMain graft.StateScaleSmoke restart [keysPerBatch] [batches]"`
+  * runs the KILL/RESTART variant the round-11 verdict ordered: drive
+  * the s1 fold + the versioned upsert sink to half the batches, stop
+  * the query (the kill), land the remaining batches while it is down,
+  * restart from the SAME checkpoint (RocksDB + changelog
+  * checkpointing), and measure (a) restart-to-caught-up wall time at
+  * full state cardinality and (b) BIT-STABILITY: the restarted run's
+  * final store content must hash-equal a never-killed reference run
+  * over the same data.
   */
 object StateScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val keysPerBatch = args.headOption.map(_.toInt).getOrElse(100000)
-    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val restartMode = args.headOption.contains("restart")
+    val rest = if (restartMode) args.drop(1) else args
+    val keysPerBatch = rest.headOption.map(_.toInt).getOrElse(100000)
+    val batches = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("ERROR")
@@ -41,6 +53,8 @@ object StateScaleSmoke {
 
     def tmp(prefix: String): String =
       java.nio.file.Files.createTempDirectory(prefix).toString
+
+    if (restartMode) { restartSmoke(spark, keysPerBatch, batches); return }
 
     // ---- s1: 1M-key entity fold ----
     // every batch introduces keysPerBatch NEW keys (worst case: state
@@ -137,4 +151,98 @@ object StateScaleSmoke {
 
   private def avg(xs: Seq[Long]): Double =
     if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.size
+
+  /** The kill/restart variant: s1 entity fold + the versioned upsert
+    * sink, killed mid-run at scale and recovered from the checkpoint.
+    * Changelog checkpointing keeps per-batch checkpoint uploads
+    * O(delta); recovery replays the changelog into a fresh RocksDB. */
+  private def restartSmoke(spark: SparkSession, keysPerBatch: Int,
+      batches: Int): Unit = {
+    import spark.implicits._
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val src = tmp("graft_restart_src_")
+    // batch b covers keys [b·K/2, b·K/2 + K): half of each batch UPDATES
+    // keys the fold has seen (a restart that silently resets state would
+    // change their totals, not just counts), half are NEW — distinct
+    // keys grow to K·(batches+1)/2 (~1M at the 100000 x 20 default)
+    def landBatches(range: Range): Unit = range.foreach { b =>
+      spark.range(keysPerBatch)
+        .select((lit(b.toLong * keysPerBatch / 2) + col("id")).as("custkey"),
+          (col("id") % 100 / 10.0 + b).as("amount"),
+          when(col("id") % 2 === 0, "O").otherwise("F").as("status"))
+        .coalesce(4)
+        .write.mode(SaveMode.Overwrite).parquet(s"$src/b$b")
+    }
+    val distinctKeys = keysPerBatch.toLong * (batches + 1) / 2
+    def stream() = spark.readStream
+      .schema("custkey LONG, amount DOUBLE, status STRING")
+      .option("maxFilesPerTrigger", 4)
+      .parquet(s"$src/b*")
+      .as[OrderEvent]
+
+    def contentHash(store: String): (Long, String) = {
+      val df = graft.streaming.UpsertSink.readStore(spark, store)
+      val r = df.select(
+        count(lit(1)),
+        // decimal accumulator: a long sum of 1M 64-bit hashes overflows
+        sum(xxhash64(col("custkey"), col("totalTrips"), col("totalAmount"),
+          col("maxAmount"), col("openTrips"), col("fulfilledTrips"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    // --- run A: killed at half, restarted ---
+    val (storeA, ckptA) = (tmp("graft_restart_storeA_") + "/s",
+      tmp("graft_restart_ckptA_"))
+    landBatches(0 until batches / 2)
+    val qa1 = graft.streaming.UpsertSink.writeTo(
+      Streams.entityStream(stream()), storeA, ckptA)
+    qa1.processAllAvailable()
+    val stateAtKill = qa1.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).maxOption.getOrElse(0L)
+    qa1.stop() // the kill
+    landBatches(batches / 2 until batches) // arrivals during the outage
+    val t0 = System.nanoTime()
+    val qa2 = graft.streaming.UpsertSink.writeTo(
+      Streams.entityStream(stream()), storeA, ckptA)
+    qa2.processAllAvailable() // recovery + catch-up on the outage backlog
+    val recoverMs = (System.nanoTime() - t0) / 1000000
+    val stateAfter = qa2.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).maxOption.getOrElse(0L)
+    val replayed = qa2.recentProgress.filter(_.numInputRows > 0)
+      .map(_.batchId).toSeq
+    qa2.stop()
+
+    // --- run B: the never-killed reference over the same data ---
+    val (storeB, ckptB) = (tmp("graft_restart_storeB_") + "/s",
+      tmp("graft_restart_ckptB_"))
+    val qb = graft.streaming.UpsertSink.writeTo(
+      Streams.entityStream(stream()), storeB, ckptB)
+    qb.processAllAvailable()
+    qb.stop()
+
+    val (na, ha) = contentHash(storeA)
+    val (nb, hb) = contentHash(storeB)
+    val stable = na == nb && ha == hb
+    println(f"restart keys=${keysPerBatch.toLong * 1}%d stateAtKill=$stateAtKill%9d " +
+      f"stateAfter=$stateAfter%9d recoverAndCatchUpMs=$recoverMs%7d " +
+      f"bitStable=$stable replayedBatchIds=${replayed.mkString(",")}")
+    println(s"""{"smoke":"state_restart","keys_per_batch":$keysPerBatch,""" +
+      s""""batches":$batches,"state_rows_at_kill":$stateAtKill,""" +
+      s""""state_rows_after":$stateAfter,"recover_catchup_ms":$recoverMs,""" +
+      s""""bit_stable":$stable,"rows":$na}""")
+    require(stable, "restarted store content diverged from the reference run")
+    // Cardinality is proven from the STORE (exact), not numRowsTotal:
+    // RocksDB's row metric is the estimate-num-keys property, which
+    // counts pre-compaction VERSIONS — under this smoke's update-heavy
+    // keys (each key re-seen in 2 batches) it reads ~3x the true
+    // cardinality, unlike the append-only base smoke where it is exact.
+    require(na == distinctKeys,
+      s"store cardinality after restart: $na != $distinctKeys")
+    spark.stop()
+  }
 }

@@ -25,10 +25,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * changelog... which is exactly what a consumer that already saw
   * batch N wants: re-delivery carries no new changes).
   *
-  * The store read is shared conceptually with the merge's own read; at
-  * this demo scale it is paid twice per batch (classification + merge)
-  * — a table-format deployment gets the changelog from the write path
-  * for free, which is the production answer.
+  * The classification read is PRUNED through the store's stats
+  * manifest ([[UpsertSink.readTouched]]): only files whose key band can
+  * contain a batch key are opened, so per-batch cost tracks the batch —
+  * the same copy-on-write prune the merge itself runs. (A table-format
+  * deployment gets the changelog from the write path for free, which
+  * remains the production answer; here the prune makes the explicit
+  * classification scale-safe.)
   */
 object ChangelogSink {
 
@@ -40,12 +43,14 @@ object ChangelogSink {
     val incoming = batch.toDF()
       .select(col("custkey"), col("totalTrips").as("trips_after"),
         col("totalAmount").as("amount_after"))
+    // stats-manifest prune: only the files whose key band can contain a
+    // batch key are read — per-batch classification cost tracks the
+    // BATCH, matching the merge's own copy-on-write prune
     val existing =
-      if (graft.sources.VersionedStore.versions(spark, storeDir).nonEmpty)
-        UpsertSink.readStore(spark, storeDir)
-          .select(col("custkey"), col("totalTrips").as("trips_before"),
-            col("totalAmount").as("amount_before"))
-      else null
+      UpsertSink.readTouched(spark, storeDir, incoming, "custkey")
+        .map(_.select(col("custkey"), col("totalTrips").as("trips_before"),
+          col("totalAmount").as("amount_before")))
+        .orNull
     val joined =
       if (existing == null)
         incoming.withColumn("trips_before", lit(null).cast("long"))

@@ -61,4 +61,56 @@ object SearchDocSink {
           .text(s"$indexDir/batch_$batchId")
       }
       .start()
+
+  /** The WIRE transport for the seam — the part of SolrSupport.java's
+    * CloudSolrServer path the JSON-lines sink stops short of: each
+    * EXECUTOR partition posts its documents to the index endpoint as
+    * NDJSON update batches of `batchSize` (SolrSupport.java:79-135
+    * batches per partition and flushes per batch; same shape, HTTP
+    * instead of the SolrJ client, pure-JDK java.net.http). Driver-free
+    * by construction: the rows never leave the executors, so indexing
+    * bandwidth scales with partitions, not with one client.
+    *
+    * Idempotence contract: the batch id rides an `X-Graft-Batch` header
+    * and the doc ids are content-derived, so an at-least-once replay
+    * re-posts the same ids — a search index upserts by uniqueKey (the
+    * schema.xml rule), making re-delivery harmless; the spec's stub
+    * server asserts exactly that (same ids, no duplicates after
+    * dedup-by-id). Failures: non-2xx responses throw, failing the task
+    * and letting streaming retry the batch. */
+  def postPartition(rows: Iterator[String], endpoint: String,
+      batchId: Long, batchSize: Int): Int = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    var posted = 0
+    rows.grouped(batchSize).foreach { group =>
+      val body = group.mkString("\n")
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .header("Content-Type", "application/x-ndjson")
+        .header("X-Graft-Batch", batchId.toString)
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() / 100 == 2,
+        s"index endpoint returned ${resp.statusCode()}: ${resp.body()}")
+      posted += group.size
+    }
+    posted
+  }
+
+  /** Attach the HTTP transport to an event stream: per micro-batch,
+    * project to index documents and post them partition-parallel. */
+  def writeToHttp(in: DataFrame, endpoint: String, checkpointDir: String,
+      batchSize: Int = 500): StreamingQuery =
+    in.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = toDocs(batch)
+        require(conforms(docs),
+          s"search docs drifted from the index schema: ${docs.schema.sql} " +
+            s"vs ${indexSchema.sql}")
+        docs.toJSON.rdd.foreachPartition(it =>
+          { postPartition(it, endpoint, batchId, batchSize); () })
+      }
+      .start()
 }

@@ -58,6 +58,38 @@ object UpsertSink {
       .parquet(VersionedStore.manifestPath(path, v))
   }
 
+  /** Files of the newest committed version whose key band can contain
+    * a key of `keys` — the stats-manifest prune. Bounded driver state
+    * (the manifest's file count); the decision join is broadcast. */
+  private def owningFiles(keys: DataFrame, parent: Array[FileStats],
+      keyCol: String): Array[String] = {
+    if (parent.isEmpty) return Array.empty
+    val s = keys.sparkSession
+    import s.implicits._
+    val statsDf = parent.toSeq.toDF("file", "mn", "mx")
+    keys.select(col(keyCol).cast("long").as("k")).distinct()
+      .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+      .select(col("file")).distinct().as[String].collect()
+  }
+
+  /** Read ONLY the current rows that could share a key with `keys` —
+    * the read-side twin of the COW prune, for per-batch classification
+    * (change capture) and point lookups: cost tracks the TOUCHED
+    * files, never the store. None = no committed version yet; an
+    * existing store whose files cannot contain any batch key returns
+    * an empty (0-file) frame with the store schema. */
+  def readTouched(s: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): Option[DataFrame] = {
+    val vs = VersionedStore.versions(s, path)
+    if (vs.isEmpty) return None
+    val parent = statsManifest(s, path, vs.max)
+    val owning = owningFiles(keys, parent, keyCol)
+    val files = if (owning.nonEmpty) owning
+      else parent.map(_.file).take(1) // schema carrier, filtered empty
+    val df = s.read.parquet(files.toIndexedSeq: _*)
+    Some(if (owning.nonEmpty) df else df.filter(lit(false)))
+  }
+
   /** Commit one keyed micro-batch copy-on-write. Returns the committed
     * version, or None when the batch was empty or already committed
     * (checkpoint replay). `initialPartitions` sizes the FIRST commit's
@@ -77,16 +109,7 @@ object UpsertSink {
     // collecting only distinct FILE NAMES (file-count bounded).
     val parent: Array[FileStats] = latest
       .map(pv => statsManifest(s, path, pv)).getOrElse(Array.empty)
-    val owning: Array[String] =
-      if (parent.isEmpty) Array.empty
-      else {
-        import s.implicits._
-        val statsDf = parent.toSeq.toDF("file", "mn", "mx")
-        batch.select(col(keyCol).cast("long").as("k")).distinct()
-          .join(broadcast(statsDf),
-            col("k") >= col("mn") && col("k") <= col("mx"))
-          .select(col("file")).distinct().as[String].collect()
-      }
+    val owning: Array[String] = owningFiles(batch, parent, keyCol)
 
     // Rewrite = touched files' survivors + the batch (keyed replace:
     // the stream emits full merged entities, newest state wins).

@@ -114,6 +114,18 @@ class UpsertSinkSpec extends AnyFunSuite {
       .filter($"custkey" === 17L).select("totalTrips").head().getLong(0)
     assert(r == 9L)
     assert(UpsertSink.readStore(spark, store).count() == 5000L)
+
+    // the read-side prune: a one-key lookup opens ONE owning file, not
+    // the store (the classification path's cost model)
+    val touched = UpsertSink.readTouched(spark, store,
+      Seq(17L).toDF("custkey"), "custkey").get
+    assert(touched.inputFiles.length == 1,
+      s"touched read opened ${touched.inputFiles.length} files")
+    assert(touched.filter($"custkey" === 17L).count() == 1L)
+    // a key outside every band reads an EMPTY frame
+    val none = UpsertSink.readTouched(spark, store,
+      Seq(999999L).toDF("custkey"), "custkey").get
+    assert(none.count() == 0L)
   }
 
   test("search-doc sink resumes batch numbering after a checkpoint restart") {
