@@ -81,6 +81,26 @@ object BenchScale {
     }.mkString(",")
     val line = s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3.toDouble},"unit":"sec","queries":{$qjson},"sf":"sf0.1 x $replicas","excluded":${excluded.size}}"""
     println(line)
+    // STANDING GATE: compare against the committed sf1 pins (per-query
+    // max across the clean anchor runs, 2x budget — BASELINE.md
+    // "Second-scale standing gate"). Over-gate rows print loudly so a
+    // 10x-only regression can't hide in the total; the run still
+    // records (adjudication vs co-tenant noise is a human step, the
+    // sf0.1 discipline).
+    val pinsFile = new java.io.File("bench_sf1_pins.json")
+    if (replicas == 10 && pinsFile.exists()) {
+      val txt = new String(java.nio.file.Files.readAllBytes(pinsFile.toPath), "UTF-8")
+      val pin = """"(q[0-9]+[abc]?)":\s*([0-9.]+)""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val over = times.flatMap { case (k, t) =>
+        val short = k.split("_")(0)
+        pin.get(short).filter(p => t > 2 * p).map(p => (short, t, p))
+      }
+      if (over.isEmpty) println(s"[sf1-gate] PASS: all ${times.size} rows within 2x of pin")
+      else over.foreach { case (q, t, p) =>
+        println(f"[sf1-gate] OVER: $q $t%.2f s vs pin $p%.2f (${t / p}%.1fx)")
+      }
+    }
     // output name from arg 2 (default the historical name) so standing-
     // gate runs keep per-round artifacts instead of overwriting
     val outName = args.drop(1).headOption.getOrElse("bench_sf1.json")

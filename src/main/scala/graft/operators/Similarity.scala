@@ -456,6 +456,16 @@ object Similarity extends QueryPack {
     val groupsStd = contentGroups(v, cacheKey)
     val vReps = groupReps(v, groupsStd)
     val groups = groupsStd.withColumnRenamed("doc_id", "m_id")
+    // NOTE the symmetrizing self-union below duplicates this subtree
+    // (union branches are separate plans to Spark, so the candidate
+    // join + rescore run twice per build). Deliberately NOT persisted:
+    // the branches are independent stage chains that run CONCURRENTLY
+    // on otherwise-idle cores, while a persist serializes
+    // materialize-then-read (same-noise-window A/B at sf0.1 measured no
+    // wall win, with the persist side trending slower). On a SATURATED
+    // cluster the trade flips — duplicate work costs real throughput —
+    // and the answer there is the persisted-graph tier (KnnGraphStore /
+    // q96c), which pays this pipeline once at store-build time.
     val scored = rescorePairs(lshCandidatePairs(vReps, Nil, radius = 1), vReps)
     // bound the rep-level lists BEFORE member expansion: the expansion
     // multiplies rows by group sizes, so it must ride on <= 3 rows per
