@@ -23,10 +23,14 @@ import org.apache.spark.storage.StorageLevel
   * Semantics are classic BPE (Sennrich et al., ACL'16): per round, take
   * the adjacent symbol pair with the highest frequency-weighted count
   * (ties: lexicographic smallest pair — fully deterministic) and merge
-  * its occurrences greedily left-to-right within every word. Rows-only
-  * gate (the q38b precedent: an iterative-recursive build has no
-  * one-shot ANSI twin); the planted-corpus merge sequence and the
-  * early-stop/rank laws are spec-asserted in BpeSpec.
+  * its occurrences greedily left-to-right within every word.
+  * ORACLE-EXACT since round 12: the full 12-round trainer replays in
+  * DuckDB as chained materialized CTEs (see [[oracleSql]]) — the
+  * greedy sequential fold becomes a positional gaps-and-islands window
+  * computation, bit-identical on any corpus where k full merges exist
+  * (the early-stop branch has no SQL twin and never fires on the
+  * driver corpus); the planted-corpus merge sequence and the
+  * early-stop/rank laws stay spec-asserted in BpeSpec.
   */
 object Bpe extends QueryPack {
 
@@ -171,9 +175,10 @@ object Bpe extends QueryPack {
     * directly prices each language's share of a fixed token budget).
     * Aggregates q89's per-doc counts (shared via FrameCache: the merge
     * folds are NOT re-run) against the documents lang column; ratios in
-    * floor-divided ppm so every row is bit-deterministic. Rows-only
-    * (BPE upstream); fertility≥1e6 / compression≤1e6 laws + lockstep
-    * with q89's totals spec-asserted. */
+    * floor-divided ppm so every row is bit-deterministic. ORACLE-EXACT
+    * since round 12 (the merge-chain replay aggregated per lang);
+    * fertility≥1e6 / compression≤1e6 laws + lockstep with q89's totals
+    * stay spec-asserted. */
   def q102TokenFertility(s: SparkSession, dir: String): DataFrame = {
     val perDoc = graft.FrameCache.persisted(s, s"q102tok:$dir") {
       bpeTokenize(s, dir, DefaultMerges)
@@ -196,8 +201,123 @@ object Bpe extends QueryPack {
     "q89_bpe_tokenize" -> (q89BpeTokenize _),
     "q102_token_fertility" -> (q102TokenFertility _))
 
-  // rows-only by design: the iterative merge build (and the tokenize
-  // that replays it) has no one-shot ANSI twin (the q38b/q62
-  // precedent); laws are spec-gated in BpeSpec
-  val oracleSql: Map[String, String] = Map.empty
+  // ---- DuckDB oracle: the full 12-round trainer REPLAYED in SQL ----
+  // The q62/q90/q96 chained-CTE precedent applied to BPE: every merge
+  // round is one (pair-count -> deterministic top-1 -> greedy rewrite)
+  // CTE triple, all in exact integer/string arithmetic, so the oracle
+  // reproduces the Scala trajectory to the bit. The one non-trivial
+  // piece is the GREEDY LEFT-TO-RIGHT rewrite, which the Scala side
+  // runs as a sequential fold: in SQL it becomes a positional
+  // gaps-and-islands computation — a position i matches when
+  // (s_i, s_i+1) = (l, r); consecutive match positions (only possible
+  // when l = r, e.g. "aaaa") form runs, and the greedy fold selects
+  // exactly the even offsets of each run ("aaaa" -> [aa, aa]); a
+  // selected position emits the merged symbol and CONSUMES position
+  // i+1 (dropped via lag(sel)). Window functions over (word, position)
+  // replay that exactly — no recursion, vocab-sized state per round.
+  // CTEs are MATERIALIZED for the q62 reason: inlining expands the
+  // s_k -> s_{k-1} recursion exponentially.
+  private def roundCtes(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS MATERIALIZED (
+       |  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+       |  FROM (SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+       |        FROM $prev WHERE len(syms) >= 2)
+       |  GROUP BY z[1], z[2]
+       |),
+       |t$k AS MATERIALIZED (
+       |  SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1
+       |),
+       |s$k AS MATERIALIZED (
+       |  SELECT w, cnt, list(CASE WHEN sel THEN l || r ELSE s END ORDER BY i) AS syms
+       |  FROM (
+       |    SELECT w, cnt, i, s, l, r, sel,
+       |           coalesce(lag(sel) OVER (PARTITION BY w ORDER BY i), false) AS consumed
+       |    FROM (
+       |      SELECT w, cnt, i, s, l, r, m,
+       |             m AND ((i - min(CASE WHEN m THEN i END)
+       |                       OVER (PARTITION BY w, run_id)) % 2 = 0) AS sel
+       |      FROM (
+       |        SELECT w, cnt, i, s, l, r, m,
+       |               sum(CASE WHEN m AND NOT mprev THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY w ORDER BY i) AS run_id
+       |        FROM (
+       |          SELECT w, cnt, i, s, l, r, m,
+       |                 coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false) AS mprev
+       |          FROM (
+       |            SELECT u.w, u.cnt, u.i, u.s, t.l, t.r,
+       |                   (u.s = t.l AND lead(u.s) OVER (PARTITION BY u.w ORDER BY u.i) = t.r) AS m
+       |            FROM (SELECT w, cnt, unnest(syms) AS s, unnest(range(1, len(syms)+1)) AS i
+       |                  FROM $prev) u, t$k t
+       |          )
+       |        )
+       |      )
+       |    )
+       |  )
+       |  WHERE sel OR NOT consumed
+       |  GROUP BY w, cnt
+       |)""".stripMargin
+  }
+
+  /** The s0..sK merge chain shared by all three BPE oracles. */
+  private def mergeChainSql(k: Int): String =
+    ("""WITH s0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, string_split(w,'') AS syms
+       |  FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w
+       |)""".stripMargin +:
+      (1 to k).map(roundCtes)).mkString(",\n")
+
+  /** Per-doc word/char/token tallies off the chain's FINAL state: the
+    * trainer's end-state symbol list per word IS the tokenization q89
+    * computes (it folds the same merges in the same order). */
+  private def perDocSql(k: Int): String =
+    s""",
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
+       |  WHERE w <> ''
+       |),
+       |wt AS MATERIALIZED (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS wc, CAST(len(syms) AS BIGINT) AS wt FROM s$k
+       |)""".stripMargin
+
+  val oracleSql: Map[String, String] = {
+    val k = DefaultMerges
+    Map(
+      "q88_bpe_vocab" ->
+        (mergeChainSql(k) + "\nSELECT * FROM (\n" +
+          (1 to k).map(i =>
+            s"""SELECT CAST($i AS BIGINT) rank, l AS "left", r AS "right", l||r AS merged, pc AS pair_count FROM t$i""")
+            .mkString("\nUNION ALL\n") +
+          ") ORDER BY rank"),
+      "q89_bpe_tokenize" ->
+        (mergeChainSql(k) + perDocSql(k) +
+          """
+            |SELECT doc_id,
+            |  CAST(count(*) AS BIGINT) AS n_words,
+            |  CAST(sum(wc) AS BIGINT) AS n_chars,
+            |  CAST(sum(wt) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(sum(wc) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS compression
+            |FROM dw JOIN wt USING (w)
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "q102_token_fertility" ->
+        (mergeChainSql(k) + perDocSql(k) +
+          """,
+            |perdoc AS MATERIALIZED (
+            |  SELECT doc_id,
+            |    CAST(count(*) AS BIGINT) AS n_words,
+            |    CAST(sum(wc) AS BIGINT) AS n_chars,
+            |    CAST(sum(wt) AS BIGINT) AS n_bpe_tokens
+            |  FROM dw JOIN wt USING (w) GROUP BY doc_id
+            |)
+            |SELECT lang,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_words) AS BIGINT) AS n_words,
+            |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(sum(n_bpe_tokens) * 1000000 // sum(n_words) AS BIGINT) AS fertility_ppm,
+            |  CAST(sum(n_bpe_tokens) * 1000000 // sum(perdoc.n_chars) AS BIGINT) AS tokens_per_char_ppm
+            |FROM perdoc JOIN documents USING (doc_id)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+  }
 }
