@@ -919,6 +919,395 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Format-true PNG VARIANT payloads — the two core decode paths
+    * q115's canonical tier (8-bit truecolor, no interlace) leaves out:
+    * indexed color (type 3 + PLTE) and Adam7 interlacing (the 7-pass
+    * progressive layout, each pass filter-encoded as an independent
+    * sub-image). Pixel/palette values are construction arithmetic so
+    * the oracle restates the FINAL RGB image; the engine must run the
+    * real palette lookup / pass-deposit geometry to match. */
+  private[graft] object PngVariantBytes {
+    def width(id: Long): Long = 2L + (id * 37L) % 8L
+    def height(id: Long): Long = 2L + (id * 53L) % 7L
+    /** Palette size for the indexed classes. */
+    def palSize(id: Long): Long = 2L + id % 13L
+    /** Palette entry `j`, channel `c` (0=R,1=G,2=B). */
+    def pal(id: Long, j: Long, c: Long): Long = (id + 11L * j + 5L * c) % 251L
+    /** Palette index at (y, x). */
+    def idx(id: Long, y: Long, x: Long): Long =
+      (id + 7L * y + 3L * x) % palSize(id)
+    /** Truecolor value at (y, x, c) for the interlaced class. */
+    def px(id: Long, y: Long, x: Long, c: Long): Long =
+      (id + 17L * y + 3L * x + 7L * c) % 251L
+
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+
+    private def ihdr(w: Long, h: Long, colorType: Int,
+        interlace: Int): Array[Byte] =
+      chunk("IHDR", be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, interlace.toByte))
+
+    private def plte(id: Long): Array[Byte] = {
+      val p = palSize(id).toInt
+      val d = new Array[Byte](3 * p)
+      var j = 0
+      while (j < p) {
+        var c = 0
+        while (c < 3) { d(3 * j + c) = (pal(id, j, c) & 0xFF).toByte; c += 1 }
+        j += 1
+      }
+      chunk("PLTE", d)
+    }
+
+    /** PNG filter encode of one raw sub-image (any bpp), filter type
+      * per row = (row + seed) % 5 — every filter appears, offset per
+      * pass so passes exercise different filter mixes. */
+    private def filterImage(raw: Array[Array[Int]], bpp: Int,
+        seed: Int): Array[Byte] = {
+      val h = raw.length
+      if (h == 0) return Array.emptyByteArray
+      val bpr = raw(0).length
+      val out = new Array[Byte](h * (1 + bpr))
+      var y = 0
+      while (y < h) {
+        val ft = (y + seed) % 5
+        out(y * (1 + bpr)) = ft.toByte
+        var i = 0
+        while (i < bpr) {
+          val cur = raw(y)(i)
+          val left = if (i >= bpp) raw(y)(i - bpp) else 0
+          val up = if (y > 0) raw(y - 1)(i) else 0
+          val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) else 0
+          val f = ft match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case _ =>
+              val p = left + up - ul
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+              val pred = if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul
+              cur - pred
+          }
+          out(y * (1 + bpr) + 1 + i) = (f & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+
+    /** Adam7 pass geometry (PNG spec §8.2). */
+    private[graft] val XOrig = Array(0, 4, 0, 2, 0, 1, 0)
+    private[graft] val YOrig = Array(0, 0, 4, 0, 2, 0, 1)
+    private[graft] val XStep = Array(8, 8, 4, 4, 2, 2, 1)
+    private[graft] val YStep = Array(8, 8, 8, 4, 4, 2, 2)
+
+    /** Palette scanline stream (interlace 0, bpp = 1), index clamp
+      * OVERRIDDEN for the malformed class: `poison` >= 0 plants that
+      * index at (0, 0). */
+    private def paletteStream(id: Long, poison: Long): Array[Byte] = {
+      val (w, h) = (width(id).toInt, height(id).toInt)
+      val raw = Array.tabulate(h, w)((y, x) =>
+        if (poison >= 0 && y == 0 && x == 0) poison.toInt
+        else idx(id, y, x).toInt)
+      filterImage(raw, bpp = 1, seed = 0)
+    }
+
+    /** Adam7 truecolor stream: each pass an independently filtered
+      * sub-image of the FINAL-coordinate pixel values; empty passes
+      * contribute nothing (the spec rule). */
+    private[graft] def adam7Stream(id: Long): Array[Byte] = {
+      val (w, h) = (width(id).toInt, height(id).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      var pass = 0
+      while (pass < 7) {
+        val pw = (w - XOrig(pass) + XStep(pass) - 1) / XStep(pass)
+        val ph = (h - YOrig(pass) + YStep(pass) - 1) / YStep(pass)
+        if (pw > 0 && ph > 0) {
+          val raw = Array.tabulate(ph, 3 * pw) { (py, i) =>
+            val x = XOrig(pass) + (i / 3) * XStep(pass)
+            val y = YOrig(pass) + py * YStep(pass)
+            px(id, y, x, i % 3).toInt
+          }
+          bos.write(filterImage(raw, bpp = 3, seed = pass))
+        }
+        pass += 1
+      }
+      bos.toByteArray
+    }
+
+    private val Sig = Array[Byte](
+      0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => // indexed color: PLTE + 8-bit index scanlines
+        Sig ++ ihdr(width(id), height(id), colorType = 3, interlace = 0) ++
+          plte(id) ++ chunk("IDAT", deflate(paletteStream(id, poison = -1))) ++
+          chunk("IEND", Array.emptyByteArray)
+      case 1 => // Adam7 interlaced truecolor
+        Sig ++ ihdr(width(id), height(id), colorType = 2, interlace = 1) ++
+          chunk("IDAT", deflate(adam7Stream(id))) ++
+          chunk("IEND", Array.emptyByteArray)
+      case 2 => // MALFORMED: a pixel indexes past the palette — decode
+        // must fail closed, never read out of bounds or emit partials
+        Sig ++ ihdr(width(id), height(id), colorType = 3, interlace = 0) ++
+          plte(id) ++
+          chunk("IDAT", deflate(paletteStream(id, poison = palSize(id)))) ++
+          chunk("IEND", Array.emptyByteArray)
+      case _ => // opaque non-image payload
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+  }
+
+  /** Decoded stats for a variant PNG: geometry, color type, palette
+    * size (0 when truecolor), interlace flag, per-channel sums over the
+    * FINAL RGB image and BOTH positional moments — Σ y·(r+g+b) catches
+    * a pass deposited on the wrong rows, Σ x·(r+g+b) one deposited at
+    * the wrong columns (channel sums alone are permutation-blind). */
+  private[graft] case class PngVariantStats(w: Long, h: Long, nPx: Long,
+      colorType: Long, palSize: Long, interlaced: Long,
+      sumR: Long, sumG: Long, sumB: Long, ysumLum: Long, xsumLum: Long)
+
+  /** The variant-PNG implementation of the seam: the q115 chunk walk
+    * extended with PLTE handling (indexed color, out-of-range indexes
+    * fail closed) and Adam7 reconstruction (per-pass unfilter with the
+    * PASS's own neighbors, then the spec's origin/step deposit back to
+    * final coordinates). Accepts 8-bit color types 2 and 3 at either
+    * interlace method; everything else — and any CRC/length/zlib/
+    * filter-type defect — degrades to None. Row-local, distributes
+    * with the rows. */
+  private[graft] object PngVariantDecoder extends PayloadDecoder[PngVariantStats] {
+    val format = "png"
+    import PngVariantBytes.{XOrig, YOrig, XStep, YStep}
+
+    def decode(b: Array[Byte]): Option[PngVariantStats] = {
+      if (b.length < 8) return None
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      var i = 0
+      while (i < 8) { if ((b(i) & 0xFF) != sig(i)) return None; i += 1 }
+      def be32(o: Int): Long =
+        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+      var pos = 8
+      var w = -1L; var h = -1L; var colorType = -1; var interlace = -1
+      var palette: Array[Int] = null // flat r,g,b triples
+      var sawEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawEnd) {
+        if (pos + 12 > b.length) return None
+        val len = be32(pos)
+        if (len < 0 || pos + 12 + len > b.length) return None
+        val n = len.toInt
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, pos + 4, 4 + n)
+        if (crc.getValue != be32(pos + 8 + n)) return None
+        typ match {
+          case "IHDR" =>
+            if (n != 13) return None
+            w = be32(pos + 8); h = be32(pos + 12)
+            val depth = b(pos + 16) & 0xFF
+            colorType = b(pos + 17) & 0xFF
+            val comp = b(pos + 18) & 0xFF
+            val filt = b(pos + 19) & 0xFF
+            interlace = b(pos + 20) & 0xFF
+            if (depth != 8 || (colorType != 2 && colorType != 3) ||
+              comp != 0 || filt != 0 || interlace > 1) return None
+          case "PLTE" =>
+            if (n % 3 != 0 || n == 0 || n > 768 || idat.size() > 0) return None
+            palette = Array.tabulate(n)(j => b(pos + 8 + j) & 0xFF)
+          case "IDAT" =>
+            if (colorType == 3 && palette == null) return None
+            idat.write(b, pos + 8, n)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunk: skip
+        }
+        pos += 12 + n
+      }
+      if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) return None
+      if (colorType == 3 && palette == null) return None
+      val bpp = if (colorType == 3) 1 else 3
+      // expected decompressed length: interlace 0 is one sub-image;
+      // Adam7 sums the 7 non-empty passes
+      def passDims(p: Int): (Int, Int) = (
+        ((w.toInt - XOrig(p) + XStep(p) - 1) / XStep(p)).max(0),
+        ((h.toInt - YOrig(p) + YStep(p) - 1) / YStep(p)).max(0))
+      val expected =
+        if (interlace == 0) h * (1 + bpp * w)
+        else (0 until 7).map { p =>
+          val (pw, ph) = passDims(p)
+          if (pw > 0 && ph > 0) ph.toLong * (1 + bpp * pw) else 0L
+        }.sum
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte](expected.toInt)
+      val got = try {
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, off, raw.length - off)
+          if (k == 0 && inf.needsInput()) return None // truncated stream
+          off += k
+        }
+        if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0)
+          return None // over-long stream
+        off
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      if (got != expected) return None
+
+      // unfilter one sub-image in place from `raw` at stream offset
+      // `off`; returns the reconstructed rows
+      def unfilter(off: Int, pw: Int, ph: Int): Option[Array[Array[Int]]] = {
+        val bpr = bpp * pw
+        val img = Array.ofDim[Int](ph, bpr)
+        var y = 0
+        while (y < ph) {
+          val ft = raw(off + y * (1 + bpr)) & 0xFF
+          if (ft > 4) return None
+          var i = 0
+          while (i < bpr) {
+            val f = raw(off + y * (1 + bpr) + 1 + i) & 0xFF
+            val left = if (i >= bpp) img(y)(i - bpp) else 0
+            val up = if (y > 0) img(y - 1)(i) else 0
+            val ul = if (y > 0 && i >= bpp) img(y - 1)(i - bpp) else 0
+            val v = ft match {
+              case 0 => f
+              case 1 => f + left
+              case 2 => f + up
+              case 3 => f + (left + up) / 2
+              case _ =>
+                val p = left + up - ul
+                val (pa, pb, pc) =
+                  (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+                val pred = if (pa <= pb && pa <= pc) left
+                  else if (pb <= pc) up else ul
+                f + pred
+            }
+            img(y)(i) = v & 0xFF
+            i += 1
+          }
+          y += 1
+        }
+        Some(img)
+      }
+
+      // final-coordinate RGB accumulation
+      var (sr, sg, sb, yl, xl) = (0L, 0L, 0L, 0L, 0L)
+      def addPixel(y: Long, x: Long, r: Long, g: Long, bl: Long): Unit = {
+        sr += r; sg += g; sb += bl
+        yl += y * (r + g + bl); xl += x * (r + g + bl)
+      }
+      def rgbOf(img: Array[Array[Int]], py: Int, pxi: Int): Option[(Long, Long, Long)] =
+        if (colorType == 2)
+          Some((img(py)(3 * pxi).toLong, img(py)(3 * pxi + 1).toLong,
+            img(py)(3 * pxi + 2).toLong))
+        else {
+          val j = img(py)(pxi)
+          if (3 * j + 2 >= palette.length) None // index past the palette
+          else Some((palette(3 * j).toLong, palette(3 * j + 1).toLong,
+            palette(3 * j + 2).toLong))
+        }
+
+      if (interlace == 0) {
+        val img = unfilter(0, w.toInt, h.toInt).getOrElse(return None)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, bl) = rgbOf(img, y, x).getOrElse(return None)
+            addPixel(y.toLong, x.toLong, r, g, bl)
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val (pw, ph) = passDims(p)
+          if (pw > 0 && ph > 0) {
+            val img = unfilter(off, pw, ph).getOrElse(return None)
+            var py = 0
+            while (py < ph) {
+              var pxi = 0
+              while (pxi < pw) {
+                val (r, g, bl) = rgbOf(img, py, pxi).getOrElse(return None)
+                addPixel((YOrig(p) + py.toLong * YStep(p)),
+                  (XOrig(p) + pxi.toLong * XStep(p)), r, g, bl)
+                pxi += 1
+              }
+              py += 1
+            }
+            off += ph * (1 + bpp * pw)
+          }
+          p += 1
+        }
+      }
+      Some(PngVariantStats(w, h, w * h, colorType.toLong,
+        if (palette == null) 0L else palette.length / 3L,
+        interlace.toLong, sr, sg, sb, yl, xl))
+    }
+  }
+
+  /** q116: PNG VARIANT decode — indexed color and Adam7 interlacing,
+    * the two core paths the canonical q115 tier excludes. The oracle
+    * restates the FINAL RGB image (palette lookups expanded, pixels at
+    * final coordinates), so a wrong PLTE offset, an out-of-range index
+    * not failing closed, a mis-sized pass, or a pass deposited at the
+    * wrong origin/step all hash-fail — the x and y moments make
+    * deposit geometry part of the gate (channel sums alone are
+    * permutation-blind). Scale shape: row-local mapPartitions, no
+    * shuffle before the presentation sort (the q98/q114/q115 shape). */
+  def q116PngVariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = PngVariantBytes.payload(id, text)
+          PngVariantDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, PngVariantDecoder.format, Option(st.colorType),
+                Option(st.palSize), Option(st.interlaced), Option(st.w),
+                Option(st.h), Option(st.nPx), Option(st.sumR), Option(st.sumG),
+                Option(st.sumB), Option(st.ysumLum), Option(st.xsumLum))
+            case None =>
+              (id, "unknown", None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "color_type", "pal_size", "interlaced",
+        "img_w", "img_h", "n_px", "sum_r", "sum_g", "sum_b", "ysum_lum",
+        "xsum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_binary_meta" -> (q70BinaryMeta _),
     "q71_binary_decode_batch" -> (q71BinaryDecodeBatch _),
@@ -927,7 +1316,8 @@ object Binary extends QueryPack {
     "q105_wav_header" -> (q105WavHeader _),
     "q113_gif_header" -> (q113GifHeader _),
     "q114_bmp_pixels" -> (q114BmpPixels _),
-    "q115_png_pixels" -> (q115PngPixels _))
+    "q115_png_pixels" -> (q115PngPixels _),
+    "q116_png_variants" -> (q116PngVariants _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -939,6 +1329,57 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // q116's twin restates the FINAL RGB image of both variant classes:
+    // the palette class expands every pixel's PLTE lookup (index
+    // arithmetic -> entry arithmetic), the interlaced class states the
+    // truecolor values at their FINAL coordinates — pass geometry,
+    // filters and the compressed wire format are all the ENGINE's
+    // problem. The out-of-range-index class (2) and the opaque class
+    // (3) must degrade to 'unknown' with null stats.
+    "q116_png_variants" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    2 + (doc_id * 37) % 8 AS w,
+        |    2 + (doc_id * 53) % 7 AS h,
+        |    2 + doc_id % 13 AS ps,
+        |    doc_id % 4 AS cls
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, w, h, ps, cls, unnest(range(0, h)) AS y
+        |  FROM p WHERE cls <= 1),
+        |px AS (SELECT doc_id, ps, cls, y, unnest(range(0, w)) AS x FROM r1),
+        |v AS (
+        |  SELECT doc_id, y, x,
+        |    CASE WHEN cls = 0 THEN (doc_id + 11 * ((doc_id + 7*y + 3*x) % ps)) % 251
+        |         ELSE (doc_id + 17*y + 3*x) % 251 END AS vr,
+        |    CASE WHEN cls = 0 THEN (doc_id + 11 * ((doc_id + 7*y + 3*x) % ps) + 5) % 251
+        |         ELSE (doc_id + 17*y + 3*x + 7) % 251 END AS vg,
+        |    CASE WHEN cls = 0 THEN (doc_id + 11 * ((doc_id + 7*y + 3*x) % ps) + 10) % 251
+        |         ELSE (doc_id + 17*y + 3*x + 14) % 251 END AS vb
+        |  FROM px),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(vr) AS sr, sum(vg) AS sg, sum(vb) AS sb,
+        |    sum(y * (vr + vg + vb)) AS yl,
+        |    sum(x * (vr + vg + vb)) AS xl
+        |  FROM v GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CASE WHEN cls <= 1 THEN 'png' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN cls = 0 THEN 3 WHEN cls = 1 THEN 2 END AS BIGINT)
+        |    AS color_type,
+        |  CAST(CASE WHEN cls = 0 THEN ps WHEN cls = 1 THEN 0 END AS BIGINT)
+        |    AS pal_size,
+        |  CAST(CASE WHEN cls <= 1 THEN cls END AS BIGINT) AS interlaced,
+        |  CAST(CASE WHEN cls <= 1 THEN w END AS BIGINT) AS img_w,
+        |  CAST(CASE WHEN cls <= 1 THEN h END AS BIGINT) AS img_h,
+        |  CAST(CASE WHEN cls <= 1 THEN w * h END AS BIGINT) AS n_px,
+        |  CAST(agg.sr AS BIGINT) AS sum_r,
+        |  CAST(agg.sg AS BIGINT) AS sum_g,
+        |  CAST(agg.sb AS BIGINT) AS sum_b,
+        |  CAST(agg.yl AS BIGINT) AS ysum_lum,
+        |  CAST(agg.xl AS BIGINT) AS xsum_lum
+        |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // q115's twin restates the PNG payload CONSTRUCTION at the RAW
     // pixel layer — the compressed wire format is the ENGINE's problem
     // (inflate + unfilter must reconstruct these exact values): per-doc

@@ -352,4 +352,87 @@ class BinarySpec extends AnyFunSuite {
       } else assert(out.isEmpty, s"id $id decoded: $out")
     }
   }
+
+  // ---- PNG variant decode (q116: palette + Adam7) ------------------------
+
+  private def pngIhdrV(w: Int, h: Int, color: Int, interlace: Int) =
+    pngChunk("IHDR", b(0, 0, 0, w, 0, 0, 0, h, 8, color, 0, 0, interlace))
+
+  test("decodes a handcrafted palette PNG through the PLTE lookup") {
+    // 2x2 indexed, palette e0=(1,2,3) e1=(10,20,30) e2=(100,110,120);
+    // row0 = [0,2] None-filtered; row1 = [1,1] Sub-filtered (bpp=1)
+    val plte = pngChunk("PLTE", b(1, 2, 3, 10, 20, 30, 100, 110, 120))
+    val scan = b(0, 0, 2, 1, 1, 0)
+    val img = pngSig ++ pngIhdrV(2, 2, color = 3, interlace = 0) ++ plte ++
+      pngChunk("IDAT", zlib(scan)) ++ pngChunk("IEND", Array.emptyByteArray)
+    val st = Binary.PngVariantDecoder.decode(img).get
+    assert(st == Binary.PngVariantStats(2, 2, 4, 3, 3, 0,
+      121, 152, 183, 120, 390), st.toString)
+  }
+
+  test("decodes a handcrafted Adam7 interlaced PNG at final coordinates") {
+    // 2x2 truecolor interlaced: pass0 -> (0,0)=(1,2,3);
+    // pass5 -> (x1,y0)=(4,5,6); pass6 -> (0,1)=(7,8,9),(1,1)=(10,11,12);
+    // passes 1-4 are empty at 2x2. All filter type 0.
+    val scan = b(0, 1, 2, 3) ++ b(0, 4, 5, 6) ++ b(0, 7, 8, 9, 10, 11, 12)
+    val img = pngSig ++ pngIhdrV(2, 2, color = 2, interlace = 1) ++
+      pngChunk("IDAT", zlib(scan)) ++ pngChunk("IEND", Array.emptyByteArray)
+    val st = Binary.PngVariantDecoder.decode(img).get
+    assert(st == Binary.PngVariantStats(2, 2, 4, 2, 0, 1,
+      22, 26, 30, 57, 48), st.toString)
+  }
+
+  test("variant decoder fails closed on palette violations and bad layout") {
+    val plte3 = pngChunk("PLTE", b(1, 2, 3, 10, 20, 30, 100, 110, 120))
+    // index 3 with a 3-entry palette -> out of range, no partial stats
+    val poisoned = pngSig ++ pngIhdrV(2, 1, color = 3, interlace = 0) ++
+      plte3 ++ pngChunk("IDAT", zlib(b(0, 0, 3))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(poisoned).isEmpty,
+      "out-of-range palette index accepted")
+    // color type 3 without PLTE -> reject
+    val noPlte = pngSig ++ pngIhdrV(2, 1, color = 3, interlace = 0) ++
+      pngChunk("IDAT", zlib(b(0, 0, 1))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(noPlte).isEmpty, "PLTE-less indexed")
+    // PLTE arriving after IDAT violates the spec ordering -> reject
+    val lateePlte = pngSig ++ pngIhdrV(2, 1, color = 3, interlace = 0) ++
+      pngChunk("IDAT", zlib(b(0, 0, 1))) ++ plte3 ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(lateePlte).isEmpty, "late PLTE")
+    // interlaced stream sized for the NON-interlaced layout -> reject
+    // (2x2 plain = 2 rows x 7 bytes = 14; Adam7 needs 4+4+7 = 15)
+    val plainScan = b(0, 1, 2, 3, 4, 5, 6, 0, 7, 8, 9, 10, 11, 12)
+    val wrongLen = pngSig ++ pngIhdrV(2, 2, color = 2, interlace = 1) ++
+      pngChunk("IDAT", zlib(plainScan)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(wrongLen).isEmpty,
+      "interlace-mis-sized stream accepted")
+  }
+
+  test("synthesized variant payloads round-trip the construction stats") {
+    val P = Binary.PngVariantBytes
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 40L, 41L, 997L, 1000L)
+      .foreach { id =>
+        val out = Binary.PngVariantDecoder.decode(P.payload(id, "opaque"))
+        if (id % 4 <= 1) {
+          val st = out.get
+          val (w, h) = (P.width(id), P.height(id))
+          var (sr, sg, sb, yl, xl) = (0L, 0L, 0L, 0L, 0L)
+          for (y <- 0L until h; x <- 0L until w) {
+            val (vr, vg, vb) =
+              if (id % 4 == 0)
+                (P.pal(id, P.idx(id, y, x), 0), P.pal(id, P.idx(id, y, x), 1),
+                  P.pal(id, P.idx(id, y, x), 2))
+              else (P.px(id, y, x, 0), P.px(id, y, x, 1), P.px(id, y, x, 2))
+            sr += vr; sg += vg; sb += vb
+            yl += y * (vr + vg + vb); xl += x * (vr + vg + vb)
+          }
+          val expect = Binary.PngVariantStats(w, h, w * h,
+            if (id % 4 == 0) 3 else 2, if (id % 4 == 0) P.palSize(id) else 0,
+            id % 4, sr, sg, sb, yl, xl)
+          assert(st == expect, s"id $id: $st != $expect")
+        } else assert(out.isEmpty, s"id $id decoded: $out")
+      }
+  }
 }
