@@ -231,10 +231,14 @@ object StateScaleSmoke {
     println(f"restart keys=${keysPerBatch.toLong * 1}%d stateAtKill=$stateAtKill%9d " +
       f"stateAfter=$stateAfter%9d recoverAndCatchUpMs=$recoverMs%7d " +
       f"bitStable=$stable replayedBatchIds=${replayed.mkString(",")}")
-    println(s"""{"smoke":"state_restart","keys_per_batch":$keysPerBatch,""" +
+    val json = s"""{"smoke":"state_restart","keys_per_batch":$keysPerBatch,""" +
       s""""batches":$batches,"state_rows_at_kill":$stateAtKill,""" +
       s""""state_rows_after":$stateAfter,"recover_catchup_ms":$recoverMs,""" +
-      s""""bit_stable":$stable,"rows":$na}""")
+      s""""bit_stable":$stable,"rows":$na}"""
+    println(json)
+    // per-round committable artifact, the bench_sf1 convention
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("smoke_restart.json"), json.getBytes("UTF-8"))
     require(stable, "restarted store content diverged from the reference run")
     // Cardinality is proven from the STORE (exact), not numRowsTotal:
     // RocksDB's row metric is the estimate-num-keys property, which
