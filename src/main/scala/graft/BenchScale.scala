@@ -96,10 +96,16 @@ object BenchScale {
         val short = k.split("_")(0)
         pin.get(short).filter(p => t > 2 * p).map(p => (short, t, p))
       }
-      if (over.isEmpty) println(s"[sf1-gate] PASS: all ${times.size} rows within 2x of pin")
+      // a query without a pin is UNCHECKED, not passing — name it, so
+      // coverage gaps (new queries before their anchor run) stay loud
+      val unpinned = times.map(_._1.split("_")(0)).filterNot(pin.contains)
+      val checked = times.size - unpinned.size
+      if (over.isEmpty) println(s"[sf1-gate] PASS: $checked pinned rows within 2x")
       else over.foreach { case (q, t, p) =>
         println(f"[sf1-gate] OVER: $q $t%.2f s vs pin $p%.2f (${t / p}%.1fx)")
       }
+      if (unpinned.nonEmpty)
+        println(s"[sf1-gate] UNPINNED (unchecked): ${unpinned.mkString(", ")}")
     }
     // output name from arg 2 (default the historical name) so standing-
     // gate runs keep per-round artifacts instead of overwriting

@@ -796,8 +796,15 @@ object Binary extends QueryPack {
         pos += 12 + n
       }
       if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) return None
+      // overflow guard: the per-dimension caps still allow h*(1+3w) past
+      // Int range (up to ~3e12), where a .toInt wraps negative and kills
+      // the task instead of degrading — bound the DECODED size in Long
+      // first (a declared-huge header on a corrupt blob must read as
+      // 'unknown', not as a NegativeArraySizeException)
+      val expectL = h * (1L + 3L * w)
+      if (expectL > (1L << 28)) return None // 256 MiB decoded-image cap
       val bpr = 3 * w.toInt
-      val expect = h.toInt * (1 + bpr)
+      val expect = expectL.toInt
       val raw = new Array[Byte](expect)
       val inf = new java.util.zip.Inflater()
       try {
@@ -1160,6 +1167,10 @@ object Binary extends QueryPack {
           val (pw, ph) = passDims(p)
           if (pw > 0 && ph > 0) ph.toLong * (1 + bpp * pw) else 0L
         }.sum
+      // overflow guard (the q115 fix): per-dimension caps still allow
+      // expected past Int range — a declared-huge corrupt header must
+      // degrade to None, not throw on array allocation
+      if (expected > (1L << 28)) return None // 256 MiB decoded cap
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       val raw = new Array[Byte](expected.toInt)
@@ -1167,11 +1178,17 @@ object Binary extends QueryPack {
         var off = 0
         while (off < raw.length && !inf.finished()) {
           val k = inf.inflate(raw, off, raw.length - off)
-          if (k == 0 && inf.needsInput()) return None // truncated stream
+          // k == 0 covers truncated input (needsInput), a preset-
+          // dictionary header (needsDictionary — never valid in PNG),
+          // and any other stall: fail closed, never spin
+          if (k == 0) return None
           off += k
         }
-        if (!inf.finished() && inf.inflate(new Array[Byte](1)) != 0)
-          return None // over-long stream
+        // the stream must END here: reject both extra decompressed
+        // bytes AND a stream cut off exactly at the expected length
+        // (finished() proves the final block + adler32 were seen)
+        if (inf.inflate(new Array[Byte](1)) != 0 || !inf.finished())
+          return None
         off
       } catch { case _: java.util.zip.DataFormatException => return None }
       finally inf.end()

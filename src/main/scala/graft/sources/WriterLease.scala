@@ -15,21 +15,44 @@ import org.apache.spark.sql.SparkSession
   * with overwrite=false (atomic-create-if-absent on HDFS and object
   * stores with conditional puts; best-effort on raw local FS — the
   * same trade table formats accept for their commit markers). The file
-  * carries holder id + an expiry wall-clock, so a maintainer that died
-  * mid-run cannot deadlock the store: an EXPIRED lease is broken by
-  * the next acquirer. TTL defaults to 10 minutes — far above any
-  * maintenance op at demo scale; a production deployment sizes it to
-  * its compaction SLA and renews mid-run if needed. */
+  * carries holder id + a PER-ACQUISITION TOKEN + an expiry wall-clock,
+  * so a maintainer that died mid-run cannot deadlock the store: an
+  * EXPIRED lease is broken by the next acquirer. Two races the token
+  * closes (round-12 review findings):
+  *
+  *  - release() only deletes the file when it still carries THIS
+  *    acquisition's token — a maintainer that overran its TTL and was
+  *    superseded must not delete its successor's live lease;
+  *  - breaking an expired lease is delete-then-create (not atomic), so
+  *    after the create the acquirer READS BACK and verifies its own
+  *    token landed; losing the read-back means a concurrent breaker
+  *    won, and acquisition fails loudly instead of letting both
+  *    proceed. (A thin TOCTOU window remains between verify and first
+  *    write — the same window table-format commit markers accept on
+  *    filesystems without conditional puts; on HDFS/S3 the create
+  *    itself is atomic and the window is the break path only.)
+  *
+  * TTL defaults to 10 minutes — far above any maintenance op at demo
+  * scale; a production deployment sizes it to its compaction SLA and
+  * renews mid-run if needed. */
 object WriterLease {
 
   def leasePath(store: String): String = store + "/_maintenance_lease"
 
   final class Lease private[WriterLease] (fs: FileSystem, p: Path,
-      val holder: String) {
-    def release(): Unit = fs.delete(p, false)
+      val holder: String, token: String) {
+    /** Delete the lease ONLY if it is still this acquisition's: a
+      * successor that broke our expired lease keeps its own file. */
+    def release(): Unit =
+      readLease(fs, p) match {
+        case Some(l) if l.token == token => fs.delete(p, false)
+        case _ => () // superseded or already gone: not ours to delete
+      }
   }
 
-  private def readLease(fs: FileSystem, p: Path): Option[(String, Long)] =
+  private case class LeaseRec(holder: String, token: String, expires: Long)
+
+  private def readLease(fs: FileSystem, p: Path): Option[LeaseRec] =
     try {
       if (!fs.exists(p)) None
       else {
@@ -41,39 +64,58 @@ object WriterLease {
           case Array(k, v) => Some(k -> v)
           case _ => None
         }).toMap
-        for (h <- kv.get("holder"); e <- kv.get("expires").flatMap(_.toLongOption))
-          yield (h, e)
+        for (h <- kv.get("holder"); t <- kv.get("token");
+             e <- kv.get("expires").flatMap(_.toLongOption))
+          yield LeaseRec(h, t, e)
       }
     } catch { case _: java.io.IOException => None } // mid-write read: treat as absent
 
   /** Acquire the store's maintenance lease or throw. A live lease from
     * another holder is a LOUD failure (the second-writer fail-fast the
-    * spec asserts); an expired lease is broken and re-claimed. */
+    * spec asserts); an expired lease is broken and re-claimed, with a
+    * read-back verifying this acquirer won the break race. */
   def acquire(s: SparkSession, store: String, holder: String,
       ttlMs: Long = 10 * 60 * 1000L): Lease = {
     val p = new Path(leasePath(store))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    readLease(fs, p) match {
-      case Some((h, exp)) if System.currentTimeMillis() <= exp =>
+    val token = java.util.UUID.randomUUID().toString
+    val prior = readLease(fs, p)
+    prior match {
+      case Some(l) if System.currentTimeMillis() <= l.expires =>
         throw new IllegalStateException(
-          s"maintenance lease on $store is held by '$h' (expires $exp): " +
-            "a second concurrent maintainer would corrupt the store — " +
-            "wait for release or expiry")
-      case Some(_) => fs.delete(p, false) // expired: break and re-claim
+          s"maintenance lease on $store is held by '${l.holder}' " +
+            s"(expires ${l.expires}): a second concurrent maintainer " +
+            "would corrupt the store — wait for release or expiry")
+      case Some(expired) =>
+        // break ONLY the lease we read as expired: if the file changed
+        // under us (another breaker already re-claimed), leave it alone
+        // and fail below on the non-overwrite create / read-back
+        readLease(fs, p) match {
+          case Some(l) if l.token == expired.token => fs.delete(p, false)
+          case _ => ()
+        }
       case None => ()
     }
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"maintenance lease on $store lost the creation race", e)
-      }
-    try out.write(
-      s"holder=$holder;expires=${System.currentTimeMillis() + ttlMs}"
-        .getBytes("UTF-8"))
-    finally out.close()
-    new Lease(fs, p, holder)
+    try {
+      val out = fs.create(p, false)
+      try out.write(
+        s"holder=$holder;token=$token;expires=${System.currentTimeMillis() + ttlMs}"
+          .getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"maintenance lease on $store lost the creation race", e)
+    }
+    // read-back: the delete-then-create break path is not atomic, so a
+    // concurrent breaker may have replaced our file — only the acquirer
+    // whose token survived holds the lease
+    readLease(fs, p) match {
+      case Some(l) if l.token == token => new Lease(fs, p, holder, token)
+      case other => throw new IllegalStateException(
+        s"maintenance lease on $store lost the break race to " +
+          s"'${other.map(_.holder).getOrElse("<gone>")}'")
+    }
   }
 
   /** Run `body` under the store's maintenance lease. */

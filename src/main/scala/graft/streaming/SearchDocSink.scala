@@ -78,18 +78,30 @@ object SearchDocSink {
     * server asserts exactly that (same ids, no duplicates after
     * dedup-by-id). Failures: non-2xx responses throw, failing the task
     * and letting streaming retry the batch. */
+  /** One client per executor JVM (lazy, thread-safe): a client per
+    * partition per micro-batch leaks selector threads across thousands
+    * of triggers. Both timeouts are load-bearing — a wedged index
+    * endpoint that accepts the TCP connection but never answers must
+    * FAIL the task (so streaming retries the batch), not hang the
+    * query forever (round-12 review finding). */
+  private val RequestTimeout = java.time.Duration.ofSeconds(60)
+  @transient private lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
+
   def postPartition(rows: Iterator[String], endpoint: String,
       batchId: Long, batchSize: Int): Int = {
-    val client = java.net.http.HttpClient.newHttpClient()
     var posted = 0
     rows.grouped(batchSize).foreach { group =>
       val body = group.mkString("\n")
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(RequestTimeout)
         .header("Content-Type", "application/x-ndjson")
         .header("X-Graft-Batch", batchId.toString)
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
-      val resp = client.send(req,
+      val resp = httpClient.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() / 100 == 2,
         s"index endpoint returned ${resp.statusCode()}: ${resp.body()}")

@@ -44,10 +44,43 @@ object UpsertSink {
     VersionedStore.readVersion(s, path, vs.max)
   }
 
-  private def statsManifest(s: SparkSession, path: String, v: Int): Array[FileStats] = {
+  private def statsManifest(s: SparkSession, path: String, v: Int,
+      keyCol: String): Array[FileStats] = {
     import s.implicits._
-    s.read.parquet(VersionedStore.manifestPath(path, v))
-      .select(col("file"), col("mn"), col("mx")).as[FileStats].collect()
+    val mf = s.read.parquet(VersionedStore.manifestPath(path, v))
+    if (mf.columns.contains("mn") && mf.columns.contains("mx"))
+      mf.select(col("file"), col("mn"), col("mx")).as[FileStats].collect()
+    else {
+      // SELF-HEAL: a maintenance compaction (VersionedStore.compactCommit
+      // / CALL graft_store_optimize) writes a file-only manifest — without
+      // this branch the next micro-batch's stats read would crashloop the
+      // stream (round-12 review finding). Rebuild per-file key bands from
+      // the member files in memory; the NEXT upsert commit writes them
+      // back into its manifest, so the rebuild cost (one read of the
+      // compacted files) is paid only between a compaction and the next
+      // commit, never steadily.
+      val files = mf.select(col("file")).as[String].collect()
+      if (files.isEmpty) Array.empty
+      else s.read.parquet(files.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(keyCol).cast("long")).as("mn"),
+          max(col(keyCol).cast("long")).as("mx"))
+        .collect()
+        .map(r => FileStats(VersionedStore.canon(r.getString(0)),
+          r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  /** The prune (and the COW rewrite decision) compares key bands in
+    * LONG space, so the key column must be integral — a loud contract
+    * check instead of the all-null-cast NPE a string key would hit. */
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType ||
+      dt == ByteType,
+      s"upsert store key column '$keyCol' must be integral (byte/short/" +
+        s"int/long) — got $dt; the per-file key bands prune in long space")
   }
 
   private def writeManifest(s: SparkSession, path: String, v: Int,
@@ -80,9 +113,10 @@ object UpsertSink {
     * an empty (0-file) frame with the store schema. */
   def readTouched(s: SparkSession, path: String, keys: DataFrame,
       keyCol: String): Option[DataFrame] = {
+    requireIntegralKey(keys, keyCol)
     val vs = VersionedStore.versions(s, path)
     if (vs.isEmpty) return None
-    val parent = statsManifest(s, path, vs.max)
+    val parent = statsManifest(s, path, vs.max, keyCol)
     val owning = owningFiles(keys, parent, keyCol)
     val files = if (owning.nonEmpty) owning
       else parent.map(_.file).take(1) // schema carrier, filtered empty
@@ -97,6 +131,7 @@ object UpsertSink {
   def upsertBatch(batch: DataFrame, path: String, batchId: Long,
       keyCol: String, initialPartitions: Int = 1): Option[Int] = {
     if (batch.isEmpty) return None
+    requireIntegralKey(batch, keyCol)
     val s = batch.sparkSession
     val latest = VersionedCommitSink.latestCommitted(s, path)
     if (VersionedCommitSink.alreadyCommitted(s, path, latest, batchId)) return None
@@ -108,7 +143,7 @@ object UpsertSink {
     // broadcast join of the batch's keys against the k-row stats table,
     // collecting only distinct FILE NAMES (file-count bounded).
     val parent: Array[FileStats] = latest
-      .map(pv => statsManifest(s, path, pv)).getOrElse(Array.empty)
+      .map(pv => statsManifest(s, path, pv, keyCol)).getOrElse(Array.empty)
     val owning: Array[String] = owningFiles(batch, parent, keyCol)
 
     // Rewrite = touched files' survivors + the batch (keyed replace:
@@ -119,7 +154,13 @@ object UpsertSink {
         .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(batch)
     val parts = math.max(1, if (owning.isEmpty) initialPartitions else owning.length)
-    val dataDir = path + s"/data/batch_$batchId"
+    // per-VERSION data dir: versions allocate fresh above the committed
+    // tip and never reuse once committed, so the Overwrite can only
+    // clobber an UNCOMMITTED crash leftover. A per-batch-id dir is
+    // unsafe under carry-forward: a checkpoint reset restarts ids at 0
+    // and batch_0's rewrite would delete files the live manifest still
+    // references (round-12 review finding).
+    val dataDir = path + s"/data/v$v"
     rewritten.repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(dataDir)

@@ -34,8 +34,15 @@ object VersionedCommitSink {
 
   def txnDir(path: String): String = VersionedStore.txnDir(path)
   def txnPath(path: String, v: Int): String = VersionedStore.txnPath(path, v)
-  private def batchDataDir(path: String, batchId: Long): String =
-    path + s"/data/batch_$batchId"
+  /** Data files land in a per-VERSION directory. Versions are allocated
+    * fresh above the committed tip and never reused once committed, so
+    * the Overwrite below can only ever clobber an UNCOMMITTED crash
+    * leftover (the designed retry recovery). A per-BATCH-ID directory
+    * (the old layout) is unsafe: after a checkpoint reset restarts
+    * batch ids at 0, batch_0's rewrite would delete files still
+    * referenced by the live manifest through carry-forward. */
+  private def versionDataDir(path: String, v: Int): String =
+    path + s"/data/v$v"
   /** The commit marker: a `batch_<id>.marker` file inside the txn
     * record, created LAST (after the txn parquet) — so its single
     * atomic create IS the version commit, and it doubles as the
@@ -150,7 +157,7 @@ object VersionedCommitSink {
     val latest = latestCommitted(s, path)
     if (alreadyCommitted(s, path, latest, batchId)) return None
     val v = latest.getOrElse(0) + 1
-    val dataDir = batchDataDir(path, batchId)
+    val dataDir = versionDataDir(path, v)
     batch.write.mode(SaveMode.Overwrite).parquet(dataDir)
     val newFiles = VersionedStore.hadoopLs(s, dataDir)
     val parent = latest

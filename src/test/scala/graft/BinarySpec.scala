@@ -435,4 +435,42 @@ class BinarySpec extends AnyFunSuite {
         } else assert(out.isEmpty, s"id $id decoded: $out")
       }
   }
+
+  test("PNG decoders fail closed on oversized headers, FDICT and boundary truncation") {
+    // declared-huge dimensions (2^20 x 2^20 passes the per-dimension
+    // caps but overflows Int as a byte count): must read as None, not
+    // throw on array allocation — corrupt blobs degrade, never kill
+    def be(v: Long) = b(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+      ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+    val hugeIhdr = pngChunk("IHDR",
+      be(1L << 20) ++ be(1L << 20) ++ b(8, 2, 0, 0, 0))
+    val huge = pngSig ++ hugeIhdr ++ pngChunk("IDAT", zlib(b(0, 1, 2, 3))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngPixelDecoder.decode(huge).isEmpty, "q115 huge dims")
+    val hugeV = pngSig ++ pngChunk("IHDR",
+      be(1L << 20) ++ be(1L << 20) ++ b(8, 2, 0, 0, 1)) ++
+      pngChunk("IDAT", zlib(b(0, 1, 2, 3))) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(hugeV).isEmpty, "q116 huge dims")
+
+    // zlib FDICT header (preset dictionary — never valid in PNG):
+    // Inflater returns 0 with needsDictionary, which must fail closed,
+    // not spin the inflate loop forever. CMF=0x78 FLG=0x20 satisfies
+    // the fcheck rule ((0x7820) % 31 == 0) with the FDICT bit set.
+    val fdict = b(0x78, 0x20, 1, 2, 3, 4, 9, 9, 9, 9)
+    val fdictPng = pngSig ++ pngIhdrV(1, 1, color = 2, interlace = 0) ++
+      pngChunk("IDAT", fdict) ++ pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(fdictPng).isEmpty, "FDICT accepted")
+
+    // zlib stream truncated EXACTLY at the expected byte count (final
+    // block flag + adler32 trailer missing): finished() is the only
+    // witness, and the decoder must reject
+    val scan = b(0, 1, 2, 3) // 1x1 truecolor, None filter
+    val z = zlib(scan)
+    val cut = z.take(z.length - 5) // drop the adler32 + final-block tail
+    val truncV = pngSig ++ pngIhdrV(1, 1, color = 2, interlace = 0) ++
+      pngChunk("IDAT", cut) ++ pngChunk("IEND", Array.emptyByteArray)
+    assert(Binary.PngVariantDecoder.decode(truncV).isEmpty,
+      "boundary-truncated zlib accepted")
+  }
 }

@@ -126,6 +126,43 @@ class UpsertSinkSpec extends AnyFunSuite {
     val none = UpsertSink.readTouched(spark, store,
       Seq(999999L).toDF("custkey"), "custkey").get
     assert(none.count() == 0L)
+
+    // data files land in per-VERSION dirs: version numbers allocate
+    // fresh above the committed tip and never reuse once committed, so
+    // a checkpoint reset (batch ids restarting at 0) can never rewrite
+    // a directory whose files the live manifest still carries forward
+    assert(newFiles.forall(_.contains("/data/v2/")),
+      s"v2 files not under data/v2: $newFiles")
+
+    // MAINTENANCE INTEROP: a compaction (CALL graft_store_optimize)
+    // writes a file-only manifest; the stream's stats read must
+    // self-heal instead of crashlooping, and the next commit restores
+    // the stats manifest
+    import graft.sources.VersionedStore
+    VersionedStore.compactCommit(spark, store, "custkey", 16L << 10) // many small files: the prune has files to SKIP
+    val afterOpt = UpsertSink.readTouched(spark, store,
+      Seq(17L).toDF("custkey"), "custkey").get
+    assert(afterOpt.filter($"custkey" === 17L).count() == 1L,
+      "readTouched broke on the compacted (file-only) manifest")
+    val tiny2 = Seq(EntityUpdate(18L, "Modified", 7L, 7.0, 7.0, 0L, 7L)).toDS()
+    assert(UpsertSink.mergeBatch(tiny2, store, 2L).isDefined,
+      "upsert after optimize failed")
+    assert(UpsertSink.readStore(spark, store)
+      .filter($"custkey" === 18L).select("totalTrips").head().getLong(0) == 7L)
+    // the post-optimize commit's manifest carries stats again: a
+    // one-key read is pruned (strictly fewer files than the store)
+    val healed = UpsertSink.readTouched(spark, store,
+      Seq(17L).toDF("custkey"), "custkey").get
+    assert(healed.inputFiles.length <
+      UpsertSink.readStore(spark, store).inputFiles.length,
+      "stats prune not restored after optimize + commit")
+
+    // non-integral key columns are a LOUD contract error, not an NPE
+    val err = intercept[IllegalArgumentException] {
+      UpsertSink.upsertBatch(Seq(("a@x", 1L)).toDF("email", "v"),
+        store + "_str", 0L, "email")
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
   }
 
   test("search-doc sink resumes batch numbering after a checkpoint restart") {

@@ -31,6 +31,23 @@ class WriterLeaseSpec extends AnyFunSuite {
     l.release()
   }
 
+  test("a superseded holder's release leaves the successor's lease intact") {
+    // A overran its TTL; B broke the expired lease and is live. A's
+    // release must NOT delete B's lease (ownership is token-checked),
+    // so a third maintainer still fails fast against B.
+    val store = Files.createTempDirectory("graft_lease_").toString + "/store"
+    val a = WriterLease.acquire(spark, store, "overrunner", ttlMs = 1L)
+    Thread.sleep(5)
+    val b = WriterLease.acquire(spark, store, "successor")
+    a.release() // stale release: token mismatch, must be a no-op
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(spark, store, "third")
+    }
+    assert(e.getMessage.contains("successor"), e.getMessage)
+    b.release()
+    WriterLease.acquire(spark, store, "third").release() // now free
+  }
+
   test("maintenance entry points fail fast under a concurrent holder") {
     val store = Files.createTempDirectory("graft_lease_").toString + "/store"
     val held = WriterLease.acquire(spark, store, "live-compactor")
