@@ -926,6 +926,173 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Format-true PCM WAV payloads — the audio member of the
+    * FULL-PAYLOAD decode family (q105 stops at the header; this class
+    * carries real signed 16-bit little-endian samples whose values are
+    * construction arithmetic, so the oracle restates the waveform and
+    * the engine must run the real sample decode to match). */
+  private[graft] object WavPcmBytes {
+    val Rate = 8000L
+    def channels(id: Long): Long = 1L + id % 4 % 2 // class 0 mono, 1 stereo
+    def nFrames(id: Long): Long = 50L + (id * 31L) % 200L
+    /** Signed 16-bit sample at frame `i`, channel `ch` —
+      * range [-32760, 32760], inside int16 by construction. */
+    def sample(id: Long, i: Long, ch: Long): Long =
+      ((id + 37L * i + 101L * ch) % 65521L) - 32760L
+
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def fmtChunk(ch: Long): Array[Byte] =
+      fourcc("fmt ") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+        le32(Rate) ++ le32(Rate * ch * 2) ++ le16(ch * 2) ++ le16(16)
+    private def samples(id: Long): Array[Byte] = {
+      val (ch, n) = (channels(id).toInt, nFrames(id).toInt)
+      val out = new Array[Byte](n * ch * 2)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < ch) {
+          val v = sample(id, i, c)
+          out(2 * (i * ch + c)) = (v & 0xFF).toByte
+          out(2 * (i * ch + c) + 1) = ((v >> 8) & 0xFF).toByte
+          c += 1
+        }
+        i += 1
+      }
+      out
+    }
+    private def riff(body: Array[Byte]): Array[Byte] =
+      fourcc("RIFF") ++ le32(body.length + 4L) ++ fourcc("WAVE") ++ body
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => // mono, with an ODD-sized ancillary chunk (pad rule)
+        val s = samples(id)
+        riff(fourcc("LIST") ++ le32(5) ++ "graft".getBytes("US-ASCII") ++
+          Array[Byte](0) ++ fmtChunk(1) ++
+          fourcc("data") ++ le32(s.length.toLong) ++ s)
+      case 1 => // stereo
+        val s = samples(id)
+        riff(fmtChunk(2) ++ fourcc("data") ++ le32(s.length.toLong) ++ s)
+      case 2 => // MALFORMED: data chunk DECLARES 4 more bytes than the
+        // payload carries — sample decode must fail closed, never read
+        // past the buffer or emit stats for a truncated waveform
+        val s = samples(id)
+        riff(fmtChunk(1) ++ fourcc("data") ++ le32(s.length + 4L) ++ s)
+      case _ => Array[Byte](0) ++ text.getBytes("UTF-8") // opaque
+    }
+  }
+
+  /** Decoded whole-waveform statistics: per-channel exact integer sum /
+    * min / max over the signed samples, plus the frame-weighted moment
+    * Σ i·s(i, ch0) — order-sensitive, so byte-swapped endianness, an
+    * off-by-one frame walk, or interleave errors all change it even
+    * when the sums survive. */
+  private[graft] case class WavPcmStats(channels: Long, rate: Long,
+      nFrames: Long, sumL: Long, minL: Long, maxL: Long, imomentL: Long,
+      sumR: Long, minR: Long, maxR: Long)
+
+  /** REAL full-payload PCM decode: the q105 chunk walk (odd-size pad
+    * rule included) continued INTO the data chunk — validates
+    * PCM tag / 16-bit / 1-2 channels / block-align and byte-rate
+    * consistency / data completeness and alignment, then decodes every
+    * interleaved signed little-endian sample. Truncated declarations
+    * (data size past the buffer), misaligned data sizes and non-PCM
+    * formats all degrade to None. Row-local, distributes with rows. */
+  private[graft] object WavPcmDecoder extends PayloadDecoder[WavPcmStats] {
+    val format = "wav"
+    def decode(b: Array[Byte]): Option[WavPcmStats] = {
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)
+      def cc(i: Int, s: String): Boolean =
+        s.indices.forall(j => u8(i + j) == s.charAt(j).toInt)
+      if (b.length < 12 || !cc(0, "RIFF") || !cc(8, "WAVE")) return None
+      var i = 12
+      var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, align, bits
+      var data: Option[(Int, Long)] = None // offset, size
+      while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val size = le32(i + 4)
+        if (size < 0 || i + 8 + size > b.length) {
+          if (cc(i, "data")) return None // truncated data declaration
+          else return None               // any overrun chunk: corrupt
+        }
+        if (cc(i, "fmt ")) {
+          if (size < 16) return None
+          fmt = Some((le16(i + 10), le32(i + 12), le16(i + 20), le16(i + 22)))
+          if (le16(i + 8) != 1L) return None // not PCM
+        } else if (cc(i, "data")) data = Some((i + 8, size))
+        i += 8 + size.toInt + (size.toInt & 1) // odd-size pad byte
+      }
+      val (ch, rate, align, bits) = fmt.getOrElse(return None)
+      val (off, size) = data.getOrElse(return None)
+      if (bits != 16 || ch < 1 || ch > 2 || align != ch * 2 ||
+        rate <= 0 || size % align != 0) return None
+      val n = (size / align).toInt
+      var (sl, nl, xl, im) = (0L, Long.MaxValue, Long.MinValue, 0L)
+      var (sr, nr, xr) = (0L, Long.MaxValue, Long.MinValue)
+      var f = 0
+      while (f < n) {
+        val base = off + f * align.toInt
+        val l = (le16(base).toShort).toLong // sign-extend int16
+        sl += l; if (l < nl) nl = l; if (l > xl) xl = l
+        im += f.toLong * l
+        if (ch == 2) {
+          val r = (le16(base + 2).toShort).toLong
+          sr += r; if (r < nr) nr = r; if (r > xr) xr = r
+        }
+        f += 1
+      }
+      if (n == 0) { nl = 0; xl = 0 }
+      if (ch == 1 || n == 0) { sr = 0; nr = 0; xr = 0 }
+      Some(WavPcmStats(ch, rate, n.toLong, sl, nl, xl, im, sr, nr, xr))
+    }
+  }
+
+  /** q117: FULL-PAYLOAD audio decode — the waveform itself, not just
+    * q105's header fields: every interleaved signed 16-bit PCM sample
+    * decoded and reduced to exact integer per-channel statistics. The
+    * oracle restates the sample-value construction, so a wrong
+    * sign-extension, byte order, interleave stride, or an accepted
+    * truncated data declaration all hash-fail; the frame-weighted
+    * moment makes sample ORDER part of the gate. Completes the
+    * full-payload decode family across image (q114/q115/q116) and
+    * audio. Scale shape: row-local mapPartitions (the q98 shape). */
+  def q117WavPcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = WavPcmBytes.payload(id, text)
+          WavPcmDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, WavPcmDecoder.format, Option(st.channels), Option(st.rate),
+                Option(st.nFrames), Option(st.sumL), Option(st.minL),
+                Option(st.maxL), Option(st.imomentL),
+                if (st.channels == 2) Option(st.sumR) else None,
+                if (st.channels == 2) Option(st.minR) else None,
+                if (st.channels == 2) Option(st.maxR) else None)
+            case None =>
+              (id, "unknown", None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "n_channels", "sample_rate", "n_frames",
+        "sum_l", "min_l", "max_l", "imoment_l", "sum_r", "min_r", "max_r")
+      .orderBy(col("doc_id"))
+  }
+
   /** Format-true PNG VARIANT payloads — the two core decode paths
     * q115's canonical tier (8-bit truecolor, no interlace) leaves out:
     * indexed color (type 3 + PLTE) and Adam7 interlacing (the 7-pass
@@ -1334,7 +1501,8 @@ object Binary extends QueryPack {
     "q113_gif_header" -> (q113GifHeader _),
     "q114_bmp_pixels" -> (q114BmpPixels _),
     "q115_png_pixels" -> (q115PngPixels _),
-    "q116_png_variants" -> (q116PngVariants _))
+    "q116_png_variants" -> (q116PngVariants _),
+    "q117_wav_pcm" -> (q117WavPcm _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -1346,6 +1514,45 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // q117's twin restates the WAVEFORM construction: per-doc expansion
+    // of the signed sample arithmetic over the frame range, per-channel
+    // integer sum/min/max and the frame-weighted order moment — the
+    // RIFF layout, interleave, endianness and sign extension are all
+    // the ENGINE's problem. The truncated-declaration class (2) and the
+    // opaque class (3) must degrade to 'unknown' with null stats.
+    "q117_wav_pcm" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    50 + (doc_id * 31) % 200 AS nf,
+        |    doc_id % 4 AS cls
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, cls, unnest(range(0, nf)) AS i
+        |  FROM p WHERE cls <= 1),
+        |v AS (
+        |  SELECT doc_id, cls, i,
+        |    ((doc_id + 37*i) % 65521) - 32760 AS vl,
+        |    ((doc_id + 37*i + 101) % 65521) - 32760 AS vr
+        |  FROM f),
+        |agg AS (
+        |  SELECT doc_id,
+        |    sum(vl) AS sl, min(vl) AS nl, max(vl) AS xl, sum(i * vl) AS im,
+        |    sum(vr) AS sr, min(vr) AS nr, max(vr) AS xr
+        |  FROM v GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CASE WHEN cls <= 1 THEN 'wav' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN cls <= 1 THEN cls + 1 END AS BIGINT) AS n_channels,
+        |  CAST(CASE WHEN cls <= 1 THEN 8000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN cls <= 1 THEN nf END AS BIGINT) AS n_frames,
+        |  CAST(agg.sl AS BIGINT) AS sum_l,
+        |  CAST(agg.nl AS BIGINT) AS min_l,
+        |  CAST(agg.xl AS BIGINT) AS max_l,
+        |  CAST(agg.im AS BIGINT) AS imoment_l,
+        |  CAST(CASE WHEN cls = 1 THEN agg.sr END AS BIGINT) AS sum_r,
+        |  CAST(CASE WHEN cls = 1 THEN agg.nr END AS BIGINT) AS min_r,
+        |  CAST(CASE WHEN cls = 1 THEN agg.xr END AS BIGINT) AS max_r
+        |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // q116's twin restates the FINAL RGB image of both variant classes:
     // the palette class expands every pixel's PLTE lookup (index
     // arithmetic -> entry arithmetic), the interlaced class states the

@@ -473,4 +473,73 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.PngVariantDecoder.decode(truncV).isEmpty,
       "boundary-truncated zlib accepted")
   }
+
+  // ---- WAV full-payload PCM decode (q117) --------------------------------
+
+  /** RIFF helpers independent of WavPcmBytes (matching encoder/decoder
+    * bugs cannot cancel). */
+  private def wle16(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF)
+  private def wle32(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+    (v >> 24) & 0xFF)
+  private def wfmt(ch: Int) = "fmt ".getBytes("US-ASCII") ++ wle32(16) ++
+    wle16(1) ++ wle16(ch) ++ wle32(8000) ++ wle32(8000 * ch * 2) ++
+    wle16(ch * 2) ++ wle16(16)
+  private def wriff(body: Array[Byte]) = "RIFF".getBytes("US-ASCII") ++
+    wle32(body.length + 4) ++ "WAVE".getBytes("US-ASCII") ++ body
+  private def wdata(samples: Seq[Int]) = "data".getBytes("US-ASCII") ++
+    wle32(samples.length * 2) ++ samples.flatMap(s => wle16(s & 0xFFFF)).toArray
+
+  test("decodes handcrafted mono and stereo PCM to hand-computed stats") {
+    // mono, frames [100, -3]
+    val mono = wriff(wfmt(1) ++ wdata(Seq(100, -3)))
+    val m = Binary.WavPcmDecoder.decode(mono).get
+    assert(m == Binary.WavPcmStats(1, 8000, 2, 97, -3, 100, -3, 0, 0, 0),
+      m.toString)
+    // stereo, frames L=[1000,-2000] R=[-1,7] interleaved
+    val stereo = wriff(wfmt(2) ++ wdata(Seq(1000, -1, -2000, 7)))
+    val s = Binary.WavPcmDecoder.decode(stereo).get
+    assert(s == Binary.WavPcmStats(2, 8000, 2, -1000, -2000, 1000, -2000,
+      6, -1, 7), s.toString)
+  }
+
+  test("PCM decoder fails closed on truncation, misalignment and non-PCM") {
+    // data declares 2 bytes more than present
+    val trunc = wriff(wfmt(1) ++ "data".getBytes("US-ASCII") ++ wle32(6) ++
+      wle16(1) ++ wle16(2))
+    assert(Binary.WavPcmDecoder.decode(trunc).isEmpty, "truncation accepted")
+    // stereo data size not a multiple of block align (4)
+    val misaligned = wriff(wfmt(2) ++ "data".getBytes("US-ASCII") ++
+      wle32(6) ++ wle16(1) ++ wle16(2) ++ wle16(3))
+    assert(Binary.WavPcmDecoder.decode(misaligned).isEmpty, "misaligned size")
+    // non-PCM format tag
+    val fl = "fmt ".getBytes("US-ASCII") ++ wle32(16) ++ wle16(3) ++
+      wle16(1) ++ wle32(8000) ++ wle32(16000) ++ wle16(2) ++ wle16(16)
+    assert(Binary.WavPcmDecoder.decode(
+      wriff(fl ++ wdata(Seq(1)))).isEmpty, "non-PCM accepted")
+    assert(Binary.WavPcmDecoder.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("synthesized PCM payloads round-trip the construction stats") {
+    val P = Binary.WavPcmBytes
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 40L, 41L, 997L, 1000L).foreach { id =>
+      val out = Binary.WavPcmDecoder.decode(P.payload(id, "opaque"))
+      if (id % 4 <= 1) {
+        val st = out.get
+        val (ch, n) = (P.channels(id), P.nFrames(id))
+        var (sl, nl, xl, im) = (0L, Long.MaxValue, Long.MinValue, 0L)
+        var (sr, nr, xr) = (0L, Long.MaxValue, Long.MinValue)
+        for (i <- 0L until n) {
+          val l = P.sample(id, i, 0)
+          sl += l; nl = math.min(nl, l); xl = math.max(xl, l); im += i * l
+          if (ch == 2) {
+            val r = P.sample(id, i, 1)
+            sr += r; nr = math.min(nr, r); xr = math.max(xr, r)
+          }
+        }
+        if (ch == 1) { sr = 0; nr = 0; xr = 0 }
+        val expect = Binary.WavPcmStats(ch, 8000, n, sl, nl, xl, im, sr, nr, xr)
+        assert(st == expect, s"id $id: $st != $expect")
+      } else assert(out.isEmpty, s"id $id decoded: $out")
+    }
+  }
 }
