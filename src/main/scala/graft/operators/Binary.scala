@@ -926,6 +926,226 @@ object Binary extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Format-true ISO-BMFF (MP4) payloads — the VIDEO-container member
+    * of the metadata-parse family (q98 image, q105 audio, q113 GIF):
+    * a real box tree — ftyp brand, moov with a versioned mvhd and
+    * per-track tkhd children, and an mdat whose bytes are construction
+    * arithmetic. Class 1 exercises the 64-bit largesize path and the
+    * version-1 (64-bit time) mvhd/tkhd layouts — both published spec
+    * variants a naive parser gets wrong. */
+  private[graft] object Mp4Bytes {
+    def timescale(id: Long): Long = 600L + (id * 13L) % 1000L
+    def durationTicks(id: Long): Long = 1000L + (id * 97L) % 100000L
+    def nTraks(id: Long): Long = 1L + id % 3L
+    def trakId(id: Long, k: Long): Long = 1L + k
+    def mdatLen(id: Long): Long = 10L + id % 50L
+    def mdatByte(id: Long, j: Long): Long = (id + j) % 251L
+    def mdatSum(id: Long): Long =
+      (0L until mdatLen(id)).map(mdatByte(id, _)).sum
+
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    /** The 64-bit form: size field 1, then the real largesize. */
+    private def largeBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(1L) ++ typ.getBytes("US-ASCII") ++ be64(payload.length + 16L) ++ payload
+
+    private def ftyp: Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512L) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+
+    private def mvhd(id: Long, v1: Boolean): Array[Byte] = {
+      val times =
+        if (v1) be64(0L) ++ be64(0L) ++ be32(timescale(id)) ++ be64(durationTicks(id))
+        else be32(0L) ++ be32(0L) ++ be32(timescale(id)) ++ be32(durationTicks(id))
+      box("mvhd", Array[Byte](if (v1) 1 else 0, 0, 0, 0) ++ times ++
+        be32(0x00010000L) ++ Array[Byte](0x01, 0, 0, 0) ++ // rate, volume+reserved
+        new Array[Byte](8) ++ new Array[Byte](36) ++ // reserved, matrix
+        new Array[Byte](24) ++ be32(nTraks(id) + 1)) // predefined, next_track
+    }
+    private def tkhd(id: Long, k: Long, v1: Boolean): Array[Byte] = {
+      val head =
+        if (v1) be64(0L) ++ be64(0L) ++ be32(trakId(id, k)) ++ be32(0L) ++ be64(0L)
+        else be32(0L) ++ be32(0L) ++ be32(trakId(id, k)) ++ be32(0L) ++ be32(0L)
+      box("tkhd", Array[Byte](if (v1) 1 else 0, 0, 0, 7) ++ head ++
+        new Array[Byte](52)) // reserved/layer/matrix/dims
+    }
+    private def trak(id: Long, k: Long, v1: Boolean): Array[Byte] =
+      box("trak", tkhd(id, k, v1))
+    private def moov(id: Long, v1: Boolean): Array[Byte] =
+      box("moov", mvhd(id, v1) ++
+        (0L until nTraks(id)).flatMap(trak(id, _, v1)).toArray)
+    private def mdat(id: Long, large: Boolean): Array[Byte] = {
+      val body = Array.tabulate(mdatLen(id).toInt)(j =>
+        (mdatByte(id, j.toLong) & 0xFF).toByte)
+      if (large) largeBox("mdat", body) else box("mdat", body)
+    }
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => ftyp ++ moov(id, v1 = false) ++ mdat(id, large = false)
+      case 1 => // 64-bit sizes + version-1 time layouts
+        ftyp ++ moov(id, v1 = true) ++ mdat(id, large = true)
+      case 2 => // MALFORMED: moov declares 4 bytes more than present
+        val m = moov(id, v1 = false)
+        val oversized = be32(m.length + 4L) ++ m.drop(4)
+        ftyp ++ oversized
+      case _ => Array[Byte](0) ++ text.getBytes("UTF-8") // opaque
+    }
+  }
+
+  /** Parsed MP4 container metadata: brand, movie timescale/duration
+    * (+ derived floor-divided ms), track count, sum of track ids (the
+    * child-walk gate) and the mdat byte count + byte sum (the payload
+    * gate). */
+  private[graft] case class Mp4Stats(brand: String, timescale: Long,
+      durationTicks: Long, durationMs: Long, nTraks: Long, trakIdSum: Long,
+      mdatBytes: Long, mdatSum: Long)
+
+  /** Pure-JVM ISO-BMFF box walk: top-level boxes (with the size==1
+    * 64-bit largesize form), the moov→mvhd versioned time layout
+    * (version 1 carries 64-bit creation/modification/duration), the
+    * moov→trak→tkhd child walk (track ids at their version-dependent
+    * offsets), and the mdat byte sum. ftyp must lead (the spec's
+    * placement rule); exactly one moov/mvhd; any box overrunning the
+    * buffer, a size under the header length, or a missing structure
+    * degrades to None — corrupt blobs must not kill a 100 TB stage. */
+  private[graft] object Mp4Decoder extends PayloadDecoder[Mp4Stats] {
+    val format = "mp4"
+    def decode(b: Array[Byte]): Option[Mp4Stats] = {
+      def be32(o: Int): Long =
+        ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+          ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+      def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+      def cc(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+      if (b.length < 8) return None
+      var brand: String = null
+      var ts = -1L; var dur = -1L
+      var traks = 0L; var idSum = 0L
+      var mdatBytes = 0L; var mdatSum = 0L
+      var sawMoov = false
+      var i = 0
+      var first = true
+      while (i + 8 <= b.length) {
+        val size0 = be32(i)
+        val typ = cc(i)
+        // payload offset + total size under both size forms
+        val (off, size) =
+          if (size0 == 1L) {
+            if (i + 16 > b.length) return None
+            (i + 16, be64(i + 8))
+          } else (i + 8, size0)
+        if (size < (off - i).toLong || i + size > b.length) return None
+        if (first && typ != "ftyp") return None // spec placement rule
+        typ match {
+          case "ftyp" =>
+            if (size < (off - i) + 8) return None
+            brand = new String(b, off, 4, "US-ASCII")
+          case "moov" =>
+            if (sawMoov) return None
+            sawMoov = true
+            // child walk within [off, i + size)
+            var j = off
+            val end = (i + size).toInt
+            var sawMvhd = false
+            while (j + 8 <= end) {
+              val csize = be32(j)
+              val ctyp = cc(j)
+              if (csize < 8 || j + csize > end) return None
+              ctyp match {
+                case "mvhd" =>
+                  if (sawMvhd) return None
+                  sawMvhd = true
+                  val v = b(j + 8) & 0xFF
+                  // version-dependent minimum size: reads must stay
+                  // inside THIS box, not spill into the next child
+                  if (v == 0) {
+                    if (csize < 28) return None
+                    ts = be32(j + 20); dur = be32(j + 24)
+                  } else if (v == 1) {
+                    if (csize < 40) return None
+                    ts = be32(j + 28); dur = be64(j + 32)
+                  } else return None
+                case "trak" =>
+                  traks += 1
+                  // first child must be tkhd for our gate; walk to it
+                  var k = j + 8
+                  val tend = (j + csize).toInt
+                  var found = false
+                  while (!found && k + 8 <= tend) {
+                    val ksize = be32(k)
+                    if (ksize < 8 || k + ksize > tend) return None
+                    if (cc(k) == "tkhd") {
+                      val tv = b(k + 8) & 0xFF
+                      if (tv == 0) {
+                        if (ksize < 24) return None
+                        idSum += be32(k + 20)
+                      } else if (tv == 1) {
+                        if (ksize < 32) return None
+                        idSum += be32(k + 28)
+                      } else return None
+                      found = true
+                    }
+                    k += ksize.toInt
+                  }
+                  if (!found) return None
+                case _ => ()
+              }
+              j += csize.toInt
+            }
+            if (!sawMvhd) return None
+          case "mdat" =>
+            var j = off
+            val end = (i + size).toInt
+            mdatBytes += end - off
+            while (j < end) { mdatSum += (b(j) & 0xFF).toLong; j += 1 }
+          case _ => ()
+        }
+        first = false
+        i += size.toInt
+      }
+      if (brand == null || !sawMoov || ts <= 0 || dur < 0) return None
+      Some(Mp4Stats(brand, ts, dur, dur * 1000L / ts, traks, idSum,
+        mdatBytes, mdatSum))
+    }
+  }
+
+  /** q118: VIDEO-container metadata — a real ISO-BMFF (MP4) box-tree
+    * walk, completing the modality row (image q98/q114-q116, audio
+    * q105/q117, GIF q113, video here): ftyp brand, the versioned mvhd
+    * time layout (v0 32-bit and v1 64-bit), the trak→tkhd child walk
+    * (track-id sum gates it), the 64-bit largesize form, and the mdat
+    * byte sum (payload gate). Oracle-exact against construction; a
+    * wrong version offset, an unhandled largesize, or an accepted
+    * overrunning box all hash-fail. Row-local mapPartitions. */
+  def q118Mp4Boxes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = Mp4Bytes.payload(id, text)
+          Mp4Decoder.decode(bytes) match {
+            case Some(st) =>
+              (id, Mp4Decoder.format, Option(st.brand), Option(st.timescale),
+                Option(st.durationTicks), Option(st.durationMs),
+                Option(st.nTraks), Option(st.trakIdSum), Option(st.mdatBytes),
+                Option(st.mdatSum))
+            case None =>
+              (id, "unknown", None: Option[String], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "brand", "timescale", "duration_ticks",
+        "duration_ms", "n_traks", "trak_id_sum", "mdat_bytes", "mdat_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Format-true PCM WAV payloads — the audio member of the
     * FULL-PAYLOAD decode family (q105 stops at the header; this class
     * carries real signed 16-bit little-endian samples whose values are
@@ -1502,7 +1722,8 @@ object Binary extends QueryPack {
     "q114_bmp_pixels" -> (q114BmpPixels _),
     "q115_png_pixels" -> (q115PngPixels _),
     "q116_png_variants" -> (q116PngVariants _),
-    "q117_wav_pcm" -> (q117WavPcm _))
+    "q117_wav_pcm" -> (q117WavPcm _),
+    "q118_mp4_boxes" -> (q118Mp4Boxes _))
 
   // Byte-stride sums in DuckDB: bytes via hex-pair extraction from the
   // UTF-8 encoding, summed per stride — mirrors the Spark-side stub
@@ -1514,6 +1735,39 @@ object Binary extends QueryPack {
       s"for i in range(nb) if i % 8 = $k]), 0) AS BIGINT) AS f$k"
 
   val oracleSql: Map[String, String] = Map(
+    // q118's twin restates the container CONSTRUCTION — timescale /
+    // duration / track-id / mdat-byte arithmetic; the box tree, the
+    // size forms and the versioned offsets are the ENGINE's problem.
+    // duration_ms is floor division (both engines); mdat_sum expands
+    // the byte arithmetic over the length range.
+    "q118_mp4_boxes" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    600 + (doc_id * 13) % 1000 AS ts,
+        |    1000 + (doc_id * 97) % 100000 AS dur,
+        |    1 + doc_id % 3 AS nt,
+        |    10 + doc_id % 50 AS ml,
+        |    doc_id % 4 AS cls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(list_sum([(doc_id + j) % 251 for j in range(ml)]), 0)
+        |      AS BIGINT) AS msum
+        |  FROM p WHERE cls <= 1)
+        |SELECT p.doc_id,
+        |  CASE WHEN cls <= 1 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN cls <= 1 THEN 'isom' END AS brand,
+        |  CAST(CASE WHEN cls <= 1 THEN ts END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN cls <= 1 THEN dur END AS BIGINT) AS duration_ticks,
+        |  CAST(CASE WHEN cls <= 1 THEN dur * 1000 // ts END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN cls <= 1 THEN nt END AS BIGINT) AS n_traks,
+        |  CAST(CASE WHEN cls <= 1 THEN nt * (nt + 1) // 2 END AS BIGINT)
+        |    AS trak_id_sum,
+        |  CAST(CASE WHEN cls <= 1 THEN ml END AS BIGINT) AS mdat_bytes,
+        |  CAST(m.msum AS BIGINT) AS mdat_sum
+        |FROM p LEFT JOIN m ON p.doc_id = m.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // q117's twin restates the WAVEFORM construction: per-doc expansion
     // of the signed sample arithmetic over the frame range, per-channel
     // integer sum/min/max and the frame-weighted order moment — the

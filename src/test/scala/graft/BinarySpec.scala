@@ -542,4 +542,69 @@ class BinarySpec extends AnyFunSuite {
       } else assert(out.isEmpty, s"id $id decoded: $out")
     }
   }
+
+  // ---- MP4 box walk (q118) -----------------------------------------------
+
+  /** ISO-BMFF helpers independent of Mp4Bytes. */
+  private def mbe32(v: Long) = b(((v >> 24) & 0xFF).toInt, ((v >> 16) & 0xFF).toInt,
+    ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+  private def mbox(typ: String, payload: Array[Byte]) =
+    mbe32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+  private def mftyp = mbox("ftyp", "isom".getBytes("US-ASCII") ++ mbe32(512))
+  private def mmvhd0(ts: Long, dur: Long) = mbox("mvhd",
+    b(0, 0, 0, 0) ++ mbe32(0) ++ mbe32(0) ++ mbe32(ts) ++ mbe32(dur) ++
+      new Array[Byte](80))
+  private def mtkhd0(tid: Long) = mbox("tkhd",
+    b(0, 0, 0, 7) ++ mbe32(0) ++ mbe32(0) ++ mbe32(tid) ++ mbe32(0) ++
+      mbe32(0) ++ new Array[Byte](52))
+
+  test("walks a handcrafted MP4 box tree to hand-computed container stats") {
+    val moov = mbox("moov", mmvhd0(600, 1200) ++
+      mbox("trak", mtkhd0(1)) ++ mbox("trak", mtkhd0(5)))
+    val mdat = mbox("mdat", b(10, 20, 30))
+    val st = Binary.Mp4Decoder.decode(mftyp ++ moov ++ mdat).get
+    assert(st == Binary.Mp4Stats("isom", 600, 1200, 2000, 2, 6, 3, 60),
+      st.toString)
+  }
+
+  test("MP4 walk fails closed on structural violations") {
+    val moov = mbox("moov", mmvhd0(600, 1200) ++ mbox("trak", mtkhd0(1)))
+    val mdat = mbox("mdat", b(1))
+    // ftyp must lead
+    assert(Binary.Mp4Decoder.decode(moov ++ mftyp ++ mdat).isEmpty,
+      "ftyp-not-first accepted")
+    // a child declaring more bytes than its parent holds
+    val badChild = mbox("moov",
+      mbe32(mmvhd0(600, 1200).length + 4L) ++ mmvhd0(600, 1200).drop(4))
+    assert(Binary.Mp4Decoder.decode(mftyp ++ badChild).isEmpty,
+      "overrunning child accepted")
+    // duplicate moov
+    assert(Binary.Mp4Decoder.decode(mftyp ++ moov ++ moov).isEmpty,
+      "duplicate moov accepted")
+    // unknown mvhd version
+    val badV = mbox("moov", mbox("mvhd", b(9, 0, 0, 0) ++ new Array[Byte](96)))
+    assert(Binary.Mp4Decoder.decode(mftyp ++ badV).isEmpty, "mvhd v9 accepted")
+    // trak without tkhd
+    val noTkhd = mbox("moov", mmvhd0(1, 1) ++ mbox("trak", mbox("free", b(0))))
+    assert(Binary.Mp4Decoder.decode(mftyp ++ noTkhd).isEmpty,
+      "tkhd-less trak accepted")
+    assert(Binary.Mp4Decoder.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("synthesized MP4 payloads round-trip the construction stats") {
+    val P = Binary.Mp4Bytes
+    Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 40L, 41L, 997L, 1000L)
+      .foreach { id =>
+        val out = Binary.Mp4Decoder.decode(P.payload(id, "opaque"))
+        if (id % 4 <= 1) {
+          val st = out.get
+          val nt = P.nTraks(id)
+          val expect = Binary.Mp4Stats("isom", P.timescale(id),
+            P.durationTicks(id),
+            P.durationTicks(id) * 1000L / P.timescale(id), nt,
+            nt * (nt + 1) / 2, P.mdatLen(id), P.mdatSum(id))
+          assert(st == expect, s"id $id: $st != $expect")
+        } else assert(out.isEmpty, s"id $id decoded: $out")
+      }
+  }
 }
