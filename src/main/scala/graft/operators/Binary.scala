@@ -1037,7 +1037,13 @@ object Binary extends QueryPack {
             if (i + 16 > b.length) return None
             (i + 16, be64(i + 8))
           } else (i + 8, size0)
-        if (size < (off - i).toLong || i + size > b.length) return None
+        // overflow-safe bounds: compare against the REMAINING buffer,
+        // never compute i + size (a 64-bit largesize near Long.MaxValue
+        // wraps i + size negative, slipping past a naive check and
+        // turning the walk into an infinite loop — the q105 2^32
+        // lesson at 64 bits). size >= off - i also guarantees forward
+        // progress below.
+        if (size < (off - i).toLong || size > (b.length - i).toLong) return None
         if (first && typ != "ftyp") return None // spec placement rule
         typ match {
           case "ftyp" =>
@@ -1058,6 +1064,10 @@ object Binary extends QueryPack {
                 case "mvhd" =>
                   if (sawMvhd) return None
                   sawMvhd = true
+                  // version byte lives PAST the 8-byte header: a
+                  // header-only child ending at the buffer edge must
+                  // degrade, not throw on the read
+                  if (csize < 12) return None
                   val v = b(j + 8) & 0xFF
                   // version-dependent minimum size: reads must stay
                   // inside THIS box, not spill into the next child
@@ -1078,6 +1088,7 @@ object Binary extends QueryPack {
                     val ksize = be32(k)
                     if (ksize < 8 || k + ksize > tend) return None
                     if (cc(k) == "tkhd") {
+                      if (ksize < 12) return None // header-only child
                       val tv = b(k + 8) & 0xFF
                       if (tv == 0) {
                         if (ksize < 24) return None
@@ -1235,25 +1246,26 @@ object Binary extends QueryPack {
         s.indices.forall(j => u8(i + j) == s.charAt(j).toInt)
       if (b.length < 12 || !cc(0, "RIFF") || !cc(8, "WAVE")) return None
       var i = 12
-      var fmt: Option[(Long, Long, Long, Long)] = None // ch, rate, align, bits
+      var fmt: Option[(Long, Long, Long, Long, Long)] = None // ch, rate, byteRate, align, bits
       var data: Option[(Int, Long)] = None // offset, size
       while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
         val size = le32(i + 4)
         if (size < 0 || i + 8 + size > b.length) {
-          if (cc(i, "data")) return None // truncated data declaration
-          else return None               // any overrun chunk: corrupt
+          return None // any overrun declaration (data included): corrupt
         }
         if (cc(i, "fmt ")) {
           if (size < 16) return None
-          fmt = Some((le16(i + 10), le32(i + 12), le16(i + 20), le16(i + 22)))
+          fmt = Some((le16(i + 10), le32(i + 12), le32(i + 16),
+            le16(i + 20), le16(i + 22)))
           if (le16(i + 8) != 1L) return None // not PCM
         } else if (cc(i, "data")) data = Some((i + 8, size))
         i += 8 + size.toInt + (size.toInt & 1) // odd-size pad byte
       }
-      val (ch, rate, align, bits) = fmt.getOrElse(return None)
+      val (ch, rate, byteRate, align, bits) = fmt.getOrElse(return None)
       val (off, size) = data.getOrElse(return None)
       if (bits != 16 || ch < 1 || ch > 2 || align != ch * 2 ||
-        rate <= 0 || size % align != 0) return None
+        rate <= 0 || byteRate != rate * align || size % align != 0)
+        return None
       val n = (size / align).toInt
       var (sl, nl, xl, im) = (0L, Long.MaxValue, Long.MinValue, 0L)
       var (sr, nr, xr) = (0L, Long.MaxValue, Long.MinValue)

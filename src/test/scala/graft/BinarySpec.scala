@@ -516,6 +516,11 @@ class BinarySpec extends AnyFunSuite {
       wle16(1) ++ wle32(8000) ++ wle32(16000) ++ wle16(2) ++ wle16(16)
     assert(Binary.WavPcmDecoder.decode(
       wriff(fl ++ wdata(Seq(1)))).isEmpty, "non-PCM accepted")
+    // byte rate inconsistent with rate * block align
+    val badBr = "fmt ".getBytes("US-ASCII") ++ wle32(16) ++ wle16(1) ++
+      wle16(1) ++ wle32(8000) ++ wle32(0) ++ wle16(2) ++ wle16(16)
+    assert(Binary.WavPcmDecoder.decode(
+      wriff(badBr ++ wdata(Seq(1)))).isEmpty, "bad byte rate accepted")
     assert(Binary.WavPcmDecoder.decode(Array.emptyByteArray).isEmpty)
   }
 
@@ -589,6 +594,23 @@ class BinarySpec extends AnyFunSuite {
     assert(Binary.Mp4Decoder.decode(mftyp ++ noTkhd).isEmpty,
       "tkhd-less trak accepted")
     assert(Binary.Mp4Decoder.decode(Array.emptyByteArray).isEmpty)
+    // 64-bit largesize near Long.MaxValue: a naive i + size bounds
+    // check overflows negative and the walk never terminates — must
+    // return None promptly
+    val lmax = java.lang.Long.MAX_VALUE - 23L
+    val hugeBox = mbe32(1) ++ "mdat".getBytes("US-ASCII") ++
+      mbe32(lmax >> 32) ++ mbe32(lmax & 0xFFFFFFFFL)
+    assert(Binary.Mp4Decoder.decode(mftyp ++ hugeBox).isEmpty,
+      "overflowing largesize accepted")
+    // header-only mvhd/tkhd ending at the buffer edge: the version
+    // byte would be read past the array — must degrade, not throw
+    val bareMvhd = mbox("moov", mbe32(8) ++ "mvhd".getBytes("US-ASCII"))
+    assert(Binary.Mp4Decoder.decode(mftyp ++ bareMvhd).isEmpty,
+      "header-only mvhd accepted")
+    val bareTkhd = mbox("moov", mmvhd0(1, 1) ++
+      mbox("trak", mbe32(8) ++ "tkhd".getBytes("US-ASCII")))
+    assert(Binary.Mp4Decoder.decode(mftyp ++ bareTkhd).isEmpty,
+      "header-only tkhd accepted")
   }
 
   test("synthesized MP4 payloads round-trip the construction stats") {
