@@ -246,9 +246,9 @@ object Bpe extends QueryPack {
        |                 coalesce(lag(m) OVER (PARTITION BY w ORDER BY i), false) AS mprev
        |          FROM (
        |            SELECT u.w, u.cnt, u.i, u.s, t.l, t.r,
-       |                   (u.s = t.l AND lead(u.s) OVER (PARTITION BY u.w ORDER BY u.i) = t.r) AS m
+       |                   coalesce(u.s = t.l AND lead(u.s) OVER (PARTITION BY u.w ORDER BY u.i) = t.r, false) AS m
        |            FROM (SELECT w, cnt, unnest(syms) AS s, unnest(range(1, len(syms)+1)) AS i
-       |                  FROM $prev) u, t$k t
+       |                  FROM $prev) u LEFT JOIN t$k t ON true
        |          )
        |        )
        |      )
@@ -282,6 +282,16 @@ object Bpe extends QueryPack {
        |  SELECT w, CAST(length(w) AS BIGINT) AS wc, CAST(len(syms) AS BIGINT) AS wt FROM s$k
        |)""".stripMargin
 
+  /** ORACLE PRECONDITIONS (round-12 advice, stated where the gate
+    * lives, not just the header): (1) BMP-ONLY corpus — the replay's
+    * initial symbolization is DuckDB `string_split(w,'')` (Unicode
+    * codepoints) vs Spark `split(w, "")` (UTF-16 code units), which
+    * agree on every BMP character and diverge on surrogate pairs; the
+    * driver corpus is ASCII/BMP by construction. (2) The empty-argmax
+    * round is guarded: when a round's pair table is exhausted before
+    * `k` merges, `t_k` is empty and the rewrite's LEFT JOIN passes
+    * `s_{k-1}` through unchanged (and emits no merge row) — matching
+    * the trainer's early stop instead of wiping the chain. */
   val oracleSql: Map[String, String] = {
     val k = DefaultMerges
     Map(

@@ -185,6 +185,102 @@ object VersionedStore extends QueryPack {
   def txnDir(path: String): String = path + "/txn"
   def txnPath(path: String, v: Int): String = txnDir(path) + s"/v$v"
 
+  /** Version-slot CLAIMS — optimistic concurrency between data
+    * committers (the round-12 advice race: a compaction and an
+    * in-flight micro-batch commit could both resolve "next version"
+    * from uncoordinated listings and overwrite each other's txn
+    * record). A claim is an empty file `claims/v<N>` created with
+    * overwrite=false: the single atomic create decides slot ownership,
+    * so exactly one writer ever writes `data/v<N>` / `manifest/v<N>` /
+    * `txn/v<N>` — the loser probes upward to the next free slot. Claims
+    * live OUTSIDE the txn dir so their existence never flips
+    * [[versions]]' marker-gated semantics, and they are never reused:
+    * a crashed claimer's slot stays burned (its uncommitted leftovers
+    * are invisible to readers and reclaimed by [[vacuum]]). */
+  def claimsDir(path: String): String = path + "/claims"
+  private def claimFile(path: String, v: Int) =
+    new org.apache.hadoop.fs.Path(claimsDir(path) + s"/v$v")
+
+  /** Atomically claim the first free version slot at or above `from`.
+    * Steady state is one create (the slot above the committed tip is
+    * free); each additional probe means a concurrent writer got there
+    * first. */
+  private[graft] def claimVersion(s: SparkSession, path: String, from: Int): Int = {
+    val dir = new org.apache.hadoop.fs.Path(claimsDir(path))
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    // Hadoop's local create(p, overwrite=false) is exists-then-create —
+    // NOT atomic; the claim needs O_CREAT|O_EXCL semantics, so the file
+    // scheme goes through java.io (atomic createNewFile). HDFS/object
+    // stores with conditional puts make create-no-overwrite itself
+    // atomic (the same foundation the commit markers stand on).
+    val atomicCreate: org.apache.hadoop.fs.Path => Boolean =
+      if (fs.getUri.getScheme == "file")
+        p => new java.io.File(p.toUri.getPath).createNewFile()
+      else
+        p => try { fs.create(p, false).close(); true }
+          catch { case _: java.io.IOException => false }
+    var v = math.max(1, from)
+    while (!atomicCreate(claimFile(path, v))) v += 1
+    v
+  }
+
+  /** The newest COMMITTED version of a txn-record store: marker probes
+    * newest-first over one txn-dir listing, stopping at the first hit —
+    * two filesystem calls in steady state (the newest version IS
+    * committed); a crash leftover at the tip costs one extra probe. */
+  private[graft] def latestCommittedTxn(s: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(txnDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.sorted.reverse
+      .find { v =>
+        val d = new org.apache.hadoop.fs.Path(txnPath(path, v))
+        fs.exists(d) && fs.listStatus(d).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch_") && n.endsWith(".marker")
+        }
+      }
+  }
+
+  /** The committed tip regardless of store flavor: marker-gated for
+    * txn-record (stream-built) stores, newest manifest otherwise. */
+  def committedTip(s: SparkSession, path: String): Option[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path))))
+      latestCommittedTxn(s, path)
+    else versions(s, path).lastOption
+  }
+
+  /** Wait (bounded) for every claimed slot BELOW `v` to resolve — the
+    * settle step of the optimistic-commit protocol: the holder of slot
+    * `v` must carry forward the files of the freshest committed tip, so
+    * it waits for in-flight lower slots to commit (or for the timeout
+    * to declare them abandoned — a crashed claimer would otherwise
+    * stall the store forever). Returns the tip to build on. A writer
+    * that commits a lower slot AFTER the timeout produced a valid
+    * non-tip version whose rows later committers do not carry — the
+    * documented limit of coordination-free optimistic commits; size the
+    * timeout above the slowest commit (default 30 s vs micro-batch
+    * cadence). */
+  private[graft] def settleBelow(s: SparkSession, path: String, v: Int,
+      skip: Set[Int] = Set.empty, timeoutMs: Long = 30000L): Option[Int] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var tip = committedTip(s, path)
+    // slots in `skip` are this writer's OWN abandoned claims (a COW
+    // retry) — known-resolved, they must not stall their own retrier
+    def unresolved = ((tip.getOrElse(0) + 1) until v).exists(!skip.contains(_))
+    while (unresolved && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50L)
+      tip = committedTip(s, path)
+    }
+    tip
+  }
+
   /** Versions whose txn record carries its commit marker — pure FS
     * listing, bounded by version count. */
   private[graft] def committedTxnVersions(s: SparkSession, path: String): Seq[Int] = {
@@ -290,6 +386,26 @@ object VersionedStore extends QueryPack {
         fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true))
       subTipOrphans(txnDir(path)).foreach(v =>
         fs.delete(new org.apache.hadoop.fs.Path(txnPath(path, v)), true))
+      // a claimed-but-never-committed sub-tip slot is an abandoned
+      // optimistic commit (its claimer crashed or lost a COW retry):
+      // its per-version data dir was never referenced by any committed
+      // manifest, so slot + leftovers reclaim together. Claims AT or
+      // below the tip for COMMITTED versions are spent too — new claims
+      // probe from tip+1, so the slot can never be re-contested.
+      val claims = {
+        val cd = new org.apache.hadoop.fs.Path(claimsDir(path))
+        if (!fs.exists(cd)) Nil
+        else fs.listStatus(cd).toSeq.filter(_.isFile)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+          .flatten
+      }
+      claims.filter(v => !committed.contains(v) && v < tip).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + s"/v$v"), true)
+        fs.delete(claimFile(path, v), false)
+      }
+      claims.filter(v => committed.contains(v) && v < tip)
+        .foreach(v => fs.delete(claimFile(path, v), false))
     }
     (drop.size, deleted)
   }
@@ -333,7 +449,17 @@ object VersionedStore extends QueryPack {
     val bytes = files.map(f =>
       fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val v = cur + 1
+    // claim the slot ATOMICALLY: a live stream sink racing this
+    // maintenance commit can no longer land on the same version number
+    // and overwrite this manifest/txn record (round-12 advice). Winning
+    // a slot above cur+1, or the tip moving after the claim, means a
+    // data commit IS in flight — compaction of `cur` would then commit
+    // a version that drops the newer rows from the tip lineage, so fail
+    // loudly before any write: re-run when the stream is quiesced.
+    val v = claimVersion(s, path, cur + 1)
+    require(v == cur + 1 && committedTip(s, path).contains(cur),
+      s"store $path has a data commit in flight (claimed slot $v over tip " +
+        s"$cur): quiesce the stream before graft_store_optimize / compactCommit")
     val outDir = dataPath(path) + s"/compact_v$v"
     s.read.parquet(files: _*)
       .repartitionByRange(n, col(clusterCol))

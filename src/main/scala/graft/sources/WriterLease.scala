@@ -34,20 +34,38 @@ import org.apache.spark.sql.SparkSession
   *
   * TTL defaults to 10 minutes — far above any maintenance op at demo
   * scale; a production deployment sizes it to its compaction SLA and
-  * renews mid-run if needed. */
+  * renews mid-run if needed. Expiry compares `System.currentTimeMillis`
+  * ACROSS maintainer hosts, so clock skew between them eats into (or
+  * extends) the TTL: size the TTL well above both the maintenance SLA
+  * and the fleet's worst-case clock skew — a skewed-fast host breaking
+  * a live lease is the same failure mode as an undersized TTL. */
 object WriterLease {
 
   def leasePath(store: String): String = store + "/_maintenance_lease"
 
   final class Lease private[WriterLease] (fs: FileSystem, p: Path,
-      val holder: String, token: String) {
+      val holder: String, token: String, rootExisted: Boolean) {
     /** Delete the lease ONLY if it is still this acquisition's: a
-      * successor that broke our expired lease keeps its own file. */
-    def release(): Unit =
+      * successor that broke our expired lease keeps its own file.
+      * Acquiring against a NONEXISTENT store necessarily created its
+      * root directory (the lease lives at the root); leaving that
+      * behind would defeat callers' `!exists(root)` early-exits forever
+      * after (round-12 advice), so when the root did not exist at
+      * acquire time and the maintenance body left nothing in it, the
+      * now-empty root is removed with the lease. */
+    def release(): Unit = {
       readLease(fs, p) match {
         case Some(l) if l.token == token => fs.delete(p, false)
         case _ => () // superseded or already gone: not ours to delete
       }
+      if (!rootExisted) {
+        val root = p.getParent
+        try {
+          if (fs.exists(root) && fs.listStatus(root).isEmpty)
+            fs.delete(root, false)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   private case class LeaseRec(holder: String, token: String, expires: Long)
@@ -78,7 +96,7 @@ object WriterLease {
       ttlMs: Long = 10 * 60 * 1000L): Lease = {
     val p = new Path(leasePath(store))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
+    val rootExisted = fs.exists(p.getParent)
     val token = java.util.UUID.randomUUID().toString
     val prior = readLease(fs, p)
     prior match {
@@ -111,7 +129,7 @@ object WriterLease {
     // concurrent breaker may have replaced our file — only the acquirer
     // whose token survived holds the lease
     readLease(fs, p) match {
-      case Some(l) if l.token == token => new Lease(fs, p, holder, token)
+      case Some(l) if l.token == token => new Lease(fs, p, holder, token, rootExisted)
       case other => throw new IllegalStateException(
         s"maintenance lease on $store lost the break race to " +
           s"'${other.map(_.holder).getOrElse("<gone>")}'")

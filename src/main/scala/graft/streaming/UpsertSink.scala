@@ -117,6 +117,10 @@ object UpsertSink {
     val vs = VersionedStore.versions(s, path)
     if (vs.isEmpty) return None
     val parent = statsManifest(s, path, vs.max, keyCol)
+    // a committed manifest CAN list zero files (a purge that emptied
+    // the store): no prior rows, same contract as no-store-yet —
+    // read.parquet over an empty path list would throw instead
+    if (parent.isEmpty) return None
     val owning = owningFiles(keys, parent, keyCol)
     val files = if (owning.nonEmpty) owning
       else parent.map(_.file).take(1) // schema carrier, filtered empty
@@ -127,70 +131,100 @@ object UpsertSink {
   /** Commit one keyed micro-batch copy-on-write. Returns the committed
     * version, or None when the batch was empty or already committed
     * (checkpoint replay). `initialPartitions` sizes the FIRST commit's
-    * file count (later commits inherit the touched-file count). */
+    * file count (later commits inherit the touched-file count).
+    *
+    * Optimistic concurrency (the round-12 advice race): the version
+    * slot is CLAIMED atomically before any shared-location write, so a
+    * concurrent committer or maintenance compaction can never land on
+    * the same number and overwrite this txn record. Unlike an append,
+    * a COW rewrite is computed AGAINST a specific parent (the touched
+    * files' survivors), so after the data lands the commit settles and
+    * verifies the tip is still that parent; if another writer committed
+    * meanwhile, this attempt's slot is abandoned (vacuum reclaims the
+    * leftovers) and the whole rewrite RETRIES against the new tip —
+    * correctness over wasted work, bounded attempts. */
   def upsertBatch(batch: DataFrame, path: String, batchId: Long,
-      keyCol: String, initialPartitions: Int = 1): Option[Int] = {
+      keyCol: String, initialPartitions: Int = 1,
+      settleTimeoutMs: Long = 30000L): Option[Int] = {
     if (batch.isEmpty) return None
     requireIntegralKey(batch, keyCol)
     val s = batch.sparkSession
-    val latest = VersionedCommitSink.latestCommitted(s, path)
-    if (VersionedCommitSink.alreadyCommitted(s, path, latest, batchId)) return None
-    val v = latest.getOrElse(0) + 1
+    var attempts = 0
+    var abandoned = Set.empty[Int]
+    while (attempts < 5) {
+      attempts += 1
+      val latest = VersionedCommitSink.latestCommitted(s, path)
+      if (VersionedCommitSink.alreadyCommitted(s, path, latest, batchId)) return None
+      val v = VersionedStore.claimVersion(s, path, latest.getOrElse(0) + 1)
 
-    // Parent manifest with per-file key stats: driver-side and bounded
-    // by the store's file count (the manifest-store contract). Touched
-    // files = those whose [mn, mx] band contains a batch key — a
-    // broadcast join of the batch's keys against the k-row stats table,
-    // collecting only distinct FILE NAMES (file-count bounded).
-    val parent: Array[FileStats] = latest
-      .map(pv => statsManifest(s, path, pv, keyCol)).getOrElse(Array.empty)
-    val owning: Array[String] = owningFiles(batch, parent, keyCol)
+      // Parent manifest with per-file key stats: driver-side and bounded
+      // by the store's file count (the manifest-store contract). Touched
+      // files = those whose [mn, mx] band contains a batch key — a
+      // broadcast join of the batch's keys against the k-row stats table,
+      // collecting only distinct FILE NAMES (file-count bounded).
+      val parent: Array[FileStats] = latest
+        .map(pv => statsManifest(s, path, pv, keyCol)).getOrElse(Array.empty)
+      val owning: Array[String] = owningFiles(batch, parent, keyCol)
 
-    // Rewrite = touched files' survivors + the batch (keyed replace:
-    // the stream emits full merged entities, newest state wins).
-    val rewritten =
-      if (owning.isEmpty) batch
-      else s.read.parquet(owning.toIndexedSeq: _*)
-        .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(batch)
-    val parts = math.max(1, if (owning.isEmpty) initialPartitions else owning.length)
-    // per-VERSION data dir: versions allocate fresh above the committed
-    // tip and never reuse once committed, so the Overwrite can only
-    // clobber an UNCOMMITTED crash leftover. A per-batch-id dir is
-    // unsafe under carry-forward: a checkpoint reset restarts ids at 0
-    // and batch_0's rewrite would delete files the live manifest still
-    // references (round-12 review finding).
-    val dataDir = path + s"/data/v$v"
-    rewritten.repartitionByRange(parts, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+      // Rewrite = touched files' survivors + the batch (keyed replace:
+      // the stream emits full merged entities, newest state wins).
+      val rewritten =
+        if (owning.isEmpty) batch
+        else s.read.parquet(owning.toIndexedSeq: _*)
+          .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(batch)
+      val parts = math.max(1, if (owning.isEmpty) initialPartitions else owning.length)
+      // per-VERSION data dir: versions allocate fresh above the committed
+      // tip and never reuse once committed, so the Overwrite can only
+      // clobber an UNCOMMITTED crash leftover. A per-batch-id dir is
+      // unsafe under carry-forward: a checkpoint reset restarts ids at 0
+      // and batch_0's rewrite would delete files the live manifest still
+      // references (round-12 review finding).
+      val dataDir = path + s"/data/v$v"
+      rewritten.repartitionByRange(parts, col(keyCol))
+        .sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(dataDir)
 
-    // Stats for the new files: a read-back of ONLY the files this
-    // commit wrote (O(batch)), grouped by physical file.
-    val newFiles = VersionedStore.hadoopLs(s, dataDir)
-    val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol).cast("long")).as("mn"),
-        max(col(keyCol).cast("long")).as("mx"))
-      .collect()
-      .map(r => FileStats(VersionedStore.canon(r.getString(0)),
-        r.getLong(1), r.getLong(2)))
+      // the COW validity check: the rewrite above is only a correct
+      // next version if the tip is STILL the parent it was computed
+      // against — otherwise abandon this slot and retry on the new tip
+      val settled = VersionedStore.settleBelow(s, path, v, abandoned,
+        settleTimeoutMs)
+      if (settled == latest) {
+        // Stats for the new files: a read-back of ONLY the files this
+        // commit wrote (O(batch)), grouped by physical file.
+        val newFiles = VersionedStore.hadoopLs(s, dataDir)
+        val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col(keyCol).cast("long")).as("mn"),
+            max(col(keyCol).cast("long")).as("mx"))
+          .collect()
+          .map(r => FileStats(VersionedStore.canon(r.getString(0)),
+            r.getLong(1), r.getLong(2)))
 
-    val ownSet = owning.toSet
-    writeManifest(s, path, v,
-      parent.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
-    // txn parquet, then the marker LAST — the marker's atomic create is
-    // the commit, its name carries the batch id for the replay check
-    // (the VersionedCommitSink.appendBatch discipline).
-    import s.implicits._
-    Seq(batchId).toDF("batch_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(VersionedCommitSink.txnPath(path, v))
-    val fs = new Path(VersionedCommitSink.txnDir(path))
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.create(new Path(
-      s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"), true).close()
-    Some(v)
+        val ownSet = owning.toSet
+        writeManifest(s, path, v,
+          parent.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
+        // txn parquet, then the marker LAST — the marker's atomic create is
+        // the commit, its name carries the batch id for the replay check
+        // (the VersionedCommitSink.appendBatch discipline).
+        import s.implicits._
+        Seq(batchId).toDF("batch_id")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(VersionedCommitSink.txnPath(path, v))
+        val fs = new Path(VersionedCommitSink.txnDir(path))
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.create(new Path(
+          s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"), true).close()
+        return Some(v)
+      }
+      // tip moved while rewriting: leave the claimed slot burned (the
+      // uncommitted data dir is invisible; vacuum reclaims it) and loop
+      abandoned += v
+    }
+    throw new IllegalStateException(
+      s"upsertBatch on $path lost the commit race 5 times — a writer is " +
+        "committing continuously; back off and retry")
   }
 
   /** Merge one micro-batch of entity updates into the keyed store. */

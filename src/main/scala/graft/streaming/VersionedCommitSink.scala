@@ -100,17 +100,8 @@ object VersionedCommitSink {
     * single txn-dir listing, stopping at the first hit — in steady
     * state the newest version IS committed, so this is two filesystem
     * calls; a crash leftover at the tip costs one extra probe. */
-  private[streaming] def latestCommitted(s: SparkSession, path: String): Option[Int] = {
-    val fs = new Path(txnDir(path))
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    txnVersionNumbers(s, path).reverse.find { v =>
-      val d = new Path(txnPath(path, v))
-      fs.exists(d) && fs.listStatus(d).exists { st =>
-        val n = st.getPath.getName
-        n.startsWith("batch_") && n.endsWith(".marker")
-      }
-    }
-  }
+  private[streaming] def latestCommitted(s: SparkSession, path: String): Option[Int] =
+    VersionedStore.latestCommittedTxn(s, path)
 
   /** Has `batchId` already committed? Marker existence tests against
     * the newest [[ReplayWindow]] committed versions first — the
@@ -150,17 +141,33 @@ object VersionedCommitSink {
   }
 
   /** Commit one micro-batch as the next version. Returns the committed
-    * version, or None when the batch was empty or already committed. */
-  def appendBatch(batch: DataFrame, path: String, batchId: Long): Option[Int] = {
+    * version, or None when the batch was empty or already committed.
+    *
+    * Optimistic concurrency: the version slot is CLAIMED atomically
+    * ([[VersionedStore.claimVersion]]) before any shared-location
+    * write, so a concurrent committer (another append stream, a batch
+    * appender, a maintenance compaction) can never land on the same
+    * number and overwrite this txn record — exactly one writer wins
+    * each slot and the loser probes to the next. Appends carry the
+    * parent forward BY REFERENCE, so after the data lands the commit
+    * SETTLES ([[VersionedStore.settleBelow]]): it waits for in-flight
+    * lower slots to commit and unions THAT tip's manifest, so neither
+    * racer's files are lost from the tip lineage; a replayed batch id
+    * discovered while settling is abandoned (the claim burns, vacuum
+    * reclaims the leftovers). */
+  def appendBatch(batch: DataFrame, path: String, batchId: Long,
+      settleTimeoutMs: Long = 30000L): Option[Int] = {
     if (batch.isEmpty) return None
     val s = batch.sparkSession
     val latest = latestCommitted(s, path)
     if (alreadyCommitted(s, path, latest, batchId)) return None
-    val v = latest.getOrElse(0) + 1
+    val v = VersionedStore.claimVersion(s, path, latest.getOrElse(0) + 1)
     val dataDir = versionDataDir(path, v)
     batch.write.mode(SaveMode.Overwrite).parquet(dataDir)
     val newFiles = VersionedStore.hadoopLs(s, dataDir)
-    val parent = latest
+    val settled = VersionedStore.settleBelow(s, path, v, timeoutMs = settleTimeoutMs)
+    if (settled != latest && alreadyCommitted(s, path, settled, batchId)) return None
+    val parent = settled
       .map(pv => VersionedStore.versionFiles(s, path, pv).toSet)
       .getOrElse(Set.empty[String])
     VersionedStore.writeManifest(s, path, v, parent ++ newFiles)
