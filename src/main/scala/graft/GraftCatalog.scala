@@ -131,6 +131,12 @@ object GraftCatalog {
     *    commit a compaction of the versioned store AT `path` (any
     *    store in the [[VersionedStore]] layout, including stream-built
     *    ones) clustered on `col`; returns the committed version.
+    *  - `CALL graft_store_purge('versioned', '<path>', '<keyCol>',
+    *    '<k1,k2,...>')` — execute an erasure batch against the store
+    *    at `path` as a copy-on-write DELETE commit
+    *    ([[VersionedStore.deleteCommit]]): rows whose long `keyCol` is
+    *    in the comma-separated list leave the tip; returns the
+    *    committed version. History stays readable until vacuum.
     *
     * Single-quote SQL literals with `''` escaping, matching [[bm25Sql]]. */
   def call(s: SparkSession, statement: String): DataFrame = {
@@ -140,6 +146,7 @@ object GraftCatalog {
     val Build = s"(?i)\\s*CALL\\s+graft_store_build\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val Drop = s"(?i)\\s*CALL\\s+graft_store_drop\\s*\\(\\s*$Lit\\s*\\)\\s*".r
     val Opt = s"(?i)\\s*CALL\\s+graft_store_optimize\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Purge = s"(?i)\\s*CALL\\s+graft_store_purge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     statement match {
       case Build(family, dir) =>
         buildFamily(s, unq(family), unq(dir))
@@ -161,10 +168,21 @@ object GraftCatalog {
         val v = VersionedStore.compactCommit(s, unq(path), unq(clusterCol),
           targetFileBytes = 64L << 20)
         Seq((unq(path), v)).toDF("path", "committed_version")
+      case Purge(family, path, keyCol, keyList) =>
+        require(unq(family) == "versioned",
+          s"purge supports the 'versioned' family, got '${unq(family)}'")
+        val keys = unq(keyList).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(k => k.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"graft_store_purge keys must be long literals, got '$k'")))
+        val kc = unq(keyCol)
+        val v = VersionedStore.deleteCommit(s, unq(path),
+          keys.toSeq.toDF(kc), kc)
+        Seq((unq(path), v)).toDF("path", "committed_version")
       case _ => throw new IllegalArgumentException(
         s"unrecognized CALL statement: $statement — expected " +
           "graft_store_build('<family>','<dir>') | graft_store_drop('<family>') | " +
-          "graft_store_optimize('versioned','<path>','<col>')")
+          "graft_store_optimize('versioned','<path>','<col>') | " +
+          "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>')")
     }
   }
 

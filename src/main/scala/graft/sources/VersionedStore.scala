@@ -478,6 +478,126 @@ object VersionedStore extends QueryPack {
     v
   }
 
+  /** Per-file key-range stats of version `v`: (file, mn, mx) in long
+    * key space — read straight off the manifest when the writer carried
+    * them (the upsert-sink stats manifest), rebuilt from the member
+    * files otherwise (one bounded scan, the q82 planning step paid
+    * once). Bands are OVER-approximations by contract: pruning only
+    * needs containment, so a band wider than the file's surviving keys
+    * stays correct. */
+  private[graft] def fileKeyStats(s: SparkSession, path: String, v: Int,
+      keyCol: String): Array[(String, Long, Long)] = {
+    val mf = s.read.parquet(manifestPath(path, v))
+    if (mf.columns.contains("mn") && mf.columns.contains("mx"))
+      mf.select(col("file"), col("mn"), col("mx")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    else {
+      val files = mf.select(col("file")).collect().map(_.getString(0))
+      if (files.isEmpty) Array.empty
+      else s.read.parquet(files.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(keyCol).cast("long")).as("mn"),
+          max(col(keyCol).cast("long")).as("mx"))
+        .collect()
+        .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  /** ERASURE EXECUTION — the copy-on-write DELETE commit closing the
+    * right-to-be-forgotten loop that q107 only SIZES and s16 only
+    * GATES: remove every row whose `keyCol` is in `keys` from the
+    * store's tip, as a new version that rewrites ONLY the files whose
+    * key band can contain a purged key and shares every other file
+    * byte-for-byte with the parent.
+    *
+    *  - PLANNING is the stats-manifest prune ([[fileKeyStats]]): the
+    *    erasure batch's distinct keys broadcast against the k-row
+    *    per-file band table, so cost is bounded by the OWNING files —
+    *    at 100 TB a thousand-key erasure touches the handful of files
+    *    that own those key ranges, never the store;
+    *  - the REWRITE is one anti-join of the owning files' rows against
+    *    the key list, range-reclustered into at most `owning` files;
+    *  - the COMMIT claims its slot atomically ([[claimVersion]]) and
+    *    fails fast if a data commit is in flight (the compactCommit
+    *    discipline); on a stream-built store it writes the negative-
+    *    pseudo-id txn record so replay checks stay uniform, and the
+    *    manifest keeps the parent's stats columns when present (shared
+    *    rows keep their bands — still-correct over-approximations;
+    *    rewritten files get fresh bands);
+    *  - HISTORY IS PRESERVED until retention: parent versions still
+    *    read the purged rows (auditable tombstone-free lineage), and
+    *    [[vacuum]] is what makes the erasure PHYSICAL — once the purge
+    *    version leaves the retention window's tail, the owning files
+    *    (the only ones holding purged bytes) are unreferenced and
+    *    deleted from disk; the spec asserts the purged keys are then
+    *    unrecoverable from any remaining file.
+    *
+    * Returns the committed version (the current tip unchanged when no
+    * file can contain a purged key — a no-op erasure commits nothing).
+    * Ref: the reference's Kudu sink mutates rows in place
+    * (KuduDStreamFunctions.scala delete/upsert ops) and its
+    * drop_*.impala DDL drops whole tables; versioned COW deletion is
+    * what a 100 TB lake does instead so erasure and reproducibility
+    * can coexist. */
+  def deleteCommit(s: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): Int =
+    WriterLease.withLease(s, path, "deleteCommit") {
+    val vs = versions(s, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val cur = vs.last
+    val stats = fileKeyStats(s, path, cur, keyCol)
+    val statsDf = {
+      import s.implicits._
+      stats.toSeq.toDF("file", "mn", "mx")
+    }
+    val owning = keys.select(col(keyCol).cast("long").as("k")).distinct()
+      .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+    if (owning.isEmpty) cur // no file can hold a purged key: no-op
+    else {
+    val v = claimVersion(s, path, cur + 1)
+    require(v == cur + 1 && committedTip(s, path).contains(cur),
+      s"store $path has a data commit in flight (claimed slot $v over tip " +
+        s"$cur): quiesce the stream before deleteCommit")
+    val outDir = dataPath(path) + s"/delete_v$v"
+    s.read.parquet(owning.toIndexedSeq: _*)
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .repartitionByRange(owning.length, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val newFiles = hadoopLs(s, outDir)
+    val ownSet = owning.toSet
+    val sharedStats = stats.filterNot(t => ownSet(t._1))
+    val hasStats = s.read.parquet(manifestPath(path, cur))
+      .columns.contains("mn")
+    if (hasStats && newFiles.nonEmpty) {
+      import s.implicits._
+      val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(keyCol).cast("long")).as("mn"),
+          max(col(keyCol).cast("long")).as("mx"))
+        .collect().map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
+      (sharedStats ++ newStats).sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
+    } else if (hasStats) {
+      import s.implicits._
+      sharedStats.sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
+    } else
+      writeManifest(s, path, v, sharedStats.map(_._1) ++ newFiles)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
+      import s.implicits._
+      Seq(-v.toLong).toDF("batch_id")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+    }
+    v
+    }
+  }
+
   /** The append delta between two versions, straight from the manifest
     * diff — the file set an incremental consumer scans INSTEAD of the
     * store. */
@@ -590,10 +710,113 @@ object VersionedStore extends QueryPack {
       .orderBy(col("o_custkey"))
   }
 
+  /** The q107 erasure list projected onto the store's key: AUTOMOBILE-
+    * segment customers with custkey % 10 = 7 — the same stand-in
+    * erasure-request batch the q107 audit SIZES; q107b EXECUTES it. */
+  private def purgeKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") % 10 === 7)
+      .select(col("c_custkey").as("o_custkey"))
+
+  /** The store with the erasure EXECUTED: version 4 = version 3 minus
+    * the purge keys' rows, committed once per JVM through
+    * [[deleteCommit]] (idempotent across queries: q107b and q110c share
+    * the commit; versions 1-3 and their manifest diffs are untouched,
+    * so q109/q110/q110b read exactly what they always read). */
+  private val purgedBuilt = scala.collection.mutable.Set.empty[String]
+
+  private[graft] def purgedStore(s: SparkSession, dir: String): String = synchronized {
+    val path = store(s, dir)
+    if (!purgedBuilt.contains(path)) {
+      if (versions(s, path).lastOption.getOrElse(0) < 4)
+        deleteCommit(s, path, purgeKeys(s, dir), "o_custkey")
+      purgedBuilt += path
+    }
+    path
+  }
+
+  /** q107b: erasure EXECUTION — the operator q107's audit plans for
+    * and s16's gate assumes exists. The delete commit rewrites ONLY the
+    * files whose key band owns a purged customer and shares the rest,
+    * so the gate proves the physical semantics end to end: a purged row
+    * surviving in a shared file, a retained row lost in the rewrite, or
+    * a rewrite leaking into version 3 each break a count or an
+    * integer-cent sum against the oracle's logical restatement
+    * (v3 = the q109 definition; v4 = v3 minus the erasure list).
+    * History stays readable (that is the versioned-store promise);
+    * [[vacuum]] + the spec's unrecoverability law make it physical. */
+  def q107bPurgeExecute(s: SparkSession, dir: String): DataFrame = {
+    val path = purgedStore(s, dir)
+    Seq(3, 4).map { v =>
+      readVersion(s, path, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("amount_c")).as("amount_c"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("amount_c"),
+          col("n_customers"))
+    }.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
+  /** Materialized v3-level aggregate (q110b's refresh result), built
+    * once per JVM — the table q110c maintains across the DELETE commit. */
+  private def mv3Path(path: String): String = path + "/mv/v3"
+  private val mv3Built = scala.collection.mutable.Set.empty[String]
+
+  private def mv3(s: SparkSession, path: String, dir: String): DataFrame =
+    synchronized {
+      if (!mv3Built.contains(path)) {
+        q110bIncrementalMvCow(s, dir)
+          .write.mode(SaveMode.Overwrite).parquet(mv3Path(path))
+        mv3Built += path
+      }
+      s.read.parquet(mv3Path(path))
+    }
+
+  /** q110c: IVM across the DELETE commit (v3→v4) — the retraction case
+    * an erasure pipeline actually exercises: the purge's manifest diff
+    * yields removed (owning) and added (rewritten-survivor) files, the
+    * view retracts the removed files' partial aggregates and merges the
+    * added files' back in, and customers whose every fact was purged
+    * LEAVE the view (trips = 0 rows drop — the downstream table forgets
+    * them too, which is the point of the erasure). Fact scans touch
+    * only removed ∪ added files; the oracle recomputes the post-purge
+    * aggregate from scratch, so the gate proves
+    * incremental-across-delete ≡ full. */
+  def q110cIncrementalMvDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = purgedStore(s, dir)
+    val f3 = versionFiles(s, path, 3).toSet
+    val f4 = versionFiles(s, path, 4).toSet
+    val removed = (f3 -- f4).toSeq.sorted
+    val added = (f4 -- f3).toSeq.sorted
+    require(removed.nonEmpty, "v3->v4 is not a delete commit")
+    def partial(files: Seq[String], t: String, a: String) =
+      s.read.parquet(files: _*)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(t), sum(col("amount_c")).as(a))
+    val base = mv3(s, path, dir)
+      .select(col("o_custkey"), col("trips").as("t3"), col("amount_c").as("a3"))
+    val merged = base
+      .join(partial(removed, "tr", "ar"), Seq("o_custkey"), "full_outer")
+    val withAdded =
+      if (added.isEmpty) merged
+        .select(col("o_custkey"), col("t3"), col("a3"), col("tr"), col("ar"),
+          lit(null).cast("long").as("ta"), lit(null).cast("long").as("aa"))
+      else merged.join(partial(added, "ta", "aa"), Seq("o_custkey"), "full_outer")
+    withAdded
+      .select(col("o_custkey"),
+        (coalesce(col("t3"), lit(0L)) - coalesce(col("tr"), lit(0L))
+          + coalesce(col("ta"), lit(0L))).as("trips"),
+        (coalesce(col("a3"), lit(0L)) - coalesce(col("ar"), lit(0L))
+          + coalesce(col("aa"), lit(0L))).as("amount_c"))
+      .filter(col("trips") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_time_travel" -> (q109TimeTravel _),
     "q110_incremental_mv" -> (q110IncrementalMv _),
-    "q110b_incremental_mv_cow" -> (q110bIncrementalMvCow _))
+    "q110b_incremental_mv_cow" -> (q110bIncrementalMvCow _),
+    "q107b_purge_execute" -> (q107bPurgeExecute _),
+    "q110c_incremental_mv_delete" -> (q110cIncrementalMvDelete _))
 
   val oracleSql: Map[String, String] = Map(
     // the IVM correctness statement: incremental maintenance from the
@@ -616,6 +839,46 @@ object VersionedStore extends QueryPack {
          |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
          |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
          |FROM o, k GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the erasure-execution statement: v3 = the q109 logical definition,
+    // v4 = v3 minus the q107 erasure list — a purged row surviving a
+    // shared file or a retained row lost in the rewrite breaks a sum
+    "q107b_purge_execute" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
+         |del AS (SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+         |SELECT 3 AS version, count(*) AS n_rows,
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c,
+         |  count(DISTINCT o_custkey) AS n_customers
+         |FROM o, k
+         |UNION ALL
+         |SELECT 4, count(*),
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT),
+         |  count(DISTINCT o_custkey)
+         |FROM o, k WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+         |ORDER BY version""".stripMargin,
+    // the delete-IVM statement: retract-and-merge across the purge's
+    // manifest diff must equal the from-scratch post-purge aggregate
+    "q110c_incremental_mv_delete" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
+         |del AS (SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+         |SELECT o_custkey, count(*) AS trips,
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
+         |FROM o, k WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q109_time_travel" ->
       s"""WITH o AS (
          |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a, o_orderdate

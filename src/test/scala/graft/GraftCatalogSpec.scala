@@ -126,6 +126,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(contentAfter == contentBefore, "compaction moved the content")
   }
 
+  test("CALL graft_store_purge executes an erasure batch as a delete commit") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_purge_").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 300L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    val out = GraftCatalog.call(spark,
+      s"CALL graft_store_purge('versioned', '$path', 'k', '10, 20,30')").collect()
+    val committed = out.head.getInt(1)
+    assert(committed == 2)
+    val tip = sources.VersionedStore.readVersion(spark, path, committed)
+      .select("k").as[Long].collect().toSet
+    assert(tip == (1L to 300L).toSet -- Set(10L, 20L, 30L))
+    // history still reads the purged rows until vacuum
+    assert(sources.VersionedStore.readVersion(spark, path, 1).count() == 300L)
+  }
+
   test("malformed CALL statements are loud") {
     intercept[IllegalArgumentException] {
       GraftCatalog.call(spark, "CALL graft_store_build('nope', '/tmp/x')")
@@ -136,6 +153,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftCatalog.call(spark,
         "CALL graft_store_optimize('zorder', '/tmp/x', 'k')")
+    }
+    intercept[IllegalArgumentException] {
+      GraftCatalog.call(spark,
+        "CALL graft_store_purge('versioned', '/tmp/x', 'k', '1,x')")
     }
   }
 }
