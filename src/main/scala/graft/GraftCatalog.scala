@@ -77,6 +77,16 @@ object GraftCatalog {
         s"graft_orders_v$v" -> VersionedStore.manifestPath(vp, v)
       }
     }): Builder, Seq.empty)), // versioned views are enumerated at drop time
+    // TIMESTAMP AS OF surfaced to SQL: one view per committed version
+    // of the wall-clock store, named by its commit stamp, plus
+    // registerAsOfTsView for an arbitrary probe instant
+    "versioned_ts" -> ((((s, dir) => {
+      val vp = VersionedStore.tsStore(s, dir)
+      VersionedStore.commitTimes(s, vp).map { case (v, ts) =>
+        registerAsOfTsView(s, s"graft_orders_asof_$ts", vp, ts)
+        s"graft_orders_asof_$ts" -> VersionedStore.manifestPath(vp, v)
+      }
+    }): Builder, Seq.empty)),
     "knn_graph" -> ((((s, dir) => {
       val p = sources.KnnGraphStore.store(s, dir)
       s.read.parquet(p).createOrReplaceTempView("graft_knn_edges")
@@ -158,6 +168,9 @@ object GraftCatalog {
           case Seq() if f == "versioned" => // enumerate registered as-of views
             s.catalog.listTables().collect().map(_.name)
               .filter(_.startsWith("graft_orders_v")).toSeq
+          case Seq() if f == "versioned_ts" =>
+            s.catalog.listTables().collect().map(_.name)
+              .filter(_.startsWith("graft_orders_asof_")).toSeq
           case vs => vs
         }
         val dropped = owned.filter(s.catalog.dropTempView)
@@ -185,6 +198,15 @@ object GraftCatalog {
           "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>')")
     }
   }
+
+  /** Register `name` as the versioned store's state AS OF the wall
+    * clock `tsMillis` — `TIMESTAMP AS OF` surfaced to SQL: the view
+    * lists exactly the files of the newest version whose
+    * (monotone-adjusted) commit stamp is at or before the probe
+    * ([[VersionedStore.readAsOf]]). */
+  def registerAsOfTsView(s: SparkSession, name: String, path: String,
+      tsMillis: Long): Unit =
+    VersionedStore.readAsOf(s, path, tsMillis).createOrReplaceTempView(name)
 
   /** Register `name` as a PRUNED view of the inverted index: only the
     * posting files whose term range can contain one of `terms`, per the

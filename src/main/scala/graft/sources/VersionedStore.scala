@@ -470,7 +470,8 @@ object VersionedStore extends QueryPack {
     // pseudo batch id is negative so stream replay checks never match
     if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
       import s.implicits._
-      Seq(-v.toLong).toDF("batch_id")
+      Seq((-v.toLong, System.currentTimeMillis()))
+        .toDF("batch_id", "commit_ts")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
       fs.create(new org.apache.hadoop.fs.Path(
         s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
@@ -589,13 +590,60 @@ object VersionedStore extends QueryPack {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
       import s.implicits._
-      Seq(-v.toLong).toDF("batch_id")
+      Seq((-v.toLong, System.currentTimeMillis()))
+        .toDF("batch_id", "commit_ts")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
       fs.create(new org.apache.hadoop.fs.Path(
         s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
     }
     v
     }
+  }
+
+  /** Per-version commit wall clock, adjusted MONOTONE: committed
+    * versions' `commit_ts` from their txn records (marker-file
+    * modification time when a pre-commit_ts record lacks the column),
+    * with any non-increasing stamp lifted to predecessor+1 ms — the
+    * Delta `TIMESTAMP AS OF` adjustment, so version order and time
+    * order can never disagree even across writer clock skew. Driver
+    * cost: one tiny parquet read per committed version (bounded by
+    * retention). */
+  def commitTimes(s: SparkSession, path: String): Seq[(Int, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val raw = committedTxnVersions(s, path).map { v =>
+      // the txn dir holds the record parquet AND the zero-byte commit
+      // marker — list the parquet members explicitly
+      val recs = hadoopLs(s, txnPath(path, v))
+      val df = if (recs.nonEmpty) s.read.parquet(recs.toIndexedSeq: _*)
+        else s.emptyDataFrame
+      val ts =
+        if (df.columns.contains("commit_ts"))
+          df.select(max(col("commit_ts"))).head().getLong(0)
+        else fs.listStatus(new org.apache.hadoop.fs.Path(txnPath(path, v)))
+          .filter(_.getPath.getName.endsWith(".marker"))
+          .map(_.getModificationTime).max
+      (v, ts)
+    }
+    raw.foldLeft(List.empty[(Int, Long)]) { case (acc, (v, ts)) =>
+      val adj = acc.headOption.map(p => math.max(ts, p._2 + 1)).getOrElse(ts)
+      (v, adj) :: acc
+    }.reverse
+  }
+
+  /** TIMESTAMP-based time travel — the wall-clock half of q109's
+    * `VERSION AS OF`: read the store as it was at `tsMillis`, i.e. the
+    * NEWEST version whose (monotone-adjusted) commit time is <= the
+    * probe. A probe at a commit's exact stamp reads THAT commit
+    * (inclusive boundary, the Delta semantics); a probe before the
+    * first commit is an error (the store did not exist yet). */
+  def readAsOf(s: SparkSession, path: String, tsMillis: Long): DataFrame = {
+    val times = commitTimes(s, path)
+    require(times.nonEmpty, s"no committed versions under $path")
+    val at = times.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis precedes the first commit (${times.head._2}) of $path")
+    readVersion(s, path, at.last._1)
   }
 
   /** The append delta between two versions, straight from the manifest
@@ -811,8 +859,145 @@ object VersionedStore extends QueryPack {
       .orderBy(col("o_custkey"))
   }
 
+  /** Batch-side APPEND COMMIT under the full txn discipline — the
+    * batch twin of the streaming commit sink (claimed slot, settle,
+    * carry-forward manifest, commit_ts txn record, marker LAST), so a
+    * batch backfill and a live stream can share one store without
+    * coordination: the claim protocol serializes them. The pseudo
+    * batch id is `-(version)` — negative like maintenance commits, so
+    * stream replay checks can never mistake a backfill for a replayed
+    * trigger. */
+  def appendCommit(s: SparkSession, path: String, batch: DataFrame,
+      clusterCol: String, parts: Int): Int = {
+    val latest = committedTip(s, path)
+    val v = claimVersion(s, path, latest.getOrElse(0) + 1)
+    val dataDir = dataPath(path) + s"/v$v"
+    batch.repartitionByRange(math.max(1, parts), col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val newFiles = hadoopLs(s, dataDir)
+    val settled = settleBelow(s, path, v)
+    val parent = settled.map(pv => versionFiles(s, path, pv).toSet)
+      .getOrElse(Set.empty[String])
+    writeManifest(s, path, v, parent ++ newFiles)
+    import s.implicits._
+    Seq((-v.toLong, System.currentTimeMillis()))
+      .toDF("batch_id", "commit_ts")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+    v
+  }
+
+  /** [[readVersion]] with parquet schema merging — the reader an
+    * EVOLVED store needs: files written before an add-column commit
+    * lack the new column and surface it as null. Reading a version
+    * whose files all share one schema costs the same as readVersion
+    * (merge of identical schemas); only evolved stores pay the
+    * per-file footer union. */
+  def readVersionMerged(s: SparkSession, path: String, v: Int): DataFrame =
+    s.read.option("mergeSchema", "true")
+      .parquet(versionFiles(s, path, v): _*)
+
+  /** The orders columns every ts/evo store commit shares. */
+  private def ordersSlice(s: SparkSession, dir: String,
+      lo: Option[String], hi: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit(hi)))
+    lo.fold(base)(l => base.filter(col("o_orderdate") >= to_timestamp(lit(l))))
+  }
+
+  /** Two-commit store for TIMESTAMP AS OF: v1 = pre-1997 orders, v2 =
+    * +1997, committed through [[appendCommit]] so each version carries
+    * a wall-clock txn record. Built once per JVM. */
+  private val tsBuilt = scala.collection.mutable.Map.empty[String, String]
+
+  private[graft] def tsStore(s: SparkSession, dir: String): String = synchronized {
+    tsBuilt.getOrElseUpdate(dir, {
+      val path = Engine.storePath("graft-versioned-ts", dir)
+      if (versions(s, path).isEmpty) {
+        appendCommit(s, path, ordersSlice(s, dir, None, cut1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            Num.cents(col("o_totalprice")).as("amount_c")), "o_custkey", 4)
+        appendCommit(s, path, ordersSlice(s, dir, Some(cut1), cut2)
+          .select(col("o_orderkey"), col("o_custkey"),
+            Num.cents(col("o_totalprice")).as("amount_c")), "o_custkey", 2)
+      }
+      path
+    })
+  }
+
+  /** q109b: TIMESTAMP-based time travel — the wall-clock half of
+    * q109's `VERSION AS OF` (the Delta `TIMESTAMP AS OF` semantics):
+    * probe 1 reads the store as of an instant strictly BETWEEN the two
+    * commits' recorded wall clocks and must see exactly version 1;
+    * probe 2 reads as of version 2's own commit stamp (inclusive
+    * boundary) and must see version 2. The commit stamps come from the
+    * txn records ([[commitTimes]], monotone-adjusted), so a resolution
+    * defect — boundary off by one, stamps read from the wrong version,
+    * adjustment breaking order — surfaces as the WRONG VERSION's
+    * logical content against the oracle's restatement of the two
+    * commit definitions. */
+  def q109bTimeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val path = tsStore(s, dir)
+    val times = commitTimes(s, path)
+    require(times.map(_._1) == Seq(1, 2), s"ts store has versions ${times.map(_._1)}")
+    val (t1, t2) = (times.head._2, times.last._2)
+    val probes = Seq(1L -> (t1 + (t2 - t1) / 2), 2L -> t2)
+    probes.map { case (label, ts) =>
+      readAsOf(s, path, ts)
+        .agg(count(lit(1)).as("n_rows"), sum(col("amount_c")).as("amount_c"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .select(lit(label).as("probe"), col("n_rows"), col("amount_c"),
+          col("n_customers"))
+    }.reduce(_.unionAll(_)).orderBy(col("probe"))
+  }
+
+  /** Two-commit store for SCHEMA EVOLUTION: v1's files lack
+    * `o_orderpriority`, v2's add-column commit carries it. Built once
+    * per JVM. */
+  private val evoBuilt = scala.collection.mutable.Map.empty[String, String]
+
+  private def evoStore(s: SparkSession, dir: String): String = synchronized {
+    evoBuilt.getOrElseUpdate(dir, {
+      val path = Engine.storePath("graft-versioned-evo", dir)
+      if (versions(s, path).isEmpty) {
+        appendCommit(s, path, ordersSlice(s, dir, None, cut1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            Num.cents(col("o_totalprice")).as("amount_c")), "o_custkey", 4)
+        appendCommit(s, path, ordersSlice(s, dir, Some(cut1), cut2)
+          .select(col("o_orderkey"), col("o_custkey"),
+            Num.cents(col("o_totalprice")).as("amount_c"),
+            col("o_orderpriority")), "o_custkey", 2)
+      }
+      path
+    })
+  }
+
+  /** q109c: SCHEMA EVOLUTION on the versioned store — the add-column
+    * commit Delta/Iceberg treat as a core capability: version 2 adds
+    * `o_orderpriority` WITHOUT rewriting version 1's files (the commit
+    * is a plain append; old files never carry the column), and the
+    * merged-schema read surfaces pre-evolution rows with a null the
+    * report folds to 'NONE'. The oracle restates the null-fill from the
+    * raw table (pre-cut rows have no priority, post-cut rows keep
+    * theirs), so a reader that drops old files, fails to merge, or
+    * leaks the new column's default into old rows breaks a count or a
+    * sum. The old-reader-new-data direction is spec-asserted. */
+  def q109cSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = evoStore(s, dir)
+    readVersionMerged(s, path, versions(s, path).last)
+      .groupBy(coalesce(col("o_orderpriority"), lit("NONE")).as("priority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("amount_c")).as("amount_c"))
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_time_travel" -> (q109TimeTravel _),
+    "q109b_time_travel_ts" -> (q109bTimeTravelTs _),
+    "q109c_schema_evolution" -> (q109cSchemaEvolution _),
     "q110_incremental_mv" -> (q110IncrementalMv _),
     "q110b_incremental_mv_cow" -> (q110bIncrementalMvCow _),
     "q107b_purge_execute" -> (q107bPurgeExecute _),
@@ -839,6 +1024,31 @@ object VersionedStore extends QueryPack {
          |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
          |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
          |FROM o, k GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the TIMESTAMP AS OF statement: probe 1 (between the commits) IS
+    // version 1's definition, probe 2 (at v2's stamp) IS version 2's
+    "q109b_time_travel_ts" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a, o_orderdate
+         |  FROM orders)
+         |SELECT 1 AS probe, count(*) AS n_rows,
+         |  CAST(sum(a) AS BIGINT) AS amount_c,
+         |  count(DISTINCT o_custkey) AS n_customers
+         |FROM o WHERE o_orderdate < TIMESTAMP '$cut1'
+         |UNION ALL
+         |SELECT 2, count(*), CAST(sum(a) AS BIGINT), count(DISTINCT o_custkey)
+         |FROM o WHERE o_orderdate < TIMESTAMP '$cut2'
+         |ORDER BY probe""".stripMargin,
+    // the schema-evolution statement: rows committed before the
+    // add-column commit carry no priority (null -> 'NONE'), rows after
+    // keep theirs — a reader that drops old files or leaks a default
+    // into old rows breaks a group's count or sum
+    "q109c_schema_evolution" ->
+      s"""SELECT CASE WHEN o_orderdate < TIMESTAMP '$cut1' THEN 'NONE'
+         |  ELSE o_orderpriority END AS priority,
+         |  count(*) AS n_rows,
+         |  CAST(sum(${Num.sql.cents("o_totalprice")}) AS BIGINT) AS amount_c
+         |FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'
+         |GROUP BY 1 ORDER BY priority""".stripMargin,
     // the erasure-execution statement: v3 = the q109 logical definition,
     // v4 = v3 minus the q107 erasure list — a purged row surviving a
     // shared file or a retained row lost in the rewrite breaks a sum

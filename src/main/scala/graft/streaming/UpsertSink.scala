@@ -209,7 +209,8 @@ object UpsertSink {
         // the commit, its name carries the batch id for the replay check
         // (the VersionedCommitSink.appendBatch discipline).
         import s.implicits._
-        Seq(batchId).toDF("batch_id")
+        Seq((batchId, System.currentTimeMillis()))
+          .toDF("batch_id", "commit_ts")
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(VersionedCommitSink.txnPath(path, v))
         val fs = new Path(VersionedCommitSink.txnDir(path))

@@ -175,9 +175,12 @@ object VersionedCommitSink {
     // create is the commit (a crash anywhere earlier leaves an
     // uncommitted leftover the retry overwrites), and its name carries
     // the batch id so replay checks and the batchId→version map need
-    // only filesystem listings
+    // only filesystem listings. commit_ts (wall clock) is what
+    // timestamp-based time travel resolves against
+    // (VersionedStore.readAsOf).
     import s.implicits._
-    Seq(batchId).toDF("batch_id")
+    Seq((batchId, System.currentTimeMillis()))
+      .toDF("batch_id", "commit_ts")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -143,6 +143,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sources.VersionedStore.readVersion(spark, path, 1).count() == 300L)
   }
 
+  test("TIMESTAMP AS OF surfaced to SQL: per-commit as-of views match readAsOf") {
+    val views = GraftCatalog.call(spark,
+      s"CALL graft_store_build('versioned_ts', '$sf')").collect()
+    assert(views.length == 2, "one as-of view per committed version")
+    val path = graft.sources.VersionedStore.tsStore(spark, sf)
+    val times = graft.sources.VersionedStore.commitTimes(spark, path)
+    times.foreach { case (v, ts) =>
+      val viaSql = spark.sql(
+        s"SELECT count(*) FROM graft_orders_asof_$ts").head().getLong(0)
+      assert(viaSql == graft.sources.VersionedStore
+        .readVersion(spark, path, v).count(),
+        s"as-of view for commit $v diverges from its version read")
+    }
+    val dropped = GraftCatalog.call(spark,
+      "CALL graft_store_drop('versioned_ts')").collect()
+    assert(dropped.length == 2)
+  }
+
   test("malformed CALL statements are loud") {
     intercept[IllegalArgumentException] {
       GraftCatalog.call(spark, "CALL graft_store_build('nope', '/tmp/x')")

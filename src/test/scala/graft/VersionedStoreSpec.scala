@@ -175,4 +175,58 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(rows(2).getLong(2) > rows(1).getLong(2),
       "v3 adjustment must raise the cent sum")
   }
+
+  test("readAsOf boundary laws: between-commit probes, inclusive stamps, monotone skew repair") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_asof_").toString + "/store"
+    VersionedStore.appendCommit(spark,
+      path, Seq((1L, 10L)).toDF("k", "v"), "k", 1)
+    VersionedStore.appendCommit(spark,
+      path, Seq((2L, 20L)).toDF("k", "v"), "k", 1)
+    val times = VersionedStore.commitTimes(spark, path)
+    assert(times.map(_._1) == Seq(1, 2))
+    val (t1, t2) = (times.head._2, times.last._2)
+    assert(t2 > t1, "adjusted commit times must be strictly increasing")
+    // inclusive boundary: a probe AT a commit's stamp reads that commit
+    assert(VersionedStore.readAsOf(spark, path, t1).count() == 1L)
+    assert(VersionedStore.readAsOf(spark, path, t2).count() == 2L)
+    // between the commits: the older version
+    if (t2 - t1 > 1)
+      assert(VersionedStore.readAsOf(spark, path, t1 + (t2 - t1) / 2).count() == 1L)
+    // after the tip: the tip
+    assert(VersionedStore.readAsOf(spark, path, t2 + 1000000L).count() == 2L)
+    // before the first commit: the store did not exist — loud
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, path, t1 - 1)
+    }
+  }
+
+  test("schema evolution: add-column commit rewrites nothing; both reader directions hold") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_evo_").toString + "/store"
+    VersionedStore.appendCommit(spark,
+      path, (1L to 50L).map(k => (k, k * 2)).toDF("k", "v"), "k", 2)
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    VersionedStore.appendCommit(spark,
+      path, (51L to 60L).map(k => (k, k * 2, s"tag$k")).toDF("k", "v", "tag"),
+      "k", 1)
+    // the add-column commit shares every v1 file (no rewrite)
+    val f2 = VersionedStore.versionFiles(spark, path, 2).toSet
+    assert(f1.subsetOf(f2))
+    // new reader, old+new data: merged schema null-fills old rows
+    val merged = VersionedStore.readVersionMerged(spark, path, 2)
+    assert(merged.columns.toSet == Set("k", "v", "tag"))
+    assert(merged.filter(col("tag").isNull).count() == 50L)
+    assert(merged.filter(col("tag").isNotNull).count() == 10L)
+    // old reader, new data: projecting only the original columns still
+    // reads every row (the column-pruned scan ignores the new column)
+    val oldView = spark.read.option("mergeSchema", "true")
+      .parquet(VersionedStore.versionFiles(spark, path, 2): _*)
+      .select("k", "v")
+    assert(oldView.count() == 60L)
+    assert(oldView.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+      == (1L to 60L).map(_ * 2).sum)
+  }
 }
