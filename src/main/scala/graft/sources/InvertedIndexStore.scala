@@ -46,6 +46,15 @@ object InvertedIndexStore extends QueryPack {
 
   def manifestPath(storePath: String): String = storePath + ".manifest"
   def statsPath(storePath: String): String = storePath + ".stats"
+  /** POSITIONAL postings — the schema addition phrase queries need
+    * (Lucene's position index): one row per (term, doc) carrying the
+    * sorted token offsets of every occurrence. Kept as a SEPARATE
+    * relation so the tf postings (and the s14 streaming segments built
+    * over them) stay byte-identical; a deployment that never issues
+    * phrase queries can skip building it. Range-clustered and manifest-
+    * pruned exactly like the tf relation. */
+  def posPath(storePath: String): String = storePath + ".pos"
+  def posManifestPath(storePath: String): String = storePath + ".pos.manifest"
 
   /** The posting relation for `docs` — one row per (term, doc):
     * (term, doc_id, dl, tf). Shared by the batch build and the
@@ -78,10 +87,21 @@ object InvertedIndexStore extends QueryPack {
       .agg(min("term").as("mn"), max("term").as("mx"))
       .write.mode(SaveMode.Overwrite).parquet(to)
 
+  /** The positional posting relation: (term, doc_id, positions) with
+    * positions the SORTED 0-based token offsets — adjacency (phrase)
+    * and proximity predicates become integer-array arithmetic on the
+    * probe's pruned read. */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.toks(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
   /** Tokenize `docs` once and write the term-clustered posting relation,
-    * its per-file term-range manifest, and the one-row corpus stats.
-    * Nothing is collected; the only shuffles are the posting groupBy and
-    * the range partition on term. */
+    * its per-file term-range manifest, the one-row corpus stats, and the
+    * positional relation (own files + manifest). Nothing is collected;
+    * the only shuffles are the posting groupBys and the range partitions
+    * on term. */
   def build(docs: DataFrame, path: String, files: Int): Unit = {
     postings(docs)
       .repartitionByRange(files, col("term"))
@@ -90,6 +110,11 @@ object InvertedIndexStore extends QueryPack {
     writeManifest(docs.sparkSession, path, manifestPath(path))
     statsAgg(docs)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(path))
+    positionalPostings(docs)
+      .repartitionByRange(files, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(posPath(path))
+    writeManifest(docs.sparkSession, posPath(path), posManifestPath(path))
   }
 
   /** Per-JVM store cache: dir → store path (the store-family
@@ -127,9 +152,65 @@ object InvertedIndexStore extends QueryPack {
     graft.operators.Text.bm25Score(tf, s.read.parquet(statsPath(path)))
   }
 
+  /** q86c: CONJUNCTIVE (AND) + PHRASE probe against the persisted
+    * index — the two predicates real search serves that q86b's
+    * disjunctive BM25 term set does not (ref: the reference indexes
+    * into Solr — solr/ny_taxi/schema.xml's positional field types
+    * exist precisely for these). AND = posting intersection: group the
+    * probed postings by doc and keep docs hitting EVERY query term.
+    * PHRASE = positional adjacency: the lead term's offsets shifted +1
+    * intersected with the follow term's offsets — pure integer-array
+    * arithmetic on the pruned read (manifest file skip + term-sorted
+    * row-group skip; the corpus is never scanned). The oracle restates
+    * both predicates from the raw text (membership counts + an indexed
+    * adjacency filter), so a wrong intersection, an off-by-one in the
+    * shift, or 1-based/0-based confusion all hash-fail. */
+  def q86cBooleanIndex(s: SparkSession, dir: String): DataFrame = {
+    val terms = graft.operators.Text.Bm25Query
+    val (lead, follow) = (terms(0), terms(1))
+    val path = store(s, dir)
+    val selected = filesFor(s.read.parquet(posManifestPath(path)), terms)
+    require(selected.nonEmpty, s"pos manifest selected no files for $terms")
+    val pos = s.read.parquet(selected: _*)
+      .filter(col("term").isin(terms: _*))
+    val conj = pos.groupBy(col("doc_id"))
+      .agg(count_distinct(col("term")).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+    val phrase = pos.filter(col("term") === lead)
+      .select(col("doc_id"), col("positions").as("p0"))
+      .join(pos.filter(col("term") === follow)
+        .select(col("doc_id"), col("positions").as("p1")), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("p0"), p => p + 1), col("p1")))
+          .cast("long").as("phrase_hits"))
+    conj.join(phrase, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_terms"),
+        coalesce(col("phrase_hits"), lit(0L)).as("phrase_hits"))
+      .orderBy(col("phrase_hits").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q86b_bm25_index" -> (q86bBm25Index _))
+    "q86b_bm25_index" -> (q86bBm25Index _),
+    "q86c_boolean_index" -> (q86cBooleanIndex _))
 
   val oracleSql: Map[String, String] = Map(
-    "q86b_bm25_index" -> graft.operators.Text.bm25OracleSql)
+    "q86b_bm25_index" -> graft.operators.Text.bm25OracleSql,
+    // both predicates restated from the raw text: AND = per-term
+    // membership counts all positive; phrase = 1-based adjacency scan
+    "q86c_boolean_index" -> {
+      val terms = graft.operators.Text.Bm25Query
+      val (lead, follow) = (terms(0), terms(1))
+      val conds = terms.map(t =>
+        s"len(list_filter(tk, x -> x = '$t')) > 0").mkString(" AND ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+         |  FROM documents)
+         |SELECT doc_id, CAST(${terms.size} AS BIGINT) AS n_terms,
+         |  CAST(len(list_filter(range(1, len(tk)),
+         |    i -> tk[i] = '$lead' AND tk[i+1] = '$follow')) AS BIGINT)
+         |    AS phrase_hits
+         |FROM t WHERE $conds
+         |ORDER BY phrase_hits DESC, doc_id LIMIT 20""".stripMargin
+    })
 }

@@ -69,4 +69,58 @@ class InvertedIndexStoreSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("q86c: phrase adjacency on handcrafted docs; AND semantics hold against the corpus") {
+    import spark.implicits._
+    // handcrafted corpus: known adjacency counts, incl. the repeated-
+    // lead trap ("a a b" has ONE phrase hit) and a lead-at-end doc
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" twice, all of a/b/c present
+      (2L, "a a b c"),     // "a b" once (second a leads), all present
+      (3L, "b a c"),       // no adjacency, all present
+      (4L, "a b a"),       // one hit, c missing -> AND fails
+      (5L, "c c c")        // only c
+    ).toDF("doc_id", "text")
+    val path = Files.createTempDirectory("graft_pos_").toString + "/idx"
+    InvertedIndexStore.build(docs, path, files = 2)
+    val pos = spark.read.parquet(InvertedIndexStore.posPath(path))
+      .filter(col("term").isin("a", "b", "c"))
+    val conj = pos.groupBy("doc_id")
+      .agg(count_distinct(col("term")).as("n")).filter(col("n") === 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(conj == Set(1L, 2L, 3L), s"AND intersection wrong: $conj")
+    val hits = pos.filter(col("term") === "a")
+      .select(col("doc_id"), col("positions").as("p0"))
+      .join(pos.filter(col("term") === "b")
+        .select(col("doc_id"), col("positions").as("p1")), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(transform(col("p0"), p => p + 1), col("p1")))
+          .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hits == Map(1L -> 2, 2L -> 1, 3L -> 0, 4L -> 1), s"phrase hits wrong: $hits")
+
+    // the real store's probe: every q86c row genuinely contains all
+    // query terms and its phrase count matches a direct text scan
+    val out = InvertedIndexStore.q86cBooleanIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val terms = graft.operators.Text.Bm25Query
+    val txt = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(out.map(_._1): _*))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out.foreach { case (id, ph) =>
+      val tk = txt(id)
+      assert(terms.forall(tk.contains), s"doc $id missing a query term")
+      val direct = tk.indices.dropRight(1)
+        .count(i => tk(i) == terms(0) && tk(i + 1) == terms(1))
+      assert(direct == ph, s"doc $id phrase count $ph != direct $direct")
+    }
+    // the positional probe pruned: fewer files opened than the relation has
+    val allPos = spark.read.parquet(InvertedIndexStore.posPath(
+      InvertedIndexStore.store(spark, sf))).inputFiles.length
+    val sel = InvertedIndexStore.filesFor(
+      spark.read.parquet(InvertedIndexStore.posManifestPath(
+        InvertedIndexStore.store(spark, sf))), terms).length
+    assert(sel < allPos, s"pos probe opened $sel of $allPos files — no skip")
+  }
 }
