@@ -23,7 +23,7 @@ object DecisionTree {
     if (n <= 0) 0.0 else { val p = pos / n; 2.0 * p * (1.0 - p) }
 
   /** Candidate thresholds per feature: interior deciles. */
-  private def thresholds(df: DataFrame, features: Seq[String]): Map[String, Seq[Double]] = {
+  private[graft] def thresholds(df: DataFrame, features: Seq[String]): Map[String, Seq[Double]] = {
     val aggs = features.map(f =>
       percentile_approx(col(f), array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000)).as(f))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head

@@ -153,10 +153,11 @@ object MlStats extends QueryPack {
     * (test rows matching the TRAIN-majority class — the honest baseline
     * a model grade compares against). Rows-only (greedy-tree structure
     * has no SQL oracle); MlSpec asserts test_acc >= baseline. */
-  def q63DecisionTree(s: SparkSession, dir: String): DataFrame = {
-    import graft.ml.DecisionTree
+  /** q63's labeled training frame with its deterministic split
+    * assignment — exposed so the structure-equality spec can train an
+    * independent in-JVM reimplementation on the IDENTICAL rows. */
+  private[graft] def q63TrainFrame(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
-    val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
     val h = TextOps.polyHash61(concat(lit("tree-salt-"),
       col("l_orderkey").cast("string"), lit(","),
       col("l_linenumber").cast("string")))
@@ -169,11 +170,17 @@ object MlStats extends QueryPack {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
     val p = s.sparkContext.defaultParallelism
     val balanced = if (li.rdd.getNumPartitions < p) li.repartition(p) else li
+    balanced
+      .select((col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        (bucket < 70).as("is_train"), (bucket < 56).as("is_grow"))
+  }
+
+  def q63DecisionTree(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.DecisionTree
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
     val df = graft.FrameCache.persisted(s, s"q63train:$dir") {
-      balanced
-        .select((col("l_returnflag") === "R").cast("long").as("y"),
-          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-          (bucket < 70).as("is_train"), (bucket < 56).as("is_grow"))
+      q63TrainFrame(s, dir)
     }
     val grown = DecisionTree.fit(df.filter(col("is_grow")), feats, col("y"),
       maxDepth = 5)
