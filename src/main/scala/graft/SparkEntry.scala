@@ -7,7 +7,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     operators.Relational, operators.Ingest, operators.Entity,
     operators.Text, operators.Bpe, operators.Dedup, operators.Similarity,
-    operators.MlStats, operators.Binary, operators.Sampling, operators.Audit,
+    operators.MlStats, operators.Binary, operators.Jpeg, operators.Sampling,
+    operators.Audit,
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
     sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore,
     sources.VersionedStore, sources.AnnIndexStore, sources.Scd2Store,

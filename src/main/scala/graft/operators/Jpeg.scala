@@ -1,0 +1,625 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q119: BASELINE JPEG full-pixel decode — the lossy-compressed codec
+  * completing the image taxonomy q114 (uncompressed BMP) and q115/q116
+  * (lossless-compressed PNG) built: entropy-coded frequency-domain data
+  * that a decoder must huffman-decode, dequantize, inverse-DCT and
+  * color-convert before a single pixel exists.
+  *
+  * The payloads are FORMAT-TRUE baseline sequential JPEGs (SOI/DQT/
+  * SOF0/DHT/[DRI]/SOS/EOI, 8-bit, 3 components, 4:4:4), constructed in
+  * the FREQUENCY domain: per 8x8 block the luma carries a known DC and
+  * one known horizontal-frequency-1 AC coefficient, the chroma planes a
+  * known DC each — so the decoded samples are CLOSED-FORM in the
+  * construction parameters and the DuckDB oracle can restate the whole
+  * pipeline (dequant x IDCT basis x level shift x rounding x
+  * YCbCr→RGB) in exact arithmetic. Bit-parity discipline: the decoder's
+  * per-pixel float expressions and the oracle SQL share literally the
+  * same double constants (the cosine table and 1/√2 are interpolated
+  * into the SQL from the same Scala values) and the same operation
+  * order, so the gate is hash-exact, not approximately-close.
+  *
+  * The DECODER is a real generic baseline implementation, none of the
+  * construction knowledge leaks in: marker walk (APPn/COM skips, DQT
+  * multi-table, SOF0 with sampling validation, DHT canonical code
+  * building, DRI), MSB-first bit reader with 0xFF00 unstuffing and
+  * RSTn handling (DC predictor reset), per-component DPCM DC + run/
+  * length AC with ZRL/EOB and the EXTEND sign rule, zigzag-to-natural
+  * mapping, full 64-term float IDCT, and BT.601 YCbCr→RGB. Truncated
+  * scans, unsupported SOFs, non-4:4:4 sampling and invalid codes all
+  * fail CLOSED to 'unknown' — a corrupt blob in a 100 TB corpus must
+  * degrade, never kill the stage (the q98/q115 rule).
+  *
+  * Scale shape: row-local mapPartitions decode through the
+  * [[Binary.PayloadDecoder]] seam, no shuffle before the presentation
+  * sort. Ref: the reference pipeline treats media as opaque payloads
+  * around its Solr/Kudu flows; a training-data pipeline decodes them —
+  * this is the lossy-codec member of that family. */
+object Jpeg extends QueryPack {
+
+  // ---- construction parameters (shared by encoder and oracle) ----
+  private[graft] object JpegBytes {
+    def wBlocks(id: Long): Int = (1L + (id * 31L) % 3L).toInt
+    def hBlocks(id: Long): Int = (1L + (id * 47L) % 2L).toInt
+    def width(id: Long): Long = 8L * wBlocks(id)
+    def height(id: Long): Long = 8L * hBlocks(id)
+    /** Quantized coefficients per block (bx, by): luma DC, luma AC at
+      * zigzag 1 (horizontal frequency 1), chroma DCs. */
+    def dcY(id: Long, bx: Int, by: Int): Int =
+      (((id + 7L * bx + 13L * by) % 33L) - 16L).toInt
+    def acY(id: Long, bx: Int, by: Int): Int =
+      (((id + 11L * bx + 5L * by) % 13L) - 6L).toInt
+    def dcCb(id: Long, bx: Int, by: Int): Int =
+      (((id + 3L * bx + by) % 21L) - 10L).toInt
+    def dcCr(id: Long, bx: Int, by: Int): Int =
+      (((id + 5L * bx + 3L * by) % 19L) - 9L).toInt
+    /** Quant tables in ZIGZAG order (the DQT wire order). */
+    def qLum(k: Int): Int = 8 + (k % 5)
+    def qChr(k: Int): Int = 10 + (k % 7)
+
+    // canonical huffman tables the DHT segments carry: DC = 12
+    // category symbols at 4 bits, AC = EOB + (run 0, size 1..10) + ZRL
+    // at 5 bits — small, valid (no all-ones code), and fully exercised
+    // by the decoder's generic table builder
+    private[graft] val DcBits: Array[Int] =
+      Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private[graft] val DcVals: Array[Int] = (0 to 11).toArray
+    private[graft] val AcBits: Array[Int] =
+      Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private[graft] val AcVals: Array[Int] =
+      (Array(0x00) ++ (1 to 10).map(s => s) ++ Array(0xF0)).toArray
+
+    /** Canonical code assignment: (symbol -> (code, length)). */
+    private def codes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      var vi = 0
+      val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      (1 to 16).foreach { len =>
+        (0 until bits(len - 1)).foreach { _ =>
+          out(vals(vi)) = (code, len)
+          code += 1
+          vi += 1
+        }
+        code <<= 1
+      }
+      out.toMap
+    }
+    private val dcCodes = codes(DcBits, DcVals)
+    private val acCodes = codes(AcBits, AcVals)
+
+    private final class BitWriter {
+      private val buf = new java.io.ByteArrayOutputStream()
+      private var acc = 0
+      private var nbits = 0
+      def write(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1)
+          nbits += 1
+          if (nbits == 8) {
+            buf.write(acc)
+            if (acc == 0xFF) buf.write(0x00) // byte stuffing
+            acc = 0; nbits = 0
+          }
+          i -= 1
+        }
+      }
+      /** Pad the final partial byte with 1-bits (the T.81 rule). */
+      def flush(): Unit = if (nbits > 0) {
+        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        buf.write(acc)
+        if (acc == 0xFF) buf.write(0x00)
+        acc = 0; nbits = 0
+      }
+      def raw(b: Int): Unit = buf.write(b)
+      def bytes: Array[Byte] = buf.toByteArray
+    }
+
+    private def bitSize(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a > 0) { a >>= 1; s += 1 }
+      s
+    }
+
+    private def writeCoef(w: BitWriter, table: Map[Int, (Int, Int)],
+        sym: Int, v: Int, size: Int): Unit = {
+      val (code, len) = table(sym)
+      w.write(code, len)
+      if (size > 0) {
+        // EXTEND inverse: negatives are stored as v + 2^size - 1
+        val bitsV = if (v < 0) v + (1 << size) - 1 else v
+        w.write(bitsV, size)
+      }
+    }
+
+    private def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xFF.toByte, marker.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    }
+
+    private def dqt: Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x00) // Pq=0 (8-bit), Tq=0
+      (0 until 64).foreach(k => b.write(qLum(k)))
+      b.write(0x01) // Tq=1
+      (0 until 64).foreach(k => b.write(qChr(k)))
+      seg(0xDB, b.toByteArray)
+    }
+
+    private def sof0(id: Long): Array[Byte] = {
+      val (w, h) = (width(id).toInt, height(id).toInt)
+      seg(0xC0, Array[Byte](8,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+        3,
+        1, 0x11, 0, // Y: 1x1 sampling, quant table 0
+        2, 0x11, 1, // Cb
+        3, 0x11, 1)) // Cr
+    }
+
+    private def dht: Array[Byte] = {
+      def table(cls: Int, tid: Int, bits: Array[Int], vals: Array[Int]) =
+        Array(((cls << 4) | tid).toByte) ++ bits.map(_.toByte) ++
+          vals.map(_.toByte)
+      // four tables in one segment: DC/AC for luma (0) and chroma (1)
+      seg(0xC4, table(0, 0, DcBits, DcVals) ++ table(1, 0, AcBits, AcVals) ++
+        table(0, 1, DcBits, DcVals) ++ table(1, 1, AcBits, AcVals))
+    }
+
+    private def sos: Array[Byte] =
+      seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+    private def dri(interval: Int): Array[Byte] =
+      seg(0xDD, Array[Byte](((interval >> 8) & 0xFF).toByte,
+        (interval & 0xFF).toByte))
+
+    /** The entropy-coded scan: MCUs in raster order, Y then Cb then Cr
+      * per MCU; with `restartRows` a DRI interval of one MCU row and an
+      * RSTn between rows (DC predictors reset). */
+    private def scan(id: Long, restartRows: Boolean): Array[Byte] = {
+      val (wB, hB) = (wBlocks(id), hBlocks(id))
+      val w = new BitWriter
+      var (pY, pCb, pCr) = (0, 0, 0)
+      var rst = 0
+      (0 until hB).foreach { by =>
+        if (restartRows && by > 0) {
+          w.flush()
+          w.raw(0xFF); w.raw(0xD0 + (rst % 8))
+          rst += 1
+          pY = 0; pCb = 0; pCr = 0
+        }
+        (0 until wB).foreach { bx =>
+          // Y block: DC diff, one AC at zigzag 1 (when nonzero), EOB
+          val dy = dcY(id, bx, by)
+          writeCoef(w, dcCodes, bitSize(dy - pY), dy - pY, bitSize(dy - pY))
+          pY = dy
+          val ay = acY(id, bx, by)
+          if (ay != 0)
+            writeCoef(w, acCodes, bitSize(ay), ay, bitSize(ay))
+          writeCoef(w, acCodes, 0x00, 0, 0) // EOB
+          // Cb, Cr: DC only
+          val db = dcCb(id, bx, by)
+          writeCoef(w, dcCodes, bitSize(db - pCb), db - pCb, bitSize(db - pCb))
+          pCb = db
+          writeCoef(w, acCodes, 0x00, 0, 0)
+          val dr = dcCr(id, bx, by)
+          writeCoef(w, dcCodes, bitSize(dr - pCr), dr - pCr, bitSize(dr - pCr))
+          pCr = dr
+          writeCoef(w, acCodes, 0x00, 0, 0)
+        }
+      }
+      w.flush()
+      w.bytes
+    }
+
+    private val Soi = Array(0xFF.toByte, 0xD8.toByte)
+    private val Eoi = Array(0xFF.toByte, 0xD9.toByte)
+
+    def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => // canonical single-scan baseline
+        Soi ++ dqt ++ sof0(id) ++ dht ++ sos ++ scan(id, restartRows = false) ++ Eoi
+      case 1 => // restart-interval variant: DRI + RSTn per MCU row
+        Soi ++ dqt ++ sof0(id) ++ dht ++ dri(wBlocks(id)) ++ sos ++
+          scan(id, restartRows = true) ++ Eoi
+      case 2 => // truncated entropy stream: decode must fail closed
+        val full = scan(id, restartRows = false)
+        Soi ++ dqt ++ sof0(id) ++ dht ++ sos ++
+          full.take(math.max(1, full.length / 2))
+      case _ => // opaque non-image payload
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+  }
+
+  /** Decoded whole-image statistics. */
+  private[graft] case class JpegStats(w: Long, h: Long, nPx: Long,
+      nBlocks: Long, sumR: Long, sumG: Long, sumB: Long, ysumLum: Long)
+
+  /** Shared float constants — the SAME Scala doubles are interpolated
+    * into the oracle SQL, so engine and oracle arithmetic is
+    * bit-identical by construction. */
+  private[graft] val InvSqrt2: Double = 1.0 / math.sqrt(2.0)
+  private[graft] val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
+  private[graft] val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** The real generic baseline decoder. */
+  private[graft] object JpegPixelDecoder extends Binary.PayloadDecoder[JpegStats] {
+    val format = "jpeg"
+
+    private final class Tables {
+      val quant = new Array[Array[Int]](4)
+      // huffman: per (class, id): mincode/maxcode/valptr + values
+      val huff = new Array[(Array[Int], Array[Int], Array[Int], Array[Int])](8)
+      var w = 0; var h = 0
+      var compQ: Array[Int] = _ // per component: quant table id
+      var compDc: Array[Int] = _
+      var compAc: Array[Int] = _
+      var restartInterval = 0
+    }
+
+    private def buildHuff(bits: Array[Int], vals: Array[Int]) = {
+      val (mincode, maxcode, valptr) =
+        (new Array[Int](17), Array.fill(17)(-1), new Array[Int](17))
+      var code = 0; var vi = 0
+      (1 to 16).foreach { len =>
+        if (bits(len - 1) > 0) {
+          valptr(len) = vi
+          mincode(len) = code
+          code += bits(len - 1); vi += bits(len - 1)
+          maxcode(len) = code - 1
+        }
+        code <<= 1
+      }
+      (mincode, maxcode, valptr, vals)
+    }
+
+    def decode(b: Array[Byte]): Option[JpegStats] = {
+      try decode0(b) catch { case _: Exception => None }
+    }
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be16(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 8) | u8(b, i + 1)
+
+    private def decode0(b: Array[Byte]): Option[JpegStats] = {
+      if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+      val t = new Tables
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(b, i) != 0xFF) return None
+        val m = u8(b, i + 1)
+        if (m == 0xD9) return None // EOI before any scan
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val (ps, pe) = (i + 4, i + 2 + len)
+        m match {
+          case 0xDB => // DQT: one or more tables
+            var p = ps
+            while (p < pe) {
+              val pq = u8(b, p) >> 4
+              val tq = u8(b, p) & 0x0F
+              if (pq != 0 || tq > 3 || p + 65 > pe) return None
+              t.quant(tq) = (1 to 64).map(k => u8(b, p + k)).toArray
+              p += 65
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = ps
+            while (p < pe) {
+              val cls = u8(b, p) >> 4
+              val tid = u8(b, p) & 0x0F
+              if (cls > 1 || tid > 3) return None
+              val bits = (1 to 16).map(k => u8(b, p + k)).toArray
+              val n = bits.sum
+              if (p + 17 + n > pe) return None
+              val vals = (0 until n).map(k => u8(b, p + 17 + k)).toArray
+              t.huff(cls * 4 + tid) = buildHuff(bits, vals)
+              p += 17 + n
+            }
+          case 0xC0 => // SOF0 baseline
+            if (u8(b, ps) != 8) return None
+            t.h = be16(b, ps + 1); t.w = be16(b, ps + 3)
+            val nc = u8(b, ps + 5)
+            if (nc != 3 || t.w == 0 || t.h == 0) return None
+            if (t.w % 8 != 0 || t.h % 8 != 0) return None
+            t.compQ = new Array[Int](3)
+            (0 until 3).foreach { c =>
+              val samp = u8(b, ps + 6 + 3 * c + 1)
+              if (samp != 0x11) return None // 4:4:4 only
+              t.compQ(c) = u8(b, ps + 6 + 3 * c + 2)
+            }
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // non-baseline frame: unsupported, fail closed
+          case 0xDD =>
+            t.restartInterval = be16(b, ps)
+          case 0xDA => // SOS: entropy-coded data follows
+            val nc = u8(b, ps)
+            if (nc != 3 || t.compQ == null) return None
+            t.compDc = new Array[Int](3); t.compAc = new Array[Int](3)
+            (0 until 3).foreach { c =>
+              t.compDc(c) = u8(b, ps + 2 + 2 * c) >> 4
+              t.compAc(c) = u8(b, ps + 2 + 2 * c) & 0x0F
+            }
+            return decodeScan(b, pe, t)
+          case x if x >= 0xE0 && x <= 0xEF => () // APPn: skip
+          case 0xFE => () // COM: skip
+          case _ => return None
+        }
+        i = pe
+      }
+      None
+    }
+
+    /** MSB-first entropy reader with 0xFF00 unstuffing. A marker byte
+      * encountered as DATA (RSTn out of place, EOI mid-MCU, garbage) is
+      * a decode error — restarts are consumed explicitly by the scan
+      * loop at MCU boundaries, never here. */
+    private final class BitReader(b: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var nbits = 0
+      /** Drop the pad bits of a flushed byte (marker boundary). */
+      def align(): Unit = { acc = 0; nbits = 0 }
+      def bit(): Int = {
+        if (nbits == 0) {
+          if (pos >= b.length) throw new java.io.EOFException
+          val v = b(pos) & 0xFF
+          pos += 1
+          if (v == 0xFF) {
+            if (pos >= b.length) throw new java.io.EOFException
+            if ((b(pos) & 0xFF) != 0x00) throw new java.io.EOFException
+            pos += 1 // stuffed zero
+          }
+          acc = v; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0; var k = 0
+        while (k < n) { v = (v << 1) | bit(); k += 1 }
+        v
+      }
+    }
+
+    private def decodeHuff(r: BitReader,
+        tab: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+      val (mincode, maxcode, valptr, vals) = tab
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | r.bit()
+        len += 1
+        if (maxcode(len) >= 0 && code <= maxcode(len) && code >= mincode(len))
+          return vals(valptr(len) + code - mincode(len))
+      }
+      throw new java.io.EOFException // invalid code
+    }
+
+    private def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    private def decodeScan(b: Array[Byte], start: Int,
+        t: Tables): Option[JpegStats] = {
+      val (wB, hB) = (t.w / 8, t.h / 8)
+      val r = new BitReader(b, start)
+      val preds = new Array[Int](3)
+      // decoded samples per component plane, per block column pattern:
+      // store full planes (images are small by contract of the decode
+      // seam: one row's payload)
+      val planes = Array.fill(3)(new Array[Int](t.w * t.h))
+      val coef = new Array[Int](64)
+      var mcu = 0
+      val nMcu = wB * hB
+      var sinceRestart = 0
+      while (mcu < nMcu) {
+        if (t.restartInterval > 0 && sinceRestart == t.restartInterval) {
+          // the encoder flushed to a byte boundary and emitted RSTn:
+          // drop pad bits, consume the marker, reset the DC predictors
+          r.align()
+          if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF)
+            return None
+          val nxt = b(r.pos + 1) & 0xFF
+          if (nxt < 0xD0 || nxt > 0xD7) return None
+          r.pos += 2
+          preds(0) = 0; preds(1) = 0; preds(2) = 0
+          sinceRestart = 0
+        }
+        val (bx, by) = (mcu % wB, mcu / wB)
+        var c = 0
+        while (c < 3) {
+          java.util.Arrays.fill(coef, 0)
+          val dcTab = t.huff(0 * 4 + t.compDc(c))
+          val acTab = t.huff(1 * 4 + t.compAc(c))
+          val q = t.quant(t.compQ(c))
+          if (dcTab == null || acTab == null || q == null) return None
+          val s = decodeHuff(r, dcTab)
+          val diff = extend(r.bits(s), s)
+          preds(c) += diff
+          coef(0) = preds(c) * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeHuff(r, acTab)
+            val (run, size) = (rs >> 4, rs & 0x0F)
+            if (rs == 0x00) eob = true
+            else if (rs == 0xF0) k += 16
+            else {
+              k += run
+              if (k > 63) return None
+              coef(ZigZag(k)) = extend(r.bits(size), size) * q(k)
+              k += 1
+            }
+          }
+          // full float IDCT + level shift + clamp
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s2 = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = coef(v * 8 + u)
+                  if (f != 0) {
+                    val au = if (u == 0) InvSqrt2 else 1.0
+                    val av = if (v == 0) InvSqrt2 else 1.0
+                    s2 += ((au * av) * f) * CosT(x)(u) * CosT(y)(v)
+                  }
+                  u += 1
+                }
+                v += 1
+              }
+              val samp = math.floor(0.25 * s2 + 128.0 + 0.5)
+              val px = math.max(0.0, math.min(255.0, samp)).toInt
+              plane((by * 8 + y) * t.w + (bx * 8 + x)) = px
+              x += 1
+            }
+            y += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        sinceRestart += 1
+      }
+      // BT.601 YCbCr -> RGB and the whole-image stats
+      var (sr, sg, sb, ysum) = (0L, 0L, 0L, 0L)
+      var p = 0
+      while (p < t.w * t.h) {
+        val yy = planes(0)(p).toDouble
+        val cb = planes(1)(p).toDouble
+        val cr = planes(2)(p).toDouble
+        def clamp(d: Double): Long =
+          math.max(0.0, math.min(255.0, d)).toLong
+        val rr = clamp(math.floor(yy + 1.402 * (cr - 128.0) + 0.5))
+        val gg = clamp(math.floor(
+          yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5))
+        val bb = clamp(math.floor(yy + 1.772 * (cb - 128.0) + 0.5))
+        sr += rr; sg += gg; sb += bb
+        ysum += (p / t.w).toLong * (rr + gg + bb)
+        p += 1
+      }
+      Some(JpegStats(t.w.toLong, t.h.toLong, (t.w * t.h).toLong,
+        (wB * hB).toLong, sr, sg, sb, ysum))
+    }
+  }
+
+  def q119JpegPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = JpegBytes.payload(id, text)
+          JpegPixelDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, JpegPixelDecoder.format, Option(st.w),
+                Option(st.h), Option(st.nPx), Option(st.nBlocks),
+                Option(st.sumR), Option(st.sumG), Option(st.sumB),
+                Option(st.ysumLum))
+            case None =>
+              (id, "unknown", None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "img_w", "img_h", "n_px",
+        "n_blocks", "sum_r", "sum_g", "sum_b", "ysum_lum")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q119_jpeg_pixels" -> (q119JpegPixels _))
+
+  /** The oracle restates the full decode pipeline in closed form. Per
+    * block only two luma frequencies exist, so the sample columns are
+    * x-dependent only; row sums multiply by 8 and the y-moment by the
+    * closed row-index sum (64*by + 28 per block column). The cosine
+    * and 1/√2 literals are THE decoder's doubles, interpolated below,
+    * and every float expression mirrors the decoder's operation order —
+    * hash-exact parity, the q114/q115 discipline. */
+  val oracleSql: Map[String, String] = {
+    def d17(v: Double): String = {
+      val s = java.lang.Double.toString(v)
+      if (s.contains("E")) {
+        // SQL-friendly exponent form
+        s.replace("E", "e")
+      } else s
+    }
+    val c0 = d17(InvSqrt2)
+    val cosRows = (0 until 8)
+      .map(x => s"($x, CAST(${d17(CosT(x)(1))} AS DOUBLE))").mkString(", ")
+    Map("q119_jpeg_pixels" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    1 + (doc_id * 31) % 3 AS wb,
+         |    1 + (doc_id * 47) % 2 AS hb
+         |  FROM documents),
+         |blk AS (
+         |  SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS m
+         |  FROM p WHERE doc_id % 4 <= 1),
+         |coefs AS (
+         |  SELECT doc_id, wb, hb, m % wb AS bx, m // wb AS by,
+         |    ((doc_id + 7 * (m % wb) + 13 * (m // wb)) % 33 - 16) * 8 AS fdy,
+         |    ((doc_id + 11 * (m % wb) + 5 * (m // wb)) % 13 - 6) * 9 AS fay,
+         |    ((doc_id + 3 * (m % wb) + (m // wb)) % 21 - 10) * 10 AS fcb,
+         |    ((doc_id + 5 * (m % wb) + 3 * (m // wb)) % 19 - 9) * 10 AS fcr
+         |  FROM blk),
+         |cosx(x, c) AS (VALUES $cosRows),
+         |px AS (
+         |  SELECT doc_id, wb, hb, bx, by, x,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fdy AS DOUBLE)
+         |        + (CAST($c0 AS DOUBLE) * CAST(fay AS DOUBLE)) * c)
+         |      + 128.0 + 0.5))) AS ys,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fcb AS DOUBLE)) + 128.0 + 0.5))) AS cbs,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fcr AS DOUBLE)) + 128.0 + 0.5))) AS crs
+         |  FROM coefs, cosx),
+         |rgb AS (
+         |  SELECT doc_id, wb, hb, by,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys + CAST(1.402 AS DOUBLE) * (crs - 128.0) + 0.5) AS BIGINT))) AS r,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys - CAST(0.344136 AS DOUBLE) * (cbs - 128.0)
+         |         - CAST(0.714136 AS DOUBLE) * (crs - 128.0) + 0.5) AS BIGINT))) AS g,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys + CAST(1.772 AS DOUBLE) * (cbs - 128.0) + 0.5) AS BIGINT))) AS b
+         |  FROM px),
+         |agg AS (
+         |  SELECT doc_id,
+         |    8 * sum(r) AS sr, 8 * sum(g) AS sg, 8 * sum(b) AS sb,
+         |    sum((64 * by + 28) * (r + g + b)) AS yl
+         |  FROM rgb GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.doc_id % 4 <= 1 THEN 'jpeg' ELSE 'unknown' END AS format,
+         |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 8 * wb END AS BIGINT) AS img_w,
+         |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 8 * hb END AS BIGINT) AS img_h,
+         |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 64 * wb * hb END AS BIGINT) AS n_px,
+         |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN wb * hb END AS BIGINT) AS n_blocks,
+         |  CAST(agg.sr AS BIGINT) AS sum_r,
+         |  CAST(agg.sg AS BIGINT) AS sum_g,
+         |  CAST(agg.sb AS BIGINT) AS sum_b,
+         |  CAST(agg.yl AS BIGINT) AS ysum_lum
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin)
+  }
+}
