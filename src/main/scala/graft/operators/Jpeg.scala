@@ -220,6 +220,80 @@ object Jpeg extends QueryPack {
     private val Soi = Array(0xFF.toByte, 0xD8.toByte)
     private val Eoi = Array(0xFF.toByte, 0xD9.toByte)
 
+    // ---- 4:2:0 tier (q119b): 16x16 MCUs of 4 luma + 1 Cb + 1 Cr ----
+    def wMcus420(id: Long): Int = (1L + (id * 29L) % 2L).toInt
+    def width420(id: Long): Long = 16L * wMcus420(id)
+    val Height420 = 16L
+    /** Luma DC per MCU quadrant b = 2*vv + hh — four DIFFERENT values,
+      * so a wrong intra-MCU block placement or interleave order moves a
+      * quadrant's gray level and breaks the y-moment. */
+    def dcY420(id: Long, mx: Int, bq: Int): Int =
+      (((id + 9L * mx + 7L * bq) % 41L) - 20L).toInt
+    def dcCb420(id: Long, mx: Int): Int = (((id + 5L * mx) % 21L) - 10L).toInt
+    /** Horizontal-frequency-1 chroma AC: the UPSAMPLING gate — each
+      * chroma sample covers two luma columns, so a wrong replication
+      * (x vs x/2) shifts the blue/green channel sums. */
+    def acCb420(id: Long, mx: Int): Int = (((id + 3L * mx) % 11L) - 5L).toInt
+    def dcCr420(id: Long, mx: Int): Int = (((id + 7L * mx) % 19L) - 9L).toInt
+
+    private def sof420(id: Long): Array[Byte] = {
+      val (w, h) = (width420(id).toInt, Height420.toInt)
+      seg(0xC0, Array[Byte](8,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+        3,
+        1, 0x22, 0, // Y: 2x2 sampling
+        2, 0x11, 1, // Cb: 1x1
+        3, 0x11, 1)) // Cr: 1x1
+    }
+
+    private def scan420(id: Long, restart: Boolean): Array[Byte] = {
+      val wM = wMcus420(id)
+      val w = new BitWriter
+      var (pY, pCb, pCr) = (0, 0, 0)
+      var rst = 0
+      (0 until wM).foreach { mx =>
+        if (restart && mx > 0) {
+          w.flush()
+          w.raw(0xFF); w.raw(0xD0 + (rst % 8))
+          rst += 1
+          pY = 0; pCb = 0; pCr = 0
+        }
+        // four Y blocks, T.81 order (vv outer, hh inner), DC chained
+        (0 until 2).foreach { vv =>
+          (0 until 2).foreach { hh =>
+            val dy = dcY420(id, mx, 2 * vv + hh)
+            writeCoef(w, dcCodes, bitSize(dy - pY), dy - pY, bitSize(dy - pY))
+            pY = dy
+            writeCoef(w, acCodes, 0x00, 0, 0)
+          }
+        }
+        val db = dcCb420(id, mx)
+        writeCoef(w, dcCodes, bitSize(db - pCb), db - pCb, bitSize(db - pCb))
+        pCb = db
+        val ab = acCb420(id, mx)
+        if (ab != 0) writeCoef(w, acCodes, bitSize(ab), ab, bitSize(ab))
+        writeCoef(w, acCodes, 0x00, 0, 0)
+        val dr = dcCr420(id, mx)
+        writeCoef(w, dcCodes, bitSize(dr - pCr), dr - pCr, bitSize(dr - pCr))
+        pCr = dr
+        writeCoef(w, acCodes, 0x00, 0, 0)
+      }
+      w.flush()
+      w.bytes
+    }
+
+    def payload420(id: Long, text: String): Array[Byte] = (id % 3) match {
+      case 0 => // canonical 4:2:0
+        Soi ++ dqt ++ sof420(id) ++ dht ++ sos ++
+          scan420(id, restart = false) ++ Eoi
+      case 1 => // restart interval of one (multi-block) MCU
+        Soi ++ dqt ++ sof420(id) ++ dht ++ dri(1) ++ sos ++
+          scan420(id, restart = true) ++ Eoi
+      case _ => // opaque non-image payload
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+
     def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
       case 0 => // canonical single-scan baseline
         Soi ++ dqt ++ sof0(id) ++ dht ++ sos ++ scan(id, restartRows = false) ++ Eoi
@@ -262,9 +336,13 @@ object Jpeg extends QueryPack {
       val huff = new Array[(Array[Int], Array[Int], Array[Int], Array[Int])](8)
       var w = 0; var h = 0
       var compQ: Array[Int] = _ // per component: quant table id
+      var compH: Array[Int] = _ // per component: sampling factors
+      var compV: Array[Int] = _
       var compDc: Array[Int] = _
       var compAc: Array[Int] = _
       var restartInterval = 0
+      def hMax: Int = compH.max
+      def vMax: Int = compV.max
     }
 
     private def buildHuff(bits: Array[Int], vals: Array[Int]) = {
@@ -330,13 +408,22 @@ object Jpeg extends QueryPack {
             t.h = be16(b, ps + 1); t.w = be16(b, ps + 3)
             val nc = u8(b, ps + 5)
             if (nc != 3 || t.w == 0 || t.h == 0) return None
-            if (t.w % 8 != 0 || t.h % 8 != 0) return None
             t.compQ = new Array[Int](3)
+            t.compH = new Array[Int](3); t.compV = new Array[Int](3)
             (0 until 3).foreach { c =>
               val samp = u8(b, ps + 6 + 3 * c + 1)
-              if (samp != 0x11) return None // 4:4:4 only
+              t.compH(c) = samp >> 4; t.compV(c) = samp & 0x0F
               t.compQ(c) = u8(b, ps + 6 + 3 * c + 2)
             }
+            // supported layouts: 4:4:4 (all 1x1) and 4:2:0 (luma 2x2,
+            // chroma 1x1); anything else fails closed
+            val s444 = (0 until 3).forall(c => t.compH(c) == 1 && t.compV(c) == 1)
+            val s420 = t.compH(0) == 2 && t.compV(0) == 2 &&
+              (1 until 3).forall(c => t.compH(c) == 1 && t.compV(c) == 1)
+            if (!s444 && !s420) return None
+            // full-MCU images only (the construction contract);
+            // partial-edge MCUs degrade rather than garble
+            if (t.w % (8 * t.hMax) != 0 || t.h % (8 * t.vMax) != 0) return None
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             return None // non-baseline frame: unsupported, fail closed
@@ -410,16 +497,21 @@ object Jpeg extends QueryPack {
 
     private def decodeScan(b: Array[Byte], start: Int,
         t: Tables): Option[JpegStats] = {
-      val (wB, hB) = (t.w / 8, t.h / 8)
+      val (hMax, vMax) = (t.hMax, t.vMax)
+      val (wMcu, hMcu) = (t.w / (8 * hMax), t.h / (8 * vMax))
       val r = new BitReader(b, start)
       val preds = new Array[Int](3)
-      // decoded samples per component plane, per block column pattern:
-      // store full planes (images are small by contract of the decode
-      // seam: one row's payload)
-      val planes = Array.fill(3)(new Array[Int](t.w * t.h))
+      // decoded samples per COMPONENT plane at that component's own
+      // resolution (chroma planes are smaller under subsampling);
+      // full planes are fine — images are small by contract of the
+      // decode seam: one row's payload
+      val planeW = (0 until 3).map(c => t.w * t.compH(c) / hMax).toArray
+      val planeH = (0 until 3).map(c => t.h * t.compV(c) / vMax).toArray
+      val planes = (0 until 3).map(c => new Array[Int](planeW(c) * planeH(c)))
+        .toArray
       val coef = new Array[Int](64)
       var mcu = 0
-      val nMcu = wB * hB
+      val nMcu = wMcu * hMcu
       var sinceRestart = 0
       while (mcu < nMcu) {
         if (t.restartInterval > 0 && sinceRestart == t.restartInterval) {
@@ -434,84 +526,106 @@ object Jpeg extends QueryPack {
           preds(0) = 0; preds(1) = 0; preds(2) = 0
           sinceRestart = 0
         }
-        val (bx, by) = (mcu % wB, mcu / wB)
+        val (mx, my) = (mcu % wMcu, mcu / wMcu)
         var c = 0
         while (c < 3) {
-          java.util.Arrays.fill(coef, 0)
           val dcTab = t.huff(0 * 4 + t.compDc(c))
           val acTab = t.huff(1 * 4 + t.compAc(c))
           val q = t.quant(t.compQ(c))
           if (dcTab == null || acTab == null || q == null) return None
-          val s = decodeHuff(r, dcTab)
-          val diff = extend(r.bits(s), s)
-          preds(c) += diff
-          coef(0) = preds(c) * q(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = decodeHuff(r, acTab)
-            val (run, size) = (rs >> 4, rs & 0x0F)
-            if (rs == 0x00) eob = true
-            else if (rs == 0xF0) k += 16
-            else {
-              k += run
-              if (k > 63) return None
-              coef(ZigZag(k)) = extend(r.bits(size), size) * q(k)
-              k += 1
-            }
-          }
-          // full float IDCT + level shift + clamp
-          val plane = planes(c)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var s2 = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val f = coef(v * 8 + u)
-                  if (f != 0) {
-                    val au = if (u == 0) InvSqrt2 else 1.0
-                    val av = if (v == 0) InvSqrt2 else 1.0
-                    s2 += ((au * av) * f) * CosT(x)(u) * CosT(y)(v)
-                  }
-                  u += 1
+          // the T.81 interleave: within the MCU a component contributes
+          // H x V blocks, raster order (v outer, h inner); the DC
+          // predictor chains across ALL the component's blocks in scan
+          // order, intra-MCU included
+          var vv = 0
+          while (vv < t.compV(c)) {
+            var hh = 0
+            while (hh < t.compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val s = decodeHuff(r, dcTab)
+              val diff = extend(r.bits(s), s)
+              preds(c) += diff
+              coef(0) = preds(c) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = decodeHuff(r, acTab)
+                val (run, size) = (rs >> 4, rs & 0x0F)
+                if (rs == 0x00) eob = true
+                else if (rs == 0xF0) k += 16
+                else {
+                  k += run
+                  if (k > 63) return None
+                  coef(ZigZag(k)) = extend(r.bits(size), size) * q(k)
+                  k += 1
                 }
-                v += 1
               }
-              val samp = math.floor(0.25 * s2 + 128.0 + 0.5)
-              val px = math.max(0.0, math.min(255.0, samp)).toInt
-              plane((by * 8 + y) * t.w + (bx * 8 + x)) = px
-              x += 1
+              // full float IDCT + level shift + clamp
+              val plane = planes(c)
+              val (ox, oy) = ((mx * t.compH(c) + hh) * 8,
+                (my * t.compV(c) + vv) * 8)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s2 = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      val f = coef(v * 8 + u)
+                      if (f != 0) {
+                        val au = if (u == 0) InvSqrt2 else 1.0
+                        val av = if (v == 0) InvSqrt2 else 1.0
+                        s2 += ((au * av) * f) * CosT(x)(u) * CosT(y)(v)
+                      }
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  val samp = math.floor(0.25 * s2 + 128.0 + 0.5)
+                  val px = math.max(0.0, math.min(255.0, samp)).toInt
+                  plane((oy + y) * planeW(c) + (ox + x)) = px
+                  x += 1
+                }
+                y += 1
+              }
+              hh += 1
             }
-            y += 1
+            vv += 1
           }
           c += 1
         }
         mcu += 1
         sinceRestart += 1
       }
-      // BT.601 YCbCr -> RGB and the whole-image stats
+      // chroma upsampling (JFIF box replication: luma (x, y) reads
+      // chroma (x*Hc/Hmax, y*Vc/Vmax)) + BT.601 YCbCr -> RGB and the
+      // whole-image stats
       var (sr, sg, sb, ysum) = (0L, 0L, 0L, 0L)
-      var p = 0
-      while (p < t.w * t.h) {
-        val yy = planes(0)(p).toDouble
-        val cb = planes(1)(p).toDouble
-        val cr = planes(2)(p).toDouble
-        def clamp(d: Double): Long =
-          math.max(0.0, math.min(255.0, d)).toLong
-        val rr = clamp(math.floor(yy + 1.402 * (cr - 128.0) + 0.5))
-        val gg = clamp(math.floor(
-          yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5))
-        val bb = clamp(math.floor(yy + 1.772 * (cb - 128.0) + 0.5))
-        sr += rr; sg += gg; sb += bb
-        ysum += (p / t.w).toLong * (rr + gg + bb)
-        p += 1
+      var y = 0
+      while (y < t.h) {
+        var x = 0
+        while (x < t.w) {
+          val yy = planes(0)(y * planeW(0) + x).toDouble
+          val cb = planes(1)((y * t.compV(1) / vMax) * planeW(1)
+            + (x * t.compH(1) / hMax)).toDouble
+          val cr = planes(2)((y * t.compV(2) / vMax) * planeW(2)
+            + (x * t.compH(2) / hMax)).toDouble
+          def clamp(d: Double): Long =
+            math.max(0.0, math.min(255.0, d)).toLong
+          val rr = clamp(math.floor(yy + 1.402 * (cr - 128.0) + 0.5))
+          val gg = clamp(math.floor(
+            yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5))
+          val bb = clamp(math.floor(yy + 1.772 * (cb - 128.0) + 0.5))
+          sr += rr; sg += gg; sb += bb
+          ysum += y.toLong * (rr + gg + bb)
+          x += 1
+        }
+        y += 1
       }
-      Some(JpegStats(t.w.toLong, t.h.toLong, (t.w * t.h).toLong,
-        (wB * hB).toLong, sr, sg, sb, ysum))
+      Some(JpegStats(t.w.toLong, t.h.toLong, (t.w.toLong * t.h),
+        nMcu.toLong, sr, sg, sb, ysum))
     }
   }
 
@@ -542,8 +656,47 @@ object Jpeg extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** q119b: 4:2:0 CHROMA-SUBSAMPLED baseline decode — the sampling
+    * layout real-world JPEGs overwhelmingly use, and the part q119's
+    * 4:4:4 tier does not exercise: multi-block MCUs (four luma blocks
+    * + one block per chroma plane, T.81 interleave order with the DC
+    * predictor chained across a component's intra-MCU blocks) and
+    * CHROMA UPSAMPLING (each chroma sample covers a 2x2 luma patch —
+    * JFIF box replication). The construction gates each mechanism:
+    * four DIFFERENT luma DCs per MCU catch block misplacement or a
+    * wrong interleave through the y-moment, and a horizontal-frequency
+    * chroma AC catches wrong replication (x vs x/2) through the
+    * channel sums. Same bit-parity discipline as q119. */
+  def q119bJpegSubsampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = JpegBytes.payload420(id, text)
+          JpegPixelDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, JpegPixelDecoder.format, Option(st.w),
+                Option(st.h), Option(st.nPx), Option(st.nBlocks),
+                Option(st.sumR), Option(st.sumG), Option(st.sumB),
+                Option(st.ysumLum))
+            case None =>
+              (id, "unknown", None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "img_w", "img_h", "n_px",
+        "n_mcus", "sum_r", "sum_g", "sum_b", "ysum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q119_jpeg_pixels" -> (q119JpegPixels _))
+    "q119_jpeg_pixels" -> (q119JpegPixels _),
+    "q119b_jpeg_subsampled" -> (q119bJpegSubsampled _))
 
   /** The oracle restates the full decode pipeline in closed form. Per
     * block only two luma frequencies exist, so the sample columns are
@@ -615,6 +768,71 @@ object Jpeg extends QueryPack {
          |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 8 * hb END AS BIGINT) AS img_h,
          |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 64 * wb * hb END AS BIGINT) AS n_px,
          |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN wb * hb END AS BIGINT) AS n_blocks,
+         |  CAST(agg.sr AS BIGINT) AS sum_r,
+         |  CAST(agg.sg AS BIGINT) AS sum_g,
+         |  CAST(agg.sb AS BIGINT) AS sum_b,
+         |  CAST(agg.yl AS BIGINT) AS ysum_lum
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    // the 4:2:0 restatement: luma DC per MCU quadrant (bq = 2*yy + x//8),
+    // chroma closed-form at CHROMA x (= x//2 — the upsampling gate),
+    // replicated across the MCU's 16 luma columns and 8 rows per
+    // quadrant row; 1-MCU-high images so the y-moment factor is
+    // (64*yy + 28) per quadrant row
+    "q119b_jpeg_subsampled" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, 1 + (doc_id * 29) % 2 AS wm
+         |  FROM documents),
+         |mc AS (
+         |  SELECT doc_id, wm, unnest(range(0, wm)) AS mx
+         |  FROM p WHERE doc_id % 3 <= 1),
+         |yyx AS (
+         |  SELECT doc_id, wm, mx, unnest(range(0, 2)) AS yy FROM mc),
+         |cell AS (
+         |  SELECT doc_id, wm, mx, yy, unnest(range(0, 16)) AS x FROM yyx),
+         |coefs AS (
+         |  SELECT doc_id, wm, mx, yy, x, x // 2 AS cx,
+         |    ((doc_id + 9 * mx + 7 * (2 * yy + x // 8)) % 41 - 20) * 8 AS fdy,
+         |    ((doc_id + 5 * mx) % 21 - 10) * 10 AS fcb,
+         |    ((doc_id + 3 * mx) % 11 - 5) * 11 AS fcba,
+         |    ((doc_id + 7 * mx) % 19 - 9) * 10 AS fcr
+         |  FROM cell),
+         |cosx(cxi, c) AS (VALUES $cosRows),
+         |px AS (
+         |  SELECT doc_id, wm, yy,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fdy AS DOUBLE)) + 128.0 + 0.5))) AS ys,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fcb AS DOUBLE)
+         |        + (CAST($c0 AS DOUBLE) * CAST(fcba AS DOUBLE)) * c)
+         |      + 128.0 + 0.5))) AS cbs,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fcr AS DOUBLE)) + 128.0 + 0.5))) AS crs
+         |  FROM coefs JOIN cosx ON cx = cxi),
+         |rgb AS (
+         |  SELECT doc_id, wm, yy,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys + CAST(1.402 AS DOUBLE) * (crs - 128.0) + 0.5) AS BIGINT))) AS r,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys - CAST(0.344136 AS DOUBLE) * (cbs - 128.0)
+         |         - CAST(0.714136 AS DOUBLE) * (crs - 128.0) + 0.5) AS BIGINT))) AS g,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys + CAST(1.772 AS DOUBLE) * (cbs - 128.0) + 0.5) AS BIGINT))) AS b
+         |  FROM px),
+         |agg AS (
+         |  SELECT doc_id,
+         |    8 * sum(r) AS sr, 8 * sum(g) AS sg, 8 * sum(b) AS sb,
+         |    sum((64 * yy + 28) * (r + g + b)) AS yl
+         |  FROM rgb GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.doc_id % 3 <= 1 THEN 'jpeg' ELSE 'unknown' END AS format,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN 16 * wm END AS BIGINT) AS img_w,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN 16 END AS BIGINT) AS img_h,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN 256 * wm END AS BIGINT) AS n_px,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN wm END AS BIGINT) AS n_mcus,
          |  CAST(agg.sr AS BIGINT) AS sum_r,
          |  CAST(agg.sg AS BIGINT) AS sum_g,
          |  CAST(agg.sb AS BIGINT) AS sum_b,

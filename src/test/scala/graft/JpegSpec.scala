@@ -121,6 +121,46 @@ class JpegSpec extends AnyFunSuite {
       255L * 64, 255L * 64, 255L * 64, 765L * 8 * 28)), s"got $got")
   }
 
+  /** Independent scalar model of the 4:2:0 decode result. */
+  private def expected420(id: Long): Option[JpegStats] = (id % 3) match {
+    case 2 => None
+    case _ =>
+      val wm = JpegBytes.wMcus420(id)
+      var (sr, sg, sb, yl) = (0L, 0L, 0L, 0L)
+      def clampD(d: Double): Double = math.max(0.0, math.min(255.0, d))
+      def clampL(l: Long): Long = math.max(0L, math.min(255L, l))
+      for (mx <- 0 until wm; yy <- 0 until 2; x <- 0 until 16) {
+        val fdy = (JpegBytes.dcY420(id, mx, 2 * yy + x / 8)
+          * JpegBytes.qLum(0)).toDouble
+        val fcb = (JpegBytes.dcCb420(id, mx) * JpegBytes.qChr(0)).toDouble
+        val fcba = (JpegBytes.acCb420(id, mx) * JpegBytes.qChr(1)).toDouble
+        val fcr = (JpegBytes.dcCr420(id, mx) * JpegBytes.qChr(0)).toDouble
+        val ys = clampD(math.floor(0.25 * ((c0 * c0) * fdy) + 128.0 + 0.5))
+        val cb = clampD(math.floor(
+          0.25 * ((c0 * c0) * fcb + (c0 * fcba) * cos1(x / 2)) + 128.0 + 0.5))
+        val cr = clampD(math.floor(0.25 * ((c0 * c0) * fcr) + 128.0 + 0.5))
+        val r = clampL(math.floor(ys + 1.402 * (cr - 128.0) + 0.5).toLong)
+        val g = clampL(math.floor(
+          ys - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5).toLong)
+        val b = clampL(math.floor(ys + 1.772 * (cb - 128.0) + 0.5).toLong)
+        sr += 8 * r; sg += 8 * g; sb += 8 * b
+        yl += (64L * yy + 28L) * (r + g + b)
+      }
+      Some(JpegStats(16L * wm, 16L, 256L * wm, wm.toLong, sr, sg, sb, yl))
+  }
+
+  test("4:2:0 sweep: multi-block MCUs, chroma upsampling, intra-MCU restarts") {
+    (0L until 240L).foreach { id =>
+      val got = JpegPixelDecoder.decode(JpegBytes.payload420(id, s"doc$id"))
+      assert(got == expected420(id), s"id=$id (variant ${id % 3})")
+    }
+    // the upsampling really is gated: some doc has a nonzero chroma AC
+    assert((0L until 240L).exists(id => id % 3 <= 1 &&
+      (0 until JpegBytes.wMcus420(id)).exists(JpegBytes.acCb420(id, _) != 0)))
+    // and the restart variant includes two-MCU images (a real RSTn)
+    assert((0L until 240L).exists(id => id % 3 == 1 && JpegBytes.wMcus420(id) == 2))
+  }
+
   test("malformed payloads degrade to None, never throw") {
     val good = JpegBytes.payload(0L, "x")
     assert(JpegPixelDecoder.decode(good).isDefined)
@@ -140,5 +180,14 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegPixelDecoder.decode(JpegBytes.payload(2L, "x")).isEmpty)
     // opaque payload (variant 3)
     assert(JpegPixelDecoder.decode(JpegBytes.payload(3L, "x")).isEmpty)
+    // unsupported sampling layout (2x1) declared in a 4:2:0 frame
+    val g420 = JpegBytes.payload420(0L, "x")
+    assert(JpegPixelDecoder.decode(g420).isDefined)
+    val sof420At = (0 until g420.length - 1).indexWhere(i =>
+      (g420(i) & 0xFF) == 0xFF && (g420(i + 1) & 0xFF) == 0xC0)
+    val bad = g420.clone(); bad(sof420At + 11) = 0x21.toByte
+    assert(JpegPixelDecoder.decode(bad).isEmpty)
+    // truncated 4:2:0 entropy stream
+    assert(JpegPixelDecoder.decode(g420.take(g420.length - 8)).isEmpty)
   }
 }
