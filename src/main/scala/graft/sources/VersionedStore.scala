@@ -554,7 +554,17 @@ object VersionedStore extends QueryPack {
     val owning = keys.select(col(keyCol).cast("long").as("k")).distinct()
       .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
       .select(col("file")).distinct().collect().map(_.getString(0)).sorted
-    if (owning.isEmpty) cur // no file can hold a purged key: no-op
+    // the bands are over-approximations, so "some file's band contains
+    // a key" does not mean the key is PRESENT — a replayed erasure
+    // batch (keys already purged) selects the rewritten file whose band
+    // still spans them. Charge one bounded semi-join count against the
+    // owning files: zero actual matches = a no-op erasure that commits
+    // NOTHING (no spurious version, no rewrite) — the idempotent-replay
+    // contract the streaming purge sink relies on.
+    val hit = owning.nonEmpty && s.read.parquet(owning.toIndexedSeq: _*)
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .limit(1).count() > 0
+    if (!hit) cur // no purged key present: no-op
     else {
     val v = claimVersion(s, path, cur + 1)
     require(v == cur + 1 && committedTip(s, path).contains(cur),

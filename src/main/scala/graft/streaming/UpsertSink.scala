@@ -157,6 +157,15 @@ object UpsertSink {
     if (batch.isEmpty) return None
     requireIntegralKey(batch, keyCol)
     val s = batch.sparkSession
+    // lineage check: upserts resolve their parent through txn markers,
+    // so a store carrying manifest-only (batch-built) versions above
+    // the txn tip would make every settle disagree with `latest`
+    // forever — fail loudly instead of spinning the retry loop
+    require(VersionedStore.committedTip(s, path)
+        == VersionedCommitSink.latestCommitted(s, path),
+      s"store $path has manifest-only (batch-built) versions above its " +
+        "txn tip: keyed upserts require a txn-lineage store (built " +
+        "through upsertBatch/appendBatch/appendCommit)")
     var attempts = 0
     var abandoned = Set.empty[Int]
     while (attempts < 5) {
