@@ -167,12 +167,20 @@ object InvertedIndexStore extends QueryPack {
     * shift, or 1-based/0-based confusion all hash-fail. */
   def q86cBooleanIndex(s: SparkSession, dir: String): DataFrame = {
     val terms = graft.operators.Text.Bm25Query
-    val (lead, follow) = (terms(0), terms(1))
     val path = store(s, dir)
     val selected = filesFor(s.read.parquet(posManifestPath(path)), terms)
     require(selected.nonEmpty, s"pos manifest selected no files for $terms")
-    val pos = s.read.parquet(selected: _*)
-      .filter(col("term").isin(terms: _*))
+    booleanPhrase(s.read.parquet(selected: _*), terms)
+  }
+
+  /** The AND + phrase scoring over a positional posting frame — shared
+    * by the batch probe (q86c) and the streaming segment probe
+    * ([[graft.streaming.IndexRefreshSink.phraseProbe]]), so serving a
+    * phrase query from streamed segments is bit-identical to serving
+    * it from the batch-built store over the same corpus. */
+  def booleanPhrase(posRaw: DataFrame, terms: Seq[String]): DataFrame = {
+    val (lead, follow) = (terms(0), terms(1))
+    val pos = posRaw.filter(col("term").isin(terms: _*))
     val conj = pos.groupBy(col("doc_id"))
       .agg(count_distinct(col("term")).as("n_terms"))
       .filter(col("n_terms") === terms.size)

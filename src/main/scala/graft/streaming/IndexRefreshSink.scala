@@ -98,6 +98,18 @@ object IndexRefreshSink {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$seg")
     InvertedIndexStore.writeManifest(batch.sparkSession, s"$path/$seg",
       s"${InvertedIndexStore.manifestPath(path)}/$seg")
+    // the POSITIONAL segment rides the same lifecycle: written (with
+    // its manifest) BEFORE the stats row, so the one commit marker
+    // covers both relations and phrase probes never see a segment
+    // whose positions are missing
+    InvertedIndexStore.positionalPostings(batch)
+      .repartitionByRange(segFiles, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${InvertedIndexStore.posPath(path)}/$seg")
+    InvertedIndexStore.writeManifest(batch.sparkSession,
+      s"${InvertedIndexStore.posPath(path)}/$seg",
+      s"${InvertedIndexStore.posManifestPath(path)}/$seg")
     InvertedIndexStore.statsAgg(batch)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${InvertedIndexStore.statsPath(path)}/$seg")
@@ -135,6 +147,17 @@ object IndexRefreshSink {
       commitArtifacts = (seg, live) => {
         InvertedIndexStore.writeManifest(s, s"$path/$seg",
           s"${InvertedIndexStore.manifestPath(path)}/$seg")
+        // fold the positional segments too (a doc's positions live in
+        // exactly one segment, so the union IS the merged relation) —
+        // before the stats commit, so the marker covers the pos merge
+        val posDir = s"${InvertedIndexStore.posPath(path)}/$seg"
+        s.read.parquet(live.map(sg =>
+            s"${InvertedIndexStore.posPath(path)}/${sg.name}"): _*)
+          .repartitionByRange(math.max(1, live.size / 2), col("term"))
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode(SaveMode.Overwrite).parquet(posDir)
+        InvertedIndexStore.writeManifest(s, posDir,
+          s"${InvertedIndexStore.posManifestPath(path)}/$seg")
         s.read.parquet(live.map(sg =>
             s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
           .agg(sum(col("n_docs")).as("n_docs"),
@@ -150,6 +173,8 @@ object IndexRefreshSink {
     Segments.vacuum(s, path, commitDir(path), seg => Seq(
       s"$path/$seg",
       s"${InvertedIndexStore.manifestPath(path)}/$seg",
+      s"${InvertedIndexStore.posPath(path)}/$seg",
+      s"${InvertedIndexStore.posManifestPath(path)}/$seg",
       s"${InvertedIndexStore.statsPath(path)}/$seg"))
 
   /** BM25 point query over the segmented index — the q86b probe shape
@@ -174,5 +199,22 @@ object IndexRefreshSink {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("tot_tokens")).as("tot_tokens"))
     graft.operators.Text.bm25Score(tf, stats)
+  }
+
+  /** CONJUNCTIVE + PHRASE point query over the segmented index — the
+    * q86c probe against the union of LIVE segments' positional
+    * manifests (same file skip, same shared scoring arithmetic), so a
+    * phrase query served seconds after ingest is bit-identical to the
+    * batch-built store's answer over the same corpus. A doc's positions
+    * live in exactly one segment, so the union IS the corpus relation. */
+  def phraseProbe(s: SparkSession, path: String,
+      terms: Seq[String] = graft.operators.Text.Bm25Query): DataFrame = {
+    val live = liveSegments(s, path)
+    require(live.nonEmpty, s"no committed segments under $path")
+    val m = s.read.parquet(live.map(sg =>
+      s"${InvertedIndexStore.posManifestPath(path)}/${sg.name}"): _*)
+    val selected = InvertedIndexStore.filesFor(m, terms)
+    require(selected.nonEmpty, s"no positional files can contain $terms")
+    InvertedIndexStore.booleanPhrase(s.read.parquet(selected: _*), terms)
   }
 }

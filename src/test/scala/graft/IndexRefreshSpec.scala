@@ -180,4 +180,37 @@ class IndexRefreshSpec extends AnyFunSuite {
     assert(got3.sameElements(exp2), "second merge changed serving")
     assert(IndexRefreshSink.liveSegments(spark, path).size == 1)
   }
+
+  test("phrase probe over streamed segments ≡ batch store; stable across merge+vacuum") {
+    val base = Files.createTempDirectory("graft_ixr_phrase_").toString
+    val path = s"$base/index"
+    val all = docs("/root/testdata/sf0.001").limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    all.grouped(30).zipWithIndex.foreach { case (g, i) =>
+      IndexRefreshSink.appendBatch(
+        g.toSeq.toDF("doc_id", "text"), path, batchId = i.toLong)
+    }
+    // batch-tier expected: the SAME shared scoring over a one-shot
+    // positional build of the identical corpus
+    val expectedPhrase = InvertedIndexStore.booleanPhrase(
+      InvertedIndexStore.positionalPostings(all.toSeq.toDF("doc_id", "text")),
+      graft.operators.Text.Bm25Query)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def served() = IndexRefreshSink.phraseProbe(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served() == expectedPhrase,
+      "segment phrase serving != batch positional build")
+    // merge + vacuum keep phrase serving bit-stable (the positional
+    // segments fold under the same commit marker)
+    IndexRefreshSink.mergeSegments(spark, path)
+    assert(served() == expectedPhrase, "merge changed phrase serving")
+    IndexRefreshSink.vacuum(spark, path)
+    assert(served() == expectedPhrase, "vacuum changed phrase serving")
+    // the folded positional base segments left disk with their twins
+    (0 until 4).foreach { i =>
+      assert(!new java.io.File(
+        s"${InvertedIndexStore.posPath(path)}/${IndexRefreshSink.segName(i.toLong)}")
+        .exists, s"vacuum left folded positional segment $i")
+    }
+  }
 }
