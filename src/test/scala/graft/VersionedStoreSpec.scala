@@ -228,5 +228,22 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(oldView.count() == 60L)
     assert(oldView.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
       == (1L to 60L).map(_ * 2).sum)
+
+    // IVM tolerance across the evolution commit: a view over the
+    // ORIGINAL columns refreshes from the manifest diff exactly as for
+    // any append — the new column is invisible to its delta scan
+    val mv1 = VersionedStore.readVersion(spark, path, 1)
+      .agg(count(lit(1)).as("n"), org.apache.spark.sql.functions.sum("v").as("sv"))
+      .head()
+    val delta = VersionedStore.deltaFiles(spark, path, 1, 2)
+    val d = spark.read.parquet(delta.toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n"), org.apache.spark.sql.functions.sum("v").as("sv"))
+      .head()
+    val full = VersionedStore.readVersionMerged(spark, path, 2)
+      .agg(count(lit(1)).as("n"), org.apache.spark.sql.functions.sum("v").as("sv"))
+      .head()
+    assert(mv1.getLong(0) + d.getLong(0) == full.getLong(0))
+    assert(mv1.getLong(1) + d.getLong(1) == full.getLong(1),
+      "incremental refresh across the add-column commit != full recompute")
   }
 }
