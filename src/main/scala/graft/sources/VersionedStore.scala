@@ -924,9 +924,23 @@ object VersionedStore extends QueryPack {
     * a wall-clock txn record. Built once per JVM. */
   private val tsBuilt = scala.collection.mutable.Map.empty[String, String]
 
+  /** Wipe a half-built two-commit store (a prior process crashed
+    * between commits): claims burn permanently, so a resumed build
+    * would land its FIRST slice at slot 2 with the wrong content —
+    * rebuilding from scratch is the only consistent recovery. */
+  private def resetIfPartial(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // "partial" includes an uncommitted leftover with burned claims but
+    // zero committed versions — a resumed build would claim past slot 1
+    if (fs.exists(p) && versions(s, path) != Seq(1, 2))
+      fs.delete(p, true)
+  }
+
   private[graft] def tsStore(s: SparkSession, dir: String): String = synchronized {
     tsBuilt.getOrElseUpdate(dir, {
       val path = Engine.storePath("graft-versioned-ts", dir)
+      resetIfPartial(s, path)
       if (versions(s, path).isEmpty) {
         appendCommit(s, path, ordersSlice(s, dir, None, cut1)
           .select(col("o_orderkey"), col("o_custkey"),
@@ -973,6 +987,7 @@ object VersionedStore extends QueryPack {
   private def evoStore(s: SparkSession, dir: String): String = synchronized {
     evoBuilt.getOrElseUpdate(dir, {
       val path = Engine.storePath("graft-versioned-evo", dir)
+      resetIfPartial(s, path)
       if (versions(s, path).isEmpty) {
         appendCommit(s, path, ordersSlice(s, dir, None, cut1)
           .select(col("o_orderkey"), col("o_custkey"),
