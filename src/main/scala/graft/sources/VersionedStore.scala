@@ -401,7 +401,11 @@ object VersionedStore extends QueryPack {
           .flatten
       }
       claims.filter(v => !committed.contains(v) && v < tip).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + s"/v$v"), true)
+        // every writer family's per-version staging dir: stream/batch
+        // appends and upserts (v<N>), failed compactions (compact_v<N>),
+        // abandoned delete commits (delete_v<N>)
+        Seq(s"/v$v", s"/compact_v$v", s"/delete_v$v").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + d), true))
         fs.delete(claimFile(path, v), false)
       }
       claims.filter(v => committed.contains(v) && v < tip)
