@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   * building, DRI), MSB-first bit reader with 0xFF00 unstuffing and
   * RSTn handling (DC predictor reset), per-component DPCM DC + run/
   * length AC with ZRL/EOB and the EXTEND sign rule, zigzag-to-natural
-  * mapping, full 64-term float IDCT, and BT.601 YCbCr→RGB. Truncated
-  * scans, unsupported SOFs, non-4:4:4 sampling and invalid codes all
-  * fail CLOSED to 'unknown' — a corrupt blob in a 100 TB corpus must
-  * degrade, never kill the stage (the q98/q115 rule).
+  * mapping, full 64-term float IDCT, and BT.601 YCbCr→RGB — plus, for
+  * q119b, declared sampling factors with multi-block MCU interleave
+  * and box-replication chroma upsampling (4:4:4 and 4:2:0 supported).
+  * Truncated scans, unsupported SOFs, sampling layouts beyond those
+  * two, and invalid codes all fail CLOSED to 'unknown' — a corrupt
+  * blob in a 100 TB corpus must degrade, never kill the stage (the
+  * q98/q115 rule).
   *
   * Scale shape: row-local mapPartitions decode through the
   * [[Binary.PayloadDecoder]] seam, no shuffle before the presentation
@@ -294,6 +297,32 @@ object Jpeg extends QueryPack {
         Array[Byte](0) ++ text.getBytes("UTF-8")
     }
 
+    // ---- edge-clipped tier (q119c): arbitrary (non-multiple-of-8)
+    // declared dimensions over the same 4:4:4 block grid — the coded
+    // MCU grid is the CEIL grid (T.81: edge blocks are coded in full),
+    // and the declared width/height clip the decoded padding off
+    def widthE(id: Long): Long = width(id) - 1L - (id * 5L) % 7L
+    def heightE(id: Long): Long = height(id) - (id * 3L) % 5L
+
+    private def sofE(id: Long): Array[Byte] = {
+      val (w, h) = (widthE(id).toInt, heightE(id).toInt)
+      seg(0xC0, Array[Byte](8,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+        3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    }
+
+    def payloadEdge(id: Long, text: String): Array[Byte] = (id % 3) match {
+      case 0 => // canonical edge-clipped baseline
+        Soi ++ dqt ++ sofE(id) ++ dht ++ sos ++
+          scan(id, restartRows = false) ++ Eoi
+      case 1 => // with restart rows (the interval counts CEIL-grid MCUs)
+        Soi ++ dqt ++ sofE(id) ++ dht ++ dri(wBlocks(id)) ++ sos ++
+          scan(id, restartRows = true) ++ Eoi
+      case _ => // opaque non-image payload
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+
     def payload(id: Long, text: String): Array[Byte] = (id % 4) match {
       case 0 => // canonical single-scan baseline
         Soi ++ dqt ++ sof0(id) ++ dht ++ sos ++ scan(id, restartRows = false) ++ Eoi
@@ -416,14 +445,14 @@ object Jpeg extends QueryPack {
               t.compQ(c) = u8(b, ps + 6 + 3 * c + 2)
             }
             // supported layouts: 4:4:4 (all 1x1) and 4:2:0 (luma 2x2,
-            // chroma 1x1); anything else fails closed
+            // chroma 1x1); anything else fails closed. Dimensions are
+            // arbitrary — the scan decodes the CEIL MCU grid (T.81:
+            // edge MCUs are coded in full) and the stats walk clips to
+            // the declared width/height
             val s444 = (0 until 3).forall(c => t.compH(c) == 1 && t.compV(c) == 1)
             val s420 = t.compH(0) == 2 && t.compV(0) == 2 &&
               (1 until 3).forall(c => t.compH(c) == 1 && t.compV(c) == 1)
             if (!s444 && !s420) return None
-            // full-MCU images only (the construction contract);
-            // partial-edge MCUs degrade rather than garble
-            if (t.w % (8 * t.hMax) != 0 || t.h % (8 * t.vMax) != 0) return None
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             return None // non-baseline frame: unsupported, fail closed
@@ -498,15 +527,18 @@ object Jpeg extends QueryPack {
     private def decodeScan(b: Array[Byte], start: Int,
         t: Tables): Option[JpegStats] = {
       val (hMax, vMax) = (t.hMax, t.vMax)
-      val (wMcu, hMcu) = (t.w / (8 * hMax), t.h / (8 * vMax))
+      // CEIL MCU grid: edge MCUs are coded in full (T.81), the padding
+      // samples exist in the planes and the stats walk clips them off
+      val wMcu = (t.w + 8 * hMax - 1) / (8 * hMax)
+      val hMcu = (t.h + 8 * vMax - 1) / (8 * vMax)
       val r = new BitReader(b, start)
       val preds = new Array[Int](3)
       // decoded samples per COMPONENT plane at that component's own
-      // resolution (chroma planes are smaller under subsampling);
-      // full planes are fine — images are small by contract of the
-      // decode seam: one row's payload
-      val planeW = (0 until 3).map(c => t.w * t.compH(c) / hMax).toArray
-      val planeH = (0 until 3).map(c => t.h * t.compV(c) / vMax).toArray
+      // resolution (chroma planes are smaller under subsampling),
+      // PADDED to the MCU grid; full planes are fine — images are
+      // small by contract of the decode seam: one row's payload
+      val planeW = (0 until 3).map(c => wMcu * 8 * t.compH(c)).toArray
+      val planeH = (0 until 3).map(c => hMcu * 8 * t.compV(c)).toArray
       val planes = (0 until 3).map(c => new Array[Int](planeW(c) * planeH(c)))
         .toArray
       val coef = new Array[Int](64)
@@ -694,9 +726,47 @@ object Jpeg extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** q119c: EDGE-CLIPPED baseline decode — arbitrary declared
+    * dimensions, the last structural piece of real-world baseline JPEG
+    * q119/q119b's full-MCU images never exercise: the entropy stream
+    * codes the CEIL MCU grid in full (T.81 — edge blocks are not
+    * truncated on the wire), and the decoder must CLIP the decoded
+    * padding to the declared width/height. The construction declares
+    * dims 1-7 columns and 0-4 rows short of the block grid over the
+    * same per-block coefficients as q119, so summing even one padding
+    * column (the x-varying luma AC makes each column distinct) or one
+    * padding row (the y-moment weights rows) hash-fails. */
+  def q119cJpegEdge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = JpegBytes.payloadEdge(id, text)
+          JpegPixelDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, JpegPixelDecoder.format, Option(st.w),
+                Option(st.h), Option(st.nPx), Option(st.nBlocks),
+                Option(st.sumR), Option(st.sumG), Option(st.sumB),
+                Option(st.ysumLum))
+            case None =>
+              (id, "unknown", None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "img_w", "img_h", "n_px",
+        "n_mcus", "sum_r", "sum_g", "sum_b", "ysum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q119_jpeg_pixels" -> (q119JpegPixels _),
-    "q119b_jpeg_subsampled" -> (q119bJpegSubsampled _))
+    "q119b_jpeg_subsampled" -> (q119bJpegSubsampled _),
+    "q119c_jpeg_edge" -> (q119cJpegEdge _))
 
   /** The oracle restates the full decode pipeline in closed form. Per
     * block only two luma frequencies exist, so the sample columns are
@@ -768,6 +838,72 @@ object Jpeg extends QueryPack {
          |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 8 * hb END AS BIGINT) AS img_h,
          |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN 64 * wb * hb END AS BIGINT) AS n_px,
          |  CAST(CASE WHEN p.doc_id % 4 <= 1 THEN wb * hb END AS BIGINT) AS n_blocks,
+         |  CAST(agg.sr AS BIGINT) AS sum_r,
+         |  CAST(agg.sg AS BIGINT) AS sum_g,
+         |  CAST(agg.sb AS BIGINT) AS sum_b,
+         |  CAST(agg.yl AS BIGINT) AS ysum_lum
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    // the edge-clip restatement: the q119 per-block closed form with a
+    // declared-width column filter (gx < tw) and per-block-row clipped
+    // row counts (rc = min(8, th - 8*by)); the y-moment factor becomes
+    // rc*8*by + rc*(rc-1)/2 — one padding column or row summed in
+    // breaks a channel sum or the moment
+    "q119c_jpeg_edge" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    1 + (doc_id * 31) % 3 AS wb,
+         |    1 + (doc_id * 47) % 2 AS hb,
+         |    8 * (1 + (doc_id * 31) % 3) - 1 - (doc_id * 5) % 7 AS tw,
+         |    8 * (1 + (doc_id * 47) % 2) - (doc_id * 3) % 5 AS th
+         |  FROM documents),
+         |blk AS (
+         |  SELECT doc_id, wb, hb, tw, th, unnest(range(0, wb * hb)) AS m
+         |  FROM p WHERE doc_id % 3 <= 1),
+         |coefs AS (
+         |  SELECT doc_id, tw, th, m % wb AS bx, m // wb AS by,
+         |    ((doc_id + 7 * (m % wb) + 13 * (m // wb)) % 33 - 16) * 8 AS fdy,
+         |    ((doc_id + 11 * (m % wb) + 5 * (m // wb)) % 13 - 6) * 9 AS fay,
+         |    ((doc_id + 3 * (m % wb) + (m // wb)) % 21 - 10) * 10 AS fcb,
+         |    ((doc_id + 5 * (m % wb) + 3 * (m // wb)) % 19 - 9) * 10 AS fcr
+         |  FROM blk),
+         |cosx(x, c) AS (VALUES $cosRows),
+         |px AS (
+         |  SELECT doc_id, by, LEAST(8, th - 8 * by) AS rc,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fdy AS DOUBLE)
+         |        + (CAST($c0 AS DOUBLE) * CAST(fay AS DOUBLE)) * c)
+         |      + 128.0 + 0.5))) AS ys,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fcb AS DOUBLE)) + 128.0 + 0.5))) AS cbs,
+         |    LEAST(255.0, GREATEST(0.0, floor(
+         |      0.25 * ((CAST($c0 AS DOUBLE) * CAST($c0 AS DOUBLE))
+         |        * CAST(fcr AS DOUBLE)) + 128.0 + 0.5))) AS crs
+         |  FROM coefs, cosx
+         |  WHERE 8 * bx + x < tw),
+         |rgb AS (
+         |  SELECT doc_id, by, rc,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys + CAST(1.402 AS DOUBLE) * (crs - 128.0) + 0.5) AS BIGINT))) AS r,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys - CAST(0.344136 AS DOUBLE) * (cbs - 128.0)
+         |         - CAST(0.714136 AS DOUBLE) * (crs - 128.0) + 0.5) AS BIGINT))) AS g,
+         |    LEAST(255, GREATEST(0, CAST(floor(
+         |      ys + CAST(1.772 AS DOUBLE) * (cbs - 128.0) + 0.5) AS BIGINT))) AS b
+         |  FROM px),
+         |agg AS (
+         |  SELECT doc_id,
+         |    sum(rc * r) AS sr, sum(rc * g) AS sg, sum(rc * b) AS sb,
+         |    sum((rc * 8 * by + (rc * (rc - 1)) // 2) * (r + g + b)) AS yl
+         |  FROM rgb GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.doc_id % 3 <= 1 THEN 'jpeg' ELSE 'unknown' END AS format,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN tw END AS BIGINT) AS img_w,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN th END AS BIGINT) AS img_h,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN tw * th END AS BIGINT) AS n_px,
+         |  CAST(CASE WHEN p.doc_id % 3 <= 1 THEN wb * hb END AS BIGINT) AS n_mcus,
          |  CAST(agg.sr AS BIGINT) AS sum_r,
          |  CAST(agg.sg AS BIGINT) AS sum_g,
          |  CAST(agg.sb AS BIGINT) AS sum_b,

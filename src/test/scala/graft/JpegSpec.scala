@@ -161,6 +161,46 @@ class JpegSpec extends AnyFunSuite {
     assert((0L until 240L).exists(id => id % 3 == 1 && JpegBytes.wMcus420(id) == 2))
   }
 
+  /** Independent scalar model of the edge-clipped decode result. */
+  private def expectedEdge(id: Long): Option[JpegStats] = (id % 3) match {
+    case 2 => None
+    case _ =>
+      val (wB, hB) = (JpegBytes.wBlocks(id), JpegBytes.hBlocks(id))
+      val (tw, th) = (JpegBytes.widthE(id), JpegBytes.heightE(id))
+      var (sr, sg, sb, yl) = (0L, 0L, 0L, 0L)
+      def clampD(d: Double): Double = math.max(0.0, math.min(255.0, d))
+      def clampL(l: Long): Long = math.max(0L, math.min(255L, l))
+      for (by <- 0 until hB; bx <- 0 until wB; x <- 0 until 8
+           if 8 * bx + x < tw) {
+        val fdy = (JpegBytes.dcY(id, bx, by) * JpegBytes.qLum(0)).toDouble
+        val fay = (JpegBytes.acY(id, bx, by) * JpegBytes.qLum(1)).toDouble
+        val fcb = (JpegBytes.dcCb(id, bx, by) * JpegBytes.qChr(0)).toDouble
+        val fcr = (JpegBytes.dcCr(id, bx, by) * JpegBytes.qChr(0)).toDouble
+        val ys = clampD(math.floor(
+          0.25 * ((c0 * c0) * fdy + (c0 * fay) * cos1(x)) + 128.0 + 0.5))
+        val cb = clampD(math.floor(0.25 * ((c0 * c0) * fcb) + 128.0 + 0.5))
+        val cr = clampD(math.floor(0.25 * ((c0 * c0) * fcr) + 128.0 + 0.5))
+        val r = clampL(math.floor(ys + 1.402 * (cr - 128.0) + 0.5).toLong)
+        val g = clampL(math.floor(
+          ys - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5).toLong)
+        val b = clampL(math.floor(ys + 1.772 * (cb - 128.0) + 0.5).toLong)
+        val rc = math.min(8L, th - 8L * by)
+        sr += rc * r; sg += rc * g; sb += rc * b
+        yl += (rc * 8L * by + rc * (rc - 1) / 2) * (r + g + b)
+      }
+      Some(JpegStats(tw, th, tw * th, (wB * hB).toLong, sr, sg, sb, yl))
+  }
+
+  test("edge-clipped sweep: full-MCU entropy stream, declared-dims clipping") {
+    (0L until 240L).foreach { id =>
+      val got = JpegPixelDecoder.decode(JpegBytes.payloadEdge(id, s"doc$id"))
+      assert(got == expectedEdge(id), s"id=$id (variant ${id % 3})")
+    }
+    // the sweep genuinely clips: some doc loses columns AND rows
+    assert((0L until 240L).exists(id => id % 3 <= 1 &&
+      JpegBytes.widthE(id) % 8 != 0 && JpegBytes.heightE(id) % 8 != 0))
+  }
+
   test("malformed payloads degrade to None, never throw") {
     val good = JpegBytes.payload(0L, "x")
     assert(JpegPixelDecoder.decode(good).isDefined)
