@@ -74,10 +74,18 @@ object WriterLease {
     try {
       if (!fs.exists(p)) None
       else {
+        // read to EOF: a single read() may legally return short on
+        // FSDataInputStream, truncating the 'expires=' digits so a live
+        // lease would parse as an earlier expiry and get broken — the
+        // exact corruption the lease exists to prevent (round-13 advice)
         val in = fs.open(p)
+        val out = new java.io.ByteArrayOutputStream(512)
         val buf = new Array[Byte](512)
-        val n = try in.read(buf) finally in.close()
-        val txt = new String(buf, 0, math.max(0, n), "UTF-8")
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        val txt = out.toString("UTF-8")
         val kv = txt.split(';').flatMap(_.split("=", 2) match {
           case Array(k, v) => Some(k -> v)
           case _ => None

@@ -80,16 +80,11 @@ object UpsertSink {
   }
 
   /** The prune (and the COW rewrite decision) compares key bands in
-    * LONG space, so the key column must be integral — a loud contract
-    * check instead of the all-null-cast NPE a string key would hit. */
-  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
-    import org.apache.spark.sql.types._
-    val dt = df.schema(keyCol).dataType
-    require(dt == LongType || dt == IntegerType || dt == ShortType ||
-      dt == ByteType,
-      s"upsert store key column '$keyCol' must be integral (byte/short/" +
-        s"int/long) — got $dt; the per-file key bands prune in long space")
-  }
+    * LONG space, so the key column must be integral — the shared store
+    * contract check ([[VersionedStore.requireIntegralKey]], also guarding
+    * the SQL/stream purge path into deleteCommit). */
+  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit =
+    VersionedStore.requireIntegralKey(df, keyCol)
 
   private def writeManifest(s: SparkSession, path: String, v: Int,
       rows: Seq[FileStats]): Unit = {
@@ -234,6 +229,13 @@ object UpsertSink {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.create(new Path(
           s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"), true).close()
+        // POST-COMMIT LINEAGE CHECK (round-13 advice): a slow lower-slot
+        // writer that outlived settleBelow's timeout and then committed
+        // during this attempt's commit window would have its rows
+        // silently missing from the tip lineage — detect and fail loudly
+        // (VersionedStore.requireNoLineageGap) instead of returning
+        // success.
+        VersionedStore.requireNoLineageGap(s, path, latest.getOrElse(0), v)
         return Some(v)
       }
       // tip moved while rewriting: leave the claimed slot burned (the

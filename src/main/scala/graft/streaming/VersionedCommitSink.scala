@@ -185,6 +185,12 @@ object VersionedCommitSink {
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new Path(batchMarker(path, v, batchId)), true).close()
+    // POST-COMMIT LINEAGE CHECK (round-13 advice, the upsertBatch twin):
+    // a slow lower-slot writer that outlived settleBelow's timeout and
+    // then committed would have its files missing from this version's
+    // carried-forward manifest while both callers report success —
+    // detect and fail loudly (VersionedStore.requireNoLineageGap).
+    VersionedStore.requireNoLineageGap(s, path, settled.getOrElse(0), v)
     Some(v)
   }
 

@@ -109,6 +109,70 @@ class DeleteCommitSpec extends AnyFunSuite {
     assert(fin(50L) == 999L && fin(101L) == 101L)
   }
 
+  test("deleteCommit rejects a non-integral key column loudly") {
+    // round-13 advice: the SQL purge path reaches deleteCommit directly;
+    // a string key would cast('long') to all-null bands and either NPE
+    // in planning or silently no-op the erasure
+    val path = buildStore()
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.deleteCommit(spark, path,
+        Seq("101").toDF("key"), "key")
+    }
+    assert(e.getMessage.contains("integral"))
+    assert(VersionedStore.versions(spark, path) == Seq(1),
+      "a rejected erasure must commit nothing")
+  }
+
+  test("fileKeyStats heals the manifest-only store: second planning call reads zero data files") {
+    // round-13 verdict #6: the manifest-only fallback used to recompute
+    // the per-file bands with a full-store scan on EVERY planning call;
+    // the rebuild must persist back into the manifest (one-time heal).
+    val path = buildStore()
+    val first = VersionedStore.fileKeyStats(spark, path, 1, "key")
+    assert(first.length == 8)
+    val mf = spark.read.parquet(VersionedStore.manifestPath(path, 1))
+    assert(mf.columns.toSet == Set("file", "mn", "mx"),
+      "rebuilt bands were not persisted into the manifest")
+    // hide the data files: the second planning call must resolve the
+    // bands from the healed manifest ALONE — any data-file read throws
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(VersionedStore.dataPath(path)),
+      new org.apache.hadoop.fs.Path(path + "/data_hidden"))
+    val second = VersionedStore.fileKeyStats(spark, path, 1, "key")
+    assert(second.sortBy(_._1).toSeq == first.sortBy(_._1).toSeq,
+      "healed-manifest bands differ from the rebuilt ones")
+  }
+
+  test("vacuum reclaims a crashed compaction's claim on a manifest-only store") {
+    // round-13 advice: compactCommit claims slots on batch-built stores
+    // too; a crashed attempt's burned tip+1 claim would otherwise brick
+    // every later compactCommit (its `v == cur+1` check) forever, since
+    // a maintenance-only store has no data commits to advance past it.
+    val path = buildStore()
+    assert(VersionedStore.claimVersion(spark, path, 2) == 2) // the crash
+    Seq((1L, 1L)).toDF("key", "amount").write
+      .parquet(VersionedStore.dataPath(path) + "/compact_v2") // its staging
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.compactCommit(spark, path, "key", targetFileBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("in flight"))
+    VersionedStore.vacuum(spark, path, keepVersions = 10)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.claimsDir(path) + "/v2")),
+      "vacuum left the crashed compaction's claim behind")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.dataPath(path) + "/compact_v2")),
+      "vacuum left the crashed compaction's staging behind")
+    // the store compacts normally again
+    val v = VersionedStore.compactCommit(spark, path, "key",
+      targetFileBytes = 1L << 20)
+    assert(v == 2)
+    assert(VersionedStore.readVersion(spark, path, 2).count() == 800L)
+  }
+
   test("IVM retract-and-merge across a delete commit equals full recompute") {
     val path = buildStore()
     // the maintained view at v1

@@ -223,4 +223,32 @@ class VersionedCommitSpec extends AnyFunSuite {
       Seq(VcsReading(9L, 900L)).toDF(), path, batchId = 97L)
     assert(next.contains(4))
   }
+
+  test("settle-gap detector: a late lower-slot commit in the carried lineage fails loudly") {
+    // The round-13 advice scenario: a slow writer holds slot 2 past the
+    // settle timeout, the slot-3 committer carries parent v1 forward,
+    // and THEN the slow writer's commit lands — slot 3's manifest now
+    // silently lacks v2's files. The detector (run by every committer
+    // right after its marker) must flag exactly that state; with the
+    // gap version actually carried (parent = 2) it must stay silent.
+    val path = Files.createTempDirectory("graft_gap_").toString + "/store"
+    VersionedCommitSink.appendBatch(
+      Seq(VcsReading(1L, 100L)).toDF(), path, batchId = 0L) // v1
+    // the slow writer's LATE commit at slot 2: txn record + marker
+    Seq((7L, System.currentTimeMillis()))
+      .toDF("batch_id", "commit_ts").coalesce(1)
+      .write.parquet(VersionedStore.txnPath(path, 2))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      VersionedStore.txnPath(path, 2) + "/batch_7.marker"), true).close()
+    val e = intercept[IllegalStateException] {
+      VersionedStore.requireNoLineageGap(spark, path, parent = 1, v = 3)
+    }
+    assert(e.getMessage.contains("missing from the tip lineage"))
+    // carrying the gap version as parent is the healthy case
+    VersionedStore.requireNoLineageGap(spark, path, parent = 2, v = 3)
+    // adjacent slots have no gap to probe
+    VersionedStore.requireNoLineageGap(spark, path, parent = 1, v = 2)
+  }
 }
