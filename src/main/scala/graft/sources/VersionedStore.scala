@@ -83,10 +83,48 @@ object VersionedStore extends QueryPack {
     s.read.parquet(manifestPath(path, v))
       .select(col("file")).collect().map(_.getString(0)).sorted
 
-  /** Read the store as of version `v` — the manifest's member files,
-    * nothing else. */
+  /** DELETION VECTORS — the O(deleted rows) erasure commit
+    * ([[deleteCommitDv]]; round-13 verdict #2): a version's dv relation
+    * is a small parquet table of purged keys (its one column IS the
+    * store's key column), applied as an anti-join riding every read of
+    * that version. DVs ACCUMULATE — each dv commit writes the full live
+    * set, so resolution is "the newest dv commit at or below the read
+    * version" — and are SUPERSEDED by folds: compaction rewrites the
+    * data without the dv rows and commits an empty dv; vacuum folds
+    * physically once every retained version sits at/above the dv commit
+    * (the unrecoverability law extends to dv entries). */
+  def dvDir(path: String): String = path + "/dv"
+  def dvPath(path: String, v: Int): String = dvDir(path) + s"/v$v"
+
+  private[graft] def dvVersions(s: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dvDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.sorted
+  }
+
+  /** The deletion-vector relation in force at version `v`: the newest
+    * dv commit at or below it. None when the store has no dv lineage
+    * there — the common case, costing one existence probe per read. */
+  private[graft] def dvAt(s: SparkSession, path: String, v: Int): Option[DataFrame] =
+    dvVersions(s, path).filter(_ <= v).lastOption
+      .map(k => s.read.parquet(dvPath(path, k)))
+
+  /** Apply a version's deletion vector to its raw file scan: a
+    * broadcast-sized anti-join on the dv's key column (Spark's
+    * size-based planning broadcasts the small dv side). A store with no
+    * dv lineage pays nothing but the existence probe. */
+  private def applyDv(s: SparkSession, path: String, v: Int,
+      base: DataFrame): DataFrame =
+    dvAt(s, path, v).fold(base)(dv => base.join(dv, dv.columns.toSeq, "left_anti"))
+
+  /** Read the store as of version `v` — the manifest's member files
+    * minus the version's deletion vector (if any). */
   def readVersion(s: SparkSession, path: String, v: Int): DataFrame =
-    s.read.parquet(versionFiles(s, path, v): _*)
+    applyDv(s, path, v, s.read.parquet(versionFiles(s, path, v): _*))
 
   /** The copy-on-write custkey band for a store built over `orders`:
     * 10% of the key space, derived from the v2 frame's key extremes by
@@ -474,6 +512,85 @@ object VersionedStore extends QueryPack {
     }
     claims.filter(v => committed.contains(v) && v < tip)
       .foreach(v => fs.delete(claimFile(path, v), false))
+    // DELETION-VECTOR retention — the fold-at-vacuum half of
+    // [[deleteCommitDv]]'s design. Two regimes:
+    //  - every retained version sits at/above the newest dv commit: the
+    //    dv keys are logically invisible in ALL retained reads, so fold
+    //    them PHYSICAL — rewrite (per file, bands carried over as still-
+    //    correct over-approximations) exactly the retained files whose
+    //    band can hold a dv key, swap the entries in every retained
+    //    manifest, delete the superseded originals and every dv dir.
+    //    After this no parquet byte NOR dv entry holds a purged key —
+    //    the unrecoverability law, extended to dv mode (spec-asserted).
+    //    A crash mid-fold leaves some manifests updated and the dv dirs
+    //    in place; re-running vacuum re-folds idempotently (an already-
+    //    clean file anti-joins to itself).
+    //  - some retained version predates the dv commit: that history
+    //    legitimately still reads the purged rows (the same window COW
+    //    mode keeps its superseded owning files), so keep each retained
+    //    version's effective dv and drop only unreferenced dv dirs.
+    val dvs = dvVersions(s, path)
+    if (dvs.nonEmpty) {
+      val retained = versions(s, path)
+      val newestDv = dvs.last
+      if (retained.nonEmpty && newestDv <= retained.head) {
+        val dv = s.read.parquet(dvPath(path, newestDv))
+        val keyCol = dv.columns.head
+        if (dv.limit(1).count() > 0) {
+          import s.implicits._
+          val owningAll = retained.flatMap { rv =>
+            val statsDf = fileKeyStats(s, path, rv, keyCol)
+              .toSeq.toDF("file", "mn", "mx")
+            dv.select(col(keyCol).cast("long").as("k"))
+              .join(broadcast(statsDf),
+                col("k") >= col("mn") && col("k") <= col("mx"))
+              .select(col("file")).distinct().collect().map(_.getString(0))
+          }.distinct.sorted
+          // per-file rewrite preserves the file↔manifest sharing
+          // structure; a file whose every row was purged maps to None
+          // and drops out of the manifests entirely
+          val mapping: Map[String, Option[String]] =
+            owningAll.zipWithIndex.map { case (f, i) =>
+              val out = dataPath(path) + s"/fold_v$tip/$i"
+              s.read.parquet(f).join(dv, Seq(keyCol), "left_anti")
+                .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
+              f -> hadoopLs(s, out).headOption
+            }.toMap
+          retained.foreach { rv =>
+            val mf = s.read.parquet(manifestPath(path, rv))
+            if (mf.columns.contains("mn")) {
+              val rows = mf.select(col("file"), col("mn"), col("mx")).collect()
+                .flatMap { r =>
+                  val f = r.getString(0)
+                  mapping.get(f) match {
+                    case None => Some((f, r.getLong(1), r.getLong(2)))
+                    case Some(nf) => nf.map((_, r.getLong(1), r.getLong(2)))
+                  }
+                }
+              rows.sortBy(_._1).toSeq.toDF("file", "mn", "mx").coalesce(1)
+                .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, rv))
+            } else {
+              val rows = mf.select(col("file")).collect().map(_.getString(0))
+                .flatMap(f => mapping.get(f) match {
+                  case None => Some(f)
+                  case Some(nf) => nf
+                })
+              writeManifest(s, path, rv, rows.toSeq)
+            }
+          }
+          // the superseded originals hold the only remaining purged
+          // bytes: no retained manifest references them anymore
+          owningAll.foreach(f =>
+            fs.delete(new org.apache.hadoop.fs.Path(f), false))
+          deleted += owningAll.size
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(dvDir(path)), true)
+      } else {
+        val needed = retained.flatMap(v => dvs.filter(_ <= v).lastOption).toSet
+        dvs.filterNot(needed).foreach(k =>
+          fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, k)), true))
+      }
+    }
     (drop.size, deleted)
   }
 
@@ -528,21 +645,23 @@ object VersionedStore extends QueryPack {
       s"store $path has a data commit in flight (claimed slot $v over tip " +
         s"$cur): quiesce the stream before graft_store_optimize / compactCommit")
     val outDir = dataPath(path) + s"/compact_v$v"
-    s.read.parquet(files: _*)
+    // compaction is the dv FOLD point: the rewrite drops the deletion
+    // vector's rows from the data, so the compacted version commits an
+    // EMPTY dv to supersede the lineage (deleteCommitDv's design) —
+    // reads of v and later stop paying the anti-join's right side
+    val dv = dvAt(s, path, cur)
+    val folded = dv.fold(s.read.parquet(files: _*))(d =>
+      s.read.parquet(files: _*).join(d, d.columns.toSeq, "left_anti"))
+    folded
       .repartitionByRange(n, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     writeManifest(s, path, v, hadoopLs(s, outDir))
+    dv.foreach(d => d.limit(0).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v)))
     // a stream-built store commits through its txn-marker rule; the
     // pseudo batch id is negative so stream replay checks never match
-    if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
-      import s.implicits._
-      Seq((-v.toLong, System.currentTimeMillis()))
-        .toDF("batch_id", "commit_ts")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
-    }
+    writeMaintenanceTxn(s, path, v)
     v
   }
 
@@ -695,6 +814,15 @@ object VersionedStore extends QueryPack {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
     } else
       writeManifest(s, path, v, sharedStats.map(_._1) ++ newFiles)
+    writeMaintenanceTxn(s, path, v)
+    v
+    }
+  }
+
+  /** Maintenance-commit txn record — the negative pseudo batch id +
+    * marker a stream-built store's commit rule requires (compaction,
+    * delete commits); a no-op on batch-built (manifest-only) stores. */
+  private def writeMaintenanceTxn(s: SparkSession, path: String, v: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
@@ -705,7 +833,88 @@ object VersionedStore extends QueryPack {
       fs.create(new org.apache.hadoop.fs.Path(
         s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
     }
-    v
+  }
+
+  /** ERASURE EXECUTION, DELETION-VECTOR MODE — the O(deleted rows)
+    * twin of [[deleteCommit]] for the scale regime copy-on-write
+    * handles badly (round-13 verdict #2): an erasure batch whose keys
+    * SCATTER across most key bands makes COW rewrite nearly every
+    * owning file — worst case O(store) write amplification for a
+    * thousand-row purge. The Iceberg-v2/Delta deletion-vector idea
+    * instead makes the commit cost O(deleted rows):
+    *
+    *  - the commit writes NO data files: the new version's manifest is
+    *    the parent's verbatim (every file shared by reference), plus a
+    *    small dv relation ([[dvPath]]) holding the full live purged-key
+    *    set (parent dv ∪ this batch's present keys — cumulative, so
+    *    readers resolve ONE dv per read);
+    *  - every read of the version ([[readVersion]]/[[readVersionMerged]])
+    *    anti-joins the dv riding the pruned scan — the dv side is
+    *    O(unfolded deletions), broadcast by Spark's size-based planning;
+    *  - the erasure goes PHYSICAL at the fold: [[compactCommit]]
+    *    rewrites the data without the dv rows and supersedes the
+    *    lineage with an empty dv; [[vacuum]] folds in place once every
+    *    retained version sits at/above the dv commit, extending the
+    *    unrecoverability law — after it, no parquet byte NOR dv entry
+    *    holds a purged key (spec-asserted);
+    *  - replay is idempotent through the same presence check as COW
+    *    mode, additionally subtracting keys the current dv already
+    *    holds: a replayed batch commits nothing.
+    *
+    * CONTRACT: dv mode is for append/maintenance lineages. A keyed
+    * UPSERT store must fold (compact) before re-inserting a purged key
+    * — the dv is version-resolved, so a re-inserted key's rows would be
+    * hidden until the fold; [[graft.streaming.UpsertSink]] stores keep
+    * COW mode (the default) for exactly this reason.
+    *
+    * Returns the committed version (the tip unchanged on a no-op).
+    * Ref: the reference's Kudu sink deletes rows in place
+    * (KuduDStreamFunctions.scala) — DVs are how a lake gets that
+    * per-row delete cost without giving up immutable files. */
+  def deleteCommitDv(s: SparkSession, path: String, keys: DataFrame,
+      keyCol: String): Int =
+    WriterLease.withLease(s, path, "deleteCommit") {
+    requireIntegralKey(keys, keyCol)
+    val vs = versions(s, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val cur = vs.last
+    val stats = fileKeyStats(s, path, cur, keyCol)
+    val statsDf = {
+      import s.implicits._
+      stats.toSeq.toDF("file", "mn", "mx")
+    }
+    val keysD = keys.select(col(keyCol)).distinct()
+    val owning = keysD.select(col(keyCol).cast("long").as("k"))
+      .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+    // present = in some owning file's bytes AND not already dv-purged:
+    // both a replayed batch and an all-absent batch commit NOTHING
+    val curDv = dvAt(s, path, cur)
+    val presentKeys = if (owning.isEmpty) None else {
+      val inFiles = keysD.join(
+        s.read.parquet(owning.toIndexedSeq: _*).select(col(keyCol)),
+        Seq(keyCol), "left_semi")
+      val fresh = curDv.fold(inFiles)(dv =>
+        inFiles.join(dv, Seq(keyCol), "left_anti"))
+      Some(fresh).filter(_.limit(1).count() > 0)
+    }
+    presentKeys match {
+      case None => cur // no-op erasure: nothing newly purged
+      case Some(fresh) =>
+        val v = claimVersion(s, path, cur + 1)
+        require(v == cur + 1 && committedTip(s, path).contains(cur),
+          s"store $path has a data commit in flight (claimed slot $v over " +
+            s"tip $cur): quiesce the stream before deleteCommitDv")
+        // the cumulative dv: parent's live set ∪ this batch — O(unfolded
+        // deletions) bytes, the commit's ONLY data write
+        val newDv = curDv.fold(fresh)(dv => dv.unionByName(fresh).distinct())
+        newDv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath(path, v))
+        // manifest = parent's, verbatim (stats columns and all): every
+        // data file is shared by reference — zero rewrite amplification
+        s.read.parquet(manifestPath(path, cur))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
+        writeMaintenanceTxn(s, path, v)
+        v
     }
   }
 
@@ -913,6 +1122,68 @@ object VersionedStore extends QueryPack {
     }.reduce(_.unionAll(_)).orderBy(col("version"))
   }
 
+  /** Single-commit store holding q109's VERSION 3 logical content
+    * (orders < cut2 with the banded +100¢ adjustment, custkey-clustered
+    * with a STATS manifest so dv planning prunes with zero heal scans),
+    * then the q107 erasure committed in DELETION-VECTOR mode — the
+    * lineage [[q107cPurgeExecuteDv]] gates. Built once per JVM. */
+  private val dvDemoBuilt = scala.collection.mutable.Map.empty[String, String]
+
+  private[graft] def dvStore(s: SparkSession, dir: String): String = synchronized {
+    dvDemoBuilt.getOrElseUpdate(dir, {
+      val path = Engine.storePath("graft-versioned-dvstore", dir)
+      resetIfPartial(s, path)
+      if (versions(s, path).isEmpty) {
+        val orders = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < to_timestamp(lit(cut2)))
+          .select(col("o_orderkey"), col("o_custkey"),
+            Num.cents(col("o_totalprice")).as("amount_c"))
+        val r = orders.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val (lo, hi) = (mn + (mx - mn + 1) * 4 / 10, mn + (mx - mn + 1) * 5 / 10)
+        val dp = dataPath(path)
+        orders.withColumn("amount_c",
+            when(col("o_custkey").between(lo, hi), col("amount_c") + 100L)
+              .otherwise(col("amount_c")))
+          .repartitionByRange(12, col("o_custkey"))
+          .sortWithinPartitions("o_custkey")
+          .write.mode(SaveMode.Overwrite).parquet(dp)
+        import s.implicits._
+        s.read.parquet(dp)
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"))
+          .collect().map(x => (canon(x.getString(0)), x.getLong(1), x.getLong(2)))
+          .sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(manifestPath(path, 1))
+        deleteCommitDv(s, path, purgeKeys(s, dir), "o_custkey")
+      }
+      path
+    })
+  }
+
+  /** q107c: erasure execution in DELETION-VECTOR mode — the SAME purge
+    * predicate as q107b committed as an O(deleted rows) dv commit
+    * instead of a copy-on-write rewrite: zero data files written, every
+    * file shared by reference, the erasure riding reads as a broadcast
+    * anti-join until compaction/vacuum folds it physical. The probe
+    * labels match q107b's (version 3 = the pre-purge logical content,
+    * version 4 = post-purge), the oracle is the identical logical
+    * restatement, and the spec additionally asserts the two modes
+    * return BIT-IDENTICAL frames and that a scattered erasure batch
+    * costs O(keys) bytes where COW would rewrite most of the store —
+    * the regime (round-13 verdict #2) dv mode exists for. */
+  def q107cPurgeExecuteDv(s: SparkSession, dir: String): DataFrame = {
+    val path = dvStore(s, dir)
+    Seq(3L -> 1, 4L -> 2).map { case (label, v) =>
+      readVersion(s, path, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("amount_c")).as("amount_c"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .select(lit(label).as("version"), col("n_rows"), col("amount_c"),
+          col("n_customers"))
+    }.reduce(_.unionAll(_)).orderBy(col("version"))
+  }
+
   /** Materialized v3-level aggregate (q110b's refresh result), built
     * once per JVM — the table q110c maintains across the DELETE commit. */
   private def mv3Path(path: String): String = path + "/mv/v3"
@@ -1010,8 +1281,8 @@ object VersionedStore extends QueryPack {
     * (merge of identical schemas); only evolved stores pay the
     * per-file footer union. */
   def readVersionMerged(s: SparkSession, path: String, v: Int): DataFrame =
-    s.read.option("mergeSchema", "true")
-      .parquet(versionFiles(s, path, v): _*)
+    applyDv(s, path, v, s.read.option("mergeSchema", "true")
+      .parquet(versionFiles(s, path, v): _*))
 
   /** The orders columns every ts/evo store commit shares. */
   private def ordersSlice(s: SparkSession, dir: String,
@@ -1128,7 +1399,34 @@ object VersionedStore extends QueryPack {
     "q110_incremental_mv" -> (q110IncrementalMv _),
     "q110b_incremental_mv_cow" -> (q110bIncrementalMvCow _),
     "q107b_purge_execute" -> (q107bPurgeExecute _),
+    "q107c_purge_execute_dv" -> (q107cPurgeExecuteDv _),
     "q110c_incremental_mv_delete" -> (q110cIncrementalMvDelete _))
+
+  /** The erasure-execution logical restatement, shared verbatim by the
+    * COW (q107b) and DELETION-VECTOR (q107c) modes: the two commits
+    * differ only in PHYSICAL strategy, so one oracle gates both — and
+    * the driver's hash compare proves the modes agree bit-for-bit. */
+  private val purgeExecuteSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
+       |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
+       |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+       |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
+       |del AS (SELECT c_custkey FROM customer
+       |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+       |SELECT 3 AS version, count(*) AS n_rows,
+       |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+       |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c,
+       |  count(DISTINCT o_custkey) AS n_customers
+       |FROM o, k
+       |UNION ALL
+       |SELECT 4, count(*),
+       |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+       |    THEN 100 ELSE 0 END) AS BIGINT),
+       |  count(DISTINCT o_custkey)
+       |FROM o, k WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+       |ORDER BY version""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // the IVM correctness statement: incremental maintenance from the
@@ -1178,28 +1476,10 @@ object VersionedStore extends QueryPack {
          |GROUP BY 1 ORDER BY priority""".stripMargin,
     // the erasure-execution statement: v3 = the q109 logical definition,
     // v4 = v3 minus the q107 erasure list — a purged row surviving a
-    // shared file or a retained row lost in the rewrite breaks a sum
-    "q107b_purge_execute" ->
-      s"""WITH o AS (
-         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
-         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
-         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
-         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
-         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
-         |del AS (SELECT c_custkey FROM customer
-         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
-         |SELECT 3 AS version, count(*) AS n_rows,
-         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
-         |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c,
-         |  count(DISTINCT o_custkey) AS n_customers
-         |FROM o, k
-         |UNION ALL
-         |SELECT 4, count(*),
-         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
-         |    THEN 100 ELSE 0 END) AS BIGINT),
-         |  count(DISTINCT o_custkey)
-         |FROM o, k WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
-         |ORDER BY version""".stripMargin,
+    // shared file or a retained row lost in the rewrite breaks a sum;
+    // shared verbatim by both physical modes (COW and deletion-vector)
+    "q107b_purge_execute" -> purgeExecuteSql,
+    "q107c_purge_execute_dv" -> purgeExecuteSql,
     // the delete-IVM statement: retract-and-merge across the purge's
     // manifest diff must equal the from-scratch post-purge aggregate
     "q110c_incremental_mv_delete" ->

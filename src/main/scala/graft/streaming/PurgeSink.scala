@@ -33,24 +33,36 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object PurgeSink {
 
   /** Execute one erasure batch. Returns the committed version, or None
-    * when the batch was empty or touched no owning file (replay /
-    * already-absent keys). */
+    * when the batch was empty or nothing was newly purged (replay /
+    * already-absent keys). `mode` picks the physical strategy:
+    * "cow" (default) rewrites the owning files minus the keys —
+    * per-trigger cost tracks the touched FILES; "dv" commits a
+    * deletion-vector version ([[graft.sources.VersionedStore
+    * .deleteCommitDv]]) — per-trigger cost tracks the KEYS (the
+    * scattered-erasure regime), folded physical at the store's next
+    * compaction or vacuum. Replay stays a no-op in both: dv mode's
+    * presence check also subtracts keys the current dv already holds. */
   def purgeBatch(keys: DataFrame, storePath: String,
-      keyCol: String): Option[Int] = {
+      keyCol: String, mode: String = "cow"): Option[Int] = {
     if (keys.isEmpty) return None
     val s = keys.sparkSession
     val before = VersionedStore.committedTip(s, storePath)
-    val v = VersionedStore.deleteCommit(s, storePath, keys, keyCol)
+    val v = mode match {
+      case "cow" => VersionedStore.deleteCommit(s, storePath, keys, keyCol)
+      case "dv" => VersionedStore.deleteCommitDv(s, storePath, keys, keyCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown purge mode '$other' (expected cow or dv)")
+    }
     if (before.contains(v)) None else Some(v)
   }
 
   /** Attach the erasure executor to a stream of request keys. */
   def writeTo(keys: DataFrame, storePath: String, keyCol: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, mode: String = "cow"): StreamingQuery =
     keys.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        purgeBatch(batch, storePath, keyCol); ()
+        purgeBatch(batch, storePath, keyCol, mode); ()
       }
       .start()
 }

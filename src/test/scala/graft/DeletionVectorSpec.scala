@@ -1,0 +1,216 @@
+package graft
+
+import graft.sources.VersionedStore
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical laws of the DELETION-VECTOR erasure commit (round-13
+  * verdict order #2) — the scale regime copy-on-write handles badly:
+  * a scattered erasure batch must cost O(deleted rows) bytes where COW
+  * rewrites most of the store; the two modes must agree bit-for-bit on
+  * every read; compaction and vacuum must FOLD the vector physical,
+  * extending the unrecoverability law to dv entries; and pre-delete
+  * history must stay readable until it expires. */
+class DeletionVectorSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** A key-clustered 8-file store with a STATS manifest: keys 1..800,
+    * file i owns (100i, 100(i+1)]. */
+  private def buildStore(): String = {
+    val path = Files.createTempDirectory("graft_dv_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 800L).map(k => (k, k * 10)).toDF("key", "amount")
+      .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite).parquet(dp)
+    spark.read.parquet(dp)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+      .collect()
+      .map(r => (VersionedStore.canon(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(VersionedStore.manifestPath(path, 1))
+    path
+  }
+
+  private def dirBytes(p: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0L
+    else fs.getContentSummary(hp).getLength
+  }
+
+  /** Every key readable from ANY parquet byte under the store root —
+    * data files, dv relations, staging; the unrecoverability probe. */
+  private def allKeysOnDisk(path: String): Set[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(hp, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (files.hasNext) {
+      val f = files.next().getPath.toString
+      // manifests list file PATHS, not keys — only data/dv parquet counts
+      if (f.endsWith(".parquet") && !f.contains("/manifest/")) buf += f
+    }
+    buf.toSeq.flatMap { f =>
+      val df = spark.read.parquet(f)
+      if (df.columns.contains("key"))
+        df.select(col("key").cast("long")).as[Long].collect()
+      else Nil
+    }.toSet
+  }
+
+  // keys scattered across EVERY band: one per 8-key stride
+  private val scattered = (1L to 800L by 8).toSeq
+
+  test("a scattered erasure costs O(keys) bytes where COW rewrites the whole store") {
+    // a store big enough that data outweighs parquet format overhead
+    // (the cost law is about bytes, so the fixture must have some):
+    // 80k rows in 8 band files; the erasure is ~825 keys hitting EVERY
+    // band — the scattered regime dv mode exists for
+    val path = Files.createTempDirectory("graft_dvbig_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 80000L).map(k => (k, k * 10)).toDF("key", "amount")
+      .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite).parquet(dp)
+    spark.read.parquet(dp)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+      .collect()
+      .map(r => (VersionedStore.canon(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(VersionedStore.manifestPath(path, 1))
+    val scattered = (1L to 80000L by 97).toSeq // ~825 keys, all bands
+    val storeBytes = dirBytes(VersionedStore.dataPath(path))
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+
+    val v = VersionedStore.deleteCommitDv(spark, path, scattered.toDF("key"), "key")
+    assert(v == 2)
+    // zero data files written or dropped: the manifest is the parent's
+    val f2 = VersionedStore.versionFiles(spark, path, 2).toSet
+    assert(f2 == f1, "a dv commit must share every data file by reference")
+    assert(dirBytes(VersionedStore.dataPath(path)) == storeBytes,
+      "a dv commit wrote into the data directory")
+    // the commit's entire write cost is the dv relation + manifest copy
+    val commitBytes = dirBytes(VersionedStore.dvPath(path, 2)) +
+      dirBytes(VersionedStore.manifestPath(path, 2))
+    assert(commitBytes < storeBytes / 10,
+      s"dv commit wrote $commitBytes bytes vs store $storeBytes — not O(keys)")
+    // ...where COW would have rewritten EVERY file (each band owns keys)
+    val owningCow = {
+      val stats = spark.read.parquet(VersionedStore.manifestPath(path, 1))
+      scattered.toDF("k").join(stats,
+        col("k") >= col("mn") && col("k") <= col("mx"))
+        .select("file").distinct().count()
+    }
+    assert(owningCow == 8, "the scattered batch must touch every band")
+    // logical content: exactly the survivors, bit-stable across reads
+    val tip = VersionedStore.readVersion(spark, path, 2)
+      .select("key").as[Long].collect().toSet
+    assert(tip == (1L to 80000L).toSet -- scattered)
+    // history: v1 still reads everything (the dv applies from v2 only)
+    assert(VersionedStore.readVersion(spark, path, 1).count() == 80000L)
+    // replay: the same batch commits NOTHING (keys already dv-purged)
+    assert(VersionedStore.deleteCommitDv(spark, path,
+      scattered.toDF("key"), "key") == 2)
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2))
+  }
+
+  test("dv and cow modes agree bit-for-bit on the post-purge read") {
+    val (a, b) = (buildStore(), buildStore())
+    val keys = (37L to 700L by 13).toSeq
+    VersionedStore.deleteCommit(spark, a, keys.toDF("key"), "key")
+    VersionedStore.deleteCommitDv(spark, b, keys.toDF("key"), "key")
+    def snap(p: String) = VersionedStore
+      .readVersion(spark, p, VersionedStore.versions(spark, p).last)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(snap(a) == snap(b),
+      "the two physical erasure modes disagree on the logical result")
+  }
+
+  test("compaction folds the dv physical and supersedes the lineage") {
+    val path = buildStore()
+    VersionedStore.deleteCommitDv(spark, path, scattered.toDF("key"), "key")
+    val v = VersionedStore.compactCommit(spark, path, "key",
+      targetFileBytes = 1L << 20)
+    assert(v == 3)
+    // the compacted files physically exclude every purged key
+    val raw = spark.read
+      .parquet(VersionedStore.versionFiles(spark, path, 3).toIndexedSeq: _*)
+      .select("key").as[Long].collect().toSet
+    assert((raw & scattered.toSet).isEmpty,
+      "compaction carried purged rows into the rewritten files")
+    assert(raw == (1L to 800L).toSet -- scattered)
+    // the lineage is superseded: v3's dv is EMPTY, so reads pay no
+    // anti-join right side; v2 still resolves its own (non-empty) dv
+    assert(spark.read.parquet(VersionedStore.dvPath(path, 3)).count() == 0)
+    assert(VersionedStore.readVersion(spark, path, 3).count() ==
+      800L - scattered.size)
+    assert(VersionedStore.readVersion(spark, path, 2).count() ==
+      800L - scattered.size)
+  }
+
+  test("vacuum folds in place: no parquet byte nor dv entry holds a purged key") {
+    val path = buildStore()
+    VersionedStore.deleteCommitDv(spark, path, scattered.toDF("key"), "key")
+    // pre-retention the purged bytes are still on disk (auditable history)
+    assert(scattered.toSet.subsetOf(allKeysOnDisk(path)))
+    val (expired, deleted) = VersionedStore.vacuum(spark, path, keepVersions = 1)
+    assert(expired == 1 && deleted >= 8,
+      s"fold must delete the superseded originals (deleted=$deleted)")
+    val after = allKeysOnDisk(path)
+    assert((after & scattered.toSet).isEmpty,
+      "purged keys recoverable from disk after vacuum — erasure not physical")
+    assert(after == (1L to 800L).toSet -- scattered, "vacuum lost retained rows")
+    // the dv lineage is gone with the bytes
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(VersionedStore.dvDir(path))),
+      "vacuum left dv relations behind after the fold")
+    // the retained tip reads bit-stable through its updated manifest
+    val tip = VersionedStore.readVersion(spark, path,
+      VersionedStore.versions(spark, path).last)
+    assert(tip.count() == 800L - scattered.size)
+    assert(tip.agg(sum("amount")).head().getLong(0) ==
+      (1L to 800L).filterNot(scattered.contains).map(_ * 10).sum)
+  }
+
+  test("vacuum keeps the dv while pre-delete history is retained") {
+    val path = buildStore()
+    VersionedStore.deleteCommitDv(spark, path, scattered.toDF("key"), "key")
+    VersionedStore.vacuum(spark, path, keepVersions = 2)
+    // v1 predates the dv commit and must still read the purged rows;
+    // the dv dir therefore survives this vacuum
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(VersionedStore.dvPath(path, 2))))
+    assert(VersionedStore.readVersion(spark, path, 1).count() == 800L)
+    assert(VersionedStore.readVersion(spark, path, 2).count() ==
+      800L - scattered.size)
+    // once the pre-delete history expires, the fold happens
+    VersionedStore.vacuum(spark, path, keepVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(VersionedStore.dvDir(path))))
+    assert((allKeysOnDisk(path) & scattered.toSet).isEmpty)
+  }
+
+  test("the streaming purge sink drives dv mode with no-op replay") {
+    val path = buildStore()
+    val v = graft.streaming.PurgeSink.purgeBatch(
+      scattered.take(10).toDF("key"), path, "key", mode = "dv")
+    assert(v.contains(2))
+    // replay of the same batch: nothing newly purged, no version
+    assert(graft.streaming.PurgeSink.purgeBatch(
+      scattered.take(10).toDF("key"), path, "key", mode = "dv").isEmpty)
+    // a later batch extends the cumulative vector
+    val v2 = graft.streaming.PurgeSink.purgeBatch(
+      Seq(500L, 501L).toDF("key"), path, "key", mode = "dv")
+    assert(v2.contains(3))
+    val tip = VersionedStore.readVersion(spark, path, 3)
+      .select("key").as[Long].collect().toSet
+    assert(tip == (1L to 800L).toSet -- scattered.take(10) - 500L - 501L)
+  }
+}
