@@ -505,9 +505,10 @@ object VersionedStore extends QueryPack {
     claims.filterNot(committed.contains).foreach { v =>
       // every writer family's per-version staging dir: stream/batch
       // appends and upserts (v<N>), failed compactions (compact_v<N>),
-      // abandoned delete commits (delete_v<N>)
+      // abandoned delete commits (delete_v<N>), crashed dv commits
       Seq(s"/v$v", s"/compact_v$v", s"/delete_v$v").foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + d), true))
+      fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, v)), true)
       fs.delete(claimFile(path, v), false)
     }
     claims.filter(v => committed.contains(v) && v < tip)
@@ -610,59 +611,76 @@ object VersionedStore extends QueryPack {
     * `-(new version)` — negative, so it can never collide with a
     * stream batch id — keeping the marker-commit rule uniform.
     *
-    * SINGLE-WRITER REQUIREMENT: the version claim (cur + 1) is derived
-    * from the committed set with no coordination, so compaction must
-    * run from the one writer's maintenance schedule — the stream
-    * stopped or quiesced between triggers, as VersionedCommitSpec
-    * does — never concurrently with a live sink: two uncoordinated
-    * writers could both claim cur + 1 and overwrite each other's
-    * manifest/txn record. The same discipline every table format
-    * demands of stores without a coordinating catalog or lock service;
-    * [[vacuum]] shares it.
+    * CONCURRENCY (round-13 verdict #5): the version slot is claimed
+    * atomically and the commit follows the UpsertSink burn-and-loop
+    * pattern — a data commit landing mid-compaction abandons this
+    * attempt's slot (vacuum reclaims the staging) and the WHOLE rewrite
+    * retries against the new tip, bounded attempts, correctness over
+    * wasted work. A claimed-but-crashed lower slot resolves through the
+    * settle timeout (the abandoned-claimer rule), so an orphaned claim
+    * no longer bricks maintenance. The maintenance LEASE still
+    * serializes compaction against vacuum/delete commits; an erasure
+    * SLA on a hot store sizes `settleTimeoutMs` above the stream's
+    * commit wall.
     *
     * Returns the committed version number. */
   def compactCommit(s: SparkSession, path: String, clusterCol: String,
-      targetFileBytes: Long): Int =
+      targetFileBytes: Long, settleTimeoutMs: Long = 30000L): Int =
     WriterLease.withLease(s, path, "compactCommit") {
-    val vs = versions(s, path)
-    require(vs.nonEmpty, s"no committed versions under $path")
-    val cur = vs.last
-    val files = versionFiles(s, path, cur)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val bytes = files.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // claim the slot ATOMICALLY: a live stream sink racing this
-    // maintenance commit can no longer land on the same version number
-    // and overwrite this manifest/txn record (round-12 advice). Winning
-    // a slot above cur+1, or the tip moving after the claim, means a
-    // data commit IS in flight — compaction of `cur` would then commit
-    // a version that drops the newer rows from the tip lineage, so fail
-    // loudly before any write: re-run when the stream is quiesced.
-    val v = claimVersion(s, path, cur + 1)
-    require(v == cur + 1 && committedTip(s, path).contains(cur),
-      s"store $path has a data commit in flight (claimed slot $v over tip " +
-        s"$cur): quiesce the stream before graft_store_optimize / compactCommit")
-    val outDir = dataPath(path) + s"/compact_v$v"
-    // compaction is the dv FOLD point: the rewrite drops the deletion
-    // vector's rows from the data, so the compacted version commits an
-    // EMPTY dv to supersede the lineage (deleteCommitDv's design) —
-    // reads of v and later stop paying the anti-join's right side
-    val dv = dvAt(s, path, cur)
-    val folded = dv.fold(s.read.parquet(files: _*))(d =>
-      s.read.parquet(files: _*).join(d, d.columns.toSeq, "left_anti"))
-    folded
-      .repartitionByRange(n, col(clusterCol))
-      .sortWithinPartitions(clusterCol)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
-    writeManifest(s, path, v, hadoopLs(s, outDir))
-    dv.foreach(d => d.limit(0).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v)))
-    // a stream-built store commits through its txn-marker rule; the
-    // pseudo batch id is negative so stream replay checks never match
-    writeMaintenanceTxn(s, path, v)
-    v
+    var attempts = 0
+    var abandoned = Set.empty[Int]
+    var done: Option[Int] = None
+    while (done.isEmpty && attempts < 3) {
+      attempts += 1
+      val vs = versions(s, path)
+      require(vs.nonEmpty, s"no committed versions under $path")
+      val cur = vs.last
+      val v = claimVersion(s, path, cur + 1)
+      // pre-settle: winning a slot above cur+1 means writers are (or
+      // recently were) in flight — resolve them BEFORE paying the
+      // rewrite; a crashed claimer times out into the abandoned rule
+      val pre = if (v == cur + 1) Some(cur)
+        else settleBelow(s, path, v, abandoned, settleTimeoutMs)
+      if (pre.contains(cur)) {
+        val files = versionFiles(s, path, cur)
+        val bytes = files.map(f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val n = math.max(1L,
+          (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val outDir = dataPath(path) + s"/compact_v$v"
+        // compaction is the dv FOLD point: the rewrite drops the
+        // deletion vector's rows from the data, so the compacted version
+        // commits an EMPTY dv to supersede the lineage (deleteCommitDv's
+        // design) — reads of v and later stop paying the anti-join
+        val dv = dvAt(s, path, cur)
+        val folded = dv.fold(s.read.parquet(files: _*))(d =>
+          s.read.parquet(files: _*).join(d, d.columns.toSeq, "left_anti"))
+        folded
+          .repartitionByRange(n, col(clusterCol))
+          .sortWithinPartitions(clusterCol)
+          .write.mode(SaveMode.Overwrite).parquet(outDir)
+        // commit validity: the rewrite is a correct next version only if
+        // the tip is STILL the one it compacted
+        val settled = settleBelow(s, path, v, abandoned, settleTimeoutMs)
+        if (settled.contains(cur)) {
+          writeManifest(s, path, v, hadoopLs(s, outDir))
+          dv.foreach(d => d.limit(0).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v)))
+          // a stream-built store commits through its txn-marker rule;
+          // the pseudo id is negative so replay checks never match
+          writeMaintenanceTxn(s, path, v)
+          requireNoLineageGap(s, path, cur, v)
+          done = Some(v)
+        }
+      }
+      if (done.isEmpty) abandoned += v // tip moved: re-plan against it
+    }
+    done.getOrElse(throw new IllegalStateException(
+      s"compactCommit on $path lost the commit race 3 times — a writer " +
+        "is committing continuously; quiesce the stream or re-run from " +
+        "the maintenance schedule"))
   }
 
   /** The band prune (and the COW rewrite decision) compares key bands
@@ -735,13 +753,16 @@ object VersionedStore extends QueryPack {
     *    that own those key ranges, never the store;
     *  - the REWRITE is one anti-join of the owning files' rows against
     *    the key list, range-reclustered into at most `owning` files;
-    *  - the COMMIT claims its slot atomically ([[claimVersion]]) and
-    *    fails fast if a data commit is in flight (the compactCommit
-    *    discipline); on a stream-built store it writes the negative-
-    *    pseudo-id txn record so replay checks stay uniform, and the
-    *    manifest keeps the parent's stats columns when present (shared
-    *    rows keep their bands — still-correct over-approximations;
-    *    rewritten files get fresh bands);
+    *  - the COMMIT claims its slot atomically ([[claimVersion]]) and,
+    *    racing a live data commit, abandons the slot and RETRIES the
+    *    plan+rewrite against the new tip (the UpsertSink burn-and-loop,
+    *    round-13 verdict #5 — an erasure SLA on a hot store must land
+    *    without quiescing the stream), bounded attempts; on a
+    *    stream-built store it writes the negative-pseudo-id txn record
+    *    so replay checks stay uniform, and the manifest keeps the
+    *    parent's stats columns when present (shared rows keep their
+    *    bands — still-correct over-approximations; rewritten files get
+    *    fresh bands);
     *  - HISTORY IS PRESERVED until retention: parent versions still
     *    read the purged rows (auditable tombstone-free lineage), and
     *    [[vacuum]] is what makes the erasure PHYSICAL — once the purge
@@ -758,65 +779,84 @@ object VersionedStore extends QueryPack {
     * what a 100 TB lake does instead so erasure and reproducibility
     * can coexist. */
   def deleteCommit(s: SparkSession, path: String, keys: DataFrame,
-      keyCol: String): Int =
+      keyCol: String, settleTimeoutMs: Long = 30000L): Int =
     WriterLease.withLease(s, path, "deleteCommit") {
     requireIntegralKey(keys, keyCol)
-    val vs = versions(s, path)
-    require(vs.nonEmpty, s"no committed versions under $path")
-    val cur = vs.last
-    val stats = fileKeyStats(s, path, cur, keyCol)
-    val statsDf = {
-      import s.implicits._
-      stats.toSeq.toDF("file", "mn", "mx")
+    var attempts = 0
+    var abandoned = Set.empty[Int]
+    var done: Option[Int] = None
+    while (done.isEmpty && attempts < 5) {
+      attempts += 1
+      val vs = versions(s, path)
+      require(vs.nonEmpty, s"no committed versions under $path")
+      val cur = vs.last
+      val stats = fileKeyStats(s, path, cur, keyCol)
+      val statsDf = {
+        import s.implicits._
+        stats.toSeq.toDF("file", "mn", "mx")
+      }
+      val owning = keys.select(col(keyCol).cast("long").as("k")).distinct()
+        .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+        .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+      // the bands are over-approximations, so "some file's band contains
+      // a key" does not mean the key is PRESENT — a replayed erasure
+      // batch (keys already purged) selects the rewritten file whose band
+      // still spans them. Charge one bounded semi-join count against the
+      // owning files: zero actual matches = a no-op erasure that commits
+      // NOTHING (no spurious version, no rewrite) — the idempotent-replay
+      // contract the streaming purge sink relies on.
+      val hit = owning.nonEmpty && s.read.parquet(owning.toIndexedSeq: _*)
+        .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        .limit(1).count() > 0
+      if (!hit) done = Some(cur) // no purged key present: no-op
+      else {
+        val v = claimVersion(s, path, cur + 1)
+        val outDir = dataPath(path) + s"/delete_v$v"
+        s.read.parquet(owning.toIndexedSeq: _*)
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .repartitionByRange(owning.length, col(keyCol))
+          .sortWithinPartitions(keyCol)
+          .write.mode(SaveMode.Overwrite).parquet(outDir)
+        // commit validity (the UpsertSink burn-and-loop, round-13
+        // verdict #5): the rewrite is correct only against the tip it
+        // planned from — a data commit landing meanwhile abandons this
+        // slot (vacuum reclaims the staging) and the erasure re-plans
+        // against the new tip instead of demanding a quiesced stream
+        val settled = settleBelow(s, path, v, abandoned, settleTimeoutMs)
+        if (!settled.contains(cur)) abandoned += v
+        else {
+          val newFiles = hadoopLs(s, outDir)
+          val ownSet = owning.toSet
+          val sharedStats = stats.filterNot(t => ownSet(t._1))
+          val hasStats = s.read.parquet(manifestPath(path, cur))
+            .columns.contains("mn")
+          if (hasStats && newFiles.nonEmpty) {
+            import s.implicits._
+            val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
+              .groupBy(input_file_name().as("file"))
+              .agg(min(col(keyCol).cast("long")).as("mn"),
+                max(col(keyCol).cast("long")).as("mx"))
+              .collect()
+              .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
+            (sharedStats ++ newStats).sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+              .coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(manifestPath(path, v))
+          } else if (hasStats) {
+            import s.implicits._
+            sharedStats.sortBy(_._1).toSeq.toDF("file", "mn", "mx")
+              .coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(manifestPath(path, v))
+          } else
+            writeManifest(s, path, v, sharedStats.map(_._1) ++ newFiles)
+          writeMaintenanceTxn(s, path, v)
+          requireNoLineageGap(s, path, cur, v)
+          done = Some(v)
+        }
+      }
     }
-    val owning = keys.select(col(keyCol).cast("long").as("k")).distinct()
-      .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
-      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
-    // the bands are over-approximations, so "some file's band contains
-    // a key" does not mean the key is PRESENT — a replayed erasure
-    // batch (keys already purged) selects the rewritten file whose band
-    // still spans them. Charge one bounded semi-join count against the
-    // owning files: zero actual matches = a no-op erasure that commits
-    // NOTHING (no spurious version, no rewrite) — the idempotent-replay
-    // contract the streaming purge sink relies on.
-    val hit = owning.nonEmpty && s.read.parquet(owning.toIndexedSeq: _*)
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-      .limit(1).count() > 0
-    if (!hit) cur // no purged key present: no-op
-    else {
-    val v = claimVersion(s, path, cur + 1)
-    require(v == cur + 1 && committedTip(s, path).contains(cur),
-      s"store $path has a data commit in flight (claimed slot $v over tip " +
-        s"$cur): quiesce the stream before deleteCommit")
-    val outDir = dataPath(path) + s"/delete_v$v"
-    s.read.parquet(owning.toIndexedSeq: _*)
-      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .repartitionByRange(owning.length, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
-    val newFiles = hadoopLs(s, outDir)
-    val ownSet = owning.toSet
-    val sharedStats = stats.filterNot(t => ownSet(t._1))
-    val hasStats = s.read.parquet(manifestPath(path, cur))
-      .columns.contains("mn")
-    if (hasStats && newFiles.nonEmpty) {
-      import s.implicits._
-      val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(keyCol).cast("long")).as("mn"),
-          max(col(keyCol).cast("long")).as("mx"))
-        .collect().map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
-      (sharedStats ++ newStats).sortBy(_._1).toSeq.toDF("file", "mn", "mx")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
-    } else if (hasStats) {
-      import s.implicits._
-      sharedStats.sortBy(_._1).toSeq.toDF("file", "mn", "mx")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
-    } else
-      writeManifest(s, path, v, sharedStats.map(_._1) ++ newFiles)
-    writeMaintenanceTxn(s, path, v)
-    v
-    }
+    done.getOrElse(throw new IllegalStateException(
+      s"deleteCommit on $path lost the commit race 5 times — a writer is " +
+        "committing continuously; back off and retry"))
   }
 
   /** Maintenance-commit txn record — the negative pseudo batch id +
@@ -872,50 +912,66 @@ object VersionedStore extends QueryPack {
     * (KuduDStreamFunctions.scala) — DVs are how a lake gets that
     * per-row delete cost without giving up immutable files. */
   def deleteCommitDv(s: SparkSession, path: String, keys: DataFrame,
-      keyCol: String): Int =
+      keyCol: String, settleTimeoutMs: Long = 30000L): Int =
     WriterLease.withLease(s, path, "deleteCommit") {
     requireIntegralKey(keys, keyCol)
-    val vs = versions(s, path)
-    require(vs.nonEmpty, s"no committed versions under $path")
-    val cur = vs.last
-    val stats = fileKeyStats(s, path, cur, keyCol)
-    val statsDf = {
-      import s.implicits._
-      stats.toSeq.toDF("file", "mn", "mx")
+    var attempts = 0
+    var abandoned = Set.empty[Int]
+    var done: Option[Int] = None
+    while (done.isEmpty && attempts < 5) {
+      attempts += 1
+      val vs = versions(s, path)
+      require(vs.nonEmpty, s"no committed versions under $path")
+      val cur = vs.last
+      val stats = fileKeyStats(s, path, cur, keyCol)
+      val statsDf = {
+        import s.implicits._
+        stats.toSeq.toDF("file", "mn", "mx")
+      }
+      val keysD = keys.select(col(keyCol)).distinct()
+      val owning = keysD.select(col(keyCol).cast("long").as("k"))
+        .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+        .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+      // present = in some owning file's bytes AND not already dv-purged:
+      // both a replayed batch and an all-absent batch commit NOTHING
+      val curDv = dvAt(s, path, cur)
+      val presentKeys = if (owning.isEmpty) None else {
+        val inFiles = keysD.join(
+          s.read.parquet(owning.toIndexedSeq: _*).select(col(keyCol)),
+          Seq(keyCol), "left_semi")
+        val fresh = curDv.fold(inFiles)(dv =>
+          inFiles.join(dv, Seq(keyCol), "left_anti"))
+        Some(fresh).filter(_.limit(1).count() > 0)
+      }
+      presentKeys match {
+        case None => done = Some(cur) // no-op erasure: nothing newly purged
+        case Some(fresh) =>
+          val v = claimVersion(s, path, cur + 1)
+          // commit validity (burn-and-loop, round-13 verdict #5): a data
+          // commit landing meanwhile abandons this slot and the erasure
+          // re-plans against the new tip — no quiesce required
+          val settled = settleBelow(s, path, v, abandoned, settleTimeoutMs)
+          if (!settled.contains(cur)) abandoned += v
+          else {
+            // the cumulative dv: parent's live set ∪ this batch —
+            // O(unfolded deletions) bytes, the commit's ONLY data write
+            val newDv = curDv.fold(fresh)(dv => dv.unionByName(fresh).distinct())
+            newDv.coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(dvPath(path, v))
+            // manifest = parent's, verbatim (stats columns and all):
+            // every data file shared by reference — zero amplification
+            s.read.parquet(manifestPath(path, cur))
+              .coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(manifestPath(path, v))
+            writeMaintenanceTxn(s, path, v)
+            requireNoLineageGap(s, path, cur, v)
+            done = Some(v)
+          }
+      }
     }
-    val keysD = keys.select(col(keyCol)).distinct()
-    val owning = keysD.select(col(keyCol).cast("long").as("k"))
-      .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
-      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
-    // present = in some owning file's bytes AND not already dv-purged:
-    // both a replayed batch and an all-absent batch commit NOTHING
-    val curDv = dvAt(s, path, cur)
-    val presentKeys = if (owning.isEmpty) None else {
-      val inFiles = keysD.join(
-        s.read.parquet(owning.toIndexedSeq: _*).select(col(keyCol)),
-        Seq(keyCol), "left_semi")
-      val fresh = curDv.fold(inFiles)(dv =>
-        inFiles.join(dv, Seq(keyCol), "left_anti"))
-      Some(fresh).filter(_.limit(1).count() > 0)
-    }
-    presentKeys match {
-      case None => cur // no-op erasure: nothing newly purged
-      case Some(fresh) =>
-        val v = claimVersion(s, path, cur + 1)
-        require(v == cur + 1 && committedTip(s, path).contains(cur),
-          s"store $path has a data commit in flight (claimed slot $v over " +
-            s"tip $cur): quiesce the stream before deleteCommitDv")
-        // the cumulative dv: parent's live set ∪ this batch — O(unfolded
-        // deletions) bytes, the commit's ONLY data write
-        val newDv = curDv.fold(fresh)(dv => dv.unionByName(fresh).distinct())
-        newDv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvPath(path, v))
-        // manifest = parent's, verbatim (stats columns and all): every
-        // data file is shared by reference — zero rewrite amplification
-        s.read.parquet(manifestPath(path, cur))
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path, v))
-        writeMaintenanceTxn(s, path, v)
-        v
-    }
+    done.getOrElse(throw new IllegalStateException(
+      s"deleteCommitDv on $path lost the commit race 5 times — a writer " +
+        "is committing continuously; back off and retry"))
   }
 
   /** Per-version commit wall clock, adjusted MONOTONE: committed

@@ -84,34 +84,61 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert((11L to 20L).forall(k => fin(k) == 2L), "writer 1's upserts lost")
   }
 
-  test("compaction fails fast over an in-flight data commit; vacuum reclaims burned slots") {
+  test("compaction rides past an abandoned claim; vacuum reclaims burned slots") {
     val path = Files.createTempDirectory("graft_cfail_").toString + "/store"
     VersionedCommitSink.appendBatch(
       (1L to 30L).map(k => (k, k)).toDF("key", "amount"), path, batchId = 0L)
-    // an in-flight writer holds the next slot (claimed, not yet committed)
+    // a crashed writer's claim on the next slot (never commits). Before
+    // round 14 this bricked compactCommit forever (`v == cur+1` could
+    // never hold again); the burn-and-loop protocol instead resolves
+    // the orphan through the settle timeout and commits the next slot.
     val held = VersionedStore.claimVersion(spark, path, 2)
     assert(held == 2)
-    val e = intercept[IllegalArgumentException] {
-      VersionedStore.compactCommit(spark, path, "key", targetFileBytes = 1L << 20)
-    }
-    assert(e.getMessage.contains("in flight"))
-    assert(VersionedStore.versions(spark, path) == Seq(1),
-      "failed compaction must commit nothing")
-    // the holder of slot 2 crashed (never commits): later commits claim
-    // past the abandoned slots (short settle — the abandoned holders are
-    // timeout-resolved) and make slots 2-3 sub-tip; vacuum reclaims them
+    val cv = VersionedStore.compactCommit(spark, path, "key",
+      targetFileBytes = 1L << 20, settleTimeoutMs = 500L)
+    assert(cv == 3, s"compaction did not land above the orphan claim: $cv")
+    assert(VersionedStore.versions(spark, path) == Seq(1, 3))
+    assert(UpsertSink.readStore(spark, path).count() == 30L)
+    // the stream continues above the compaction; vacuum reclaims the
+    // abandoned slot (claim + staging) and the spent committed claims
     VersionedCommitSink.appendBatch(
       Seq((31L, 31L)).toDF("key", "amount"), path, batchId = 1L,
-      settleTimeoutMs = 500L)
-    VersionedCommitSink.appendBatch(
-      Seq((32L, 32L)).toDF("key", "amount"), path, batchId = 2L,
       settleTimeoutMs = 500L)
     VersionedStore.vacuum(spark, path, keepVersions = 10)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      VersionedStore.claimsDir(path) + "/v3")),
-      "vacuum left the abandoned sub-tip claim behind")
-    assert(UpsertSink.readStore(spark, path).count() == 32L)
+      VersionedStore.claimsDir(path) + "/v2")),
+      "vacuum left the abandoned claim behind")
+    assert(UpsertSink.readStore(spark, path).count() == 31L)
+  }
+
+  test("an erasure racing a live upsert commit retries onto the next slot; both land") {
+    // round-13 verdict #5: an erasure SLA on a hot store must not demand
+    // a quiesced stream — deleteCommit follows the burn-and-loop rule,
+    // so whichever writer loses the slot race re-plans against the
+    // winner's tip and BOTH commits' content survives in the lineage.
+    val path = Files.createTempDirectory("graft_cpurge_").toString + "/store"
+    UpsertSink.upsertBatch(
+      (1L to 100L).map(k => (k, 0L)).toDF("custkey", "v"),
+      path, 0L, "custkey", initialPartitions = 4)
+    runRace(2) { i =>
+      if (i == 0)
+        UpsertSink.upsertBatch(
+          (101L to 110L).map(k => (k, 1L)).toDF("custkey", "v"),
+          path, batchId = 1L, keyCol = "custkey")
+      else
+        VersionedStore.deleteCommit(spark, path,
+          (1L to 20L).toDF("custkey"), "custkey", settleTimeoutMs = 20000L)
+    }
+    // disjoint key sets make the outcome order-independent: the upserted
+    // keys are new, the purged keys pre-exist — any serialization yields
+    // the same final content
+    val fin = UpsertSink.readStore(spark, path)
+      .select("custkey").as[Long].collect().toSet
+    assert(fin == ((21L to 100L).toSet ++ (101L to 110L)),
+      "a racing commit's content was lost")
+    assert(VersionedStore.versions(spark, path).size == 3,
+      s"expected 3 committed versions, got ${VersionedStore.versions(spark, path)}")
   }
 }

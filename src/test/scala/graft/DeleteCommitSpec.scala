@@ -146,17 +146,15 @@ class DeleteCommitSpec extends AnyFunSuite {
 
   test("vacuum reclaims a crashed compaction's claim on a manifest-only store") {
     // round-13 advice: compactCommit claims slots on batch-built stores
-    // too; a crashed attempt's burned tip+1 claim would otherwise brick
-    // every later compactCommit (its `v == cur+1` check) forever, since
-    // a maintenance-only store has no data commits to advance past it.
+    // too; a crashed attempt leaves a claim file + compact_v staging
+    // that the txn-gated reclamation never saw. (The burn-and-loop
+    // protocol can also ride PAST the orphan via the settle timeout —
+    // ConcurrentCommitSpec — but reclamation keeps the slot space and
+    // staging from accreting on maintenance-only stores.)
     val path = buildStore()
     assert(VersionedStore.claimVersion(spark, path, 2) == 2) // the crash
     Seq((1L, 1L)).toDF("key", "amount").write
       .parquet(VersionedStore.dataPath(path) + "/compact_v2") // its staging
-    val e = intercept[IllegalArgumentException] {
-      VersionedStore.compactCommit(spark, path, "key", targetFileBytes = 1L << 20)
-    }
-    assert(e.getMessage.contains("in flight"))
     VersionedStore.vacuum(spark, path, keepVersions = 10)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -166,7 +164,8 @@ class DeleteCommitSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       VersionedStore.dataPath(path) + "/compact_v2")),
       "vacuum left the crashed compaction's staging behind")
-    // the store compacts normally again
+    // the reclaimed slot is committed by the next maintenance pass on
+    // the FAST path (claim == cur+1, no settle wait)
     val v = VersionedStore.compactCommit(spark, path, "key",
       targetFileBytes = 1L << 20)
     assert(v == 2)
