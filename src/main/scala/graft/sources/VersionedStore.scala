@@ -374,21 +374,119 @@ object VersionedStore extends QueryPack {
         "their batches) before trusting the tip")
   }
 
-  /** Versions whose txn record carries its commit marker — pure FS
-    * listing, bounded by version count. */
+  /** METADATA CHECKPOINTS (round-13 verdict #3): commit-time and
+    * replay resolution used to read one txn record per committed
+    * version — O(versions) driver metadata cost on a long-lived stream
+    * store, bounded only by retention. Every [[CheckpointInterval]]-th
+    * commit consolidates (version, batch_id, commit_ts) for the full
+    * committed history into ONE small driver-readable text file (the
+    * Delta checkpoint idea; text, not parquet, so readers pay a single
+    * filesystem read instead of a Spark job per metadata call).
+    * Readers load the newest checkpoint and walk only the TAIL records
+    * above it — per-call metadata cost is O(interval), constant in
+    * store age. Superseded checkpoints are reclaimed by [[vacuum]];
+    * checkpoint rows for vacuumed versions are inert (every consumer
+    * intersects with the live txn listing). */
+  val CheckpointInterval = 10
+  def checkpointDir(path: String): String = path + "/checkpoint"
+
+  /** Newest checkpoint: (its tip version, rows (version, batch_id,
+    * commit_ts) sorted by version). One listing + one full file read. */
+  private[graft] def readCheckpoint(s: SparkSession,
+      path: String): Option[(Int, Seq[(Int, Long, Long)])] = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.sorted.lastOption.map { tip =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(
+          checkpointDir(path) + s"/v$tip"))
+        val out = new java.io.ByteArrayOutputStream(4096)
+        val buf = new Array[Byte](4096)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        val rows = out.toString("UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+          .map(_.split(',')).collect {
+            case Array(v, bid, ts) => (v.toInt, bid.toLong, ts.toLong)
+          }.sortBy(_._1)
+        (tip, rows)
+      }
+  }
+
+  /** (batch_id from the marker name, commit_ts from the txn record —
+    * marker mtime when a pre-commit_ts record lacks the column) of a
+    * committed version: one listing + one tiny parquet read. */
+  private def readTxnMeta(s: SparkSession, path: String, v: Int): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sts = fs.listStatus(new org.apache.hadoop.fs.Path(txnPath(path, v)))
+    val markers = sts.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_") && n.endsWith(".marker")
+    }
+    val bid = markers.map(_.getPath.getName
+      .stripPrefix("batch_").stripSuffix(".marker").toLong).max
+    val recs = hadoopLs(s, txnPath(path, v))
+    val ts =
+      if (recs.isEmpty) markers.map(_.getModificationTime).max
+      else {
+        val df = s.read.parquet(recs.toIndexedSeq: _*)
+        if (df.columns.contains("commit_ts"))
+          df.select(max(col("commit_ts"))).head().getLong(0)
+        else markers.map(_.getModificationTime).max
+      }
+    (bid, ts)
+  }
+
+  /** Consolidate the committed history into a checkpoint when `v` is a
+    * multiple of the interval: prior checkpoint rows + one txn-meta
+    * read per TAIL version — O(interval) work, amortized O(1)/commit.
+    * Written tmp-then-rename so a crash mid-write leaves no torn file;
+    * the checkpoint name is version-unique, so concurrent committers
+    * (who each own a distinct slot) can never contend on one. */
+  private[graft] def maybeCheckpoint(s: SparkSession, path: String, v: Int): Unit =
+    if (v > 0 && v % CheckpointInterval == 0) {
+      val prior = readCheckpoint(s, path)
+      val from = prior.map(_._1).getOrElse(0)
+      val tail = committedIn(s, path, from, v + 1)
+        .map(tv => { val (bid, ts) = readTxnMeta(s, path, tv); (tv, bid, ts) })
+      val rows = prior.map(_._2.filter(_._1 <= from)).getOrElse(Seq.empty) ++ tail
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir(path)))
+      val tmp = new org.apache.hadoop.fs.Path(checkpointDir(path) + s"/.v$v.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(rows.sortBy(_._1)
+        .map { case (ver, bid, ts) => s"$ver,$bid,$ts" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(checkpointDir(path) + s"/v$v"))
+    }
+
+  /** Versions whose txn record carries its commit marker — ONE txn-dir
+    * listing, with marker probes only for versions ABOVE the newest
+    * checkpoint (a checkpointed version's commit is already durable
+    * fact): O(interval) filesystem calls however old the store. */
   private[graft] def committedTxnVersions(s: SparkSession, path: String): Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(txnDir(path))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
+    val ckptSet = readCheckpoint(s, path)
+      .map(_._2.map(_._1).toSet).getOrElse(Set.empty)
     fs.listStatus(p).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
       .flatten
-      .filter(v => fs.listStatus(new org.apache.hadoop.fs.Path(txnPath(path, v)))
-        .exists { st =>
-          val n = st.getPath.getName
-          n.startsWith("batch_") && n.endsWith(".marker")
-        })
+      .filter(v => ckptSet(v) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(txnPath(path, v)))
+          .exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_") && n.endsWith(".marker")
+          })
       .sorted
   }
 
@@ -513,6 +611,19 @@ object VersionedStore extends QueryPack {
     }
     claims.filter(v => committed.contains(v) && v < tip)
       .foreach(v => fs.delete(claimFile(path, v), false))
+    // superseded metadata checkpoints: only the newest serves readers
+    locally {
+      val cd = new org.apache.hadoop.fs.Path(checkpointDir(path))
+      if (fs.exists(cd)) {
+        val cps = fs.listStatus(cd).toSeq.filter(_.isFile)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+          .flatten.sorted
+        cps.dropRight(1).foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(checkpointDir(path) + s"/v$c"),
+            false))
+      }
+    }
     // DELETION-VECTOR retention — the fold-at-vacuum half of
     // [[deleteCommitDv]]'s design. Two regimes:
     //  - every retained version sits at/above the newest dv commit: the
@@ -872,6 +983,7 @@ object VersionedStore extends QueryPack {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
       fs.create(new org.apache.hadoop.fs.Path(
         s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+      maybeCheckpoint(s, path, v)
     }
   }
 
@@ -982,27 +1094,27 @@ object VersionedStore extends QueryPack {
     * order can never disagree even across writer clock skew. Driver
     * cost: one tiny parquet read per committed version (bounded by
     * retention). */
-  def commitTimes(s: SparkSession, path: String): Seq[(Int, Long)] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val raw = committedTxnVersions(s, path).map { v =>
-      // the txn dir holds the record parquet AND the zero-byte commit
-      // marker — list the parquet members explicitly
-      val recs = hadoopLs(s, txnPath(path, v))
-      val df = if (recs.nonEmpty) s.read.parquet(recs.toIndexedSeq: _*)
-        else s.emptyDataFrame
-      val ts =
-        if (df.columns.contains("commit_ts"))
-          df.select(max(col("commit_ts"))).head().getLong(0)
-        else fs.listStatus(new org.apache.hadoop.fs.Path(txnPath(path, v)))
-          .filter(_.getPath.getName.endsWith(".marker"))
-          .map(_.getModificationTime).max
-      (v, ts)
+  def commitTimes(s: SparkSession, path: String): Seq[(Int, Long)] =
+    commitTimesRaw(s, path)
+      .foldLeft(List.empty[(Int, Long)]) { case (acc, (v, ts, _)) =>
+        val adj = acc.headOption.map(p => math.max(ts, p._2 + 1)).getOrElse(ts)
+        (v, adj) :: acc
+      }.reverse
+
+  /** Pre-adjustment stamps with their source: `true` = resolved from
+    * the newest checkpoint (zero per-version reads), `false` = a tail
+    * txn-record read. The spec asserts the tail stays bounded by the
+    * checkpoint interval however many versions the stream commits. */
+  private[graft] def commitTimesRaw(s: SparkSession,
+      path: String): Seq[(Int, Long, Boolean)] = {
+    val ckptTs = readCheckpoint(s, path)
+      .map(_._2.map(r => r._1 -> r._3).toMap).getOrElse(Map.empty[Int, Long])
+    committedTxnVersions(s, path).map { v =>
+      ckptTs.get(v) match {
+        case Some(ts) => (v, ts, true)
+        case None => (v, readTxnMeta(s, path, v)._2, false)
+      }
     }
-    raw.foldLeft(List.empty[(Int, Long)]) { case (acc, (v, ts)) =>
-      val adj = acc.headOption.map(p => math.max(ts, p._2 + 1)).getOrElse(ts)
-      (v, adj) :: acc
-    }.reverse
   }
 
   /** TIMESTAMP-based time travel — the wall-clock half of q109's
@@ -1324,6 +1436,7 @@ object VersionedStore extends QueryPack {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(
       s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+    maybeCheckpoint(s, path, v)
     // post-commit lineage check — the streaming sinks' settle-gap
     // detection (round-13 advice) applied to the batch appender too
     requireNoLineageGap(s, path, settled.getOrElse(0), v)

@@ -229,6 +229,7 @@ object UpsertSink {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.create(new Path(
           s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"), true).close()
+        VersionedStore.maybeCheckpoint(s, path, v)
         // POST-COMMIT LINEAGE CHECK (round-13 advice): a slow lower-slot
         // writer that outlived settleBelow's timeout and then committed
         // during this attempt's commit window would have its rows

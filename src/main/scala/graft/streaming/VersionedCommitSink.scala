@@ -59,19 +59,28 @@ object VersionedCommitSink {
   def committedVersions(s: SparkSession, path: String): Seq[Int] =
     VersionedStore.committedTxnVersions(s, path)
 
-  /** batchId → version for every committed txn — from the marker-file
-    * names alone (one directory listing per committed version, zero
-    * Spark jobs; bounded by version count). */
+  /** batchId → version for every committed txn — checkpointed history
+    * from the newest metadata checkpoint (one file read), marker-file
+    * names for the tail above it (one directory listing each): zero
+    * Spark jobs, O(interval) filesystem calls in store age. */
   def committedBatchIds(s: SparkSession, path: String): Map[Long, Int] = {
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    committedVersions(s, path).flatMap { v =>
+    val live = committedVersions(s, path)
+    val liveSet = live.toSet
+    val ckpt = VersionedStore.readCheckpoint(s, path)
+      .map(_._2).getOrElse(Seq.empty)
+    val ckptIds = ckpt.filter(r => liveSet(r._1))
+      .map(r => r._2 -> r._1).toMap
+    val ckptSet = ckpt.map(_._1).toSet
+    val tailIds = live.filterNot(ckptSet).flatMap { v =>
       fs.listStatus(new Path(txnPath(path, v))).toSeq
         .map(_.getPath.getName)
         .collectFirst { case n if n.startsWith("batch_") && n.endsWith(".marker") =>
           n.stripPrefix("batch_").stripSuffix(".marker").toLong -> v
         }
     }.toMap
+    ckptIds ++ tailIds
   }
 
   /** How many newest committed versions the per-trigger replay check
@@ -185,6 +194,9 @@ object VersionedCommitSink {
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new Path(batchMarker(path, v, batchId)), true).close()
+    // every Nth commit consolidates the metadata history so commit-time
+    // and replay resolution stay O(interval) in store age
+    VersionedStore.maybeCheckpoint(s, path, v)
     // POST-COMMIT LINEAGE CHECK (round-13 advice, the upsertBatch twin):
     // a slow lower-slot writer that outlived settleBelow's timeout and
     // then committed would have its files missing from this version's
