@@ -104,6 +104,10 @@ object ScaleSmoke {
       // edge build is amortized into the store, so the measured wall is
       // the 5 distributed rank rounds alone
       "q96c_knn_centrality_index",
+      // q96d: the graph-served ANN probe — wall is hops x beam x degree
+      // POINT reads through the src/vec_id manifests, so it must stay
+      // flat while the store's row count grows (the HNSW serving claim)
+      "q96d_knn_graph_probe",
       // q54b: the compressed-SCAN tier — wall scales with rows (by
       // design, like q54's), but at 8x fewer bytes and zero per-JVM
       // quantization passes

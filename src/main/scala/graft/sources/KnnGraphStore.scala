@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.{Engine, QueryPack, Tables}
+import graft.functions.VectorOps.{cosineFrom, dot}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -93,10 +94,109 @@ object KnnGraphStore extends QueryPack {
     graft.operators.Similarity.centralityFromEdges(vertices, edges)
   }
 
+  /** Per-hop adjacency of a FRONTIER set — the multi-node [[neighbors]]:
+    * one manifest prune + one pruned read per hop, bounded by the
+    * frontier's owning files, never the edge relation. */
+  private def neighborsOf(s: SparkSession, path: String,
+      srcs: Seq[Long]): Array[Long] = {
+    val files = AnnIndexStore.filesForKeysIn(s, Seq(manifestPath(path)), srcs)
+    if (files.isEmpty) Array.empty
+    else s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("src").isin(srcs: _*))
+      .select(col("dst")).distinct()
+      .collect().map(_.getLong(0))
+  }
+
+  /** The probe's result list and its HOP COUNT — the observable the
+    * spec and the scale smoke rest on: wall clock tracks hops × (beam ×
+    * degree) point reads, never the store's row count. */
+  private[graft] def graphProbeDetailed(s: SparkSession, dir: String,
+      k: Int, beam: Int, maxHops: Int, ef: Int = 48): (Seq[(Long, Double)], Int) = {
+    val path = store(s, dir)
+    val annPath = AnnIndexStore.store(s, dir)
+    val vectors = AnnIndexStore.vectorsPath(annPath)
+    val q = AnnIndexStore.fetchVector(s, annPath, 0L)
+      .select(col("e").as("qe"), col("n2").as("qn2"))
+    // per-hop scoring: point reads of the candidates' vectors through
+    // the ANN store's vec_id manifest (the q99 pattern) + one broadcast
+    // cosine against the query — cost ∝ candidates, not corpus
+    def scoresOf(ids: Seq[Long]): Seq[(Long, Double)] =
+      if (ids.isEmpty) Nil
+      else {
+        val files = AnnIndexStore.filesForKeys(s, vectors, ids)
+        s.read.parquet(files.toIndexedSeq: _*)
+          .filter(col("vec_id").isin(ids: _*))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+    // deterministic entry points: the node-id quartiles of the edge
+    // relation. A single fixed entry is the HNSW convention, but HNSW
+    // earns it with a multi-layer hierarchy; on a single-layer sparse
+    // (top-3) graph a lone greedy walk gets trapped in its local
+    // neighborhood, so the probe starts from four spread entries —
+    // the flat-graph stand-in for the upper layers, still O(1) state.
+    val entries = s.read.parquet(path).filter(col("src") =!= 0L)
+      .agg(percentile_approx(col("src"),
+        array(lit(0.0), lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+      .head().getSeq[Long](0).distinct
+    // the candidate POOL is sized ef > k (the HNSW ef-search knob):
+    // expansion continues while a new node sits inside the top-ef
+    // region, and only the top-k of the converged pool is returned —
+    // stopping at the k-th best directly (ef = k) converges early and
+    // caps recall on a sparse single-layer graph
+    var pool = scoresOf(entries).sortBy(t => (-t._2, t._1)).take(ef)
+    var visited = entries.toSet
+    var frontier: Seq[Long] = entries
+    var hops = 0
+    while (hops < maxHops && frontier.nonEmpty) {
+      hops += 1
+      val nbrs = neighborsOf(s, path, frontier)
+        .filterNot(visited).filter(_ != 0L).toSeq
+      if (nbrs.isEmpty) frontier = Nil
+      else {
+        visited ++= nbrs
+        val scored = scoresOf(nbrs)
+        pool = (pool ++ scored).sortBy(t => (-t._2, t._1)).take(ef)
+        // best-first convergence (the NSW/HNSW stop rule at ef): expand
+        // only new nodes still inside the pool region — when none is,
+        // the walk has converged
+        val efth = if (pool.size < ef) -2.0 else pool.last._2
+        frontier = scored.filter(_._2 >= efth)
+          .sortBy(t => (-t._2, t._1)).take(beam).map(_._1)
+      }
+    }
+    (pool.take(k), hops)
+  }
+
+  /** q96d: GRAPH-SERVED ANN — greedy best-first (beam) search over the
+    * persisted kNN edge relation, the HNSW/NSW-family serving shape
+    * (round-13 verdict #4; the one mainstream ANN family the IVF, LSH
+    * and quantized tiers did not cover): start at a fixed entry node,
+    * read the frontier's adjacency through the src-range manifest (a
+    * per-hop point read), score candidates by exact cosine fetched
+    * through the ANN store's vec_id manifest, and expand only nodes
+    * inside the current top-k region until no candidate can improve the
+    * k-th best. Probe cost is hops × beam × degree POINT reads —
+    * independent of store row count (the 16x smoke row) — while recall
+    * rides the kNN graph's navigability; recall@10 vs the exact q50
+    * scan is spec-asserted at or above the IVF tier's (KnnGraphStoreSpec).
+    * Rows-only (the LSH-built edge set is probabilistic, the q96b/q73b
+    * precedent). Driver state: the k-row result, the beam, and the
+    * visited set — bounded by hops × beam × degree. */
+  def q96dKnnGraphProbe(s: SparkSession, dir: String): DataFrame = {
+    val (best, _) = graphProbeDetailed(s, dir, k = 10, beam = 8, maxHops = 32)
+    import s.implicits._
+    best.toDF("vec_id", "cos").orderBy(col("cos").desc, col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q96c_knn_centrality_index" -> (q96cKnnCentralityIndex _))
+    "q96c_knn_centrality_index" -> (q96cKnnCentralityIndex _),
+    "q96d_knn_graph_probe" -> (q96dKnnGraphProbe _))
 
   // rows-only: the edge set is LSH-built (the q96b precedent); the
-  // bit-identity with q96b is spec-asserted in KnnGraphStoreSpec.
+  // bit-identity with q96b (q96c) and the q50 recall law (q96d) are
+  // spec-asserted in KnnGraphStoreSpec.
   val oracleSql: Map[String, String] = Map.empty
 }

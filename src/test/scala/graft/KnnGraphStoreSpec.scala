@@ -57,4 +57,36 @@ class KnnGraphStoreSpec extends AnyFunSuite {
     val pruned = nbrs.collect().map(_.toSeq).sortBy(_.toString)
     assert(pruned.toSeq == full.toSeq, "pruned adjacency read diverged")
   }
+
+  test("q96d graph probe: bounded hops, deterministic, recall at/above the IVF tier") {
+    // the HNSW-family stop rule must CONVERGE well inside the hop bound
+    // (wall tracks hops, not store rows — the smoke's flatness claim)
+    val (best, hops) = KnnGraphStore.graphProbeDetailed(spark, sf,
+      k = 10, beam = 8, maxHops = 32)
+    assert(best.size == 10, s"probe returned ${best.size} rows")
+    assert(hops > 0 && hops < 32,
+      s"probe used $hops hops — did not converge before the bound")
+    // deterministic: a second probe of the same store returns the list
+    val (again, _) = KnnGraphStore.graphProbeDetailed(spark, sf,
+      k = 10, beam = 8, maxHops = 32)
+    assert(again == best, "graph probe is not deterministic")
+    // results are honestly ranked: cosines non-increasing, no query vec
+    assert(best.map(_._2) == best.map(_._2).sorted.reverse)
+    assert(!best.exists(_._1 == 0L), "the query vector leaked into its own result")
+    // recall@10 vs the exact scan, at or above the IVF serving tier's —
+    // the graph family must not be a strictly worse way to serve ANN
+    val exact = operators.Similarity.q50KnnBrute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val graphRecall = (exact & best.map(_._1).toSet).size.toDouble / exact.size
+    val ivf = operators.Similarity.q92IvfKmeans(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(graphRecall >= ivfRecall,
+      s"graph recall $graphRecall below the IVF tier's $ivfRecall")
+    assert(graphRecall >= 0.5, s"graph recall@10 too low: $graphRecall")
+    // the gated entry serves the same list through a DataFrame
+    val gated = KnnGraphStore.q96dKnnGraphProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gated == best, "gated q96d diverged from the detailed probe")
+  }
 }
