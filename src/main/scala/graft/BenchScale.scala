@@ -90,7 +90,7 @@ object BenchScale {
     val pinsFile = new java.io.File("bench_sf1_pins.json")
     if (replicas == 10 && pinsFile.exists()) {
       val txt = new String(java.nio.file.Files.readAllBytes(pinsFile.toPath), "UTF-8")
-      val pin = """"(q[0-9]+[abc]?)":\s*([0-9.]+)""".r
+      val pin = """"(q[0-9]+[a-z]?)":\s*([0-9.]+)""".r
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       val over = times.flatMap { case (k, t) =>
         val short = k.split("_")(0)

@@ -336,6 +336,205 @@ object Jpeg extends QueryPack {
       case _ => // opaque non-image payload
         Array[Byte](0) ++ text.getBytes("UTF-8")
     }
+
+    // ---- progressive tier (q119d): SOF2 multi-scan over the SAME
+    // per-block coefficients as q119 — successive approximation (DC/AC
+    // first passes at Al=1, then refinement scans) and spectral
+    // selection (split AC bands, cross-block EOB runs). The fully
+    // refined coefficients equal the baseline ones, so the decoded
+    // image — and therefore the ORACLE — is q119's verbatim.
+    private def sof2(id: Long): Array[Byte] = {
+      val (w, h) = (width(id).toInt, height(id).toInt)
+      seg(0xC2, Array[Byte](8,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+        3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    }
+
+    /** Progressive AC table: EOB(0x00), new-value sizes 1..10 (run 0),
+      * ZRL, and EOBRUN ranks 1..3 (0x10/0x20/0x30 — runs of 2..15
+      * blocks) — 15 symbols at 5 bits, canonical, no all-ones code. */
+    private[graft] val AcBitsProg: Array[Int] =
+      Array(0, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private[graft] val AcValsProg: Array[Int] =
+      (Array(0x00) ++ (1 to 10) ++ Array(0xF0, 0x10, 0x20, 0x30)).toArray
+    private val acProgCodes = codes(AcBitsProg, AcValsProg)
+
+    private def dhtProg: Array[Byte] = {
+      def table(cls: Int, tid: Int, bits: Array[Int], vals: Array[Int]) =
+        Array(((cls << 4) | tid).toByte) ++ bits.map(_.toByte) ++
+          vals.map(_.toByte)
+      seg(0xC4, table(0, 0, DcBits, DcVals) ++ table(1, 0, AcBitsProg, AcValsProg) ++
+        table(0, 1, DcBits, DcVals) ++ table(1, 1, AcBitsProg, AcValsProg))
+    }
+
+    /** Progressive scan header: components (id, dcTab, acTab) +
+      * spectral band [ss, se] + successive approximation Ah/Al. */
+    private def sosProg(comps: Seq[(Int, Int, Int)], ss: Int, se: Int,
+        ah: Int, al: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(comps.size)
+      comps.foreach { case (cid, dc, ac) => b.write(cid); b.write((dc << 4) | ac) }
+      b.write(ss); b.write(se); b.write((ah << 4) | al)
+      seg(0xDA, b.toByteArray)
+    }
+
+    private val progComps = Seq((1, 0, 0), (2, 1, 1), (3, 1, 1))
+
+    /** DC first scan (interleaved): DPCM over the POINT-TRANSFORMED
+      * values (arithmetic shift — T.81's DC transform). */
+    private def scanDcFirst(id: Long, al: Int): Array[Byte] = {
+      val (wB, hB) = (wBlocks(id), hBlocks(id))
+      val w = new BitWriter
+      var (pY, pCb, pCr) = (0, 0, 0)
+      (0 until hB).foreach { by =>
+        (0 until wB).foreach { bx =>
+          def put(dc: Int, pred: Int): Int = {
+            val v = dc >> al
+            writeCoef(w, dcCodes, bitSize(v - pred), v - pred, bitSize(v - pred))
+            v
+          }
+          pY = put(dcY(id, bx, by), pY)
+          pCb = put(dcCb(id, bx, by), pCb)
+          pCr = put(dcCr(id, bx, by), pCr)
+        }
+      }
+      w.flush(); w.bytes
+    }
+
+    /** DC refinement scan: one raw bit per block per component — bit
+      * `al` of the two's-complement coefficient (OR-reconstruction). */
+    private def scanDcRefine(id: Long, al: Int): Array[Byte] = {
+      val (wB, hB) = (wBlocks(id), hBlocks(id))
+      val w = new BitWriter
+      (0 until hB).foreach { by =>
+        (0 until wB).foreach { bx =>
+          w.write((dcY(id, bx, by) >> al) & 1, 1)
+          w.write((dcCb(id, bx, by) >> al) & 1, 1)
+          w.write((dcCr(id, bx, by) >> al) & 1, 1)
+        }
+      }
+      w.flush(); w.bytes
+    }
+
+    /** AC first scan for the luma band [ss, se] at point transform
+      * `al` (magnitude shift — T.81's AC transform), with cross-block
+      * EOB runs emitted deferred (the libjpeg pattern: the decoder
+      * reads the run's code while entering its first covered block). */
+    private def scanAcFirstY(id: Long, al: Int, ss: Int, se: Int): Array[Byte] = {
+      val (wB, hB) = (wBlocks(id), hBlocks(id))
+      val w = new BitWriter
+      var pending = 0
+      def flushEob(): Unit = if (pending > 0) {
+        var r = 0
+        while ((2 << r) <= pending) r += 1
+        writeCoef(w, acProgCodes, r << 4, 0, 0)
+        if (r > 0) w.write(pending - (1 << r), r)
+        pending = 0
+      }
+      (0 until hB).foreach { by =>
+        (0 until wB).foreach { bx =>
+          val a = acY(id, bx, by)
+          val t1 = if (a < 0) -((-a) >> al) else a >> al
+          // the one AC lives at zigzag 1 — inside the band only if ss==1
+          if (ss == 1 && t1 != 0) {
+            flushEob()
+            writeCoef(w, acProgCodes, bitSize(t1), t1, bitSize(t1))
+            if (se > 1) pending += 1 // the block's tail still needs its EOB
+          } else pending += 1
+          if (pending == 15) flushEob()
+        }
+      }
+      flushEob()
+      w.flush(); w.bytes
+    }
+
+    /** AC refinement scan for luma [ss, se], prior Al = al + 1:
+      * correction bits for history-nonzero coefficients ride the EOB
+      * run they are covered by (buffered, emitted after the run's code
+      * — exactly the order the decoder's tail pass reads them); blocks
+      * whose coefficient first becomes visible at this Al emit a new
+      * ±1<<al value. */
+    private def scanAcRefineY(id: Long, al: Int, ss: Int, se: Int): Array[Byte] = {
+      val (wB, hB) = (wBlocks(id), hBlocks(id))
+      val w = new BitWriter
+      var pending = 0
+      var buffered = List.empty[Int]
+      def flushEob(): Unit = if (pending > 0) {
+        var r = 0
+        while ((2 << r) <= pending) r += 1
+        writeCoef(w, acProgCodes, r << 4, 0, 0)
+        if (r > 0) w.write(pending - (1 << r), r)
+        buffered.reverse.foreach(bit => w.write(bit, 1))
+        pending = 0; buffered = Nil
+      }
+      (0 until hB).foreach { by =>
+        (0 until wB).foreach { bx =>
+          val a = acY(id, bx, by)
+          val hist = math.abs(a) >> (al + 1)
+          if (ss == 1 && hist != 0) {
+            // history-nonzero: this block is EOB-covered, its correction
+            // bit buffered onto the covering run
+            pending += 1
+            buffered = ((math.abs(a) >> al) & 1) :: buffered
+          } else if (ss == 1 && (math.abs(a) >> al) == 1) {
+            flushEob()
+            writeCoef(w, acProgCodes, 0x01, 0, 0) // run 0, size 1
+            w.write(if (a > 0) 1 else 0, 1)       // sign bit (1 = +1<<al)
+            if (se > 1) pending += 1
+          } else pending += 1
+          if (pending == 15) flushEob()
+        }
+      }
+      flushEob()
+      w.flush(); w.bytes
+    }
+
+    def payloadProg(id: Long, text: String): Array[Byte] = (id % 4) match {
+      case 0 => // successive approximation: first passes at Al=1, then
+        // DC and AC refinement scans restore bit 0
+        Soi ++ dqt ++ sof2(id) ++ dhtProg ++
+          sosProg(progComps, 0, 0, 0, 1) ++ scanDcFirst(id, 1) ++
+          sosProg(progComps.take(1), 1, 63, 0, 1) ++ scanAcFirstY(id, 1, 1, 63) ++
+          sosProg(progComps, 0, 0, 1, 0) ++ scanDcRefine(id, 0) ++
+          sosProg(progComps.take(1), 1, 63, 1, 0) ++ scanAcRefineY(id, 0, 1, 63) ++
+          Eoi
+      case 1 => // spectral selection: DC, then AC split into [1,1] and
+        // the all-empty [2,63] band — cross-block EOB runs throughout
+        Soi ++ dqt ++ sof2(id) ++ dhtProg ++
+          sosProg(progComps, 0, 0, 0, 0) ++ scanDcFirst(id, 0) ++
+          sosProg(progComps.take(1), 1, 1, 0, 0) ++ scanAcFirstY(id, 0, 1, 1) ++
+          sosProg(progComps.take(1), 2, 63, 0, 0) ++ scanAcFirstY(id, 0, 2, 63) ++
+          Eoi
+      case 2 => // truncated mid-scan: decode must fail closed
+        val full = scanDcFirst(id, 0)
+        Soi ++ dqt ++ sof2(id) ++ dhtProg ++ sosProg(progComps, 0, 0, 0, 0) ++
+          full.take(math.max(1, full.length / 2))
+      case _ => // opaque non-image payload
+        Array[Byte](0) ++ text.getBytes("UTF-8")
+    }
+
+    /** Malformed progressive payloads for the fail-closed spec. */
+    private[graft] def malformedProg(kind: String): Array[Byte] = kind match {
+      case "prog420" => // progressive + subsampling: unsupported layout
+        val (w, h) = (16, 16)
+        Soi ++ dqt ++ seg(0xC2, Array[Byte](8,
+          ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+          ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+          3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) ++ dhtProg ++
+          sosProg(progComps, 0, 0, 0, 0) ++ Eoi
+      case "ac_interleaved" => // AC scan with 3 components: invalid
+        Soi ++ dqt ++ sof2(4L) ++ dhtProg ++
+          sosProg(progComps, 1, 63, 0, 0) ++ Eoi
+      case "refine_size2" => // AC refinement with size 2: invalid
+        val w = new BitWriter
+        writeCoef(w, acProgCodes, 0x02, 1, 2)
+        w.flush()
+        Soi ++ dqt ++ sof2(4L) ++ dhtProg ++
+          sosProg(progComps, 0, 0, 0, 0) ++ scanDcFirst(4L, 0) ++
+          sosProg(progComps.take(1), 1, 63, 1, 0) ++ w.bytes ++ Eoi
+      case _ => Array[Byte](0)
+    }
   }
 
   /** Decoded whole-image statistics. */
@@ -365,11 +564,18 @@ object Jpeg extends QueryPack {
       val huff = new Array[(Array[Int], Array[Int], Array[Int], Array[Int])](8)
       var w = 0; var h = 0
       var compQ: Array[Int] = _ // per component: quant table id
+      var compId: Array[Int] = _ // per component: the SOF-declared id
       var compH: Array[Int] = _ // per component: sampling factors
       var compV: Array[Int] = _
       var compDc: Array[Int] = _
       var compAc: Array[Int] = _
       var restartInterval = 0
+      var progressive = false
+      // progressive: per-component raw coefficient store (natural
+      // order, 64 per block, block-raster), filled across scans and
+      // dequantized + IDCT'd at EOI
+      var coefStore: Array[Array[Int]] = _
+      var sawScan = false
       def hMax: Int = compH.max
       def vMax: Int = compV.max
     }
@@ -402,13 +608,18 @@ object Jpeg extends QueryPack {
       if (b.length < 4 || u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
       val t = new Tables
       var i = 2
-      while (i + 4 <= b.length) {
+      while (i + 2 <= b.length) {
         if (u8(b, i) != 0xFF) return None
         val m = u8(b, i + 1)
-        if (m == 0xD9) return None // EOI before any scan
+        if (m == 0xD9) // EOI: a progressive frame finishes HERE (its
+          // scans accumulated coefficients); before any scan it is junk
+          return if (t.progressive && t.sawScan) finishProgressive(t)
+            else None
+        if (i + 4 > b.length) return None
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val (ps, pe) = (i + 4, i + 2 + len)
+        var nextI = pe
         m match {
           case 0xDB => // DQT: one or more tables
             var p = ps
@@ -432,33 +643,36 @@ object Jpeg extends QueryPack {
               t.huff(cls * 4 + tid) = buildHuff(bits, vals)
               p += 17 + n
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
             if (u8(b, ps) != 8) return None
+            t.progressive = m == 0xC2
             t.h = be16(b, ps + 1); t.w = be16(b, ps + 3)
             val nc = u8(b, ps + 5)
             if (nc != 3 || t.w == 0 || t.h == 0) return None
-            t.compQ = new Array[Int](3)
+            t.compQ = new Array[Int](3); t.compId = new Array[Int](3)
             t.compH = new Array[Int](3); t.compV = new Array[Int](3)
             (0 until 3).foreach { c =>
+              t.compId(c) = u8(b, ps + 6 + 3 * c)
               val samp = u8(b, ps + 6 + 3 * c + 1)
               t.compH(c) = samp >> 4; t.compV(c) = samp & 0x0F
               t.compQ(c) = u8(b, ps + 6 + 3 * c + 2)
             }
-            // supported layouts: 4:4:4 (all 1x1) and 4:2:0 (luma 2x2,
-            // chroma 1x1); anything else fails closed. Dimensions are
-            // arbitrary — the scan decodes the CEIL MCU grid (T.81:
-            // edge MCUs are coded in full) and the stats walk clips to
-            // the declared width/height
+            // supported layouts: 4:4:4 (all 1x1) and, for baseline,
+            // 4:2:0 (luma 2x2, chroma 1x1); anything else fails closed.
+            // Dimensions are arbitrary — the scan decodes the CEIL MCU
+            // grid (T.81: edge MCUs are coded in full) and the stats
+            // walk clips to the declared width/height
             val s444 = (0 until 3).forall(c => t.compH(c) == 1 && t.compV(c) == 1)
             val s420 = t.compH(0) == 2 && t.compV(0) == 2 &&
               (1 until 3).forall(c => t.compH(c) == 1 && t.compV(c) == 1)
-            if (!s444 && !s420) return None
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+            if (t.progressive) { if (!s444) return None }
+            else if (!s444 && !s420) return None
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame: unsupported, fail closed
+            return None // non-baseline/progressive frame: fail closed
           case 0xDD =>
             t.restartInterval = be16(b, ps)
-          case 0xDA => // SOS: entropy-coded data follows
+          case 0xDA if !t.progressive => // baseline SOS: one scan, done
             val nc = u8(b, ps)
             if (nc != 3 || t.compQ == null) return None
             t.compDc = new Array[Int](3); t.compAc = new Array[Int](3)
@@ -467,11 +681,36 @@ object Jpeg extends QueryPack {
               t.compAc(c) = u8(b, ps + 2 + 2 * c) & 0x0F
             }
             return decodeScan(b, pe, t)
+          case 0xDA => // progressive SOS: one of several scans
+            val nc = u8(b, ps)
+            if (nc < 1 || nc > 3 || t.compQ == null) return None
+            if (t.compDc == null) {
+              t.compDc = new Array[Int](3); t.compAc = new Array[Int](3)
+            }
+            if (t.coefStore == null) {
+              val nBlk = ((t.w + 7) / 8) * ((t.h + 7) / 8)
+              t.coefStore = Array.fill(3)(new Array[Int](nBlk * 64))
+            }
+            val comps = new Array[Int](nc)
+            (0 until nc).foreach { j =>
+              val cid = u8(b, ps + 1 + 2 * j)
+              val idx = t.compId.indexOf(cid)
+              if (idx < 0) return None
+              comps(j) = idx
+              t.compDc(idx) = u8(b, ps + 2 + 2 * j) >> 4
+              t.compAc(idx) = u8(b, ps + 2 + 2 * j) & 0x0F
+            }
+            val ss = u8(b, ps + 1 + 2 * nc)
+            val se = u8(b, ps + 2 + 2 * nc)
+            val ahal = u8(b, ps + 3 + 2 * nc)
+            nextI = decodeProgScan(b, pe, t, comps, ss, se,
+              ahal >> 4, ahal & 0x0F)
+            t.sawScan = true
           case x if x >= 0xE0 && x <= 0xEF => () // APPn: skip
           case 0xFE => () // COM: skip
           case _ => return None
         }
-        i = pe
+        i = nextI
       }
       None
     }
@@ -593,35 +832,8 @@ object Jpeg extends QueryPack {
                 }
               }
               // full float IDCT + level shift + clamp
-              val plane = planes(c)
-              val (ox, oy) = ((mx * t.compH(c) + hh) * 8,
-                (my * t.compV(c) + vv) * 8)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s2 = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    var u = 0
-                    while (u < 8) {
-                      val f = coef(v * 8 + u)
-                      if (f != 0) {
-                        val au = if (u == 0) InvSqrt2 else 1.0
-                        val av = if (v == 0) InvSqrt2 else 1.0
-                        s2 += ((au * av) * f) * CosT(x)(u) * CosT(y)(v)
-                      }
-                      u += 1
-                    }
-                    v += 1
-                  }
-                  val samp = math.floor(0.25 * s2 + 128.0 + 0.5)
-                  val px = math.max(0.0, math.min(255.0, samp)).toInt
-                  plane((oy + y) * planeW(c) + (ox + x)) = px
-                  x += 1
-                }
-                y += 1
-              }
+              idctInto(coef, planes(c), planeW(c),
+                (mx * t.compH(c) + hh) * 8, (my * t.compV(c) + vv) * 8)
               hh += 1
             }
             vv += 1
@@ -631,9 +843,47 @@ object Jpeg extends QueryPack {
         mcu += 1
         sinceRestart += 1
       }
-      // chroma upsampling (JFIF box replication: luma (x, y) reads
-      // chroma (x*Hc/Hmax, y*Vc/Vmax)) + BT.601 YCbCr -> RGB and the
-      // whole-image stats
+      statsOf(t, planes, planeW, nMcu.toLong)
+    }
+
+    /** Full float IDCT + level shift + clamp of one block of DEQUANTIZED
+      * natural-order coefficients into a component plane. */
+    private def idctInto(coef: Array[Int], plane: Array[Int], planeW: Int,
+        ox: Int, oy: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s2 = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) {
+                val au = if (u == 0) InvSqrt2 else 1.0
+                val av = if (v == 0) InvSqrt2 else 1.0
+                s2 += ((au * av) * f) * CosT(x)(u) * CosT(y)(v)
+              }
+              u += 1
+            }
+            v += 1
+          }
+          val samp = math.floor(0.25 * s2 + 128.0 + 0.5)
+          val px = math.max(0.0, math.min(255.0, samp)).toInt
+          plane((oy + y) * planeW + (ox + x)) = px
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    /** Chroma upsampling (JFIF box replication: luma (x, y) reads
+      * chroma (x*Hc/Hmax, y*Vc/Vmax)) + BT.601 YCbCr -> RGB and the
+      * whole-image stats, clipped to the declared dimensions. */
+    private def statsOf(t: Tables, planes: Array[Array[Int]],
+        planeW: Array[Int], nUnits: Long): Option[JpegStats] = {
+      val (hMax, vMax) = (t.hMax, t.vMax)
       var (sr, sg, sb, ysum) = (0L, 0L, 0L, 0L)
       var y = 0
       while (y < t.h) {
@@ -657,7 +907,201 @@ object Jpeg extends QueryPack {
         y += 1
       }
       Some(JpegStats(t.w.toLong, t.h.toLong, (t.w.toLong * t.h),
-        nMcu.toLong, sr, sg, sb, ysum))
+        nUnits, sr, sg, sb, ysum))
+    }
+
+    // ---- progressive scans (SOF2): coefficients accumulate across
+    // scans in t.coefStore; dequantization + IDCT happen at EOI ----
+
+    /** Advance past the scan's entropy data to the next marker. */
+    private def nextMarker(b: Array[Byte], from: Int): Int = {
+      var p = from
+      while (p + 1 < b.length) {
+        if ((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00) return p
+        p += 1
+      }
+      throw new java.io.EOFException
+    }
+
+    /** One progressive scan: a DC scan (Ss = Se = 0) walks the MCU
+      * grid interleaved over the scan's components (first pass = DPCM
+      * over the point-transformed values, refinement = one appended bit
+      * per block); an AC scan (Ss >= 1) covers ONE component's blocks
+      * in raster order over the spectral band with EOB-run state.
+      * Returns the stream position of the next marker. */
+    private def decodeProgScan(b: Array[Byte], start: Int, t: Tables,
+        comps: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val r = new BitReader(b, start)
+      // 4:4:4 progressive: the block grid IS the MCU grid
+      val wB = (t.w + 7) / 8
+      val hB = (t.h + 7) / 8
+      val nBlk = wB * hB
+      if (ss == 0) {
+        if (se != 0 || al > 13) throw new java.io.EOFException
+        val preds = new Array[Int](comps.length)
+        var blk = 0
+        var sinceRestart = 0
+        while (blk < nBlk) {
+          if (t.restartInterval > 0 && sinceRestart == t.restartInterval) {
+            r.align()
+            if (r.pos + 1 >= b.length || (b(r.pos) & 0xFF) != 0xFF)
+              throw new java.io.EOFException
+            val nxt = b(r.pos + 1) & 0xFF
+            if (nxt < 0xD0 || nxt > 0xD7) throw new java.io.EOFException
+            r.pos += 2
+            java.util.Arrays.fill(preds, 0)
+            sinceRestart = 0
+          }
+          var j = 0
+          while (j < comps.length) {
+            val c = comps(j)
+            val off = blk * 64
+            if (ah == 0) {
+              val dcTab = t.huff(t.compDc(c))
+              if (dcTab == null) throw new java.io.EOFException
+              val sVal = decodeHuff(r, dcTab)
+              preds(j) += extend(r.bits(sVal), sVal)
+              t.coefStore(c)(off) = preds(j) << al
+            } else if (r.bit() == 1)
+              t.coefStore(c)(off) |= (1 << al)
+            j += 1
+          }
+          blk += 1
+          sinceRestart += 1
+        }
+      } else {
+        // AC scan: T.81 requires exactly one component, band inside 1..63
+        if (comps.length != 1 || ss > se || se > 63)
+          throw new java.io.EOFException
+        val c = comps(0)
+        val acTab = t.huff(4 + t.compAc(c))
+        if (acTab == null) throw new java.io.EOFException
+        var eobrun = 0
+        var blk = 0
+        while (blk < nBlk) {
+          eobrun =
+            if (ah == 0) acFirstBlock(r, acTab, t.coefStore(c), blk * 64,
+              ss, se, al, eobrun)
+            else acRefineBlock(r, acTab, t.coefStore(c), blk * 64,
+              ss, se, al, eobrun)
+          blk += 1
+        }
+      }
+      nextMarker(b, r.pos)
+    }
+
+    /** AC first pass over one block's band: baseline run/size coding
+      * with the point-transform shift and EOB RUNS (an EOB code with
+      * run r ends this block and skips (1<<r)+extra-1 FOLLOWING
+      * blocks). */
+    private def acFirstBlock(r: BitReader,
+        tab: (Array[Int], Array[Int], Array[Int], Array[Int]),
+        arr: Array[Int], off: Int, ss: Int, se: Int, al: Int,
+        eobrunIn: Int): Int = {
+      if (eobrunIn > 0) return eobrunIn - 1
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuff(r, tab)
+        val (run, size) = (rs >> 4, rs & 0x0F)
+        if (size == 0) {
+          if (run < 15)
+            return (1 << run) + (if (run > 0) r.bits(run) else 0) - 1
+          k += 16 // ZRL
+        } else {
+          k += run
+          if (k > se) throw new java.io.EOFException
+          arr(off + ZigZag(k)) = extend(r.bits(size), size) << al
+          k += 1
+        }
+      }
+      0
+    }
+
+    /** AC refinement pass over one block's band (the T.81/G.1.2.3
+      * correction-bit walk): history-nonzero coefficients read one
+      * correction bit wherever the walk passes them — while advancing
+      * toward a newly visible +-1<<Al coefficient, and across the tail
+      * of EOB-run-covered blocks. */
+    private def acRefineBlock(r: BitReader,
+        tab: (Array[Int], Array[Int], Array[Int], Array[Int]),
+        arr: Array[Int], off: Int, ss: Int, se: Int, al: Int,
+        eobrunIn: Int): Int = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var eobrun = eobrunIn
+      var k = ss
+      def corrBit(z: Int): Unit =
+        if (r.bit() == 1 && (arr(off + z) & p1) == 0)
+          arr(off + z) += (if (arr(off + z) >= 0) p1 else m1)
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = decodeHuff(r, tab)
+          var run = rs >> 4
+          val size = rs & 0x0F
+          var newVal = 0
+          if (size == 0) {
+            if (run < 15) {
+              eobrun = (1 << run) + (if (run > 0) r.bits(run) else 0)
+              ended = true
+            }
+            // run == 15 (ZRL): skip 16 zero-history coefficients
+          } else {
+            if (size != 1) throw new java.io.EOFException
+            newVal = if (r.bit() == 1) p1 else m1
+          }
+          if (!ended) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = ZigZag(k)
+              if (arr(off + z) != 0) corrBit(z)
+              else if (run == 0) {
+                if (newVal != 0) arr(off + z) = newVal
+                placed = true
+              } else run -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // the EOB run's tail: correction bits for the REMAINING
+        // history-nonzero coefficients of this block
+        while (k <= se) {
+          val z = ZigZag(k)
+          if (arr(off + z) != 0) corrBit(z)
+          k += 1
+        }
+        eobrun - 1
+      } else 0
+    }
+
+    /** EOI of a progressive frame: dequantize the accumulated
+      * coefficients, IDCT every block, and run the shared stats walk. */
+    private def finishProgressive(t: Tables): Option[JpegStats] = {
+      val wB = (t.w + 7) / 8
+      val hB = (t.h + 7) / 8
+      val planeW = Array.fill(3)(wB * 8)
+      val planes = Array.fill(3)(new Array[Int](wB * 8 * hB * 8))
+      val coef = new Array[Int](64)
+      var c = 0
+      while (c < 3) {
+        val q = t.quant(t.compQ(c))
+        if (q == null) return None
+        var blk = 0
+        while (blk < wB * hB) {
+          var k = 0
+          while (k < 64) {
+            // the store is natural-order; quant tables are zigzag-order
+            coef(ZigZag(k)) = t.coefStore(c)(blk * 64 + ZigZag(k)) * q(k)
+            k += 1
+          }
+          idctInto(coef, planes(c), planeW(c), (blk % wB) * 8, (blk / wB) * 8)
+          blk += 1
+        }
+        c += 1
+      }
+      statsOf(t, planes, planeW, (wB * hB).toLong)
     }
   }
 
@@ -763,10 +1207,53 @@ object Jpeg extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** q119d: PROGRESSIVE (SOF2) decode — the scan structure that
+    * dominates real web JPEGs and the last entropy-coding regime the
+    * baseline tiers never exercise: coefficients arrive across MULTIPLE
+    * scans (spectral selection splits the zigzag band; successive
+    * approximation splits the bit planes), so the decoder accumulates a
+    * per-block coefficient store through DC-first DPCM over
+    * point-transformed values, one-bit DC refinements, AC first passes
+    * with cross-block EOB runs, and the T.81 correction-bit AC
+    * refinement walk — and only IDCTs at EOI. The construction reuses
+    * q119's per-block coefficients: variant 0 splits them by bit plane
+    * (Al=1 first passes + both refinement scans), variant 1 by spectrum
+    * (AC band [1,1] then the all-empty [2,63] — long EOB runs), so the
+    * fully refined image is BIT-IDENTICAL to the baseline one and
+    * q119's oracle gates this tier verbatim. Truncated scans and
+    * malformed refinement codes fail closed (JpegSpec). */
+  def q119dJpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val bytes = JpegBytes.payloadProg(id, text)
+          JpegPixelDecoder.decode(bytes) match {
+            case Some(st) =>
+              (id, JpegPixelDecoder.format, Option(st.w),
+                Option(st.h), Option(st.nPx), Option(st.nBlocks),
+                Option(st.sumR), Option(st.sumG), Option(st.sumB),
+                Option(st.ysumLum))
+            case None =>
+              (id, "unknown", None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long], None: Option[Long],
+                None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "format", "img_w", "img_h", "n_px",
+        "n_blocks", "sum_r", "sum_g", "sum_b", "ysum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q119_jpeg_pixels" -> (q119JpegPixels _),
     "q119b_jpeg_subsampled" -> (q119bJpegSubsampled _),
-    "q119c_jpeg_edge" -> (q119cJpegEdge _))
+    "q119c_jpeg_edge" -> (q119cJpegEdge _),
+    "q119d_jpeg_progressive" -> (q119dJpegProgressive _))
 
   /** The oracle restates the full decode pipeline in closed form. Per
     * block only two luma frequencies exist, so the sample columns are
@@ -786,7 +1273,11 @@ object Jpeg extends QueryPack {
     val c0 = d17(InvSqrt2)
     val cosRows = (0 until 8)
       .map(x => s"($x, CAST(${d17(CosT(x)(1))} AS DOUBLE))").mkString(", ")
-    Map("q119_jpeg_pixels" ->
+    // the progressive tier refines to EXACTLY the baseline coefficients
+    // (same variant mapping: %4 in {0,1} decodes, 2 is truncated, 3
+    // opaque), so one statement gates both — the driver's hash compare
+    // then PROVES progressive ≡ baseline decode, the q107b/q107c move
+    val q119Sql =
       s"""WITH p AS (
          |  SELECT doc_id,
          |    1 + (doc_id * 31) % 3 AS wb,
@@ -843,7 +1334,9 @@ object Jpeg extends QueryPack {
          |  CAST(agg.sb AS BIGINT) AS sum_b,
          |  CAST(agg.yl AS BIGINT) AS ysum_lum
          |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
-         |ORDER BY p.doc_id""".stripMargin,
+         |ORDER BY p.doc_id""".stripMargin
+    Map("q119_jpeg_pixels" -> q119Sql,
+    "q119d_jpeg_progressive" -> q119Sql,
     // the edge-clip restatement: the q119 per-block closed form with a
     // declared-width column filter (gx < tw) and per-block-row clipped
     // row counts (rc = min(8, th - 8*by)); the y-moment factor becomes

@@ -204,7 +204,8 @@ class JpegSpec extends AnyFunSuite {
   test("malformed payloads degrade to None, never throw") {
     val good = JpegBytes.payload(0L, "x")
     assert(JpegPixelDecoder.decode(good).isDefined)
-    // progressive SOF: unsupported frame type fails closed
+    // a baseline stream re-labeled SOF2: its scan header (Ss=0, Se=63)
+    // is invalid as a progressive scan — fails closed, never garbles
     val sofAt = (0 until good.length - 1).indexWhere(i =>
       (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0)
     val progressive = good.clone(); progressive(sofAt + 1) = 0xC2.toByte
@@ -229,5 +230,73 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegPixelDecoder.decode(bad).isEmpty)
     // truncated 4:2:0 entropy stream
     assert(JpegPixelDecoder.decode(g420.take(g420.length - 8)).isEmpty)
+  }
+
+  test("progressive sweep: multi-scan decode is bit-identical to baseline for 240 ids") {
+    // the construction reuses q119's per-block coefficients, split by
+    // bit plane (variant 0: Al=1 first passes + DC/AC refinements) or
+    // by spectrum (variant 1: AC bands [1,1] + the all-empty [2,63] —
+    // long cross-block EOB runs); a fully standard-compliant
+    // progressive decode must therefore reproduce the BASELINE image
+    // exactly, including the fail-closed variants (2: truncated scan,
+    // 3: opaque bytes)
+    (0L until 240L).foreach { id =>
+      val prog = JpegPixelDecoder.decode(JpegBytes.payloadProg(id, s"doc$id"))
+      val base = JpegPixelDecoder.decode(JpegBytes.payload(id, s"doc$id"))
+      assert(prog == base,
+        s"id=$id (variant ${id % 4}): progressive=$prog baseline=$base")
+    }
+    // the sweep exercises real refinement: some id has |acY| == 1 (a
+    // coefficient INVISIBLE at Al=1 that the refinement scan must
+    // newly set) and some has |acY| >= 2 (a correction bit)
+    def ay(id: Long) = JpegBytes.acY(id, 0, 0)
+    assert((0L until 240L by 4).exists(id => math.abs(ay(id)) == 1))
+    assert((0L until 240L by 4).exists(id => math.abs(ay(id)) >= 2))
+  }
+
+  test("handcrafted progressive pin: single-block scans against the scalar closed form") {
+    // id 12: wb = hb = 1 (single block), variant 0 (successive
+    // approximation, four scans). The expected stats are recomputed
+    // here as independent scalar math from the construction
+    // coefficients — the q119 discipline, applied to the multi-scan
+    // path specifically.
+    val id = 12L
+    val (dcY, acY, dcCb, dcCr) = (JpegBytes.dcY(id, 0, 0), JpegBytes.acY(id, 0, 0),
+      JpegBytes.dcCb(id, 0, 0), JpegBytes.dcCr(id, 0, 0))
+    val (fdy, fay) = (dcY * JpegBytes.qLum(0), acY * JpegBytes.qLum(1))
+    val (fcb, fcr) = (dcCb * JpegBytes.qChr(0), dcCr * JpegBytes.qChr(0))
+    val c0 = Jpeg.InvSqrt2
+    def clamp(d: Double): Long = math.max(0.0, math.min(255.0, d)).toLong
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    (0 until 8).foreach { x =>
+      val ys = clamp(math.floor(
+        0.25 * (c0 * c0 * fdy + (c0 * fay) * Jpeg.CosT(x)(1)) + 128.0 + 0.5))
+        .toDouble
+      val cbs = clamp(math.floor(0.25 * (c0 * c0 * fcb) + 128.0 + 0.5)).toDouble
+      val crs = clamp(math.floor(0.25 * (c0 * c0 * fcr) + 128.0 + 0.5)).toDouble
+      sr += clamp(math.floor(ys + 1.402 * (crs - 128.0) + 0.5))
+      sg += clamp(math.floor(
+        ys - 0.344136 * (cbs - 128.0) - 0.714136 * (crs - 128.0) + 0.5))
+      sb += clamp(math.floor(ys + 1.772 * (cbs - 128.0) + 0.5))
+    }
+    val got = JpegPixelDecoder.decode(JpegBytes.payloadProg(id, "x"))
+    assert(got.isDefined, "single-block progressive payload failed to decode")
+    val st = got.get
+    assert((st.w, st.h, st.nPx, st.nBlocks) == (8L, 8L, 64L, 1L))
+    assert((st.sumR, st.sumG, st.sumB) == (8 * sr, 8 * sg, 8 * sb),
+      s"channel sums diverged: got (${st.sumR},${st.sumG},${st.sumB}), " +
+        s"want (${8 * sr},${8 * sg},${8 * sb})")
+    assert(st.ysumLum == 28 * (sr + sg + sb), "y-moment diverged")
+  }
+
+  test("malformed progressive payloads degrade to None") {
+    // progressive + subsampling: unsupported layout, fail closed
+    assert(JpegPixelDecoder.decode(JpegBytes.malformedProg("prog420")).isEmpty)
+    // an AC scan with three components is invalid by T.81
+    assert(JpegPixelDecoder.decode(JpegBytes.malformedProg("ac_interleaved")).isEmpty)
+    // an AC refinement code with size 2 is invalid (only +-1 at Al)
+    assert(JpegPixelDecoder.decode(JpegBytes.malformedProg("refine_size2")).isEmpty)
+    // truncated mid-scan (the generative variant 2)
+    assert(JpegPixelDecoder.decode(JpegBytes.payloadProg(2L, "x")).isEmpty)
   }
 }
