@@ -142,11 +142,23 @@ object GraftCatalog {
     *    store in the [[VersionedStore]] layout, including stream-built
     *    ones) clustered on `col`; returns the committed version.
     *  - `CALL graft_store_purge('versioned', '<path>', '<keyCol>',
-    *    '<k1,k2,...>')` — execute an erasure batch against the store
-    *    at `path` as a copy-on-write DELETE commit
-    *    ([[VersionedStore.deleteCommit]]): rows whose long `keyCol` is
-    *    in the comma-separated list leave the tip; returns the
-    *    committed version. History stays readable until vacuum.
+    *    '<k1,k2,...>'[, '<mode>'])` — execute an erasure batch against
+    *    the store at `path` as a DELETE commit: mode 'cow' (default)
+    *    rewrites the owning files ([[VersionedStore.deleteCommit]]),
+    *    mode 'dv' commits an O(keys) deletion vector
+    *    ([[VersionedStore.deleteCommitDv]], folded physical at
+    *    optimize/vacuum); returns the committed version. History stays
+    *    readable until vacuum.
+    *  - `CALL graft_store_upsert('versioned', '<path>', '<keyCol>',
+    *    '<sourceView>', '<batchId>')` — the MERGE INTO-shaped DML
+    *    (round-13 verdict #8): merge the registered view's rows into
+    *    the keyed store at `path` as one copy-on-write keyed commit
+    *    ([[graft.streaming.UpsertSink.upsertBatch]] — matched keys
+    *    replaced, new keys inserted, exactly the WHEN MATCHED UPDATE /
+    *    WHEN NOT MATCHED INSERT semantics for full-row sources).
+    *    `batchId` is the statement's idempotence key: re-CALLing with a
+    *    committed id returns a NULL version and commits nothing — the
+    *    exactly-once replay rule, surfaced to SQL.
     *
     * Single-quote SQL literals with `''` escaping, matching [[bm25Sql]]. */
   def call(s: SparkSession, statement: String): DataFrame = {
@@ -157,6 +169,25 @@ object GraftCatalog {
     val Drop = s"(?i)\\s*CALL\\s+graft_store_drop\\s*\\(\\s*$Lit\\s*\\)\\s*".r
     val Opt = s"(?i)\\s*CALL\\s+graft_store_optimize\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val Purge = s"(?i)\\s*CALL\\s+graft_store_purge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val PurgeM = s"(?i)\\s*CALL\\s+graft_store_purge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Upsert = s"(?i)\\s*CALL\\s+graft_store_upsert\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    def purge(family: String, path: String, keyCol: String,
+        keyList: String, mode: String): DataFrame = {
+      require(family == "versioned",
+        s"purge supports the 'versioned' family, got '$family'")
+      val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(k => k.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"graft_store_purge keys must be long literals, got '$k'")))
+      val v = mode match {
+        case "cow" => VersionedStore.deleteCommit(s, path,
+          keys.toSeq.toDF(keyCol), keyCol)
+        case "dv" => VersionedStore.deleteCommitDv(s, path,
+          keys.toSeq.toDF(keyCol), keyCol)
+        case other => throw new IllegalArgumentException(
+          s"unknown purge mode '$other' (expected cow or dv)")
+      }
+      Seq((path, v)).toDF("path", "committed_version")
+    }
     statement match {
       case Build(family, dir) =>
         buildFamily(s, unq(family), unq(dir))
@@ -182,20 +213,27 @@ object GraftCatalog {
           targetFileBytes = 64L << 20)
         Seq((unq(path), v)).toDF("path", "committed_version")
       case Purge(family, path, keyCol, keyList) =>
+        purge(unq(family), unq(path), unq(keyCol), unq(keyList), "cow")
+      case PurgeM(family, path, keyCol, keyList, mode) =>
+        purge(unq(family), unq(path), unq(keyCol), unq(keyList), unq(mode))
+      case Upsert(family, path, keyCol, sourceView, batchId) =>
         require(unq(family) == "versioned",
-          s"purge supports the 'versioned' family, got '${unq(family)}'")
-        val keys = unq(keyList).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(k => k.toLongOption.getOrElse(throw new IllegalArgumentException(
-            s"graft_store_purge keys must be long literals, got '$k'")))
-        val kc = unq(keyCol)
-        val v = VersionedStore.deleteCommit(s, unq(path),
-          keys.toSeq.toDF(kc), kc)
-        Seq((unq(path), v)).toDF("path", "committed_version")
+          s"upsert supports the 'versioned' family, got '${unq(family)}'")
+        val bid = unq(batchId).toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_store_upsert batchId must be a long literal, got " +
+              s"'${unq(batchId)}'"))
+        val v = graft.streaming.UpsertSink.upsertBatch(
+          s.table(unq(sourceView)), unq(path), bid, unq(keyCol))
+        // NULL committed_version = nothing committed: an empty source or
+        // a replayed batch id (the exactly-once rule, visible to SQL)
+        Seq((unq(path), v.map(_.toLong))).toDF("path", "committed_version")
       case _ => throw new IllegalArgumentException(
         s"unrecognized CALL statement: $statement — expected " +
           "graft_store_build('<family>','<dir>') | graft_store_drop('<family>') | " +
           "graft_store_optimize('versioned','<path>','<col>') | " +
-          "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>')")
+          "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>'[,'<mode>']) | " +
+          "graft_store_upsert('versioned','<path>','<keyCol>','<sourceView>','<batchId>')")
     }
   }
 

@@ -143,6 +143,68 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sources.VersionedStore.readVersion(spark, path, 1).count() == 300L)
   }
 
+  test("CALL graft_store_purge with mode 'dv' commits a deletion vector") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_dv_").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 300L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    val f1 = sources.VersionedStore.versionFiles(spark, path, 1).toSet
+    val out = GraftCatalog.call(spark,
+      s"CALL graft_store_purge('versioned', '$path', 'k', '5,6,7', 'dv')")
+      .collect()
+    val committed = out.head.getInt(1)
+    assert(committed == 2)
+    // zero data files written: every file shared by reference
+    assert(sources.VersionedStore.versionFiles(spark, path, 2).toSet == f1)
+    assert(sources.VersionedStore.readVersion(spark, path, 2)
+      .select("k").as[Long].collect().toSet ==
+      (1L to 300L).toSet -- Set(5L, 6L, 7L))
+    // optimize FOLDS the vector physical (the dv design's fold point)
+    GraftCatalog.call(spark,
+      s"CALL graft_store_optimize('versioned', '$path', 'k')")
+    val raw = spark.read.parquet(sources.VersionedStore
+      .versionFiles(spark, path, 3).toIndexedSeq: _*)
+      .select("k").as[Long].collect().toSet
+    assert((raw & Set(5L, 6L, 7L)).isEmpty,
+      "optimize carried dv-purged rows into the compacted files")
+  }
+
+  test("CALL graft_store_upsert: MERGE-shaped DML with exactly-once replay") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_ups_").toString
+    val (sqlPath, opPath) = (s"$base/sql_store", s"$base/op_store")
+    // seed both stores identically through the operator path
+    val seed = (1L to 100L).map(k => (k, 0L)).toDF("key", "v")
+    graft.streaming.UpsertSink.upsertBatch(seed, sqlPath, 0L, "key",
+      initialPartitions = 4)
+    graft.streaming.UpsertSink.upsertBatch(seed, opPath, 0L, "key",
+      initialPartitions = 4)
+    // the merge batch: 20 matched keys updated, 10 new keys inserted
+    val batch = ((81L to 100L) ++ (101L to 110L)).map(k => (k, 9L))
+      .toDF("key", "v")
+    batch.createOrReplaceTempView("merge_source")
+    val out = GraftCatalog.call(spark,
+      s"CALL graft_store_upsert('versioned', '$sqlPath', 'key', " +
+        "'merge_source', '1')").collect()
+    assert(!out.head.isNullAt(1) && out.head.getLong(1) == 2L)
+    // PARITY: the SQL statement and the operator path agree bit-for-bit
+    graft.streaming.UpsertSink.upsertBatch(batch, opPath, 1L, "key")
+    def snap(p: String) = graft.streaming.UpsertSink.readStore(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(snap(sqlPath) == snap(opPath),
+      "SQL upsert diverged from the operator path")
+    assert(snap(sqlPath).toMap.get(90L).contains(9L))
+    assert(snap(sqlPath).size == 110)
+    // EXACTLY-ONCE: re-CALLing the committed batch id returns a NULL
+    // version and commits nothing
+    val replay = GraftCatalog.call(spark,
+      s"CALL graft_store_upsert('versioned', '$sqlPath', 'key', " +
+        "'merge_source', '1')").collect()
+    assert(replay.head.isNullAt(1), "replayed batch id committed again")
+    assert(sources.VersionedStore.versions(spark, sqlPath) == Seq(1, 2))
+  }
+
   test("TIMESTAMP AS OF surfaced to SQL: per-commit as-of views match readAsOf") {
     val views = GraftCatalog.call(spark,
       s"CALL graft_store_build('versioned_ts', '$sf')").collect()
