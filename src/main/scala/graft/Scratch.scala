@@ -21,11 +21,13 @@ object Scratch {
       println(f"[scratch] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     time("warmup count")(Tables.documents(s, dir).count())
-    for (q <- Seq("q41" -> operators.Dedup.q41DedupNgramJaccard _,
-                  "q42" -> operators.Dedup.q42DedupMinhashLsh _); i <- 1 to 3) {
+    (1 to 3).foreach { i =>
       s.catalog.clearCache()
-      time(s"${q._1} run$i")(q._2(s, dir)
-        .write.format("noop").mode("overwrite").save())
+      time(s"q96d run$i") {
+        val (best, hops) = sources.KnnGraphStore.graphProbeDetailed(
+          s, dir, k = 10, beam = 8, maxHops = 32)
+        println(s"[scratch] hops=$hops visitedTop=${best.take(3)}")
+      }
     }
     s.stop()
   }

@@ -94,14 +94,29 @@ object KnnGraphStore extends QueryPack {
     graft.operators.Similarity.centralityFromEdges(vertices, edges)
   }
 
+  /** A key-range manifest loaded ONCE into bounded driver state for a
+    * serving loop: the probe prunes each hop's file set in-driver
+    * instead of paying a Spark job per prune — manifests are file-count
+    * bounded (the UpsertSink contract), and an HNSW-style walk is a
+    * SEQUENCE of tiny reads where per-hop job count is the wall. */
+  private def loadManifest(s: SparkSession,
+      p: String): Array[(String, Long, Long)] =
+    s.read.parquet(p).select(col("file"), col("mn"), col("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  private def filesFor(man: Array[(String, Long, Long)],
+      ids: Seq[Long]): Seq[String] =
+    man.filter(t => ids.exists(k => k >= t._2 && k <= t._3))
+      .map(_._1).toIndexedSeq
+
   /** Per-hop adjacency of a FRONTIER set — the multi-node [[neighbors]]:
-    * one manifest prune + one pruned read per hop, bounded by the
-    * frontier's owning files, never the edge relation. */
-  private def neighborsOf(s: SparkSession, path: String,
-      srcs: Seq[Long]): Array[Long] = {
-    val files = AnnIndexStore.filesForKeysIn(s, Seq(manifestPath(path)), srcs)
+    * one pruned read per hop (driver-side manifest prune), bounded by
+    * the frontier's owning files, never the edge relation. */
+  private def neighborsOf(s: SparkSession,
+      man: Array[(String, Long, Long)], srcs: Seq[Long]): Array[Long] = {
+    val files = filesFor(man, srcs)
     if (files.isEmpty) Array.empty
-    else s.read.parquet(files.toIndexedSeq: _*)
+    else s.read.parquet(files: _*)
       .filter(col("src").isin(srcs: _*))
       .select(col("dst")).distinct()
       .collect().map(_.getLong(0))
@@ -115,20 +130,29 @@ object KnnGraphStore extends QueryPack {
     val path = store(s, dir)
     val annPath = AnnIndexStore.store(s, dir)
     val vectors = AnnIndexStore.vectorsPath(annPath)
-    val q = AnnIndexStore.fetchVector(s, annPath, 0L)
-      .select(col("e").as("qe"), col("n2").as("qn2"))
+    // the query vector and both manifests load ONCE into bounded driver
+    // state: the walk is a SEQUENCE of tiny point reads, so per-hop
+    // Spark-job count is the serving wall — driver-side pruning and a
+    // literal query vector (the q54b cell-probe pattern) keep it at two
+    // jobs per hop (adjacency read + candidate scoring)
+    val qRow = AnnIndexStore.fetchVector(s, annPath, 0L)
+      .select(col("e"), col("n2")).head()
+    val qe = qRow.getSeq[Double](0).toArray
+    val qn2 = qRow.getDouble(1)
+    val graphMan = loadManifest(s, manifestPath(path))
+    val vecMan = loadManifest(s, AnnIndexStore.manifestPath(vectors))
     // per-hop scoring: point reads of the candidates' vectors through
-    // the ANN store's vec_id manifest (the q99 pattern) + one broadcast
-    // cosine against the query — cost ∝ candidates, not corpus
+    // the ANN store's vec_id manifest (the q99 pattern), exact cosine
+    // against the literal query — cost ∝ candidates, not corpus
     def scoresOf(ids: Seq[Long]): Seq[(Long, Double)] =
       if (ids.isEmpty) Nil
       else {
-        val files = AnnIndexStore.filesForKeys(s, vectors, ids)
-        s.read.parquet(files.toIndexedSeq: _*)
+        val files = filesFor(vecMan, ids)
+        s.read.parquet(files: _*)
           .filter(col("vec_id").isin(ids: _*))
-          .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
+            cosineFrom(dot(col("e"), array(qe.map(lit): _*)),
+              col("n2"), lit(qn2)).as("cos"))
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       }
     // deterministic entry points: the node-id quartiles of the edge
@@ -152,7 +176,7 @@ object KnnGraphStore extends QueryPack {
     var hops = 0
     while (hops < maxHops && frontier.nonEmpty) {
       hops += 1
-      val nbrs = neighborsOf(s, path, frontier)
+      val nbrs = neighborsOf(s, graphMan, frontier)
         .filterNot(visited).filter(_ != 0L).toSeq
       if (nbrs.isEmpty) frontier = Nil
       else {
