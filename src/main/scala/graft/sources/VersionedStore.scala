@@ -1352,6 +1352,64 @@ object VersionedStore extends QueryPack {
     }.reduce(_.unionAll(_)).orderBy(col("version"))
   }
 
+  /** Materialized v1-level aggregate of the DV store (its v1 holds
+    * q109's v3 logical content), built once per JVM — the table q110d
+    * maintains across the DELETION-VECTOR commit. */
+  private def dvMvPath(path: String): String = path + "/mv/v1"
+  private val dvMvBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def dvMv1(s: SparkSession, path: String): DataFrame = synchronized {
+    if (!dvMvBuilt.contains(path)) {
+      readVersion(s, path, 1)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("trips"), sum(col("amount_c")).as("amount_c"))
+        .write.mode(SaveMode.Overwrite).parquet(dvMvPath(path))
+      dvMvBuilt += path
+    }
+    s.read.parquet(dvMvPath(path))
+  }
+
+  /** q110d: IVM across the DELETION-VECTOR commit — the refresh q110c
+    * cannot express: a dv commit's MANIFEST DIFF IS EMPTY (every file
+    * shared by reference), so the retraction derives from the DV DIFF
+    * instead — the keys newly purged between the parent's vector and
+    * the commit's. The view subtracts exactly those keys' partial
+    * aggregates, computed by reading ONLY the stats-pruned owning files
+    * semi-joined to the purged keys: refresh cost ∝ deleted rows (plus
+    * the owning read), never the store — the same O(delta) promise as
+    * q110/q110b/q110c, carried to the erasure mode whose COMMIT is also
+    * O(deleted rows). Customers whose every fact was purged LEAVE the
+    * view (zero-trip rows drop). The oracle is q110c's statement
+    * VERBATIM (the dv store's v2 content equals the COW store's v4), so
+    * the driver hash proves IVM-across-dv ≡ IVM-across-COW ≡ full
+    * recompute. */
+  def q110dIncrementalMvDv(s: SparkSession, dir: String): DataFrame = {
+    val path = dvStore(s, dir)
+    val base = dvMv1(s, path)
+      .select(col("o_custkey"), col("trips").as("t1"), col("amount_c").as("a1"))
+    // the dv delta v1 -> v2: v1 predates the vector, so the delta IS v2's
+    val purged = dvAt(s, path, 2).getOrElse(
+      throw new IllegalStateException("dv store lacks its v2 vector"))
+    val stats = fileKeyStats(s, path, 2, "o_custkey")
+    val statsDf = {
+      import s.implicits._
+      stats.toSeq.toDF("file", "mn", "mx")
+    }
+    val owning = purged.select(col("o_custkey").cast("long").as("k"))
+      .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+      .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+    val removedRows = s.read.parquet(owning.toIndexedSeq: _*)
+      .join(purged, Seq("o_custkey"), "left_semi")
+    val part = removedRows.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("tr"), sum(col("amount_c")).as("ar"))
+    base.join(part, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("t1"), lit(0L)) - coalesce(col("tr"), lit(0L))).as("trips"),
+        (coalesce(col("a1"), lit(0L)) - coalesce(col("ar"), lit(0L))).as("amount_c"))
+      .filter(col("trips") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
   /** Materialized v3-level aggregate (q110b's refresh result), built
     * once per JVM — the table q110c maintains across the DELETE commit. */
   private def mv3Path(path: String): String = path + "/mv/v3"
@@ -1569,7 +1627,27 @@ object VersionedStore extends QueryPack {
     "q110b_incremental_mv_cow" -> (q110bIncrementalMvCow _),
     "q107b_purge_execute" -> (q107bPurgeExecute _),
     "q107c_purge_execute_dv" -> (q107cPurgeExecuteDv _),
-    "q110c_incremental_mv_delete" -> (q110cIncrementalMvDelete _))
+    "q110c_incremental_mv_delete" -> (q110cIncrementalMvDelete _),
+    "q110d_incremental_mv_dv" -> (q110dIncrementalMvDv _))
+
+  /** The post-purge IVM statement, shared verbatim by the COW (q110c)
+    * and DV (q110d) refreshes: both must equal the from-scratch
+    * post-purge aggregate, so one oracle proves
+    * IVM-across-dv ≡ IVM-across-COW ≡ full recompute. */
+  private val purgeIvmSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
+       |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
+       |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+       |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
+       |del AS (SELECT c_custkey FROM customer
+       |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+       |SELECT o_custkey, count(*) AS trips,
+       |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+       |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
+       |FROM o, k WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   /** The erasure-execution logical restatement, shared verbatim by the
     * COW (q107b) and DELETION-VECTOR (q107c) modes: the two commits
@@ -1650,21 +1728,10 @@ object VersionedStore extends QueryPack {
     "q107b_purge_execute" -> purgeExecuteSql,
     "q107c_purge_execute_dv" -> purgeExecuteSql,
     // the delete-IVM statement: retract-and-merge across the purge's
-    // manifest diff must equal the from-scratch post-purge aggregate
-    "q110c_incremental_mv_delete" ->
-      s"""WITH o AS (
-         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
-         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
-         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
-         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
-         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
-         |del AS (SELECT c_custkey FROM customer
-         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
-         |SELECT o_custkey, count(*) AS trips,
-         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
-         |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
-         |FROM o, k WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
-         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // manifest diff (COW) or dv diff (DV) must equal the from-scratch
+    // post-purge aggregate — shared verbatim by both physical modes
+    "q110c_incremental_mv_delete" -> purgeIvmSql,
+    "q110d_incremental_mv_dv" -> purgeIvmSql,
     "q109_time_travel" ->
       s"""WITH o AS (
          |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a, o_orderdate

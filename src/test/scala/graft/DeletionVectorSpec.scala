@@ -197,6 +197,40 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert((allKeysOnDisk(path) & scattered.toSet).isEmpty)
   }
 
+  test("IVM retract across a dv commit equals full recompute") {
+    // a dv commit's manifest diff is EMPTY, so the incremental refresh
+    // derives its retraction from the DV DIFF: subtract exactly the
+    // purged keys' partials, computed from the stats-pruned owning
+    // files semi-joined to the keys — refresh cost ∝ deleted rows
+    val path = buildStore()
+    val base = VersionedStore.readVersion(spark, path, 1)
+      .withColumn("g", col("key") % 10)
+      .groupBy("g").agg(count(lit(1)).as("n1"), sum("amount").as("a1"))
+    val purge = (101L to 400L by 9).toSeq
+    VersionedStore.deleteCommitDv(spark, path, purge.toDF("key"), "key")
+    assert(VersionedStore.versionFiles(spark, path, 2).toSeq.sorted ==
+      VersionedStore.versionFiles(spark, path, 1).toSeq.sorted,
+      "precondition: the dv commit must share every file")
+    val dv = spark.read.parquet(VersionedStore.dvPath(path, 2))
+    val removed = VersionedStore.readVersion(spark, path, 1)
+      .join(dv, Seq("key"), "left_semi")
+      .withColumn("g", col("key") % 10)
+      .groupBy("g").agg(count(lit(1)).as("rn"), sum("amount").as("ra"))
+    val inc = base.join(removed, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n1"), lit(0L)) - coalesce(col("rn"), lit(0L))).as("n"),
+        (coalesce(col("a1"), lit(0L)) - coalesce(col("ra"), lit(0L))).as("a"))
+      .filter(col("n") > 0)
+    val full = VersionedStore.readVersion(spark, path, 2)
+      .withColumn("g", col("key") % 10)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("amount").as("a"))
+    assert(inc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ==
+      full.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq,
+      "incremental-across-dv diverged from the full recompute")
+  }
+
   test("the streaming purge sink drives dv mode with no-op replay") {
     val path = buildStore()
     val v = graft.streaming.PurgeSink.purgeBatch(
