@@ -400,20 +400,27 @@ object VersionedStore extends QueryPack {
     fs.listStatus(p).toSeq.filter(_.isFile)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
-      .flatten.sorted.lastOption.map { tip =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(
-          checkpointDir(path) + s"/v$tip"))
-        val out = new java.io.ByteArrayOutputStream(4096)
-        val buf = new Array[Byte](4096)
+      .flatten.sorted.lastOption.flatMap { tip =>
+        // a checkpoint is an ACCELERATOR, never a source of truth: a
+        // malformed file (torn copy, manual edit) degrades to the full
+        // marker walk instead of bricking version resolution
         try {
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-        val rows = out.toString("UTF-8").split('\n').toSeq.filter(_.nonEmpty)
-          .map(_.split(',')).collect {
-            case Array(v, bid, ts) => (v.toInt, bid.toLong, ts.toLong)
-          }.sortBy(_._1)
-        (tip, rows)
+          val in = fs.open(new org.apache.hadoop.fs.Path(
+            checkpointDir(path) + s"/v$tip"))
+          val out = new java.io.ByteArrayOutputStream(4096)
+          val buf = new Array[Byte](4096)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          val rows = out.toString("UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+            .map(_.split(',')).collect {
+              case Array(v, bid, ts) => (v.toInt, bid.toLong, ts.toLong)
+            }.sortBy(_._1)
+          Some((tip, rows))
+        } catch { case _: java.io.IOException | _: NumberFormatException =>
+          None
+        }
       }
   }
 
@@ -1066,7 +1073,11 @@ object VersionedStore extends QueryPack {
           if (!settled.contains(cur)) abandoned += v
           else {
             // the cumulative dv: parent's live set ∪ this batch —
-            // O(unfolded deletions) bytes, the commit's ONLY data write
+            // O(unfolded deletions) bytes, the commit's ONLY data write.
+            // One file is right while the fold cadence keeps the vector
+            // small; a store whose vector approaches file-size scale
+            // sizes the count from the key volume (the CompactStore
+            // ceil rule) — and is overdue for its fold either way.
             val newDv = curDv.fold(fresh)(dv => dv.unionByName(fresh).distinct())
             newDv.coalesce(1).write.mode(SaveMode.Overwrite)
               .parquet(dvPath(path, v))

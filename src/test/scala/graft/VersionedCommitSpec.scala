@@ -265,6 +265,27 @@ class VersionedCommitSpec extends AnyFunSuite {
     assert(VersionedStore.readVersion(spark, path, 25).count() == 25L)
   }
 
+  test("a malformed checkpoint degrades to the marker walk, never bricks resolution") {
+    val path = Files.createTempDirectory("graft_ckptbad_").toString + "/store"
+    (1 to 12).foreach { i =>
+      VersionedCommitSink.appendBatch(
+        Seq(VcsReading(i.toLong, i * 10L)).toDF(), path, batchId = i.toLong)
+    }
+    // corrupt the v10 checkpoint in place (torn copy / manual edit)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = new org.apache.hadoop.fs.Path(
+      VersionedStore.checkpointDir(path) + "/v10")
+    val out = fs.create(cp, true)
+    out.write("not,a,checkpoint\ngarbage".getBytes("UTF-8")); out.close()
+    // resolution falls back to the full marker walk: same answers
+    assert(VersionedStore.versions(spark, path) == (1 to 12))
+    val raw = VersionedStore.commitTimesRaw(spark, path)
+    assert(raw.map(_._1) == (1 to 12) && raw.forall(!_._3),
+      "a malformed checkpoint must be ignored, not trusted")
+    assert(VersionedStore.readVersion(spark, path, 12).count() == 12L)
+  }
+
   test("settle-gap detector: a late lower-slot commit in the carried lineage fails loudly") {
     // The round-13 advice scenario: a slow writer holds slot 2 past the
     // settle timeout, the slot-3 committer carries parent v1 forward,
