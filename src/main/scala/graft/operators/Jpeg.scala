@@ -514,6 +514,33 @@ object Jpeg extends QueryPack {
         Array[Byte](0) ++ text.getBytes("UTF-8")
     }
 
+    /** Handcrafted single-block progressive payload exercising the ZRL
+      * path of the AC first scan (the one branch the generative
+      * construction never reaches — its AC lives at zigzag 1): a luma
+      * DC, then 16 zigzag zeros skipped by ZRL, then an AC at zigzag 17
+      * (natural (u=3, v=2)), then EOB. The spec pins the decode against
+      * the two-coefficient scalar closed form. */
+    private[graft] def handcraftedProgZrl(dc: Int, ac17: Int): Array[Byte] = {
+      val dcScan = {
+        val w = new BitWriter
+        writeCoef(w, dcCodes, bitSize(dc), dc, bitSize(dc))
+        writeCoef(w, dcCodes, 0, 0, 0) // Cb dc = 0
+        writeCoef(w, dcCodes, 0, 0, 0) // Cr dc = 0
+        w.flush(); w.bytes
+      }
+      val acScan = {
+        val w = new BitWriter
+        writeCoef(w, acProgCodes, 0xF0, 0, 0) // ZRL: skip zigzag 1..16
+        writeCoef(w, acProgCodes, bitSize(ac17), ac17, bitSize(ac17)) // k=17
+        writeCoef(w, acProgCodes, 0x00, 0, 0) // EOB for 18..63
+        w.flush(); w.bytes
+      }
+      // id 12 declares an 8x8 single-block frame
+      Soi ++ dqt ++ sof2(12L) ++ dhtProg ++
+        sosProg(progComps, 0, 0, 0, 0) ++ dcScan ++
+        sosProg(progComps.take(1), 1, 63, 0, 0) ++ acScan ++ Eoi
+    }
+
     /** Malformed progressive payloads for the fail-closed spec. */
     private[graft] def malformedProg(kind: String): Array[Byte] = kind match {
       case "prog420" => // progressive + subsampling: unsupported layout

@@ -289,6 +289,35 @@ class JpegSpec extends AnyFunSuite {
     assert(st.ysumLum == 28 * (sr + sg + sb), "y-moment diverged")
   }
 
+  test("handcrafted ZRL pin: a 16-zero skip places the AC at zigzag 17 exactly") {
+    // zigzag 17 is natural (u=3, v=2): sample(x, y) = 0.25 * (c0^2 * dcq
+    // + acq * cos(x,3) * cos(y,2)) + 128 — the two-coefficient closed
+    // form, computed here as independent scalar math. A ZRL that skips
+    // 15 or 17 positions, or drops the coefficient, moves every sum.
+    val (dc, ac17) = (-7, 5)
+    val (dcq, acq) = (dc * JpegBytes.qLum(0), ac17 * JpegBytes.qLum(17))
+    val c0 = Jpeg.InvSqrt2
+    def cos(i: Int, f: Int) = Jpeg.CosT(i)(f)
+    def clamp(d: Double): Long = math.max(0.0, math.min(255.0, d)).toLong
+    var (sum, ymom) = (0L, 0L)
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        val ys = clamp(math.floor(
+          0.25 * (c0 * c0 * dcq + acq * cos(x, 3) * cos(y, 2)) + 128.0 + 0.5))
+        // chroma DCs are zero -> cb = cr = 128 -> r = g = b = ys exactly
+        val px = clamp(math.floor(ys.toDouble + 0.5))
+        sum += px; ymom += y.toLong * 3L * px
+      }
+    }
+    val got = JpegPixelDecoder.decode(JpegBytes.handcraftedProgZrl(dc, ac17))
+    assert(got.isDefined, "handcrafted ZRL payload failed to decode")
+    val st = got.get
+    assert((st.w, st.h, st.nPx, st.nBlocks) == (8L, 8L, 64L, 1L))
+    assert((st.sumR, st.sumG, st.sumB) == (sum, sum, sum),
+      s"channel sums: got (${st.sumR},${st.sumG},${st.sumB}), want $sum")
+    assert(st.ysumLum == ymom, s"y-moment: got ${st.ysumLum}, want $ymom")
+  }
+
   test("malformed progressive payloads degrade to None") {
     // progressive + subsampling: unsupported layout, fail closed
     assert(JpegPixelDecoder.decode(JpegBytes.malformedProg("prog420")).isEmpty)
