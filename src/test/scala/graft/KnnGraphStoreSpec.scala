@@ -58,6 +58,29 @@ class KnnGraphStoreSpec extends AnyFunSuite {
     assert(pruned.toSeq == full.toSeq, "pruned adjacency read diverged")
   }
 
+  test("entry points are persisted at build time and bit-equal the quartile rule") {
+    // round-14 verdict #1: the probe used to recompute its entries with
+    // a full edge-relation scan per call; the build now persists them as
+    // a one-row side relation. Bit-identity of the persisted entries
+    // with the quartile recompute ⇒ the probe's results are bit-identical
+    // to the pre-persistence probe on the same store.
+    val path = KnnGraphStore.store(spark, sf)
+    val persisted = spark.read.parquet(KnnGraphStore.entriesPath(path))
+      .head().getSeq[Long](0).toSeq
+    val recomputed = spark.read.parquet(path).filter(col("src") =!= 0L)
+      .agg(percentile_approx(col("src"),
+        array(lit(0.0), lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+      .head().getSeq[Long](0).toSeq
+    assert(persisted.nonEmpty, "entries side relation is empty — vacuous")
+    assert(persisted == recomputed,
+      s"persisted entries $persisted != quartile recompute $recomputed")
+    // and the side relation is tiny: one file, one row — bounded driver
+    // state for the serving loop, never a scan
+    val df = spark.read.parquet(KnnGraphStore.entriesPath(path))
+    assert(df.count() == 1 && df.inputFiles.length == 1,
+      "entries must be a one-row, one-file side relation")
+  }
+
   test("q96d graph probe: bounded hops, deterministic, recall at/above the IVF tier") {
     // the HNSW-family stop rule must CONVERGE well inside the hop bound
     // (wall tracks hops, not store rows — the smoke's flatness claim)
