@@ -107,11 +107,23 @@ object VersionedStore extends QueryPack {
   }
 
   /** The deletion-vector relation in force at version `v`: the newest
-    * dv commit at or below it. None when the store has no dv lineage
-    * there — the common case, costing one existence probe per read. */
-  private[graft] def dvAt(s: SparkSession, path: String, v: Int): Option[DataFrame] =
-    dvVersions(s, path).filter(_ <= v).lastOption
-      .map(k => s.read.parquet(dvPath(path, k)))
+    * COMMITTED dv commit at or below it. None when the store has no dv
+    * lineage there — the common case, costing one existence probe per
+    * read. Gating on the committed version set keeps the marker/
+    * manifest-last atomicity discipline: a [[deleteCommitDv]] crash
+    * between the dv parquet write and the manifest/txn commit leaves an
+    * orphan dv at slot v whose deletion never committed — it must stay
+    * invisible to every read (its claim file blocks the slot from
+    * re-use) until vacuum reclaims claim, staging and dv together. */
+  private[graft] def dvAt(s: SparkSession, path: String, v: Int): Option[DataFrame] = {
+    val dvs = dvVersions(s, path)
+    if (dvs.isEmpty) None
+    else {
+      val committed = versions(s, path).toSet
+      dvs.filter(k => k <= v && committed(k)).lastOption
+        .map(k => s.read.parquet(dvPath(path, k)))
+    }
+  }
 
   /** Apply a version's deletion vector to its raw file scan: a
     * broadcast-sized anti-join on the dv's key column (Spark's
@@ -549,7 +561,8 @@ object VersionedStore extends QueryPack {
     * Cost: manifest-table reads + a bounded driver file-set diff +
     * one delete per expired file — no data scanned. Returns
     * (expired version count, deleted file count). */
-  def vacuum(s: SparkSession, path: String, keepVersions: Int): (Int, Int) =
+  def vacuum(s: SparkSession, path: String, keepVersions: Int,
+      claimGraceMs: Long = 600000L): (Int, Int) =
     WriterLease.withLease(s, path, "vacuum") {
     require(keepVersions >= 1, s"must retain at least one version")
     val vs = versions(s, path)
@@ -590,11 +603,7 @@ object VersionedStore extends QueryPack {
     // batch-built (manifest-only) stores too, so a crashed maintenance
     // attempt there leaves claim files and staging no txn-gated path
     // ever saw (round-13 advice). A claimed-but-never-committed slot is
-    // an abandoned optimistic commit under vacuum's single-writer
-    // contract (quiesced, under the lease — no commit can be in flight),
-    // INCLUDING a claim at or above the tip: a crashed compaction's
-    // tip+1 claim would otherwise brick compactCommit's `v == cur+1`
-    // check forever on a store with no data commits to advance past it.
+    // an abandoned optimistic commit.
     // Its per-version staging was never referenced by any committed
     // manifest, so slot + leftovers reclaim together; claims for
     // COMMITTED sub-tip versions are spent too — new claims probe from
@@ -607,15 +616,37 @@ object VersionedStore extends QueryPack {
         .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
         .flatten
     }
-    claims.filterNot(committed.contains).foreach { v =>
-      // every writer family's per-version staging dir: stream/batch
-      // appends and upserts (v<N>), failed compactions (compact_v<N>),
-      // abandoned delete commits (delete_v<N>), crashed dv commits
-      Seq(s"/v$v", s"/compact_v$v", s"/delete_v$v").foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + d), true))
-      fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, v)), true)
-      fs.delete(claimFile(path, v), false)
-    }
+    // An at/above-tip claim is ambiguous between a crashed maintenance
+    // attempt (reclaimable) and a commit IN FLIGHT right now — streaming
+    // appendBatch/upsertBatch claim tip+1 without taking the maintenance
+    // lease, so an unconditional reclaim racing a live sink would delete
+    // its claim file and staging mid-commit (re-opening the slot to a
+    // double-claim, or letting a manifest commit over deleted files).
+    // Those claims are reclaimed only once their claim file is older
+    // than `claimGraceMs` — a crashed attempt ages past any grace, a
+    // live commit never does (size the grace above the slowest commit
+    // wall, the settle-timeout sizing rule). Sub-tip uncommitted claims
+    // are settled history: claimers probe from tip+1, so the slot can
+    // never be re-contested, and the burn-and-loop protocol already
+    // classified their writer as abandoned when the tip passed them.
+    val now = System.currentTimeMillis()
+    claims.filterNot(committed.contains)
+      .filter { v =>
+        v < tip || {
+          try now - fs.getFileStatus(claimFile(path, v))
+            .getModificationTime >= claimGraceMs
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+      }
+      .foreach { v =>
+        // every writer family's per-version staging dir: stream/batch
+        // appends and upserts (v<N>), failed compactions (compact_v<N>),
+        // abandoned delete commits (delete_v<N>), crashed dv commits
+        Seq(s"/v$v", s"/compact_v$v", s"/delete_v$v").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + d), true))
+        fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, v)), true)
+        fs.delete(claimFile(path, v), false)
+      }
     claims.filter(v => committed.contains(v) && v < tip)
       .foreach(v => fs.delete(claimFile(path, v), false))
     // superseded metadata checkpoints: only the newest serves readers
@@ -667,10 +698,30 @@ object VersionedStore extends QueryPack {
           }.distinct.sorted
           // per-file rewrite preserves the file↔manifest sharing
           // structure; a file whose every row was purged maps to None
-          // and drops out of the manifests entirely
+          // and drops out of the manifests entirely.
+          // Each fold ATTEMPT stages under its own unique dir: a re-run
+          // after a crash (some manifests already swapped, dv dirs still
+          // present) re-selects the first attempt's fold files as owning
+          // files — writing into the same fold_v$tip/$i slots would
+          // Overwrite-delete the very file being read (guaranteed for
+          // the lexicographically-first fold file), failing the rewrite
+          // and leaving retained manifests over deleted data. A fresh
+          // attempt dir makes the re-fold genuinely idempotent: prior
+          // fold files are read, rewritten clean elsewhere, then deleted
+          // as superseded originals like any other owning file.
+          val foldBase = {
+            val dp = new org.apache.hadoop.fs.Path(dataPath(path))
+            val taken =
+              if (!fs.exists(dp)) Set.empty[String]
+              else fs.listStatus(dp).map(_.getPath.getName)
+                .filter(_.startsWith(s"fold_v${tip}_a")).toSet
+            var a = 0
+            while (taken.contains(s"fold_v${tip}_a$a")) a += 1
+            dataPath(path) + s"/fold_v${tip}_a$a"
+          }
           val mapping: Map[String, Option[String]] =
             owningAll.zipWithIndex.map { case (f, i) =>
-              val out = dataPath(path) + s"/fold_v$tip/$i"
+              val out = foldBase + s"/$i"
               s.read.parquet(f).join(dv, Seq(keyCol), "left_anti")
                 .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
               f -> hadoopLs(s, out).headOption

@@ -141,4 +141,33 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(VersionedStore.versions(spark, path).size == 3,
       s"expected 3 committed versions, got ${VersionedStore.versions(spark, path)}")
   }
+
+  test("vacuum grants above-tip claims a grace window before reclaiming them") {
+    // round-14 advice: an above-tip claim is ambiguous between a crashed
+    // maintenance attempt and a commit IN FLIGHT (streaming appendBatch
+    // claims tip+1 without the maintenance lease) — an unconditional
+    // reclaim racing a live sink deletes its claim file and staging
+    // mid-commit. The fix: above-tip claims are reclaimed only once
+    // their claim file outlives `claimGraceMs`.
+    val path = Files.createTempDirectory("graft_cgrace_").toString + "/store"
+    VersionedCommitSink.appendBatch(
+      (1L to 10L).map(k => (k, k)).toDF("key", "amount"), path, batchId = 0L)
+    // the "in-flight" commit: tip+1 claimed seconds ago, nothing else yet
+    val held = VersionedStore.claimVersion(spark, path, 2)
+    assert(held == 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(
+      VersionedStore.claimsDir(path) + "/v2")
+    // default grace: the young above-tip claim SURVIVES vacuum
+    VersionedStore.vacuum(spark, path, keepVersions = 10)
+    assert(fs.exists(claim),
+      "vacuum reclaimed a fresh above-tip claim — racing a live commit")
+    // and the slot's owner can still complete its commit afterwards
+    // (nothing of its slot state was touched)
+    // once the claim has aged past the grace, it is a crash leftover
+    VersionedStore.vacuum(spark, path, keepVersions = 10, claimGraceMs = 0L)
+    assert(!fs.exists(claim),
+      "vacuum left an aged above-tip claim behind (grace 0 must reclaim)")
+  }
 }

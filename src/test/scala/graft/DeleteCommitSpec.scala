@@ -155,7 +155,10 @@ class DeleteCommitSpec extends AnyFunSuite {
     assert(VersionedStore.claimVersion(spark, path, 2) == 2) // the crash
     Seq((1L, 1L)).toDF("key", "amount").write
       .parquet(VersionedStore.dataPath(path) + "/compact_v2") // its staging
-    VersionedStore.vacuum(spark, path, keepVersions = 10)
+    // grace 0 = the operator KNOWS no commit is in flight (quiesced
+    // maintenance); the default grace instead protects a live sink's
+    // fresh tip+1 claim from being reclaimed mid-commit
+    VersionedStore.vacuum(spark, path, keepVersions = 10, claimGraceMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(

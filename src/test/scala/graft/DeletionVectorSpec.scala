@@ -231,6 +231,80 @@ class DeletionVectorSpec extends AnyFunSuite {
       "incremental-across-dv diverged from the full recompute")
   }
 
+  test("an orphan dv from a crashed commit stays invisible until vacuum reclaims it") {
+    // round-14 advice: deleteCommitDv writes the dv parquet BEFORE the
+    // manifest/txn commit — a crash between the two leaves an orphan dv
+    // at a claimed-but-uncommitted slot. dvAt must gate on the COMMITTED
+    // version set so the orphan never becomes the effective vector for a
+    // later-committed read (hiding rows whose deletion never committed).
+    val path = buildStore()
+    val firstBatch = (1L to 100L by 10).toSeq
+    assert(VersionedStore.deleteCommitDv(spark, path,
+      firstBatch.toDF("key"), "key") == 2)
+    // the crash: slot 3 claimed, dv written, NO manifest/txn commit
+    assert(VersionedStore.claimVersion(spark, path, 3) == 3)
+    val orphanKeys = (200L to 300L by 10).toSeq
+    spark.read.parquet(VersionedStore.dvPath(path, 2))
+      .unionByName(orphanKeys.toDF("key"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(VersionedStore.dvPath(path, 3))
+    // a later commit lands ABOVE the orphan slot (burn-and-loop past
+    // the dead claim) and must resolve its parent dv as v2's, not v3's
+    val secondBatch = Seq(401L, 402L)
+    val v = VersionedStore.deleteCommitDv(spark, path,
+      secondBatch.toDF("key"), "key", settleTimeoutMs = 500L)
+    assert(v == 4, s"commit did not burn past the orphan claim: v$v")
+    val expectLive = (1L to 800L).toSet -- firstBatch -- secondBatch
+    val tip = VersionedStore.readVersion(spark, path, 4)
+      .select("key").as[Long].collect().toSet
+    assert((tip & orphanKeys.toSet) == orphanKeys.toSet,
+      "the orphan dv's uncommitted deletions leaked into a committed read")
+    assert(tip == expectLive)
+    // vacuum reclaims the orphan slot: claim + dv go together (grace 0 —
+    // the quiesced-maintenance setting; the default grace protects a
+    // LIVE in-flight commit's claim instead)
+    VersionedStore.vacuum(spark, path, keepVersions = 10, claimGraceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(VersionedStore.dvPath(path, 3))),
+      "vacuum left the orphan dv behind")
+    assert(VersionedStore.readVersion(spark, path, 4)
+      .select("key").as[Long].collect().toSet == expectLive,
+      "reclaiming the orphan changed a committed read")
+  }
+
+  test("vacuum's dv fold is crash-idempotent: a re-fold over fold files succeeds") {
+    // round-14 advice: a crash after the fold swapped manifests but
+    // before the dv dirs were removed re-runs the fold with the FOLD
+    // FILES as owning files; staging into the same fold_v$tip/$i dirs
+    // would Overwrite-delete the file being read. Re-create exactly that
+    // post-crash state (manifests at fold files + dv dirs present) and
+    // re-run: the attempt-unique staging dir must make it succeed.
+    val path = buildStore()
+    VersionedStore.deleteCommitDv(spark, path, scattered.toDF("key"), "key")
+    val dvSnapshot = spark.read.parquet(VersionedStore.dvPath(path, 2)).collect()
+      .map(_.getLong(0)).toSeq
+    VersionedStore.vacuum(spark, path, keepVersions = 1)
+    // the crash-leftover state: retained manifests already point at
+    // fold files; the dv dir is back as if its removal never happened
+    dvSnapshot.toDF("key").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(VersionedStore.dvPath(path, 2))
+    val (_, deleted) = VersionedStore.vacuum(spark, path, keepVersions = 1)
+    assert(deleted >= 1, "re-fold rewrote nothing — the scenario is vacuous")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(VersionedStore.dvDir(path))),
+      "re-run vacuum left dv relations behind")
+    // every retained manifest entry resolves to a live file and the
+    // logical content is exactly the survivors — nothing double-deleted
+    val tipV = VersionedStore.versions(spark, path).last
+    val tip = VersionedStore.readVersion(spark, path, tipV)
+      .select("key").as[Long].collect().toSet
+    assert(tip == (1L to 800L).toSet -- scattered,
+      "re-fold corrupted the retained version")
+    assert((allKeysOnDisk(path) & scattered.toSet).isEmpty)
+  }
+
   test("the streaming purge sink drives dv mode with no-op replay") {
     val path = buildStore()
     val v = graft.streaming.PurgeSink.purgeBatch(
