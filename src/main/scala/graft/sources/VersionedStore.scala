@@ -726,6 +726,21 @@ object VersionedStore extends QueryPack {
                 .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
               f -> hadoopLs(s, out).headOption
             }.toMap
+          // fold files inherit their original's bloom (a fold only
+          // removes rows — the over-approximation stays correct),
+          // appended once to the shared side relation
+          readBlooms(s, path).foreach { bl =>
+            val ownSet = owningAll.toSet
+            val orig = bl.collect()
+              .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+              .filter(t => ownSet(t._1)).toMap
+            val rows = mapping.toSeq.flatMap { case (f, nf) =>
+              for { n <- nf; b <- orig.get(f) } yield (n, b)
+            }
+            if (rows.nonEmpty) rows.sortBy(_._1).toDF("file", "bloom")
+              .coalesce(1).write.mode(SaveMode.Append)
+              .parquet(bloomsDir(path))
+          }
           retained.foreach { rv =>
             val mf = s.read.parquet(manifestPath(path, rv))
             if (mf.columns.contains("mn")) {
@@ -760,6 +775,21 @@ object VersionedStore extends QueryPack {
         dvs.filterNot(needed).foreach(k =>
           fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, k)), true))
       }
+    }
+    // bloom side-relation GC: keep only entries whose file some retained
+    // manifest still lists — a bounded metadata rewrite (the relation is
+    // file-count sized); an empty survivor set drops the dir entirely
+    readBlooms(s, path).foreach { bl =>
+      import s.implicits._
+      val live = versions(s, path)
+        .flatMap(v => versionFiles(s, path, v)).toSet
+      val keep = bl.collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+        .filter(t => live(t._1))
+      if (keep.isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(bloomsDir(path)), true)
+      else keep.sortBy(_._1).toSeq.toDF("file", "bloom")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomsDir(path))
     }
     (drop.size, deleted)
   }
@@ -908,6 +938,64 @@ object VersionedStore extends QueryPack {
     }
   }
 
+  /** Per-FILE key blooms as a shared SIDE relation (file, bloom) —
+    * round-14 verdict #3. A bloom is a property of an immutable data
+    * file, so it lives OUTSIDE the per-version manifests and is shared
+    * by reference across every version listing the file: written once
+    * when the file is first planned against (heal) or created (COW
+    * rewrite / fold), never copied per commit — a dv commit's write
+    * cost stays O(keys) + the small band manifest, not
+    * O(files x bloom bytes). Append-only between vacuums; [[vacuum]]
+    * garbage-collects entries whose file no retained manifest lists. */
+  def bloomsDir(path: String): String = path + "/blooms"
+
+  private def readBlooms(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(bloomsDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(s.read.parquet(bloomsDir(path)).dropDuplicates("file"))
+  }
+
+  /** Compute and append blooms for `files` (one bounded scan of exactly
+    * those files). Callers hold the maintenance lease — the side
+    * relation is a write-path artifact, like the stats heal. */
+  private[graft] def appendBlooms(s: SparkSession, path: String,
+      files: Seq[String], keyCol: String): Unit = {
+    if (files.isEmpty) return
+    import s.implicits._
+    val rows = s.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(KeyBloom.bloomAgg(col(keyCol).cast("long")).as("bloom"))
+      .collect().map(r => (canon(r.getString(0)), r.getAs[Array[Byte]](1)))
+    rows.sortBy(_._1).toSeq.toDF("file", "bloom")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(bloomsDir(path))
+  }
+
+  /** BLOOM-extended per-file stats of version `v` as a broadcast-ready
+    * (file, mn, mx, bloom) frame — the planning input for the erasure
+    * commits: bands alone admit every file a SCATTERED key batch's
+    * range overlaps, so the presence check reads every owning file's
+    * key column; the per-file bloom lets the planner subtract files
+    * that hold no probed key before any data file opens (zero false
+    * negatives — [[KeyBloom]]). Files still missing a bloom are scanned
+    * once here and their blooms appended to the side relation; a file
+    * whose bloom is absent for any reason joins as null = might-contain
+    * (fail open). WRITE-PATH ONLY (lease-holding callers). */
+  private[graft] def fileKeyStatsBloomed(s: SparkSession, path: String, v: Int,
+      keyCol: String): DataFrame = {
+    import s.implicits._
+    val bands = fileKeyStats(s, path, v, keyCol)
+    val bandsDf = bands.toSeq.toDF("file", "mn", "mx")
+    val have = readBlooms(s, path)
+      .map(_.select(col("file")).collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    appendBlooms(s, path, bands.map(_._1).filterNot(have).toIndexedSeq, keyCol)
+    val blooms = readBlooms(s, path)
+      .getOrElse(Seq.empty[(String, Array[Byte])].toDF("file", "bloom"))
+    bandsDf.join(blooms, Seq("file"), "left_outer")
+      .select(col("file"), col("mn"), col("mx"), col("bloom"))
+  }
+
   /** ERASURE EXECUTION — the copy-on-write DELETE commit closing the
     * right-to-be-forgotten loop that q107 only SIZES and s16 only
     * GATES: remove every row whose `keyCol` is in `keys` from the
@@ -959,21 +1047,26 @@ object VersionedStore extends QueryPack {
       val vs = versions(s, path)
       require(vs.nonEmpty, s"no committed versions under $path")
       val cur = vs.last
-      val stats = fileKeyStats(s, path, cur, keyCol)
-      val statsDf = {
-        import s.implicits._
-        stats.toSeq.toDF("file", "mn", "mx")
-      }
+      // planning stats with per-file blooms (heals the manifest if they
+      // are missing — one bounded scan, then k-row reads forever after)
+      val statsDf = fileKeyStatsBloomed(s, path, cur, keyCol)
+      val stats = statsDf.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+      // owning = band overlap AND bloom membership: a scattered batch
+      // overlaps every band, but only files whose bloom admits at least
+      // one probed key are candidates — the rest never open
       val owning = keys.select(col(keyCol).cast("long").as("k")).distinct()
-        .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+        .join(broadcast(statsDf),
+          col("k") >= col("mn") && col("k") <= col("mx") &&
+            KeyBloom.mightContainCol(col("bloom"), col("k")))
         .select(col("file")).distinct().collect().map(_.getString(0)).sorted
-      // the bands are over-approximations, so "some file's band contains
+      // bands and blooms are over-approximations, so "some file admits
       // a key" does not mean the key is PRESENT — a replayed erasure
-      // batch (keys already purged) selects the rewritten file whose band
-      // still spans them. Charge one bounded semi-join count against the
-      // owning files: zero actual matches = a no-op erasure that commits
-      // NOTHING (no spurious version, no rewrite) — the idempotent-replay
-      // contract the streaming purge sink relies on.
+      // batch (keys already purged) can still select a rewritten file.
+      // Charge one bounded semi-join count against the owning files:
+      // zero actual matches = a no-op erasure that commits NOTHING (no
+      // spurious version, no rewrite) — the idempotent-replay contract
+      // the streaming purge sink relies on.
       val hit = owning.nonEmpty && s.read.parquet(owning.toIndexedSeq: _*)
         .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
         .limit(1).count() > 0
@@ -997,26 +1090,23 @@ object VersionedStore extends QueryPack {
           val newFiles = hadoopLs(s, outDir)
           val ownSet = owning.toSet
           val sharedStats = stats.filterNot(t => ownSet(t._1))
-          val hasStats = s.read.parquet(manifestPath(path, cur))
-            .columns.contains("mn")
-          if (hasStats && newFiles.nonEmpty) {
-            import s.implicits._
-            val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
+          import s.implicits._
+          // rewritten files get fresh bands in the manifest and their
+          // blooms appended ONCE to the shared side relation (they sit
+          // in executor cache from the rewrite); shared files keep both
+          val newStats =
+            if (newFiles.isEmpty) Array.empty[(String, Long, Long)]
+            else s.read.parquet(newFiles.toIndexedSeq: _*)
               .groupBy(input_file_name().as("file"))
               .agg(min(col(keyCol).cast("long")).as("mn"),
                 max(col(keyCol).cast("long")).as("mx"))
               .collect()
               .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
-            (sharedStats ++ newStats).sortBy(_._1).toSeq.toDF("file", "mn", "mx")
-              .coalesce(1).write.mode(SaveMode.Overwrite)
-              .parquet(manifestPath(path, v))
-          } else if (hasStats) {
-            import s.implicits._
-            sharedStats.sortBy(_._1).toSeq.toDF("file", "mn", "mx")
-              .coalesce(1).write.mode(SaveMode.Overwrite)
-              .parquet(manifestPath(path, v))
-          } else
-            writeManifest(s, path, v, sharedStats.map(_._1) ++ newFiles)
+          appendBlooms(s, path, newFiles.toSeq.sorted, keyCol)
+          (sharedStats.map(t => (t._1, t._2, t._3)) ++ newStats).sortBy(_._1)
+            .toSeq.toDF("file", "mn", "mx")
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(manifestPath(path, v))
           writeMaintenanceTxn(s, path, v)
           requireNoLineageGap(s, path, cur, v)
           done = Some(v)
@@ -1093,14 +1183,16 @@ object VersionedStore extends QueryPack {
       val vs = versions(s, path)
       require(vs.nonEmpty, s"no committed versions under $path")
       val cur = vs.last
-      val stats = fileKeyStats(s, path, cur, keyCol)
-      val statsDf = {
-        import s.implicits._
-        stats.toSeq.toDF("file", "mn", "mx")
-      }
+      // band AND bloom pruning (round-14 verdict #3): dv mode exists for
+      // SCATTERED batches, where bands alone admit every file and the
+      // presence check degrades to a full key-column scan — the per-file
+      // bloom subtracts the files holding no probed key before any opens
+      val statsDf = fileKeyStatsBloomed(s, path, cur, keyCol)
       val keysD = keys.select(col(keyCol)).distinct()
       val owning = keysD.select(col(keyCol).cast("long").as("k"))
-        .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
+        .join(broadcast(statsDf),
+          col("k") >= col("mn") && col("k") <= col("mx") &&
+            KeyBloom.mightContainCol(col("bloom"), col("k")))
         .select(col("file")).distinct().collect().map(_.getString(0)).sorted
       // present = in some owning file's bytes AND not already dv-purged:
       // both a replayed batch and an all-absent batch commit NOTHING
