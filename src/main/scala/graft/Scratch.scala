@@ -21,12 +21,28 @@ object Scratch {
       println(f"[scratch] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     time("warmup count")(Tables.documents(s, dir).count())
+    val exact = operators.Similarity.q50KnnBrute(s, dir)
+      .collect().map(_.getLong(0)).toSet
+    val meta = {
+      val p = sources.KnnGraphStore.store(s, dir)
+      s.read.parquet(sources.KnnGraphStore.layersMetaPath(p)).head().getInt(0)
+    }
+    println(s"[scratch] maxLayer=$meta")
     (1 to 3).foreach { i =>
       s.catalog.clearCache()
-      time(s"q96d run$i") {
+      time(s"q96d layered run$i") {
         val (best, hops) = sources.KnnGraphStore.graphProbeDetailed(
           s, dir, k = 10, beam = 8, maxHops = 32)
-        println(s"[scratch] hops=$hops visitedTop=${best.take(3)}")
+        val rec = (exact & best.map(_._1).toSet).size.toDouble / exact.size
+        println(s"[scratch] layered hops=$hops recall=$rec")
+      }
+      time(s"q96d flat run$i") {
+        val p = sources.KnnGraphStore.store(s, dir)
+        val sc = sources.KnnGraphStore.dirScorer(s, dir)
+        val (best, hops) = sources.KnnGraphStore.probeFlat(
+          s, p, sc, k = 10, beam = 8, maxHops = 32, ef = 48)
+        val rec = (exact & best.map(_._1).toSet).size.toDouble / exact.size
+        println(s"[scratch] flat hops=$hops recall=$rec")
       }
     }
     s.stop()
