@@ -159,6 +159,14 @@ object GraftCatalog {
     *    `batchId` is the statement's idempotence key: re-CALLing with a
     *    committed id returns a NULL version and commits nothing — the
     *    exactly-once replay rule, surfaced to SQL.
+    *  - `CALL graft_store_refresh_mv('versioned', '<path>', '<groupCol>',
+    *    '<valueCol>', '<keyCol>')` — create-or-refresh the maintained
+    *    additive aggregate (count + sum(valueCol) BY groupCol) at
+    *    `path`, resolving append / copy-on-write / delete /
+    *    deletion-vector commits automatically — the q110–q110d ladder
+    *    behind one verb ([[sources.VersionedStore.refreshMv]]; round-14
+    *    verdict #6). Registers the refreshed content as the
+    *    `graft_store_mv` view and returns (path, from, to) versions.
     *
     * Single-quote SQL literals with `''` escaping, matching [[bm25Sql]]. */
   def call(s: SparkSession, statement: String): DataFrame = {
@@ -171,6 +179,7 @@ object GraftCatalog {
     val Purge = s"(?i)\\s*CALL\\s+graft_store_purge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val PurgeM = s"(?i)\\s*CALL\\s+graft_store_purge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val Upsert = s"(?i)\\s*CALL\\s+graft_store_upsert\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val RefreshMv = s"(?i)\\s*CALL\\s+graft_store_refresh_mv\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     def purge(family: String, path: String, keyCol: String,
         keyList: String, mode: String): DataFrame = {
       require(family == "versioned",
@@ -228,12 +237,22 @@ object GraftCatalog {
         // NULL committed_version = nothing committed: an empty source or
         // a replayed batch id (the exactly-once rule, visible to SQL)
         Seq((unq(path), v.map(_.toLong))).toDF("path", "committed_version")
+      case RefreshMv(family, path, groupCol, valueCol, keyCol) =>
+        require(unq(family) == "versioned",
+          s"refresh_mv supports the 'versioned' family, got '${unq(family)}'")
+        val (fromV, toV) = VersionedStore.refreshMv(s, unq(path),
+          unq(groupCol), unq(valueCol), unq(keyCol))
+        VersionedStore.readMv(s, unq(path))
+          .createOrReplaceTempView("graft_store_mv")
+        Seq((unq(path), fromV, toV))
+          .toDF("path", "from_version", "to_version")
       case _ => throw new IllegalArgumentException(
         s"unrecognized CALL statement: $statement — expected " +
           "graft_store_build('<family>','<dir>') | graft_store_drop('<family>') | " +
           "graft_store_optimize('versioned','<path>','<col>') | " +
           "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>'[,'<mode>']) | " +
-          "graft_store_upsert('versioned','<path>','<keyCol>','<sourceView>','<batchId>')")
+          "graft_store_upsert('versioned','<path>','<keyCol>','<sourceView>','<batchId>') | " +
+          "graft_store_refresh_mv('versioned','<path>','<groupCol>','<valueCol>','<keyCol>')")
     }
   }
 

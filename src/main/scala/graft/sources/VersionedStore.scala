@@ -560,9 +560,66 @@ object VersionedStore extends QueryPack {
     *
     * Cost: manifest-table reads + a bounded driver file-set diff +
     * one delete per expired file — no data scanned. Returns
-    * (expired version count, deleted file count). */
+    * (expired version count, deleted file count).
+    *
+    * `fileGraceMs > 0` adds a READER GRACE window: expiry drops
+    * manifests immediately but tombstones the files, and only a vacuum
+    * after the window reaps them — an in-flight reader of a
+    * just-expired version finishes its scan. `nowMs` is the clock seam
+    * the grace spec pins. */
+  /** Tombstones: files whose versions expired INSIDE the reader-grace
+    * window — one text file per vacuum pass, named by its expiry stamp,
+    * listing the paths to reap once the window closes. */
+  def tombstonesDir(path: String): String = path + "/tombstones"
+
+  private def writeTombstone(s: SparkSession, path: String,
+      files: Iterable[String], ts: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tombstonesDir(path)))
+    var n = 0
+    var p = new org.apache.hadoop.fs.Path(tombstonesDir(path) + s"/t$ts")
+    while (fs.exists(p)) {
+      n += 1
+      p = new org.apache.hadoop.fs.Path(tombstonesDir(path) + s"/t${ts}_$n")
+    }
+    val out = fs.create(p, false)
+    try out.write(files.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Reap every tombstone whose expiry stamp has aged past the grace —
+    * delete its listed files, then the tombstone itself (files first,
+    * so a crash re-reaps idempotently). Returns files deleted. */
+  private def reapTombstones(s: SparkSession, path: String,
+      fileGraceMs: Long, now: Long): Int = {
+    val td = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    val fs = td.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(td)) return 0
+    var reaped = 0
+    fs.listStatus(td).toSeq.filter(_.isFile).foreach { st =>
+      val name = st.getPath.getName
+      val ts = name.stripPrefix("t").takeWhile(_ != '_').toLongOption
+      if (ts.exists(t => now - t >= fileGraceMs)) {
+        val in = fs.open(st.getPath)
+        val bytes = new java.io.ByteArrayOutputStream(4096)
+        val buf = new Array[Byte](4096)
+        try {
+          var r = in.read(buf)
+          while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        } finally in.close()
+        bytes.toString("UTF-8").split('\n').filter(_.nonEmpty).foreach { f =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(f), false)) reaped += 1
+        }
+        fs.delete(st.getPath, false)
+      }
+    }
+    reaped
+  }
+
   def vacuum(s: SparkSession, path: String, keepVersions: Int,
-      claimGraceMs: Long = 600000L): (Int, Int) =
+      claimGraceMs: Long = 600000L, fileGraceMs: Long = 0L,
+      nowMs: () => Long = () => System.currentTimeMillis()): (Int, Int) =
     WriterLease.withLease(s, path, "vacuum") {
     require(keepVersions >= 1, s"must retain at least one version")
     val vs = versions(s, path)
@@ -574,14 +631,30 @@ object VersionedStore extends QueryPack {
     if (drop.nonEmpty) {
       val retained = keep.flatMap(v => versionFiles(s, path, v)).toSet
       val deletable = drop.flatMap(v => versionFiles(s, path, v)).toSet -- retained
-      deletable.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      // READER GRACE (round-14 verdict #5, the Delta
+      // deletedFileRetentionDuration idea): an in-flight reader of a
+      // just-expired version holds file paths, not locks — deleting the
+      // bytes under it fails its scan mid-query. With a grace window the
+      // expiry drops the MANIFESTS now (the version stops being
+      // resolvable) but TOMBSTONES the exclusively-referenced files;
+      // only a vacuum running after the window reaps them. Grace 0 (the
+      // default, and every erasure-law spec) deletes immediately. Note
+      // the dv fold's superseded originals are NOT tombstoned: purged
+      // keys' unrecoverability is an erasure SLA and outranks reader
+      // convenience there.
+      if (fileGraceMs > 0 && deletable.nonEmpty)
+        writeTombstone(s, path, deletable, nowMs())
+      else {
+        deletable.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        deleted = deletable.size
+      }
       drop.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true)
         fs.delete(new org.apache.hadoop.fs.Path(txnPath(path, v)), true)
       }
-      deleted = deletable.size
     }
+    deleted += reapTombstones(s, path, fileGraceMs, nowMs())
     val committed = vs.toSet
     val tip = vs.lastOption.getOrElse(0)
     if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
@@ -629,7 +702,7 @@ object VersionedStore extends QueryPack {
     // are settled history: claimers probe from tip+1, so the slot can
     // never be re-contested, and the burn-and-loop protocol already
     // classified their writer as abandoned when the tip passed them.
-    val now = System.currentTimeMillis()
+    val now = nowMs()
     claims.filterNot(committed.contains)
       .filter { v =>
         v < tip || {
@@ -726,20 +799,13 @@ object VersionedStore extends QueryPack {
                 .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
               f -> hadoopLs(s, out).headOption
             }.toMap
-          // fold files inherit their original's bloom (a fold only
-          // removes rows — the over-approximation stays correct),
-          // appended once to the shared side relation
-          readBlooms(s, path).foreach { bl =>
-            val ownSet = owningAll.toSet
-            val orig = bl.collect()
-              .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
-              .filter(t => ownSet(t._1)).toMap
-            val rows = mapping.toSeq.flatMap { case (f, nf) =>
-              for { n <- nf; b <- orig.get(f) } yield (n, b)
-            }
-            if (rows.nonEmpty) rows.sortBy(_._1).toDF("file", "bloom")
-              .coalesce(1).write.mode(SaveMode.Append)
-              .parquet(bloomsDir(path))
+          // fold files get fresh side-relation entries (bloom + exact
+          // rows) — one scan of the just-written, still-cached files;
+          // inheriting the original's bloom would be a correct
+          // over-approximation but its ROW COUNT would not be
+          if (readBlooms(s, path).isDefined) {
+            val foldFiles = mapping.values.flatten.toSeq.sorted
+            appendBlooms(s, path, foldFiles, keyCol)
           }
           retained.foreach { rv =>
             val mf = s.read.parquet(manifestPath(path, rv))
@@ -783,12 +849,12 @@ object VersionedStore extends QueryPack {
       import s.implicits._
       val live = versions(s, path)
         .flatMap(v => versionFiles(s, path, v)).toSet
-      val keep = bl.collect()
-        .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      val keep = bl.select(col("file"), col("bloom"), col("rows")).collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
         .filter(t => live(t._1))
       if (keep.isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(bloomsDir(path)), true)
-      else keep.sortBy(_._1).toSeq.toDF("file", "bloom")
+      else keep.sortBy(_._1).toSeq.toDF("file", "bloom", "rows")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomsDir(path))
     }
     (drop.size, deleted)
@@ -956,20 +1022,41 @@ object VersionedStore extends QueryPack {
     else Some(s.read.parquet(bloomsDir(path)).dropDuplicates("file"))
   }
 
-  /** Compute and append blooms for `files` (one bounded scan of exactly
-    * those files). Callers hold the maintenance lease — the side
-    * relation is a write-path artifact, like the stats heal. */
+  /** Compute and append blooms + exact ROW COUNTS for `files` (one
+    * bounded scan of exactly those files — rows ride the same aggregate
+    * free; they are the store-size basis for [[deleteCommitDv]]'s
+    * automatic fold trigger, the Delta AddFile.numRecords idea).
+    * Callers hold the maintenance lease — the side relation is a
+    * write-path artifact, like the stats heal. */
   private[graft] def appendBlooms(s: SparkSession, path: String,
       files: Seq[String], keyCol: String): Unit = {
     if (files.isEmpty) return
     import s.implicits._
     val rows = s.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
-      .agg(KeyBloom.bloomAgg(col(keyCol).cast("long")).as("bloom"))
-      .collect().map(r => (canon(r.getString(0)), r.getAs[Array[Byte]](1)))
-    rows.sortBy(_._1).toSeq.toDF("file", "bloom")
+      .agg(KeyBloom.bloomAgg(col(keyCol).cast("long")).as("bloom"),
+        count(lit(1)).as("rows"))
+      .collect().map(r =>
+        (canon(r.getString(0)), r.getAs[Array[Byte]](1), r.getLong(2)))
+    rows.sortBy(_._1).toSeq.toDF("file", "bloom", "rows")
       .coalesce(1).write.mode(SaveMode.Append).parquet(bloomsDir(path))
   }
+
+  /** Tip row count from the side relation: sum of per-file rows over
+    * the version's manifest — a k-row driver join, no data scanned.
+    * None when any member file lacks an entry (pre-heal store) — the
+    * fold trigger then stays off rather than guessing. */
+  private def storeRowsOf(s: SparkSession, path: String, v: Int): Option[Long] =
+    readBlooms(s, path).flatMap { bl =>
+      if (!bl.columns.contains("rows")) None
+      else {
+        val byFile = bl.select(col("file"), col("rows")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        val files = versionFiles(s, path, v)
+        val counts = files.flatMap(byFile.get)
+        if (counts.length == files.length) Some(counts.sum) else None
+      }
+    }
 
   /** BLOOM-extended per-file stats of version `v` as a broadcast-ready
     * (file, mn, mx, bloom) frame — the planning input for the erasure
@@ -1156,7 +1243,12 @@ object VersionedStore extends QueryPack {
     *    lineage with an empty dv; [[vacuum]] folds in place once every
     *    retained version sits at/above the dv commit, extending the
     *    unrecoverability law — after it, no parquet byte NOR dv entry
-    *    holds a purged key (spec-asserted);
+    *    holds a purged key (spec-asserted). The fold also SELF-
+    *    SCHEDULES: a commit that pushes the vector past
+    *    `autoFoldFraction` of the tip's rows (exact per-file counts
+    *    from the blooms side relation — no scan) runs the compaction
+    *    immediately after its lease releases, so an unattended store
+    *    cannot grow an unbounded vector;
     *  - replay is idempotent through the same presence check as COW
     *    mode, additionally subtracting keys the current dv already
     *    holds: a replayed batch commits nothing.
@@ -1172,8 +1264,12 @@ object VersionedStore extends QueryPack {
     * (KuduDStreamFunctions.scala) — DVs are how a lake gets that
     * per-row delete cost without giving up immutable files. */
   def deleteCommitDv(s: SparkSession, path: String, keys: DataFrame,
-      keyCol: String, settleTimeoutMs: Long = 30000L): Int =
-    WriterLease.withLease(s, path, "deleteCommit") {
+      keyCol: String, settleTimeoutMs: Long = 30000L,
+      dvTargetFileBytes: Long = 64L << 20,
+      autoFoldFraction: Double = 0.25,
+      foldTargetFileBytes: Long = 128L << 20): Int = {
+    var needFold = false
+    val committed = WriterLease.withLease(s, path, "deleteCommit") {
     requireIntegralKey(keys, keyCol)
     var attempts = 0
     var abandoned = Set.empty[Int]
@@ -1216,14 +1312,31 @@ object VersionedStore extends QueryPack {
           if (!settled.contains(cur)) abandoned += v
           else {
             // the cumulative dv: parent's live set ∪ this batch —
-            // O(unfolded deletions) bytes, the commit's ONLY data write.
-            // One file is right while the fold cadence keeps the vector
-            // small; a store whose vector approaches file-size scale
-            // sizes the count from the key volume (the CompactStore
-            // ceil rule) — and is overdue for its fold either way.
+            // O(unfolded deletions) bytes, the commit's ONLY data write,
+            // SIZED from its key volume (the CompactStore ceil rule —
+            // round-14 verdict #4; a small vector still lands in one
+            // file, one nearing file scale splits instead of growing a
+            // single monolith)
             val newDv = curDv.fold(fresh)(dv => dv.unionByName(fresh).distinct())
-            newDv.coalesce(1).write.mode(SaveMode.Overwrite)
-              .parquet(dvPath(path, v))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val nDv = newDv.count()
+              val nf = math.max(1L,
+                (nDv * DvBytesPerKey + dvTargetFileBytes - 1)
+                  / dvTargetFileBytes).toInt
+              newDv.repartitionByRange(nf, col(keyCol))
+                .sortWithinPartitions(keyCol)
+                .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v))
+              // AUTOMATIC FOLD TRIGGER (round-14 verdict #4): once the
+              // vector crosses the configured fraction of the tip's
+              // rows (exact per-file counts from the side relation — a
+              // k-row driver sum, no scan), the store is overdue for
+              // its physical fold; the compaction runs AFTER this lease
+              // releases (compactCommit takes its own)
+              needFold = autoFoldFraction > 0 &&
+                storeRowsOf(s, path, cur)
+                  .exists(total => total > 0 && nDv >= autoFoldFraction * total)
+            } finally newDv.unpersist(false)
             // manifest = parent's, verbatim (stats columns and all):
             // every data file shared by reference — zero amplification
             s.read.parquet(manifestPath(path, cur))
@@ -1238,6 +1351,157 @@ object VersionedStore extends QueryPack {
     done.getOrElse(throw new IllegalStateException(
       s"deleteCommitDv on $path lost the commit race 5 times — a writer " +
         "is committing continuously; back off and retry"))
+    }
+    // the triggered fold: a compaction commit rewrites the data without
+    // the dv rows and supersedes the lineage with an empty vector — the
+    // erasure goes physical without waiting for the operator's vacuum
+    if (needFold)
+      compactCommit(s, path, keyCol, foldTargetFileBytes, settleTimeoutMs)
+    committed
+  }
+
+  /** Estimated on-disk bytes per dv key (one int64 column + parquet
+    * structure) — the sizing input for the cumulative vector's write. */
+  private val DvBytesPerKey = 16L
+
+  // ---- GENERIC maintained MV (round-14 verdict #6): the q110–q110d
+  // ladder behind ONE verb ----
+
+  def mvAutoDir(path: String): String = path + "/mv_auto"
+  private def mvAutoPath(path: String, v: Int): String =
+    mvAutoDir(path) + s"/v$v"
+
+  /** The newest maintained-MV snapshot at or below `tip`. */
+  private def mvAutoVersion(s: SparkSession, path: String,
+      tip: Int): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(mvAutoDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.filter(_ <= tip).sorted.lastOption
+  }
+
+  /** REFRESH the maintained additive aggregate
+    * `groupBy(groupCol).agg(count(*) AS cnt, sum(valueCol) AS total)`
+    * at `path`'s mv_auto slot, resolving EVERY commit kind since the
+    * last refresh automatically — the q110 (append), q110b (COW
+    * update/compaction), q110c (COW delete) and q110d (deletion-vector)
+    * refreshes unified behind one verb (round-14 verdict #6):
+    *
+    * walking consecutive committed versions va → vb, with
+    * rows(v) = files(v) minus dv(v) keys, the step refresh is the exact
+    * algebra of both diffs:
+    *
+    *   mv(vb) = mv(va)
+    *          − partial(removed files minus dv(va))   — retract departed
+    *          + partial(added files minus dv(vb))     — merge arrivals
+    *          − partial(shared ∩ (dv(vb) \ dv(va)))   — newly dv-hidden
+    *          + partial(shared ∩ (dv(va) \ dv(vb)))   — dv-unhidden (fold)
+    *
+    * Each term scans only the step's own delta: removed/added ARE the
+    * commit's file diff, and the dv-diff terms read only the
+    * stats+bloom-pruned owning subset of the shared files semi-joined
+    * to the diff keys — refresh cost ∝ the commit, never the store.
+    * Additive aggregates retract exactly; a group retracted to zero
+    * rows LEAVES the view (the q110b rule). A missing snapshot
+    * initializes at the OLDEST committed version (one full compute of
+    * that version — the CREATE step), so the incremental ladder covers
+    * every later commit. Runs under the writer lease (it writes mv
+    * state and may heal the blooms side relation via the pruned dv
+    * read). Returns (fromVersion, toVersion) — equal when current. */
+  def refreshMv(s: SparkSession, path: String, groupCol: String,
+      valueCol: String, keyCol: String): (Int, Int) =
+    WriterLease.withLease(s, path, "refreshMv") {
+    import s.implicits._
+    val vs = versions(s, path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val tip = vs.last
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+
+    val from = mvAutoVersion(s, path, tip) match {
+      case Some(v) if vs.contains(v) => v
+      case stale =>
+        // absent (the CREATE step) — or the snapshot's base version was
+        // vacuumed below retention, so its manifest (the diff base) is
+        // gone: (re)initialize with one full compute of the oldest
+        // retained version and let the ladder cover the rest
+        stale.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(mvAutoPath(path, v)), true))
+        val v0 = vs.head
+        aggOf(readVersion(s, path, v0)).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(mvAutoPath(path, v0))
+        v0
+    }
+    val steps = vs.dropWhile(_ < from) // from :: later committed versions
+    steps.sliding(2).filter(_.size == 2).foreach { case Seq(va, vb) =>
+      val fa = versionFiles(s, path, va).toSet
+      val fb = versionFiles(s, path, vb).toSet
+      val removed = (fa -- fb).toSeq.sorted
+      val added = (fb -- fa).toSeq.sorted
+      val shared = (fa & fb).toSeq.sorted
+      val dvA = dvAt(s, path, va)
+      val dvB = dvAt(s, path, vb)
+      def minusDv(df: DataFrame, dv: Option[DataFrame]) =
+        dv.fold(df)(d => df.join(d, d.columns.toSeq, "left_anti"))
+      var mv = s.read.parquet(mvAutoPath(path, va))
+        .select(col(groupCol), col("cnt"), col("total"))
+      def applySigned(part: DataFrame, sign: Int): Unit = {
+        val p = part.select(col(groupCol), col("cnt").as("dc"),
+          col("total").as("dt"))
+        mv = mv.join(p, Seq(groupCol), "full_outer")
+          .select(col(groupCol),
+            (coalesce(col("cnt"), lit(0L))
+              + lit(sign.toLong) * coalesce(col("dc"), lit(0L))).as("cnt"),
+            (coalesce(col("total"), lit(0L))
+              + lit(sign.toLong) * coalesce(col("dt"), lit(0L))).as("total"))
+      }
+      if (removed.nonEmpty)
+        applySigned(aggOf(minusDv(s.read.parquet(removed: _*), dvA)), -1)
+      if (added.nonEmpty)
+        applySigned(aggOf(minusDv(s.read.parquet(added: _*), dvB)), +1)
+      // dv diffs over the SHARED files: owning subset only (bands +
+      // blooms), semi-joined to the diff keys
+      def dvDiffRows(newer: Option[DataFrame], older: Option[DataFrame])
+          : Option[DataFrame] = newer.map { n =>
+        val diff = older.fold(n)(o => n.join(o, o.columns.toSeq, "left_anti"))
+        val statsDf = fileKeyStatsBloomed(s, path, vb, keyCol)
+          .filter(col("file").isin(shared: _*))
+        val owning = diff.select(col(keyCol).cast("long").as("k")).distinct()
+          .join(broadcast(statsDf),
+            col("k") >= col("mn") && col("k") <= col("mx") &&
+              KeyBloom.mightContainCol(col("bloom"), col("k")))
+          .select(col("file")).distinct().collect().map(_.getString(0))
+        if (owning.isEmpty) s.read.parquet(shared.head).limit(0)
+        else s.read.parquet(owning.toIndexedSeq: _*)
+          .join(diff.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      }
+      if (shared.nonEmpty) {
+        dvDiffRows(dvB, dvA).foreach(r => applySigned(aggOf(r), -1))
+        dvDiffRows(dvA, dvB).foreach(r => applySigned(aggOf(r), +1))
+      }
+      mv.filter(col("cnt") > 0).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(mvAutoPath(path, vb))
+      // the superseded snapshot goes once its successor is durable; a
+      // crash between the two leaves both and resolution takes the newer
+      fs.delete(new org.apache.hadoop.fs.Path(mvAutoPath(path, va)), true)
+    }
+    (from, tip)
+  }
+
+  /** The maintained MV's current content (the newest snapshot). */
+  def readMv(s: SparkSession, path: String): DataFrame = {
+    val vs = versions(s, path)
+    val v = mvAutoVersion(s, path, vs.lastOption.getOrElse(Int.MaxValue))
+      .getOrElse(throw new IllegalStateException(
+        s"no maintained MV under $path — CALL graft_store_refresh_mv first"))
+    s.read.parquet(mvAutoPath(path, v))
   }
 
   /** Per-version commit wall clock, adjusted MONOTONE: committed

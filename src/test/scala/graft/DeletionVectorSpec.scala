@@ -305,6 +305,66 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert((allKeysOnDisk(path) & scattered.toSet).isEmpty)
   }
 
+  test("a dv crossing the configured fraction triggers the automatic fold") {
+    // round-14 verdict #4: fold cadence must not be purely the
+    // operator's job — a commit that pushes the vector past the
+    // configured fraction of the tip's rows self-schedules the
+    // compaction (store rows from the side relation's exact per-file
+    // counts, no scan).
+    val path = buildStore() // 800 rows
+    // below the fraction: the commit stays a pure dv commit
+    val small = (11L to 50L).toSeq // 40 keys = 5%
+    assert(VersionedStore.deleteCommitDv(spark, path, small.toDF("key"), "key",
+      autoFoldFraction = 0.25) == 2)
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2),
+      "a below-threshold dv commit must not trigger maintenance")
+    assert(spark.read.parquet(VersionedStore.dvPath(path, 2)).count() == 40)
+    // crossing: cumulative 40 + 260 = 300 of 800 (37.5%) >= 25% — the
+    // dv commit lands (v3) and the triggered fold commits above it (v4)
+    val big = (301L to 560L).toSeq
+    val v = VersionedStore.deleteCommitDv(spark, path, big.toDF("key"), "key",
+      autoFoldFraction = 0.25, foldTargetFileBytes = 1L << 20)
+    assert(v == 3, s"dv commit landed at v$v")
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2, 3, 4),
+      "the crossing commit did not trigger the fold")
+    // the fold superseded the lineage: v4's vector is EMPTY and its
+    // files physically exclude every purged key
+    assert(spark.read.parquet(VersionedStore.dvPath(path, 4)).count() == 0)
+    val raw = spark.read
+      .parquet(VersionedStore.versionFiles(spark, path, 4).toIndexedSeq: _*)
+      .select("key").as[Long].collect().toSet
+    val purged = small.toSet ++ big
+    assert((raw & purged).isEmpty,
+      "the triggered fold carried purged rows into the rewrite")
+    // reads stable throughout the ladder
+    val expect = (1L to 800L).toSet -- purged
+    assert(VersionedStore.readVersion(spark, path, 4)
+      .select("key").as[Long].collect().toSet == expect)
+    assert(VersionedStore.readVersion(spark, path, 3)
+      .select("key").as[Long].collect().toSet == expect)
+    assert(VersionedStore.readVersion(spark, path, 1).count() == 800L)
+  }
+
+  test("the cumulative dv write is sized from its key volume") {
+    val path = buildStore()
+    // a tiny per-file target forces the ceil rule to split the vector;
+    // reads must be file-layout blind
+    val keys = (1L to 400L).toSeq
+    assert(VersionedStore.deleteCommitDv(spark, path, keys.toDF("key"), "key",
+      dvTargetFileBytes = 1024L, autoFoldFraction = 0.0) == 2)
+    val dvFiles = spark.read.parquet(VersionedStore.dvPath(path, 2))
+      .inputFiles.length
+    assert(dvFiles >= 2,
+      s"400-key dv at a 1 KiB target landed in $dvFiles file(s) — not sized")
+    assert(VersionedStore.readVersion(spark, path, 2).count() == 400L)
+    // and the default target keeps a small vector in ONE file
+    val path2 = buildStore()
+    VersionedStore.deleteCommitDv(spark, path2, keys.toDF("key"), "key",
+      autoFoldFraction = 0.0)
+    assert(spark.read.parquet(VersionedStore.dvPath(path2, 2))
+      .inputFiles.length == 1)
+  }
+
   test("the streaming purge sink drives dv mode with no-op replay") {
     val path = buildStore()
     val v = graft.streaming.PurgeSink.purgeBatch(

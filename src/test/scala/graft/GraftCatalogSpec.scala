@@ -239,4 +239,76 @@ class GraftCatalogSpec extends AnyFunSuite {
         "CALL graft_store_purge('versioned', '/tmp/x', 'k', '1,x')")
     }
   }
+
+  test("CALL graft_store_refresh_mv follows all four commit kinds with full-recompute parity") {
+    // round-14 verdict #6: the q110–q110d ladder behind one verb — the
+    // maintained aggregate must equal a from-scratch recompute after an
+    // APPEND, a COW UPDATE (upsert), a COW DELETE, a DELETION-VECTOR
+    // commit, and a compaction, refreshed incrementally each time.
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_mv_").toString + "/store"
+    def rows(ks: Seq[Long], v: Long) =
+      ks.map(k => (k, k % 7, v)).toDF("k", "g", "v")
+    def refresh(): Unit = {
+      val out = GraftCatalog.call(spark,
+        s"CALL graft_store_refresh_mv('versioned', '$path', 'g', 'v', 'k')")
+        .collect()
+      assert(out.head.getString(0) == path)
+    }
+    def assertParity(label: String): Unit = {
+      val tip = sources.VersionedStore.versions(spark, path).last
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val full = sources.VersionedStore.readVersion(spark, path, tip)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val mv = sources.VersionedStore.readMv(spark, path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(mv == full, s"$label: maintained MV diverged from recompute")
+      // the SQL view serves the same content
+      val viaSql = spark.sql("SELECT g, cnt, total FROM graft_store_mv")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(viaSql == mv, s"$label: graft_store_mv view diverged")
+    }
+    // v1 + CREATE
+    graft.streaming.VersionedCommitSink.appendBatch(
+      rows(1L to 400L, 10L), path, 0L)
+    refresh(); assertParity("create")
+    // APPEND (v2)
+    graft.streaming.VersionedCommitSink.appendBatch(
+      rows(401L to 600L, 20L), path, 1L)
+    refresh(); assertParity("append")
+    // COW UPDATE (v3): 50 matched keys re-valued
+    graft.streaming.UpsertSink.upsertBatch(
+      rows(101L to 150L, 99L), path, 2L, "k")
+    refresh(); assertParity("cow-update")
+    // COW DELETE (v4)
+    sources.VersionedStore.deleteCommit(spark, path,
+      (201L to 260L).toDF("k"), "k")
+    refresh(); assertParity("cow-delete")
+    // DELETION VECTOR (v5): scattered keys, below the auto-fold fraction
+    sources.VersionedStore.deleteCommitDv(spark, path,
+      (1L to 600L by 37).toDF("k"), "k")
+    refresh(); assertParity("dv")
+    // COMPACTION (v6): logical content unchanged — the MV must not move
+    val before = sources.VersionedStore.readMv(spark, path)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    GraftCatalog.call(spark,
+      s"CALL graft_store_optimize('versioned', '$path', 'k')")
+    refresh(); assertParity("compaction")
+    val after = sources.VersionedStore.readMv(spark, path)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before, "a content-preserving compaction moved the MV")
+    // idempotent when current: a second refresh is a no-op
+    val out2 = GraftCatalog.call(spark,
+      s"CALL graft_store_refresh_mv('versioned', '$path', 'g', 'v', 'k')")
+      .collect()
+    assert(out2.head.getInt(1) == out2.head.getInt(2),
+      "an up-to-date store reported a refresh range")
+    assertParity("idempotent")
+  }
 }

@@ -166,6 +166,56 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(VersionedStore.vacuum(spark, path, keepVersions = 1) == ((0, 0)))
   }
 
+  test("reader grace: in-window expiry keeps files readable, post-window vacuum reaps them") {
+    // round-14 verdict #5 — a pinned clock seam drives the window: an
+    // expiry INSIDE the grace drops manifests (the version stops
+    // resolving) but tombstones the files, so an in-flight reader of the
+    // just-expired version finishes its scan; a vacuum AFTER the window
+    // reaps them (retention semantics unchanged, just time-shifted).
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_grace_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 500L).map(k => (k, k)).toDF("key", "amount")
+      .repartitionByRange(4, col("key")).sortWithinPartitions("key")
+      .write.parquet(dp)
+    VersionedStore.writeManifest(spark, path, 1,
+      VersionedStore.hadoopLs(spark, dp))
+    // v2 = a compaction: supersedes EVERY v1 file
+    VersionedStore.compactCommit(spark, path, "key", targetFileBytes = 1L << 20)
+    val v1Files = VersionedStore.versionFiles(spark, path, 1).toSeq
+    // the "in-flight reader": a frame planned over v1's files pre-expiry
+    val inFlight = spark.read.parquet(v1Files: _*)
+    var clock = 1000000L
+    val (expired, deletedNow) = VersionedStore.vacuum(spark, path,
+      keepVersions = 1, fileGraceMs = 60000L, nowMs = () => clock)
+    assert(expired == 1 && deletedNow == 0,
+      s"in-window expiry deleted $deletedNow files — grace not honored")
+    // the version no longer RESOLVES, but its bytes serve the reader
+    assert(VersionedStore.versions(spark, path) == Seq(2))
+    assert(inFlight.count() == 500L, "in-flight read failed inside the window")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.tombstonesDir(path))))
+    // a second in-window vacuum still reaps nothing
+    clock += 59000L
+    assert(VersionedStore.vacuum(spark, path, keepVersions = 1,
+      fileGraceMs = 60000L, nowMs = () => clock)._2 == 0)
+    // past the window: the files reap and the tombstone goes with them
+    clock += 2000L
+    val (_, reaped) = VersionedStore.vacuum(spark, path, keepVersions = 1,
+      fileGraceMs = 60000L, nowMs = () => clock)
+    assert(reaped == v1Files.size,
+      s"post-window vacuum reaped $reaped of ${v1Files.size}")
+    v1Files.foreach(f => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(f)), s"file survived: $f"))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+      VersionedStore.tombstonesDir(path))).isEmpty)
+    // the retained tip is untouched throughout
+    assert(VersionedStore.readVersion(spark, path, 2).count() == 500L)
+  }
+
   test("q109 gated query: one summary row per version, monotone growth") {
     val rows = VersionedStore.q109TimeTravel(spark, dir).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
