@@ -11,8 +11,8 @@ object SparkEntry {
     operators.Audit,
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
     sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore,
-    sources.VersionedStore, sources.AnnIndexStore, sources.Scd2Store,
-    sources.KnnGraphStore)
+    sources.VersionedStore, sources.ChangeFeed, sources.ColStats,
+    sources.AnnIndexStore, sources.Scd2Store, sources.KnnGraphStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,235 @@
+package graft.sources
+
+import graft.{Num, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read-path CHANGE DATA FEED over a [[VersionedStore]] commit lineage —
+  * the `table_changes(path, from, to)` verb of the table formats (Delta
+  * CDF / Iceberg changelog read), and the O(delta) answer to
+  * q100_snapshot_diff's full-scan version diff: instead of re-reading
+  * two whole snapshots, the feed derives each commit's changes from the
+  * commit's OWN metadata diff, so the bytes read track the commit, not
+  * the store.
+  *
+  * Relationship to the rest of the family: [[graft.streaming.ChangelogSink]]
+  * (s15) is the WRITE-path twin — the upsert writer classifies its own
+  * batch as it lands. This is the READ path: any consumer, at any later
+  * time, reconstructs what changed between two committed versions from
+  * the lineage alone — including commits made by other writers, COW
+  * deletes, deletion-vector commits and compactions it never saw.
+  *
+  * Per consecutive committed pair (va, vb) the algebra is the exact
+  * two-diff rule [[VersionedStore.refreshMv]] aggregates by — applied at
+  * ROW grain with change typing instead of signed partial sums:
+  *
+  *  - file diff: rows of `removed` files (minus va's deletion vector)
+  *    are the candidate PRE-image; rows of `added` files (minus vb's
+  *    vector) the candidate POST-image. A key only in pre is a
+  *    `delete`, only in post an `insert`, in both with ANY column
+  *    differing an `update_preimage`/`update_postimage` pair, in both
+  *    with identical payload NO change — which is what makes a
+  *    compaction commit (all files swapped, all rows equal) emit the
+  *    empty feed for free.
+  *  - dv diff: keys newly vectored between va and vb whose rows live in
+  *    SHARED files are `delete`s; their pre-image rows are read from
+  *    only the stats+bloom-pruned owning subset
+  *    ([[VersionedStore.fileKeyStatsReadOnly]] — the feed is a READ
+  *    path, so it never heals manifests or appends blooms; absent stats
+  *    fail open), semi-joined to the diff keys — cost ∝ deleted rows,
+  *    the dv commit's own write law.
+  *    Restricting the dv term to shared files is what keeps a key from
+  *    double-counting when a rewrite and a vector race across a
+  *    retention gap: rows in removed/added files are the file diff's
+  *    business, rows in shared files the vector's.
+  *
+  * Scale shape at 100 TB: an append's feed reads the appended files; a
+  * COW update's the owning+rewritten files; a dv erasure's O(deleted
+  * rows); only a compaction pays a full read (the diff-fallback every
+  * format shares when no write-path CDC files exist — the write path
+  * here is s15). Nothing shuffles except the keyed full-outer join of
+  * each commit's own delta against itself.
+  *
+  * Contract: the store's `keyCol` must be a ROW IDENTITY (unique per
+  * row) — the same requirement every format's CDF makes. Payload
+  * equality is exact null-safe struct equality over the aligned column
+  * set (schema evolution aligns by name, absent columns null), so
+  * column types must be comparable (atomics/structs/arrays — no maps).
+  *
+  * Reference anchor: the reference keeps no versioned lineage at all —
+  * its closest shape is re-reading the Kudu table after each mutation
+  * batch (ny_taxi/NyTaxiYellowTripStreaming.scala:121-160); the feed is
+  * what replaces those re-reads when state lives in an immutable
+  * commit lineage.
+  */
+object ChangeFeed extends QueryPack {
+
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  /** All change rows in the committed-version interval (fromV, toV] —
+    * one pass per consecutive retained pair, unioned. Columns: the
+    * store's data columns (name-aligned union across evolution, absent
+    * → null) + `_change_type` + `_commit_version`. */
+  def changes(s: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame = {
+    val vs = VersionedStore.versions(s, path).filter(v => v >= fromV && v <= toV)
+    require(vs.headOption.contains(fromV),
+      s"base version $fromV is not committed/retained under $path")
+    require(vs.size >= 2, s"no committed versions in ($fromV, $toV] under $path")
+    vs.sliding(2).collect { case Seq(va, vb) =>
+      changesBetween(s, path, va, vb, keyCol)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One commit step's feed (also the unit [[graft.streaming.ChangeFeedReader]]
+    * tails). `va` and `vb` need not be adjacent commit numbers — across
+    * a vacuumed gap the result is the NET change between the two
+    * retained snapshots (intermediate churn collapses), which is the
+    * only well-defined answer once the middle manifests are gone. */
+  def changesBetween(s: SparkSession, path: String, va: Int, vb: Int,
+      keyCol: String): DataFrame = {
+    val fa = VersionedStore.versionFiles(s, path, va).toSet
+    val fb = VersionedStore.versionFiles(s, path, vb).toSet
+    val removed = (fa -- fb).toSeq.sorted
+    val added = (fb -- fa).toSeq.sorted
+    val shared = (fa & fb).toSeq.sorted
+    val dvA = VersionedStore.dvAt(s, path, va)
+    val dvB = VersionedStore.dvAt(s, path, vb)
+    def minusDv(df: DataFrame, dv: Option[DataFrame]) =
+      dv.fold(df)(d => df.join(broadcast(d), d.columns.toSeq, "left_anti"))
+    val pre =
+      if (removed.isEmpty) None
+      else Some(minusDv(s.read.parquet(removed: _*), dvA))
+    val post =
+      if (added.isEmpty) None
+      else Some(minusDv(s.read.parquet(added: _*), dvB))
+
+    val fileDiff: Option[DataFrame] = (pre, post) match {
+      case (None, None) => None
+      case (Some(p), None) => Some(p.withColumn(ChangeType, lit("delete")))
+      case (None, Some(q)) => Some(q.withColumn(ChangeType, lit("insert")))
+      case (Some(p), Some(q)) => Some(keyedDiff(p, q, keyCol))
+    }
+
+    // dv diff over the shared files: newly vectored keys' pre-images,
+    // read from only the band+bloom-owning subset
+    val dvDiff: Option[DataFrame] =
+      if (shared.isEmpty) None
+      else dvB.flatMap { n =>
+        val diff = dvA.fold(n)(o => n.join(o, o.columns.toSeq, "left_anti"))
+        // READ-only owning-file prune: bands+blooms when present, fail
+        // open to the shared set otherwise (a consumer must never write)
+        val owning: Seq[String] =
+          VersionedStore.fileKeyStatsReadOnly(s, path, vb) match {
+            case None => shared
+            case Some(st) =>
+              diff.select(col(keyCol).cast("long").as("k")).distinct()
+                .join(broadcast(st.filter(col("file").isin(shared: _*))),
+                  col("k") >= col("mn") && col("k") <= col("mx") &&
+                    KeyBloom.mightContainCol(col("bloom"), col("k")))
+                .select(col("file")).distinct().collect()
+                .map(_.getString(0)).toSeq
+          }
+        if (owning.isEmpty) None
+        else Some(s.read.parquet(owning.toIndexedSeq: _*)
+          .join(diff.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .withColumn(ChangeType, lit("delete")))
+      }
+
+    val parts = fileDiff.toSeq ++ dvDiff.toSeq
+    val step = parts match {
+      case Nil =>
+        // metadata-only step (e.g. a replayed no-op): an empty feed with
+        // the store's schema
+        s.read.parquet(VersionedStore.versionFiles(s, path, vb).head)
+          .limit(0).withColumn(ChangeType, lit(""))
+      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    step.withColumn(CommitVersion, lit(vb.toLong))
+  }
+
+  /** Row-grain keyed diff of one commit's pre/post images. Schemas are
+    * aligned by name first (evolution adds columns as null on the old
+    * side), then compared as one null-safe struct per side. */
+  private def keyedDiff(pre: DataFrame, post: DataFrame,
+      keyCol: String): DataFrame = {
+    val cols = (pre.columns ++ post.columns).distinct.filterNot(_ == keyCol)
+    def aligned(df: DataFrame, tag: String): DataFrame = {
+      val have = df.columns.toSet
+      val fields = cols.map(c =>
+        if (have(c)) col(c) else lit(null).as(c))
+      df.select(col(keyCol), struct(fields.toIndexedSeq: _*).as(tag))
+    }
+    val j = aligned(pre, "_pre").join(aligned(post, "_post"),
+      Seq(keyCol), "full_outer")
+    def expand(row: String, ct: String) = {
+      val dataCols = cols.map(c => col(row).getField(c).as(c))
+      Seq(col(keyCol)) ++ dataCols :+ lit(ct).as(ChangeType)
+    }
+    val ins = j.filter(col("_pre").isNull)
+      .select(expand("_post", "insert"): _*)
+    val del = j.filter(col("_post").isNull)
+      .select(expand("_pre", "delete"): _*)
+    val chg = j.filter(col("_pre").isNotNull && col("_post").isNotNull &&
+      !(col("_pre") <=> col("_post")))
+    val upPre = chg.select(expand("_pre", "update_preimage"): _*)
+    val upPost = chg.select(expand("_post", "update_postimage"): _*)
+    ins.unionAll(del).unionAll(upPre).unionAll(upPost)
+  }
+
+  /** q120: the change feed of the full q107/q109 lineage — append (v2),
+    * copy-on-write band update (v3), erasure delete (v4) — summarized
+    * per (commit, change type). The oracle restates each commit's
+    * logical definition from the raw tables: a feed that loses a
+    * delete, double-counts a shared file's rows, or emits an unchanged
+    * row as an update breaks a count or an integer-cent sum. */
+  def q120ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val path = VersionedStore.purgedStore(s, dir)
+    changes(s, path, 1, 4, "o_orderkey")
+      .groupBy(col(CommitVersion).as("version"),
+        col(ChangeType).as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("amount_c")).as("amount_c"),
+        count_distinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q120_change_feed" -> ((s, dir) => q120ChangeFeed(s, dir)))
+
+  val oracleSql: Map[String, String] = Map(
+    // each commit's logical definition, restated: v2 = the 1997 append;
+    // v3 = the +100¢ band update (pre and post images over the SAME
+    // band rows); v4 = the q107 erasure list's rows at their v3 state
+    "q120_change_feed" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    ${Num.sql.cents("o_totalprice")} AS a, o_orderdate
+         |  FROM orders),
+         |v2 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM v2),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm)
+         |SELECT 2 AS version, 'insert' AS change_type, count(*) AS n_rows,
+         |  CAST(sum(a) AS BIGINT) AS amount_c,
+         |  count(DISTINCT o_custkey) AS n_customers
+         |FROM o WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |UNION ALL
+         |SELECT 3, 'update_preimage', count(*), CAST(sum(a) AS BIGINT),
+         |  count(DISTINCT o_custkey)
+         |FROM v2, k WHERE o_custkey BETWEEN lo AND hi
+         |UNION ALL
+         |SELECT 3, 'update_postimage', count(*), CAST(sum(a + 100) AS BIGINT),
+         |  count(DISTINCT o_custkey)
+         |FROM v2, k WHERE o_custkey BETWEEN lo AND hi
+         |UNION ALL
+         |SELECT 4, 'delete', count(*),
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT),
+         |  count(DISTINCT o_custkey)
+         |FROM v2, k WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+         |ORDER BY version, change_type""".stripMargin)
+}

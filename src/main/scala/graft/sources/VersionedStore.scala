@@ -1083,6 +1083,27 @@ object VersionedStore extends QueryPack {
       .select(col("file"), col("mn"), col("mx"), col("bloom"))
   }
 
+  /** READ-ONLY twin of [[fileKeyStatsBloomed]] for read-path planners
+    * (the change feed's dv term): manifest bands when the writer
+    * carried them (no heal-rewrite), blooms only from the existing side
+    * relation (no append; a missing bloom joins as null = might-contain).
+    * None when the manifest carries no stats — callers fail open to
+    * scanning their candidate set. */
+  private[graft] def fileKeyStatsReadOnly(s: SparkSession, path: String,
+      v: Int): Option[DataFrame] = {
+    val mf = s.read.parquet(manifestPath(path, v))
+    if (!(mf.columns.contains("mn") && mf.columns.contains("mx"))) None
+    else {
+      val base = mf.select(col("file"), col("mn"), col("mx"))
+      Some(readBlooms(s, path) match {
+        case None => base.withColumn("bloom", lit(null).cast("binary"))
+        case Some(b) => base.join(b.select(col("file"), col("bloom")),
+          Seq("file"), "left_outer")
+          .select(col("file"), col("mn"), col("mx"), col("bloom"))
+      })
+    }
+  }
+
   /** ERASURE EXECUTION — the copy-on-write DELETE commit closing the
     * right-to-be-forgotten loop that q107 only SIZES and s16 only
     * GATES: remove every row whose `keyCol` is in `keys` from the

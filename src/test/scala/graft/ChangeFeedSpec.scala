@@ -1,0 +1,190 @@
+package graft
+
+import graft.sources.{ChangeFeed, VersionedStore}
+import graft.streaming.ChangeFeedReader
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Laws of the read-path change feed (the table_changes verb): replay
+  * reconstructs every version, compaction is change-free, the two
+  * erasure modes emit the same deletes, the feed's bytes track the
+  * commit delta, and the checkpointed reader re-delivers deterministically
+  * until its watermark commits. */
+class ChangeFeedSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Key-clustered 8-file store, v1 committed through the txn path so
+    * every later commit shares one lineage mode. */
+  private def buildStore(tag: String): String = {
+    val path = Files.createTempDirectory(s"graft_cdf_$tag").toString + "/store"
+    VersionedStore.appendCommit(spark, path,
+      (1L to 800L).map(k => (k, k * 10)).toDF("key", "amount"), "key", 8)
+    path
+  }
+
+  private def asSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("key").cast("long"), col("amount").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  /** CDF replay: subtract deletes/update-preimages, add inserts/
+    * update-postimages. */
+  private def applyStep(prev: DataFrame, step: DataFrame): DataFrame = {
+    val gone = step.filter(col(ChangeFeed.ChangeType)
+        .isin("delete", "update_preimage")).select("key")
+    val add = step.filter(col(ChangeFeed.ChangeType)
+        .isin("insert", "update_postimage")).select("key", "amount")
+    prev.select("key", "amount").join(gone, Seq("key"), "left_anti")
+      .unionByName(add)
+  }
+
+  test("replay law: the feed reconstructs every version across append, " +
+      "COW delete, dv delete and compaction; compaction is change-free") {
+    val path = buildStore("replay")
+    VersionedStore.appendCommit(spark, path,
+      (801L to 900L).map(k => (k, k * 10)).toDF("key", "amount"), "key", 1)
+    VersionedStore.deleteCommit(spark, path,
+      (1L to 50L).toDF("key"), "key")
+    VersionedStore.deleteCommitDv(spark, path,
+      (100L to 400L by 8).toDF("key"), "key")
+    val compactV = VersionedStore.compactCommit(spark, path, "key", 1L << 30)
+    val vs = VersionedStore.versions(spark, path)
+    assert(vs.size == 5, s"expected 5 committed versions, got $vs")
+
+    vs.sliding(2).toSeq.collect { case Seq(va, vb) => (va, vb) }
+      .foreach { case (va, vb) =>
+        val step = ChangeFeed.changesBetween(spark, path, va, vb, "key")
+        val replayed = applyStep(VersionedStore.readVersion(spark, path, va), step)
+        assert(asSet(replayed) == asSet(VersionedStore.readVersion(spark, path, vb)),
+          s"replay v$va -> v$vb diverged from the committed snapshot")
+        if (vb == compactV)
+          assert(step.count() == 0,
+            s"compaction commit v$vb emitted ${step.count()} change rows")
+      }
+
+    // the multi-step feed is the union of its steps, commit-stamped
+    val all = ChangeFeed.changes(spark, path, vs.head, vs.last, "key")
+    val perStep = vs.sliding(2).collect { case Seq(va, vb) =>
+      ChangeFeed.changesBetween(spark, path, va, vb, "key").count()
+    }.sum
+    assert(all.count() == perStep)
+    assert(all.select(col(ChangeFeed.CommitVersion)).distinct().count() ==
+      vs.size - 2, "only change-bearing commits appear in the feed")
+  }
+
+  test("erasure-mode parity: COW and dv commits emit the same delete rows") {
+    val keys = (5L to 795L by 13).toDF("key")
+    val cow = buildStore("cow")
+    VersionedStore.deleteCommit(spark, cow, keys, "key")
+    val dv = buildStore("dv")
+    VersionedStore.deleteCommitDv(spark, dv, keys, "key")
+    def deletes(path: String) = {
+      val Seq(va, vb) = VersionedStore.versions(spark, path).takeRight(2)
+      val step = ChangeFeed.changesBetween(spark, path, va, vb, "key")
+      assert(step.select(col(ChangeFeed.ChangeType)).distinct()
+        .as[String].collect().toSet == Set("delete"))
+      asSet(step)
+    }
+    assert(deletes(cow) == deletes(dv),
+      "the two physical erasure modes must feed identical deletes")
+  }
+
+  test("cost law: an append step's feed reads only the appended files") {
+    val path = buildStore("cost")
+    VersionedStore.appendCommit(spark, path,
+      (801L to 820L).map(k => (k, k * 10)).toDF("key", "amount"), "key", 1)
+    val Seq(v1, v2) = VersionedStore.versions(spark, path)
+    val f1 = VersionedStore.versionFiles(spark, path, v1).toSet
+    val f2 = VersionedStore.versionFiles(spark, path, v2).toSet
+    val step = ChangeFeed.changesBetween(spark, path, v1, v2, "key")
+    val opened = step.inputFiles.map(VersionedStore.canon).toSet
+    assert(opened.nonEmpty && opened.subsetOf(f2 -- f1),
+      s"append feed touched non-delta files: ${opened -- (f2 -- f1)}")
+    assert(step.count() == 20 &&
+      step.select(col(ChangeFeed.ChangeType)).distinct()
+        .as[String].collect().toSet == Set("insert"))
+  }
+
+  test("update commits emit pre/post pairs for CHANGED rows only") {
+    // fully-manual legacy store (manifest-presence commits): the COW
+    // update below writes its manifest by hand in the same mode
+    val path = Files.createTempDirectory("graft_cdf_upd").toString + "/store"
+    (1L to 800L).map(k => (k, k * 10)).toDF("key", "amount")
+      .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite).parquet(VersionedStore.dataPath(path))
+    VersionedStore.writeManifest(spark, path, 1,
+      VersionedStore.hadoopLs(spark, VersionedStore.dataPath(path)))
+    // hand-rolled COW update in the store's own idiom: rewrite the file
+    // owning keys <= 100, bumping only keys 1..10
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    val stats = spark.read.parquet(f1.toSeq: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(max(col("key")).as("mx"))
+    val owning = stats.filter(col("mx") <= 100L)
+      .select("file").as[String].collect().map(VersionedStore.canon).toSet
+    assert(owning.size == 1)
+    val dp = VersionedStore.dataPath(path)
+    spark.read.parquet(owning.toSeq: _*)
+      .withColumn("amount",
+        when(col("key") <= 10L, col("amount") + 5L).otherwise(col("amount")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dp)
+    val after = VersionedStore.hadoopLs(spark, dp)
+    VersionedStore.writeManifest(spark, path, 2, (f1 -- owning) ++ (after -- f1))
+
+    val step = ChangeFeed.changesBetween(spark, path, 1, 2, "key")
+    val byType = step.groupBy(col(ChangeFeed.ChangeType)).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("update_preimage" -> 10L, "update_postimage" -> 10L),
+      s"expected 10 update pairs, got $byType")
+    val pre = step.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+    val post = step.filter(col(ChangeFeed.ChangeType) === "update_postimage")
+    assert(asSet(pre) == (1L to 10L).map(k => (k, k * 10)).toSet)
+    assert(asSet(post) == (1L to 10L).map(k => (k, k * 10 + 5)).toSet)
+  }
+
+  test("reader: watermark poll/commit with deterministic re-delivery") {
+    val path = buildStore("rdr")
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt").toString
+    // current at v1: nothing to deliver
+    assert(ChangeFeedReader.poll(spark, path, ckpt, "key").isEmpty)
+    VersionedStore.appendCommit(spark, path,
+      (801L to 810L).map(k => (k, k)).toDF("key", "amount"), "key", 1)
+    val (f1, t1, d1) = ChangeFeedReader.poll(spark, path, ckpt, "key").get
+    // crash before commit: the SAME interval re-delivers, bit-identical
+    val (f2, t2, d2) = ChangeFeedReader.poll(spark, path, ckpt, "key").get
+    assert((f1, t1) == (f2, t2) && asSet(d1) == asSet(d2))
+    ChangeFeedReader.commit(spark, ckpt, t1)
+    assert(ChangeFeedReader.poll(spark, path, ckpt, "key").isEmpty)
+    // the next commit delivers only its own interval
+    VersionedStore.deleteCommit(spark, path, Seq(801L).toDF("key"), "key")
+    val (f3, t3, d3) = ChangeFeedReader.poll(spark, path, ckpt, "key").get
+    assert(f3 == t1 && t3 > f3)
+    assert(asSet(d3) == Set((801L, 801L)) &&
+      d3.select(col(ChangeFeed.ChangeType)).as[String].collect().toSet ==
+        Set("delete"))
+    ChangeFeedReader.commit(spark, ckpt, t3)
+    // a vacuumed watermark fails fast with the re-bootstrap contract
+    VersionedStore.appendCommit(spark, path,
+      Seq((901L, 901L)).toDF("key", "amount"), "key", 1)
+    VersionedStore.vacuum(spark, path, 1, claimGraceMs = 0L)
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeedReader.poll(spark, path, ckpt, "key")
+    }
+    assert(ex.getMessage.contains("re-bootstrap"))
+  }
+
+  test("q120 gate: the lineage feed is non-empty and delete-complete") {
+    val df = ChangeFeed.q120ChangeFeed(spark, TestSpark.sf)
+    val rows = df.as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((2L, "insert"), (3L, "update_postimage"), (3L, "update_preimage"),
+        (4L, "delete")))
+    assert(rows.forall(_._3 > 0))
+    val pre = rows.filter(_._2 == "update_preimage").head
+    val post = rows.filter(_._2 == "update_postimage").head
+    assert(post._3 == pre._3 && post._4 == pre._4 + 100L * pre._3,
+      "post-image sum must be pre + 100 cents per updated row")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.{ColStats, VersionedStore}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Laws of per-column file stats (data skipping): pruning never changes
+  * results (zero false negatives), the time-correlated append commit is
+  * skipped exactly, unstatted files fail open, and the relation is
+  * type-preserving past the key column. */
+class ColStatsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("q121's date predicate opens EXACTLY the v2 append's files and " +
+      "matches the unpruned read") {
+    val path = ColStats.stattedStore(spark, TestSpark.sf)
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    val f2 = VersionedStore.versionFiles(spark, path, 2).toSet
+    val (lo, hi) = (to_timestamp(lit("1997-01-01")), to_timestamp(lit("1998-01-01")))
+    val pruned = ColStats.readPruned(spark, path, 2, "o_orderdate")(
+      (mn, mx) => mx >= lo && mn < hi)
+    val opened = pruned.inputFiles.map(VersionedStore.canon).toSet
+    assert(opened == f2 -- f1,
+      s"expected exactly the v2 delta (${(f2 -- f1).size} files), " +
+        s"opened ${opened.size}")
+    val full = spark.read.parquet(f2.toSeq: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .agg(count(lit(1)), sum(col("amount_c"))).as[(Long, Long)].head()
+    val skip = pruned
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .agg(count(lit(1)), sum(col("amount_c"))).as[(Long, Long)].head()
+    assert(skip == full, "pruning changed the filtered result")
+  }
+
+  test("unstatted files fail open; stats are type-preserving on longs") {
+    val path = Files.createTempDirectory("graft_colstats_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 800L).map(k => (k, k * 10)).toDF("key", "amount")
+      .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.mode(SaveMode.Overwrite).parquet(dp)
+    val files = VersionedStore.hadoopLs(spark, dp).toSeq.sorted
+    VersionedStore.writeManifest(spark, path, 1, files)
+    // stat all but the LAST file — it must survive every prune.
+    // the predicate is amount <= 1000, so the OVERLAP test is mn <= 1000
+    ColStats.append(spark, path, files.dropRight(1), "amount")
+    val pruned = ColStats.readPruned(spark, path, 1, "amount")(
+      (mn, mx) => mn <= 1000L)
+    val opened = pruned.inputFiles.map(VersionedStore.canon).toSet
+    assert(opened.contains(files.last), "unstatted file was wrongly skipped")
+    assert(opened.size < files.size, "no file was pruned")
+    // zero-FN: the filtered result matches the unpruned read
+    val want = spark.read.parquet(files: _*)
+      .filter(col("amount") <= 1000L).count()
+    assert(pruned.filter(col("amount") <= 1000L).count() == want)
+    // once the last file is statted too, its band (far above 1000)
+    // prunes it as well
+    ColStats.append(spark, path, Seq(files.last), "amount")
+    val tight = ColStats.readPruned(spark, path, 1, "amount")(
+      (mn, mx) => mn <= 1000L)
+    val tightOpened = tight.inputFiles.map(VersionedStore.canon).toSet
+    assert(!tightOpened.contains(files.last) && tightOpened.size < opened.size)
+    assert(tight.filter(col("amount") <= 1000L).count() == want)
+  }
+
+  test("a store with no stats relation reads unpruned (and correct)") {
+    val path = Files.createTempDirectory("graft_colstats_none_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 100L).map(k => (k, k)).toDF("key", "amount")
+      .repartitionByRange(2, col("key"))
+      .write.mode(SaveMode.Overwrite).parquet(dp)
+    VersionedStore.writeManifest(spark, path, 1,
+      VersionedStore.hadoopLs(spark, dp))
+    val pruned = ColStats.readPruned(spark, path, 1, "amount")(
+      (mn, mx) => mn <= 10L)
+    assert(pruned.inputFiles.length == 2)
+    assert(pruned.filter(col("amount") <= 10L).count() == 10L)
+  }
+}
