@@ -167,6 +167,14 @@ object GraftCatalog {
     *    behind one verb ([[sources.VersionedStore.refreshMv]]; round-14
     *    verdict #6). Registers the refreshed content as the
     *    `graft_store_mv` view and returns (path, from, to) versions.
+    *  - `CALL graft_store_changes('versioned', '<path>', '<fromV>',
+    *    '<toV>', '<keyCol>')` — the table_changes read (round 15):
+    *    returns the row-level change feed of the committed interval
+    *    (fromV, toV] — data columns + `_change_type`
+    *    (insert / delete / update_preimage / update_postimage) +
+    *    `_commit_version` — derived O(commit delta) from manifest/dv
+    *    diffs ([[sources.ChangeFeed.changes]]), and registers it as the
+    *    `graft_store_changes` view for follow-on SQL.
     *
     * Single-quote SQL literals with `''` escaping, matching [[bm25Sql]]. */
   def call(s: SparkSession, statement: String): DataFrame = {
@@ -180,6 +188,7 @@ object GraftCatalog {
     val PurgeM = s"(?i)\\s*CALL\\s+graft_store_purge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val Upsert = s"(?i)\\s*CALL\\s+graft_store_upsert\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val RefreshMv = s"(?i)\\s*CALL\\s+graft_store_refresh_mv\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Changes = s"(?i)\\s*CALL\\s+graft_store_changes\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     def purge(family: String, path: String, keyCol: String,
         keyList: String, mode: String): DataFrame = {
       require(family == "versioned",
@@ -246,13 +255,26 @@ object GraftCatalog {
           .createOrReplaceTempView("graft_store_mv")
         Seq((unq(path), fromV, toV))
           .toDF("path", "from_version", "to_version")
+      case Changes(family, path, fromV, toV, keyCol) =>
+        require(unq(family) == "versioned",
+          s"changes supports the 'versioned' family, got '${unq(family)}'")
+        def intLit(v: String, what: String): Int =
+          unq(v).trim.toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_store_changes $what must be an int literal, got " +
+                s"'${unq(v)}'"))
+        val df = sources.ChangeFeed.changes(s, unq(path),
+          intLit(fromV, "fromV"), intLit(toV, "toV"), unq(keyCol))
+        df.createOrReplaceTempView("graft_store_changes")
+        df
       case _ => throw new IllegalArgumentException(
         s"unrecognized CALL statement: $statement — expected " +
           "graft_store_build('<family>','<dir>') | graft_store_drop('<family>') | " +
           "graft_store_optimize('versioned','<path>','<col>') | " +
           "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>'[,'<mode>']) | " +
           "graft_store_upsert('versioned','<path>','<keyCol>','<sourceView>','<batchId>') | " +
-          "graft_store_refresh_mv('versioned','<path>','<groupCol>','<valueCol>','<keyCol>')")
+          "graft_store_refresh_mv('versioned','<path>','<groupCol>','<valueCol>','<keyCol>') | " +
+          "graft_store_changes('versioned','<path>','<fromV>','<toV>','<keyCol>')")
     }
   }
 

@@ -73,6 +73,15 @@ object VersionedScaleSmoke {
         if (fs.exists(p)) fs.getContentSummary(p).getLength else -1L
       }
 
+      // change feed of the dv commit: 500 deletes read from only the
+      // bloom-admitted owning files — wall must track the BATCH
+      val dvParent = VersionedStore.versions(spark, path).filter(_ < dvV).last
+      val (dvFeedN, feedDvS) = time {
+        graft.sources.ChangeFeed
+          .changesBetween(spark, path, dvParent, dvV, "k").count()
+      }
+      require(dvFeedN == 500L, s"rep=$rep: dv feed emitted $dvFeedN rows")
+
       // maintained MV: initialize at the current tip (full compute,
       // excluded), then time the refresh across a FIXED 10k-row append
       VersionedStore.refreshMv(spark, path, "g", "v", "k")
@@ -85,6 +94,14 @@ object VersionedScaleSmoke {
       val (range, refS) = time {
         VersionedStore.refreshMv(spark, path, "g", "v", "k")
       }
+
+      // change feed of the append commit: reads only the delta files
+      val tipNow = VersionedStore.versions(spark, path).last
+      val (apFeedN, feedApS) = time {
+        graft.sources.ChangeFeed
+          .changesBetween(spark, path, dvV, tipNow, "k").count()
+      }
+      require(apFeedN == 10000L, s"rep=$rep: append feed emitted $apFeedN rows")
 
       // sanity: the refreshed MV equals a full recompute of the tip
       val tip = VersionedStore.versions(spark, path).last
@@ -101,7 +118,8 @@ object VersionedScaleSmoke {
       println(f"""{"smoke":"versioned_scale","rep":$rep,"rows":$n,""" +
         f""""heal_s":$healS%.3f,"dv_commit_s":$dvS%.3f,""" +
         f""""dv_bytes":$dvBytes,"refresh_s":$refS%.3f,""" +
-        f""""refresh_range":[${range._1},${range._2}]}""")
+        f""""refresh_range":[${range._1},${range._2}],""" +
+        f""""feed_dv_s":$feedDvS%.3f,"feed_append_s":$feedApS%.3f}""")
     }
     spark.stop()
   }

@@ -87,6 +87,31 @@ object ColStats extends QueryPack {
     else s.read.parquet(survivors: _*)
   }
 
+  /** Side-relation GC (called from [[VersionedStore.vacuum]], the bloom
+    * rule): per statted column, keep only entries whose file some
+    * retained manifest still lists — a bounded metadata rewrite; an
+    * empty survivor set drops the column's dir. */
+  private[graft] def gc(s: SparkSession, path: String,
+      live: Set[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path + "/colstats")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+      val st = s.read.parquet(d.getPath.toString).dropDuplicates("file")
+      val keep = st.collect().filter(r => live(r.getString(0)))
+      if (keep.isEmpty) fs.delete(d.getPath, true)
+      else {
+        // stage-then-swap: the relation is tiny (file-count rows) and
+        // Overwrite into the dir being read is not safe
+        val tmp = new org.apache.hadoop.fs.Path(d.getPath.toString + "_gc")
+        s.createDataFrame(keep.toSeq.asJava, st.schema)
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(d.getPath, true)
+        fs.rename(tmp, d.getPath)
+      }
+    }
+  }
+
   private val (cut1, cut2) = ("1997-01-01", "1998-01-01")
   private val statted = scala.collection.mutable.Set.empty[String]
 

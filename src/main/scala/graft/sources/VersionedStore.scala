@@ -857,6 +857,9 @@ object VersionedStore extends QueryPack {
       else keep.sortBy(_._1).toSeq.toDF("file", "bloom", "rows")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomsDir(path))
     }
+    // per-column stats side relations GC: same rule as the blooms
+    ColStats.gc(s, path,
+      versions(s, path).flatMap(v => versionFiles(s, path, v)).toSet)
     (drop.size, deleted)
   }
 

@@ -65,6 +65,26 @@ class ColStatsSpec extends AnyFunSuite {
     assert(tight.filter(col("amount") <= 1000L).count() == want)
   }
 
+  test("vacuum garbage-collects stale colstats entries (the bloom rule)") {
+    val path = Files.createTempDirectory("graft_colstats_gc_").toString + "/store"
+    VersionedStore.appendCommit(spark, path,
+      (1L to 100L).map(k => (k, k)).toDF("key", "amount"), "key", 2)
+    VersionedStore.deleteCommit(spark, path, (1L to 10L).toDF("key"), "key")
+    val all = VersionedStore.versionFiles(spark, path, 1).toSet ++
+      VersionedStore.versionFiles(spark, path, 2).toSet
+    ColStats.append(spark, path, all.toSeq.sorted, "amount")
+    VersionedStore.vacuum(spark, path, 1, claimGraceMs = 0L)
+    val live = VersionedStore.versionFiles(spark, path, 2).toSet
+    val entries = ColStats.read(spark, path, "amount").get
+      .select("file").as[String].collect().toSet
+    assert(entries.nonEmpty && entries.subsetOf(live),
+      s"stale colstats survived vacuum: ${entries -- live}")
+    // the surviving relation still prunes correctly
+    val pruned = ColStats.readPruned(spark, path, 2, "amount")(
+      (mn, mx) => mn <= 20L)
+    assert(pruned.filter(col("amount") <= 20L).count() == 10L)
+  }
+
   test("a store with no stats relation reads unpruned (and correct)") {
     val path = Files.createTempDirectory("graft_colstats_none_").toString + "/store"
     val dp = VersionedStore.dataPath(path)

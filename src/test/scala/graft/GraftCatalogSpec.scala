@@ -311,4 +311,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       "an up-to-date store reported a refresh range")
     assertParity("idempotent")
   }
+
+  test("CALL graft_store_changes returns the table_changes feed and " +
+      "registers it for follow-on SQL") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_cdf_").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 300L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (301L to 320L).map(k => (k, k * 2)).toDF("k", "v"), path, 1L)
+    GraftCatalog.call(spark,
+      s"CALL graft_store_purge('versioned', '$path', 'k', '10,20,310', 'dv')")
+    val got = GraftCatalog.call(spark,
+      s"CALL graft_store_changes('versioned', '$path', '1', '3', 'k')")
+    // parity with the operator path
+    val want = sources.ChangeFeed.changes(spark, path, 1, 3, "k")
+    assert(got.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+    // the registered view answers plain SQL over the feed
+    val byType = spark.sql(
+      """SELECT _change_type, count(*) AS n FROM graft_store_changes
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 20L, "delete" -> 3L))
+    // non-int version literal is loud
+    val ex = intercept[IllegalArgumentException] {
+      GraftCatalog.call(spark,
+        s"CALL graft_store_changes('versioned', '$path', 'one', '3', 'k')")
+    }
+    assert(ex.getMessage.contains("int literal"))
+  }
 }
