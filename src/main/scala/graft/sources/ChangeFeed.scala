@@ -89,6 +89,21 @@ object ChangeFeed extends QueryPack {
     * only well-defined answer once the middle manifests are gone. */
   def changesBetween(s: SparkSession, path: String, va: Int, vb: Int,
       keyCol: String): DataFrame = {
+    // write-path CDC fast path (the Delta _change_data read): the
+    // committer persisted its change rows, so the feed reads O(changed
+    // rows) — valid ONLY for a strictly-adjacent pair; across a
+    // vacuumed/burned gap the net diff below is the correct answer
+    val cdc = if (vb == va + 1) VersionedStore.readCdc(s, path, vb) else None
+    cdc match {
+      case Some(rows) => rows.withColumn(CommitVersion, lit(vb.toLong))
+      case None => diffBetween(s, path, va, vb, keyCol)
+    }
+  }
+
+  /** The metadata-diff feed of one pair — the always-correct fallback
+    * every format shares when no write-path CDC files exist. */
+  private def diffBetween(s: SparkSession, path: String, va: Int, vb: Int,
+      keyCol: String): DataFrame = {
     val fa = VersionedStore.versionFiles(s, path, va).toSet
     val fb = VersionedStore.versionFiles(s, path, vb).toSet
     val removed = (fa -- fb).toSeq.sorted
@@ -151,8 +166,9 @@ object ChangeFeed extends QueryPack {
 
   /** Row-grain keyed diff of one commit's pre/post images. Schemas are
     * aligned by name first (evolution adds columns as null on the old
-    * side), then compared as one null-safe struct per side. */
-  private def keyedDiff(pre: DataFrame, post: DataFrame,
+    * side), then compared as one null-safe struct per side. Shared with
+    * the keyed upsert sink's write-path CDC classifier. */
+  private[graft] def keyedDiff(pre: DataFrame, post: DataFrame,
       keyCol: String): DataFrame = {
     val cols = (pre.columns ++ post.columns).distinct.filterNot(_ == keyCol)
     def aligned(df: DataFrame, tag: String): DataFrame = {

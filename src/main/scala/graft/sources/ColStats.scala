@@ -87,6 +87,65 @@ object ColStats extends QueryPack {
     else s.read.parquet(survivors: _*)
   }
 
+  /** STORE-LEVEL STATS CONFIG — the auto-maintenance switch: a tiny
+    * `colstats_config` relation listing the columns every commit should
+    * stat for its NEW files (the Delta `dataSkippingStatsColumns`
+    * idea). Write paths call [[onCommit]]; an unconfigured store pays
+    * one existence probe and nothing else. */
+  def configDir(path: String): String = path + "/colstats_config"
+
+  def configure(s: SparkSession, path: String, cols: Seq[String]): Unit = {
+    import s.implicits._
+    cols.distinct.sorted.toDF("column").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(configDir(path))
+  }
+
+  def configured(s: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(configDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else s.read.parquet(configDir(path))
+      .select(col("column")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Commit hook: stat `files` for every configured column in ONE
+    * bounded scan (all min/max pairs ride the same aggregate), then
+    * append each column's (file, mn, mx) rows to its own relation.
+    * Called by the [[VersionedStore]] committers and the streaming
+    * sinks with exactly the files the commit created — stats stay
+    * fresh without any read-path heal. (The vacuum dv fold's rewrite
+    * files are the one writer that skips this: they fail open until
+    * the next explicit [[append]] — pruning degrades, never breaks.) */
+  def onCommit(s: SparkSession, path: String, files: Seq[String]): Unit = {
+    val want = configured(s, path)
+    if (want.isEmpty || files.isEmpty) return
+    val df = s.read.parquet(files: _*)
+    // schema evolution: a batch lacking a configured column just skips
+    // it — its files fail open in that column's prune, never break it
+    val cols = want.filter(df.columns.contains)
+    if (cols.isEmpty) return
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val stats = df
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = stats.collect()
+    val schema = stats.schema
+    cols.foreach { c =>
+      val mnI = schema.fieldIndex(s"mn_$c")
+      val mxI = schema.fieldIndex(s"mx_$c")
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        schema(mnI).copy(name = "mn"), schema(mxI).copy(name = "mx")))
+      val out = rows
+        .map(r => Row(VersionedStore.canon(r.getString(0)), r.get(mnI), r.get(mxI)))
+        .sortBy(_.getString(0))
+      s.createDataFrame(out.toSeq.asJava, outSchema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir(path, c))
+    }
+  }
+
   /** Side-relation GC (called from [[VersionedStore.vacuum]], the bloom
     * rule): per statted column, keep only entries whose file some
     * retained manifest still lists — a bounded metadata rewrite; an

@@ -718,6 +718,7 @@ object VersionedStore extends QueryPack {
         Seq(s"/v$v", s"/compact_v$v", s"/delete_v$v").foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + d), true))
         fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, v)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(cdcPath(path, v)), true)
         fs.delete(claimFile(path, v), false)
       }
     claims.filter(v => committed.contains(v) && v < tip)
@@ -860,6 +861,18 @@ object VersionedStore extends QueryPack {
     // per-column stats side relations GC: same rule as the blooms
     ColStats.gc(s, path,
       versions(s, path).flatMap(v => versionFiles(s, path, v)).toSet)
+    // CDC retention: a commit's cdc relation is askable only while a
+    // diff base BELOW it is retained; past that, reap it — which also
+    // extends the erasure unrecoverability law to the delete commit's
+    // persisted pre-images (they expire with the history that could
+    // read those rows anyway)
+    locally {
+      val retainedNow = versions(s, path)
+      cdcVersions(s, path)
+        .filter(n => !retainedNow.exists(_ < n))
+        .foreach(n =>
+          fs.delete(new org.apache.hadoop.fs.Path(cdcPath(path, n)), true))
+    }
     (drop.size, deleted)
   }
 
@@ -933,7 +946,9 @@ object VersionedStore extends QueryPack {
         // the tip is STILL the one it compacted
         val settled = settleBelow(s, path, v, abandoned, settleTimeoutMs)
         if (settled.contains(cur)) {
-          writeManifest(s, path, v, hadoopLs(s, outDir))
+          val outFiles = hadoopLs(s, outDir)
+          writeManifest(s, path, v, outFiles)
+          ColStats.onCommit(s, path, outFiles.toSeq.sorted)
           dv.foreach(d => d.limit(0).coalesce(1)
             .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v)))
           // a stream-built store commits through its txn-marker rule;
@@ -1086,6 +1101,38 @@ object VersionedStore extends QueryPack {
       .select(col("file"), col("mn"), col("mx"), col("bloom"))
   }
 
+  /** WRITE-PATH CDC (round 15 — the Delta `_change_data` idea): a COW
+    * committer that already knows its changed rows persists them at
+    * commit time under `cdc/v<N>`, so the change feed reads O(changed
+    * rows) instead of re-diffing the file-sized rewrite. Readers use a
+    * commit's cdc relation ONLY for strictly-adjacent version pairs
+    * (vb = va+1) — across a vacuumed/burned gap the net diff is the
+    * only correct answer and the feed falls back to it. Retention: a
+    * cdc relation is reaped by [[vacuum]] once NO version below it is
+    * retained — exactly the window in which the feed can still be
+    * asked for it, and (for delete commits) the same window in which
+    * the purged pre-images it holds are time-travel-readable anyway,
+    * so the erasure unrecoverability law extends to cdc bytes. */
+  def cdcDir(path: String): String = path + "/cdc"
+  def cdcPath(path: String, v: Int): String = cdcDir(path) + s"/v$v"
+
+  private[graft] def cdcVersions(s: SparkSession, path: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(cdcDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toIntOption }
+      .flatten.sorted
+  }
+
+  private[graft] def readCdc(s: SparkSession, path: String,
+      v: Int): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(cdcPath(path, v))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(s.read.parquet(cdcPath(path, v)))
+  }
+
   /** READ-ONLY twin of [[fileKeyStatsBloomed]] for read-path planners
     * (the change feed's dv term): manifest bands when the writer
     * carried them (no heal-rewrite), blooms only from the existing side
@@ -1190,6 +1237,14 @@ object VersionedStore extends QueryPack {
           .repartitionByRange(owning.length, col(keyCol))
           .sortWithinPartitions(keyCol)
           .write.mode(SaveMode.Overwrite).parquet(outDir)
+        // write-path CDC: the purged rows ARE this commit's feed —
+        // O(deleted rows) bytes; an abandoned slot's orphan is
+        // reclaimed by vacuum with the claim
+        s.read.parquet(owning.toIndexedSeq: _*)
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("delete"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(cdcPath(path, v))
         // commit validity (the UpsertSink burn-and-loop, round-13
         // verdict #5): the rewrite is correct only against the tip it
         // planned from — a data commit landing meanwhile abandons this
@@ -1214,6 +1269,7 @@ object VersionedStore extends QueryPack {
               .collect()
               .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
           appendBlooms(s, path, newFiles.toSeq.sorted, keyCol)
+          ColStats.onCommit(s, path, newFiles.toSeq.sorted)
           (sharedStats.map(t => (t._1, t._2, t._3)) ++ newStats).sortBy(_._1)
             .toSeq.toDF("file", "mn", "mx")
             .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -1361,6 +1417,16 @@ object VersionedStore extends QueryPack {
                 storeRowsOf(s, path, cur)
                   .exists(total => total > 0 && nDv >= autoFoldFraction * total)
             } finally newDv.unpersist(false)
+            // write-path CDC: the freshly-vectored keys' pre-images —
+            // O(deleted rows) bytes the owning-file presence scan
+            // already touched; the adjacent-pair feed then reads ZERO
+            // data files for this commit
+            s.read.parquet(owning.toIndexedSeq: _*)
+              .join(fresh.select(col(keyCol)).distinct(), Seq(keyCol),
+                "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(cdcPath(path, v))
             // manifest = parent's, verbatim (stats columns and all):
             // every data file shared by reference — zero amplification
             s.read.parquet(manifestPath(path, cur))
@@ -1928,6 +1994,7 @@ object VersionedStore extends QueryPack {
     val parent = settled.map(pv => versionFiles(s, path, pv).toSet)
       .getOrElse(Set.empty[String])
     writeManifest(s, path, v, parent ++ newFiles)
+    ColStats.onCommit(s, path, newFiles.toSeq.sorted)
     import s.implicits._
     Seq((-v.toLong, System.currentTimeMillis()))
       .toDF("batch_id", "commit_ts")

@@ -217,6 +217,21 @@ object UpsertSink {
         val ownSet = owning.toSet
         writeManifest(s, path, v,
           parent.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
+        graft.sources.ColStats.onCommit(s, path, newFiles.toSeq.sorted)
+        // write-path CDC (round 15): classify the batch against the
+        // pre-images it replaced — O(batch) rows persisted at commit,
+        // so the change feed never re-diffs the file-sized rewrite;
+        // identical-payload replays classify to NO rows (the s15 rule)
+        val cdcRows =
+          if (owning.isEmpty)
+            batch.withColumn("_change_type", lit("insert"))
+          else graft.sources.ChangeFeed.keyedDiff(
+            s.read.parquet(owning.toIndexedSeq: _*)
+              .join(batch.select(col(keyCol)).distinct(), Seq(keyCol),
+                "left_semi"),
+            batch.toDF(), keyCol)
+        cdcRows.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(VersionedStore.cdcPath(path, v))
         // txn parquet, then the marker LAST — the marker's atomic create is
         // the commit, its name carries the batch id for the replay check
         // (the VersionedCommitSink.appendBatch discipline).

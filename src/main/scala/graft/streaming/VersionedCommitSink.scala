@@ -180,6 +180,7 @@ object VersionedCommitSink {
       .map(pv => VersionedStore.versionFiles(s, path, pv).toSet)
       .getOrElse(Set.empty[String])
     VersionedStore.writeManifest(s, path, v, parent ++ newFiles)
+    graft.sources.ColStats.onCommit(s, path, newFiles.toSeq.sorted)
     // txn parquet, then the marker LAST: the marker's single atomic
     // create is the commit (a crash anywhere earlier leaves an
     // uncommitted leftover the retry overwrites), and its name carries

@@ -85,6 +85,11 @@ class ChangeFeedSpec extends AnyFunSuite {
       val step = ChangeFeed.changesBetween(spark, path, va, vb, "key")
       assert(step.select(col(ChangeFeed.ChangeType)).distinct()
         .as[String].collect().toSet == Set("delete"))
+      // both physical modes persist write-path CDC: the adjacent-pair
+      // feed reads zero data files
+      assert(step.inputFiles.nonEmpty &&
+        step.inputFiles.forall(_.contains("/cdc/")),
+        s"$path feed read outside cdc/: ${step.inputFiles.toSeq}")
       asSet(step)
     }
     assert(deletes(cow) == deletes(dv),
@@ -142,6 +147,69 @@ class ChangeFeedSpec extends AnyFunSuite {
     val post = step.filter(col(ChangeFeed.ChangeType) === "update_postimage")
     assert(asSet(pre) == (1L to 10L).map(k => (k, k * 10)).toSet)
     assert(asSet(post) == (1L to 10L).map(k => (k, k * 10 + 5)).toSet)
+  }
+
+  test("write-path CDC: a delete commit's feed reads the persisted " +
+      "change rows; non-adjacent pairs fall back to the net diff") {
+    val path = buildStore("cdc")
+    VersionedStore.appendCommit(spark, path,
+      (801L to 900L).map(k => (k, k * 10)).toDF("key", "amount"), "key", 1)
+    VersionedStore.deleteCommit(spark, path, (1L to 40L).toDF("key"), "key")
+    val Seq(v1, v2, v3) = VersionedStore.versions(spark, path)
+    // adjacent pair: served from cdc/, O(deleted rows) bytes
+    val feed = ChangeFeed.changesBetween(spark, path, v2, v3, "key")
+    assert(feed.inputFiles.nonEmpty && feed.inputFiles.forall(_.contains("/cdc/")),
+      s"adjacent delete feed read outside cdc/: ${feed.inputFiles.toSeq}")
+    assert(asSet(feed) == (1L to 40L).map(k => (k, k * 10)).toSet)
+    assert(feed.select(col(ChangeFeed.ChangeType)).distinct()
+      .as[String].collect().toSet == Set("delete"))
+    // the persisted rows are bit-equal to what the diff derives: replay
+    // still reconstructs the committed snapshot
+    val replayed = applyStep(VersionedStore.readVersion(spark, path, v2), feed)
+    assert(asSet(replayed) == asSet(VersionedStore.readVersion(spark, path, v3)))
+    // a NON-adjacent pair must never shortcut through one commit's cdc
+    val net = ChangeFeed.changesBetween(spark, path, v1, v3, "key")
+    assert(net.inputFiles.forall(!_.contains("/cdc/")),
+      "a gapped pair read a single commit's cdc relation")
+    val netReplayed = applyStep(VersionedStore.readVersion(spark, path, v1), net)
+    assert(asSet(netReplayed) == asSet(VersionedStore.readVersion(spark, path, v3)))
+    // erasure law: once no diff base below the delete commit is
+    // retained, vacuum reaps the cdc pre-images with the history
+    VersionedStore.vacuum(spark, path, 1, claimGraceMs = 0L)
+    assert(VersionedStore.cdcVersions(spark, path).isEmpty,
+      "vacuum left a delete commit's cdc pre-images past the erasure window")
+  }
+
+  test("upsert commits persist classified CDC: inserts and CHANGED-row " +
+      "update pairs; identical-payload upserts feed nothing") {
+    val path = Files.createTempDirectory("graft_cdf_ups").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    graft.streaming.UpsertSink.upsertBatch(
+      Seq((99L, 990L), (100L, 1000L), (101L, 202L), (102L, 204L))
+        .toDF("k", "v"), path, 5L, "k")
+    val Seq(v1, v2) = VersionedStore.versions(spark, path)
+    val feed = ChangeFeed.changesBetween(spark, path, v1, v2, "k")
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/cdc/")),
+      s"upsert feed read outside cdc/: ${feed.inputFiles.toSeq}")
+    val byType = feed.groupBy(col(ChangeFeed.ChangeType)).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 2L, "update_preimage" -> 2L,
+      "update_postimage" -> 2L), s"got $byType")
+    def vals(ct: String): Set[(Long, Long)] =
+      feed.filter(col(ChangeFeed.ChangeType) === ct)
+        .select(col("k"), col("v")).as[(Long, Long)].collect().toSet
+    assert(vals("insert") == Set((101L, 202L), (102L, 204L)))
+    assert(vals("update_preimage") == Set((99L, 198L), (100L, 200L)))
+    assert(vals("update_postimage") == Set((99L, 990L), (100L, 1000L)))
+    // an identical-payload upsert commits its rewrite but feeds NOTHING
+    graft.streaming.UpsertSink.upsertBatch(
+      Seq((50L, 100L)).toDF("k", "v"), path, 6L, "k")
+    val v3 = VersionedStore.versions(spark, path).last
+    assert(v3 > v2)
+    assert(ChangeFeed.changesBetween(spark, path, v2, v3, "k").count() == 0,
+      "an identical-payload upsert leaked change rows")
   }
 
   test("reader: watermark poll/commit with deterministic re-delivery") {

@@ -85,6 +85,35 @@ class ColStatsSpec extends AnyFunSuite {
     assert(pruned.filter(col("amount") <= 20L).count() == 10L)
   }
 
+  test("a configured store stats every commit's new files automatically") {
+    val path = Files.createTempDirectory("graft_colstats_auto_").toString + "/store"
+    ColStats.configure(spark, path, Seq("amount"))
+    VersionedStore.appendCommit(spark, path,
+      (1L to 100L).map(k => (k, k * 3)).toDF("key", "amount"), "key", 2)
+    def entries(): Set[String] = ColStats.read(spark, path, "amount").get
+      .select("file").as[String].collect().toSet
+    val f1 = VersionedStore.versionFiles(spark, path, 1).toSet
+    assert(f1.subsetOf(entries()), "append commit left new files unstatted")
+    // COW delete: the rewritten survivor file is statted by the hook
+    VersionedStore.deleteCommit(spark, path, Seq(1L, 2L).toDF("key"), "key")
+    assert(VersionedStore.versionFiles(spark, path, 2).toSet
+      .subsetOf(entries()), "delete commit left rewritten files unstatted")
+    // compaction: the clustered rewrite is statted too
+    val v3 = VersionedStore.compactCommit(spark, path, "key", 1L << 30)
+    assert(VersionedStore.versionFiles(spark, path, v3).toSet
+      .subsetOf(entries()), "compaction left new files unstatted")
+    // the fresh stats prune correctly with NO read-path heal
+    val pruned = ColStats.readPruned(spark, path, v3, "amount")(
+      (mn, mx) => mn <= 30L)
+    assert(pruned.filter(col("amount") <= 30L).count() == 8L)
+    // a configured column absent from a later batch is skipped, not fatal
+    VersionedStore.appendCommit(spark, path,
+      (101L to 110L).map(k => Tuple1(k)).toDF("key"), "key", 1)
+    val tip = VersionedStore.versions(spark, path).last
+    assert(VersionedStore.versionFiles(spark, path, tip).length >
+      VersionedStore.versionFiles(spark, path, v3).length)
+  }
+
   test("a store with no stats relation reads unpruned (and correct)") {
     val path = Files.createTempDirectory("graft_colstats_none_").toString + "/store"
     val dp = VersionedStore.dataPath(path)
