@@ -91,9 +91,16 @@ object ChangeFeed extends QueryPack {
       keyCol: String): DataFrame = {
     // write-path CDC fast path (the Delta _change_data read): the
     // committer persisted its change rows, so the feed reads O(changed
-    // rows) — valid ONLY for a strictly-adjacent pair; across a
-    // vacuumed/burned gap the net diff below is the correct answer
-    val cdc = if (vb == va + 1) VersionedStore.readCdc(s, path, vb) else None
+    // rows) — valid iff va is vb's TRUE PARENT, i.e. no committed
+    // version sits between them. Retained adjacency decides this
+    // exactly: commits are monotone and vacuum prefix-drops, so a
+    // committed version can never be missing from BETWEEN two retained
+    // ones (burned claim slots never committed and don't count); a
+    // caller deliberately spanning several retained commits gets the
+    // net diff below, the only correct answer there.
+    val cdc =
+      if (VersionedStore.versions(s, path).exists(w => w > va && w < vb)) None
+      else VersionedStore.readCdc(s, path, vb)
     cdc match {
       case Some(rows) => rows.withColumn(CommitVersion, lit(vb.toLong))
       case None => diffBetween(s, path, va, vb, keyCol)

@@ -180,6 +180,20 @@ class ChangeFeedSpec extends AnyFunSuite {
       "vacuum left a delete commit's cdc pre-images past the erasure window")
   }
 
+  test("a burned claim slot does not disable the cdc fast path") {
+    val path = buildStore("burn")
+    // a crashed writer's claim: slot 2 burns, the delete commits at 3
+    VersionedStore.claimVersion(spark, path, 2)
+    VersionedStore.deleteCommit(spark, path, (1L to 5L).toDF("key"), "key")
+    val vs = VersionedStore.versions(spark, path)
+    assert(vs == Seq(1, 3), s"expected a burned slot, got $vs")
+    val feed = ChangeFeed.changesBetween(spark, path, 1, 3, "key")
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/cdc/")),
+      "retained-adjacent pair across a burned slot skipped the cdc")
+    assert(asSet(feed) == (1L to 5L).map(k => (k, k * 10)).toSet)
+  }
+
   test("upsert commits persist classified CDC: inserts and CHANGED-row " +
       "update pairs; identical-payload upserts feed nothing") {
     val path = Files.createTempDirectory("graft_cdf_ups").toString + "/store"
