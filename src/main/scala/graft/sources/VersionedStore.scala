@@ -1154,6 +1154,37 @@ object VersionedStore extends QueryPack {
     }
   }
 
+  /** MULTI-KEY POINT READ — the subject-access-request verb (the read
+    * twin of the erasure family: before a subject's rows are purged,
+    * the pipeline must be able to EXPORT them): read version `v`'s rows
+    * whose `keyCol` is in `keys`, opening only the band+bloom-admitted
+    * owning files ([[fileKeyStatsReadOnly]] — a READ path: no heal, no
+    * bloom append; a store without stats fails open to the full
+    * manifest, never wrong). The version's deletion vector applies as
+    * on any read. Cost at 100 TB: a k-key request opens the handful of
+    * files whose band AND bloom admit a key — a scattered batch no
+    * longer reads every in-range file (round-14 missing #4, surfaced
+    * as a user-facing read). */
+  def readKeys(s: SparkSession, path: String, v: Int, keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val files = versionFiles(s, path, v)
+    val owning: Seq[String] = fileKeyStatsReadOnly(s, path, v) match {
+      case None => files.toSeq
+      case Some(st) =>
+        keys.select(col(keyCol).cast("long").as("k")).distinct()
+          .join(broadcast(st),
+            col("k") >= col("mn") && col("k") <= col("mx") &&
+              KeyBloom.mightContainCol(col("bloom"), col("k")))
+          .select(col("file")).distinct().collect()
+          .map(_.getString(0)).toSeq.sorted
+    }
+    val base =
+      if (owning.isEmpty) s.read.parquet(files.head).limit(0)
+      else s.read.parquet(owning: _*)
+    applyDv(s, path, v,
+      base.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"))
+  }
+
   /** ERASURE EXECUTION — the copy-on-write DELETE commit closing the
     * right-to-be-forgotten loop that q107 only SIZES and s16 only
     * GATES: remove every row whose `keyCol` is in `keys` from the
@@ -2137,7 +2168,22 @@ object VersionedStore extends QueryPack {
     "q107b_purge_execute" -> (q107bPurgeExecute _),
     "q107c_purge_execute_dv" -> (q107cPurgeExecuteDv _),
     "q110c_incremental_mv_delete" -> (q110cIncrementalMvDelete _),
-    "q110d_incremental_mv_dv" -> (q110dIncrementalMvDv _))
+    "q110d_incremental_mv_dv" -> (q110dIncrementalMvDv _),
+    "q122_subject_read" -> (q122SubjectRead _))
+
+  /** q122: SUBJECT ACCESS READ — export the q107 erasure subjects' rows
+    * from the PRE-purge version (the compliance step that precedes
+    * q107b/q107c's execution), through [[readKeys]]'s band+bloom prune;
+    * per-subject totals against the oracle's logical restatement of v3.
+    * A file wrongly skipped by the bloom loses a subject's order; a
+    * leaked post-purge read returns nothing for every subject. */
+  def q122SubjectRead(s: SparkSession, dir: String): DataFrame = {
+    val path = purgedStore(s, dir)
+    readKeys(s, path, 3, purgeKeys(s, dir), "o_custkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("amount_c")).as("amount_c"))
+      .orderBy(col("o_custkey"))
+  }
 
   /** The post-purge IVM statement, shared verbatim by the COW (q110c)
     * and DV (q110d) refreshes: both must equal the from-scratch
@@ -2236,6 +2282,22 @@ object VersionedStore extends QueryPack {
     // shared verbatim by both physical modes (COW and deletion-vector)
     "q107b_purge_execute" -> purgeExecuteSql,
     "q107c_purge_execute_dv" -> purgeExecuteSql,
+    // the subject-access statement: the erasure subjects' per-customer
+    // totals at v3's logical content (banded +100¢ adjustment included)
+    "q122_subject_read" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, ${Num.sql.cents("o_totalprice")} AS a
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut2'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM o),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm)
+         |SELECT o_custkey, count(*) AS n_orders,
+         |  CAST(sum(a + CASE WHEN o_custkey BETWEEN lo AND hi
+         |    THEN 100 ELSE 0 END) AS BIGINT) AS amount_c
+         |FROM o, k WHERE o_custkey IN (
+         |  SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // the delete-IVM statement: retract-and-merge across the purge's
     // manifest diff (COW) or dv diff (DV) must equal the from-scratch
     // post-purge aggregate — shared verbatim by both physical modes

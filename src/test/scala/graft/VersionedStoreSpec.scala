@@ -296,4 +296,41 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(mv1.getLong(1) + d.getLong(1) == full.getLong(1),
       "incremental refresh across the add-column commit != full recompute")
   }
+
+  test("readKeys: the multi-key point read opens only bloom-admitted " +
+      "files and matches the full-scan semi-join") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_readkeys_").toString + "/store"
+    // txn store with stats+blooms: one append, then a dv commit heals
+    // the planning metadata (band manifest + bloom side relation)
+    // EVEN keys only: odd probes are in-band-but-absent (the bloom's job)
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 8000L).map(k => (k * 2, k * 4)).toDF("k", "v")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      path, 0L)
+    VersionedStore.deleteCommitDv(spark, path, Seq(-1L).toDF("k"), "k")
+    val v = VersionedStore.versions(spark, path).last
+    val all = VersionedStore.versionFiles(spark, path, v)
+    // three present keys, all inside ONE band's range
+    val keys = Seq(10L, 20L, 30L).toDF("k")
+    val got = VersionedStore.readKeys(spark, path, v, keys, "k")
+    assert(got.inputFiles.length < all.length,
+      s"no pruning: opened ${got.inputFiles.length} of ${all.length}")
+    assert(got.select(col("k"), col("v")).as[(Long, Long)].collect().toSet ==
+      Set((10L, 20L), (20L, 40L), (30L, 60L)))
+    // in-band-but-ABSENT keys (odd): bands admit their range, the bloom
+    // subtracts the files before any data read — empty result either way
+    val absent = VersionedStore.readKeys(spark, path, v,
+      Seq(21L, 4443L).toDF("k"), "k")
+    assert(absent.count() == 0)
+    assert(absent.inputFiles.length < got.inputFiles.length + 1,
+      "bloom admitted files for keys the store never held")
+    // a dv-purged key never comes back through the point read
+    VersionedStore.deleteCommitDv(spark, path, Seq(10L).toDF("k"), "k")
+    val tip = VersionedStore.versions(spark, path).last
+    val after = VersionedStore.readKeys(spark, path, tip, keys, "k")
+    assert(after.select(col("k")).as[Long].collect().toSet == Set(20L, 30L),
+      "a deletion-vectored key leaked through readKeys")
+  }
 }
