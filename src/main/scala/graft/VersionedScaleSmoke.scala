@@ -103,6 +103,19 @@ object VersionedScaleSmoke {
       }
       require(apFeedN == 10000L, s"rep=$rep: append feed emitted $apFeedN rows")
 
+      // subject-access read: a FIXED 100-key export against the tip —
+      // the bloom-pruned point read vs the naive full-scan semi-join
+      val sarKeys = (1L to n by math.max(1L, n / 100L)).take(100).toSeq
+      val (sarN, sarS) = time {
+        VersionedStore.readKeys(spark, path, tipNow,
+          sarKeys.toDF("k"), "k").count()
+      }
+      val (scanN, scanS) = time {
+        VersionedStore.readVersion(spark, path, tipNow)
+          .join(sarKeys.toDF("k"), Seq("k"), "left_semi").count()
+      }
+      require(sarN == scanN, s"rep=$rep: readKeys $sarN != scan $scanN")
+
       // sanity: the refreshed MV equals a full recompute of the tip
       val tip = VersionedStore.versions(spark, path).last
       val full = VersionedStore.readVersion(spark, path, tip)
@@ -119,7 +132,9 @@ object VersionedScaleSmoke {
         f""""heal_s":$healS%.3f,"dv_commit_s":$dvS%.3f,""" +
         f""""dv_bytes":$dvBytes,"refresh_s":$refS%.3f,""" +
         f""""refresh_range":[${range._1},${range._2}],""" +
-        f""""feed_dv_s":$feedDvS%.3f,"feed_append_s":$feedApS%.3f}""")
+        f""""feed_dv_s":$feedDvS%.3f,"feed_append_s":$feedApS%.3f,""" +
+        f""""sar_keys":${sarKeys.size},"sar_s":$sarS%.3f,""" +
+        f""""sar_scan_s":$scanS%.3f}""")
     }
     spark.stop()
   }
