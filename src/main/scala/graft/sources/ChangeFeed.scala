@@ -73,12 +73,19 @@ object ChangeFeed extends QueryPack {
     * → null) + `_change_type` + `_commit_version`. */
   def changes(s: SparkSession, path: String, fromV: Int, toV: Int,
       keyCol: String): DataFrame = {
-    val vs = VersionedStore.versions(s, path).filter(v => v >= fromV && v <= toV)
+    val committed = VersionedStore.versions(s, path)
+    val vs = committed.filter(v => v >= fromV && v <= toV)
     require(vs.headOption.contains(fromV),
       s"base version $fromV is not committed/retained under $path")
+    // a silent truncation at the tip would let a consumer record
+    // "consumed through $toV" and skip every commit landing later —
+    // fail loudly instead (the Delta table_changes contract)
+    require(vs.lastOption.contains(toV),
+      s"end version $toV is not committed under $path " +
+        s"(newest committed: ${committed.lastOption.getOrElse(-1)})")
     require(vs.size >= 2, s"no committed versions in ($fromV, $toV] under $path")
     vs.sliding(2).collect { case Seq(va, vb) =>
-      changesBetween(s, path, va, vb, keyCol)
+      stepBetween(s, path, va, vb, keyCol, adjacent = true)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -88,7 +95,17 @@ object ChangeFeed extends QueryPack {
     * retained snapshots (intermediate churn collapses), which is the
     * only well-defined answer once the middle manifests are gone. */
   def changesBetween(s: SparkSession, path: String, va: Int, vb: Int,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame =
+    stepBetween(s, path, va, vb, keyCol,
+      adjacent = !VersionedStore.versions(s, path)
+        .exists(w => w > va && w < vb))
+
+  /** One pair's feed with the adjacency fact THREADED from the caller —
+    * [[changes]] walks consecutive retained versions, so it passes
+    * `adjacent = true` without re-listing the lineage per pair (an
+    * n-step poll would otherwise pay O(n) manifest+txn listings). */
+  private def stepBetween(s: SparkSession, path: String, va: Int, vb: Int,
+      keyCol: String, adjacent: Boolean): DataFrame = {
     // write-path CDC fast path (the Delta _change_data read): the
     // committer persisted its change rows, so the feed reads O(changed
     // rows) — valid iff va is vb's TRUE PARENT, i.e. no committed
@@ -98,9 +115,7 @@ object ChangeFeed extends QueryPack {
     // ones (burned claim slots never committed and don't count); a
     // caller deliberately spanning several retained commits gets the
     // net diff below, the only correct answer there.
-    val cdc =
-      if (VersionedStore.versions(s, path).exists(w => w > va && w < vb)) None
-      else VersionedStore.readCdc(s, path, vb)
+    val cdc = if (adjacent) VersionedStore.readCdc(s, path, vb) else None
     cdc match {
       case Some(rows) => rows.withColumn(CommitVersion, lit(vb.toLong))
       case None => diffBetween(s, path, va, vb, keyCol)
@@ -145,13 +160,8 @@ object ChangeFeed extends QueryPack {
         val owning: Seq[String] =
           VersionedStore.fileKeyStatsReadOnly(s, path, vb) match {
             case None => shared
-            case Some(st) =>
-              diff.select(col(keyCol).cast("long").as("k")).distinct()
-                .join(broadcast(st.filter(col("file").isin(shared: _*))),
-                  col("k") >= col("mn") && col("k") <= col("mx") &&
-                    KeyBloom.mightContainCol(col("bloom"), col("k")))
-                .select(col("file")).distinct().collect()
-                .map(_.getString(0)).toSeq
+            case Some(st) => VersionedStore.owningFilesFor(diff,
+              st.filter(col("file").isin(shared: _*)), keyCol)
           }
         if (owning.isEmpty) None
         else Some(s.read.parquet(owning.toIndexedSeq: _*)

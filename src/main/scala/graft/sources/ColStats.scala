@@ -82,9 +82,12 @@ object ColStats extends QueryPack {
         val statted = st.select(col("file")).collect().map(_.getString(0)).toSet
         files.toSeq.filter(f => keep(f) || !statted(f))
     }
-    if (survivors.isEmpty)
-      s.read.parquet(files.head).limit(0)
-    else s.read.parquet(survivors: _*)
+    val base =
+      if (survivors.isEmpty) s.read.parquet(files.head).limit(0)
+      else s.read.parquet(survivors: _*)
+    // the version's deletion vector applies as on any read — a pruned
+    // read must never resurface erasure-vectored rows
+    VersionedStore.applyDv(s, path, v, base)
   }
 
   /** STORE-LEVEL STATS CONFIG — the auto-maintenance switch: a tiny

@@ -129,7 +129,7 @@ object VersionedStore extends QueryPack {
     * broadcast-sized anti-join on the dv's key column (Spark's
     * size-based planning broadcasts the small dv side). A store with no
     * dv lineage pays nothing but the existence probe. */
-  private def applyDv(s: SparkSession, path: String, v: Int,
+  private[graft] def applyDv(s: SparkSession, path: String, v: Int,
       base: DataFrame): DataFrame =
     dvAt(s, path, v).fold(base)(dv => base.join(dv, dv.columns.toSeq, "left_anti"))
 
@@ -843,13 +843,17 @@ object VersionedStore extends QueryPack {
           fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, k)), true))
       }
     }
+    // side-relation GC — one shared computation of the retained
+    // versions and their live file set (vacuum holds the writer lease,
+    // so neither can change mid-call; recomputing per relation would
+    // re-read every retained manifest three times)
+    val retainedNow = versions(s, path)
+    val live = retainedNow.flatMap(v => versionFiles(s, path, v)).toSet
     // bloom side-relation GC: keep only entries whose file some retained
     // manifest still lists — a bounded metadata rewrite (the relation is
     // file-count sized); an empty survivor set drops the dir entirely
     readBlooms(s, path).foreach { bl =>
       import s.implicits._
-      val live = versions(s, path)
-        .flatMap(v => versionFiles(s, path, v)).toSet
       val keep = bl.select(col("file"), col("bloom"), col("rows")).collect()
         .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
         .filter(t => live(t._1))
@@ -859,20 +863,16 @@ object VersionedStore extends QueryPack {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomsDir(path))
     }
     // per-column stats side relations GC: same rule as the blooms
-    ColStats.gc(s, path,
-      versions(s, path).flatMap(v => versionFiles(s, path, v)).toSet)
+    ColStats.gc(s, path, live)
     // CDC retention: a commit's cdc relation is askable only while a
     // diff base BELOW it is retained; past that, reap it — which also
     // extends the erasure unrecoverability law to the delete commit's
     // persisted pre-images (they expire with the history that could
     // read those rows anyway)
-    locally {
-      val retainedNow = versions(s, path)
-      cdcVersions(s, path)
-        .filter(n => !retainedNow.exists(_ < n))
-        .foreach(n =>
-          fs.delete(new org.apache.hadoop.fs.Path(cdcPath(path, n)), true))
-    }
+    cdcVersions(s, path)
+      .filter(n => !retainedNow.exists(_ < n))
+      .foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(cdcPath(path, n)), true))
     (drop.size, deleted)
   }
 
@@ -1101,6 +1101,20 @@ object VersionedStore extends QueryPack {
       .select(col("file"), col("mn"), col("mx"), col("bloom"))
   }
 
+  /** Band+bloom owning-file prune shared by every key-batch planner
+    * (erasure commits, the change feed's dv term, the subject-access
+    * read): files whose recorded key band contains a probed key AND
+    * whose bloom admits it; a null bloom fails open to might-contain.
+    * Driver cost: one broadcast join over the k-row stats table. */
+  private[graft] def owningFilesFor(keys: DataFrame, statsDf: DataFrame,
+      keyCol: String): Seq[String] =
+    keys.select(col(keyCol).cast("long").as("k")).distinct()
+      .join(broadcast(statsDf),
+        col("k") >= col("mn") && col("k") <= col("mx") &&
+          KeyBloom.mightContainCol(col("bloom"), col("k")))
+      .select(col("file")).distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
+
   /** WRITE-PATH CDC (round 15 — the Delta `_change_data` idea): a COW
     * committer that already knows its changed rows persists them at
     * commit time under `cdc/v<N>`, so the change feed reads O(changed
@@ -1131,6 +1145,27 @@ object VersionedStore extends QueryPack {
     val p = new org.apache.hadoop.fs.Path(cdcPath(path, v))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None else Some(s.read.parquet(cdcPath(path, v)))
+  }
+
+  /** Estimated on-disk bytes per full-width cdc row — the sizing input
+    * for [[writeCdc]] (the dv write's ceil rule, applied to the wider
+    * pre-image relation). */
+  private val CdcBytesPerRow = 64L
+
+  /** Persist one commit's change rows SIZED from their count (the
+    * [[deleteCommitDv]] ceil rule — a small feed lands in one file, one
+    * nearing file scale splits instead of a single monolithic task). */
+  private[graft] def writeCdc(s: SparkSession, path: String, v: Int,
+      rows: DataFrame, keyCol: String, targetFileBytes: Long = 64L << 20)
+      : Unit = {
+    val r = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = r.count()
+      val nf = math.max(1L,
+        (n * CdcBytesPerRow + targetFileBytes - 1) / targetFileBytes).toInt
+      r.repartitionByRange(nf, col(keyCol)).sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(cdcPath(path, v))
+    } finally r.unpersist(false)
   }
 
   /** READ-ONLY twin of [[fileKeyStatsBloomed]] for read-path planners
@@ -1168,15 +1203,10 @@ object VersionedStore extends QueryPack {
   def readKeys(s: SparkSession, path: String, v: Int, keys: DataFrame,
       keyCol: String): DataFrame = {
     val files = versionFiles(s, path, v)
+    requireIntegralKey(keys, keyCol)
     val owning: Seq[String] = fileKeyStatsReadOnly(s, path, v) match {
       case None => files.toSeq
-      case Some(st) =>
-        keys.select(col(keyCol).cast("long").as("k")).distinct()
-          .join(broadcast(st),
-            col("k") >= col("mn") && col("k") <= col("mx") &&
-              KeyBloom.mightContainCol(col("bloom"), col("k")))
-          .select(col("file")).distinct().collect()
-          .map(_.getString(0)).toSeq.sorted
+      case Some(st) => owningFilesFor(keys, st, keyCol)
     }
     val base =
       if (owning.isEmpty) s.read.parquet(files.head).limit(0)
@@ -1244,21 +1274,23 @@ object VersionedStore extends QueryPack {
       // owning = band overlap AND bloom membership: a scattered batch
       // overlaps every band, but only files whose bloom admits at least
       // one probed key are candidates — the rest never open
-      val owning = keys.select(col(keyCol).cast("long").as("k")).distinct()
-        .join(broadcast(statsDf),
-          col("k") >= col("mn") && col("k") <= col("mx") &&
-            KeyBloom.mightContainCol(col("bloom"), col("k")))
-        .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+      val owning = owningFilesFor(keys, statsDf, keyCol)
       // bands and blooms are over-approximations, so "some file admits
       // a key" does not mean the key is PRESENT — a replayed erasure
       // batch (keys already purged) can still select a rewritten file.
-      // Charge one bounded semi-join count against the owning files:
-      // zero actual matches = a no-op erasure that commits NOTHING (no
-      // spurious version, no rewrite) — the idempotent-replay contract
-      // the streaming purge sink relies on.
-      val hit = owning.nonEmpty && s.read.parquet(owning.toIndexedSeq: _*)
-        .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-        .limit(1).count() > 0
+      // The present set also subtracts the tip's deletion vector: a key
+      // physically in a file but already dv-erased is not a change this
+      // commit makes (mixed dv-then-COW replays would otherwise commit
+      // spurious versions and feed phantom deletes). Zero present rows
+      // = a no-op erasure that commits NOTHING — the idempotent-replay
+      // contract the streaming purge sink relies on.
+      def presentRows = {
+        val inFiles = s.read.parquet(owning.toIndexedSeq: _*)
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        dvAt(s, path, cur).fold(inFiles)(dv =>
+          inFiles.join(broadcast(dv), dv.columns.toSeq, "left_anti"))
+      }
+      val hit = owning.nonEmpty && presentRows.limit(1).count() > 0
       if (!hit) done = Some(cur) // no purged key present: no-op
       else {
         val v = claimVersion(s, path, cur + 1)
@@ -1268,14 +1300,11 @@ object VersionedStore extends QueryPack {
           .repartitionByRange(owning.length, col(keyCol))
           .sortWithinPartitions(keyCol)
           .write.mode(SaveMode.Overwrite).parquet(outDir)
-        // write-path CDC: the purged rows ARE this commit's feed —
-        // O(deleted rows) bytes; an abandoned slot's orphan is
-        // reclaimed by vacuum with the claim
-        s.read.parquet(owning.toIndexedSeq: _*)
-          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-          .withColumn("_change_type", lit("delete"))
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(cdcPath(path, v))
+        // write-path CDC: the rows this commit LOGICALLY deletes (the
+        // present set — already-vectored keys are not changes) ARE its
+        // feed; sized write, orphans reclaimed with the claim
+        writeCdc(s, path, v,
+          presentRows.withColumn("_change_type", lit("delete")), keyCol)
         // commit validity (the UpsertSink burn-and-loop, round-13
         // verdict #5): the rewrite is correct only against the tip it
         // planned from — a data commit landing meanwhile abandons this
@@ -1396,11 +1425,7 @@ object VersionedStore extends QueryPack {
       // bloom subtracts the files holding no probed key before any opens
       val statsDf = fileKeyStatsBloomed(s, path, cur, keyCol)
       val keysD = keys.select(col(keyCol)).distinct()
-      val owning = keysD.select(col(keyCol).cast("long").as("k"))
-        .join(broadcast(statsDf),
-          col("k") >= col("mn") && col("k") <= col("mx") &&
-            KeyBloom.mightContainCol(col("bloom"), col("k")))
-        .select(col("file")).distinct().collect().map(_.getString(0)).sorted
+      val owning = owningFilesFor(keysD, statsDf, keyCol)
       // present = in some owning file's bytes AND not already dv-purged:
       // both a replayed batch and an all-absent batch commit NOTHING
       val curDv = dvAt(s, path, cur)
@@ -1429,35 +1454,25 @@ object VersionedStore extends QueryPack {
             // file, one nearing file scale splits instead of growing a
             // single monolith)
             val newDv = curDv.fold(fresh)(dv => dv.unionByName(fresh).distinct())
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              val nDv = newDv.count()
-              val nf = math.max(1L,
-                (nDv * DvBytesPerKey + dvTargetFileBytes - 1)
-                  / dvTargetFileBytes).toInt
-              newDv.repartitionByRange(nf, col(keyCol))
-                .sortWithinPartitions(keyCol)
-                .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v))
-              // AUTOMATIC FOLD TRIGGER (round-14 verdict #4): once the
-              // vector crosses the configured fraction of the tip's
-              // rows (exact per-file counts from the side relation — a
-              // k-row driver sum, no scan), the store is overdue for
-              // its physical fold; the compaction runs AFTER this lease
-              // releases (compactCommit takes its own)
-              needFold = autoFoldFraction > 0 &&
-                storeRowsOf(s, path, cur)
-                  .exists(total => total > 0 && nDv >= autoFoldFraction * total)
-            } finally newDv.unpersist(false)
+            val nDv = writeDvSized(s, path, v, newDv, keyCol, dvTargetFileBytes)
+            // AUTOMATIC FOLD TRIGGER (round-14 verdict #4): once the
+            // vector crosses the configured fraction of the tip's
+            // rows (exact per-file counts from the side relation — a
+            // k-row driver sum, no scan), the store is overdue for
+            // its physical fold; the compaction runs AFTER this lease
+            // releases (compactCommit takes its own)
+            needFold = autoFoldFraction > 0 &&
+              storeRowsOf(s, path, cur)
+                .exists(total => total > 0 && nDv >= autoFoldFraction * total)
             // write-path CDC: the freshly-vectored keys' pre-images —
             // O(deleted rows) bytes the owning-file presence scan
             // already touched; the adjacent-pair feed then reads ZERO
             // data files for this commit
-            s.read.parquet(owning.toIndexedSeq: _*)
-              .join(fresh.select(col(keyCol)).distinct(), Seq(keyCol),
-                "left_semi")
-              .withColumn("_change_type", lit("delete"))
-              .coalesce(1)
-              .write.mode(SaveMode.Overwrite).parquet(cdcPath(path, v))
+            writeCdc(s, path, v,
+              s.read.parquet(owning.toIndexedSeq: _*)
+                .join(fresh.select(col(keyCol)).distinct(), Seq(keyCol),
+                  "left_semi")
+                .withColumn("_change_type", lit("delete")), keyCol)
             // manifest = parent's, verbatim (stats columns and all):
             // every data file shared by reference — zero amplification
             s.read.parquet(manifestPath(path, cur))
@@ -1484,6 +1499,24 @@ object VersionedStore extends QueryPack {
   /** Estimated on-disk bytes per dv key (one int64 column + parquet
     * structure) — the sizing input for the cumulative vector's write. */
   private val DvBytesPerKey = 16L
+
+  /** Write a cumulative deletion vector at slot `v`, SIZED from its key
+    * volume (the CompactStore ceil rule). Returns the vector's row
+    * count (the auto-fold trigger's input). Shared by the dv erasure
+    * commit and the keyed upsert's resurrection shrink. */
+  private[graft] def writeDvSized(s: SparkSession, path: String, v: Int,
+      dvRows: DataFrame, keyCol: String,
+      targetFileBytes: Long = 64L << 20): Long = {
+    val r = dvRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = r.count()
+      val nf = math.max(1L,
+        (n * DvBytesPerKey + targetFileBytes - 1) / targetFileBytes).toInt
+      r.repartitionByRange(nf, col(keyCol)).sortWithinPartitions(keyCol)
+        .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v))
+      n
+    } finally r.unpersist(false)
+  }
 
   // ---- GENERIC maintained MV (round-14 verdict #6): the q110–q110d
   // ladder behind ONE verb ----
@@ -1594,11 +1627,7 @@ object VersionedStore extends QueryPack {
         val diff = older.fold(n)(o => n.join(o, o.columns.toSeq, "left_anti"))
         val statsDf = fileKeyStatsBloomed(s, path, vb, keyCol)
           .filter(col("file").isin(shared: _*))
-        val owning = diff.select(col(keyCol).cast("long").as("k")).distinct()
-          .join(broadcast(statsDf),
-            col("k") >= col("mn") && col("k") <= col("mx") &&
-              KeyBloom.mightContainCol(col("bloom"), col("k")))
-          .select(col("file")).distinct().collect().map(_.getString(0))
+        val owning = owningFilesFor(diff, statsDf, keyCol)
         if (owning.isEmpty) s.read.parquet(shared.head).limit(0)
         else s.read.parquet(owning.toIndexedSeq: _*)
           .join(diff.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")

@@ -70,12 +70,24 @@ object ChangeFeedReader {
 
   /** Durably advance the watermark — call ONLY after the polled
     * interval is fully handled downstream; marker creation is the
-    * commit point (atomic create, newest wins). */
+    * commit point (atomic create, newest wins). Superseded markers are
+    * deleted AFTER the new one is durable (only the newest is ever
+    * read, and a crash between the create and the sweep merely leaves
+    * extras the next commit removes) — without the sweep a long-lived
+    * consumer's checkpoint listing grows one file per interval forever. */
   def commit(s: SparkSession, ckpt: String, toV: Int): Unit = {
     val p = dir(ckpt)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
     fs.create(new org.apache.hadoop.fs.Path(p,
       s"consumed_v$toV.marker"), true).close()
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        n.startsWith("consumed_v") && n.endsWith(".marker") &&
+          n.stripPrefix("consumed_v").stripSuffix(".marker")
+            .toIntOption.exists(_ < toV)
+      }
+      .foreach(q => fs.delete(q, false))
   }
 }

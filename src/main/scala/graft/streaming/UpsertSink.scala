@@ -219,19 +219,39 @@ object UpsertSink {
           parent.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
         graft.sources.ColStats.onCommit(s, path, newFiles.toSeq.sorted)
         // write-path CDC (round 15): classify the batch against the
-        // pre-images it replaced — O(batch) rows persisted at commit,
-        // so the change feed never re-diffs the file-sized rewrite;
-        // identical-payload replays classify to NO rows (the s15 rule)
+        // pre-images it replaced — MINUS the parent's deletion vector
+        // (a dv-erased key's physical leftover is not a pre-image; its
+        // re-upsert classifies as the INSERT it logically is, matching
+        // the metadata-diff fallback bit for bit) — O(batch) rows
+        // persisted at commit, so the change feed never re-diffs the
+        // file-sized rewrite; identical-payload replays classify to NO
+        // rows (the s15 rule)
+        val parentDv = VersionedStore.dvAt(s, path, settled.getOrElse(0))
         val cdcRows =
           if (owning.isEmpty)
             batch.withColumn("_change_type", lit("insert"))
-          else graft.sources.ChangeFeed.keyedDiff(
-            s.read.parquet(owning.toIndexedSeq: _*)
+          else {
+            val preRaw = s.read.parquet(owning.toIndexedSeq: _*)
               .join(batch.select(col(keyCol)).distinct(), Seq(keyCol),
-                "left_semi"),
-            batch.toDF(), keyCol)
-        cdcRows.coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(VersionedStore.cdcPath(path, v))
+                "left_semi")
+            val pre = parentDv.fold(preRaw)(dv =>
+              preRaw.join(broadcast(dv), dv.columns.toSeq, "left_anti"))
+            graft.sources.ChangeFeed.keyedDiff(pre, batch.toDF(), keyCol)
+          }
+        VersionedStore.writeCdc(s, path, v, cdcRows, keyCol)
+        // key-based dv RESURRECTION: a keyed write of key K supersedes
+        // K's pending deletion — shrink the cumulative vector at this
+        // slot, or the re-onboarded subject's new row stays invisible
+        // until the fold (the COW purge path's re-upsert contract,
+        // PurgeSinkSpec, extended to dv mode; position-based DV formats
+        // don't have this hazard, the key-based form must handle it)
+        parentDv.foreach { dv =>
+          val batchKeys = batch.select(col(keyCol)).distinct()
+          if (dv.join(batchKeys, Seq(keyCol), "left_semi")
+              .limit(1).count() > 0)
+            VersionedStore.writeDvSized(s, path, v,
+              dv.join(batchKeys, Seq(keyCol), "left_anti"), keyCol)
+        }
         // txn parquet, then the marker LAST — the marker's atomic create is
         // the commit, its name carries the batch id for the replay check
         // (the VersionedCommitSink.appendBatch discipline).

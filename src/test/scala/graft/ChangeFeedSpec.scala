@@ -72,6 +72,11 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(all.count() == perStep)
     assert(all.select(col(ChangeFeed.CommitVersion)).distinct().count() ==
       vs.size - 2, "only change-bearing commits appear in the feed")
+    // an end version beyond the tip fails loudly, never truncates
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.changes(spark, path, vs.head, vs.last + 50, "key")
+    }
+    assert(ex.getMessage.contains("not committed"))
   }
 
   test("erasure-mode parity: COW and dv commits emit the same delete rows") {
@@ -180,6 +185,63 @@ class ChangeFeedSpec extends AnyFunSuite {
       "vacuum left a delete commit's cdc pre-images past the erasure window")
   }
 
+  test("dv-bearing stores: no phantom deletes, dv-only replays no-op, " +
+      "and a keyed re-upsert feeds as INSERT and resurrects the key") {
+    val path = buildStore("dvmix")
+    VersionedStore.deleteCommitDv(spark, path, Seq(10L).toDF("key"), "key")
+    // a COW delete of {10, 20}: 10 is already vectored — the only
+    // logical change is 20, and the cdc must agree with the diff
+    VersionedStore.deleteCommit(spark, path,
+      Seq(10L, 20L).toDF("key"), "key")
+    val Seq(_, v2, v3) = VersionedStore.versions(spark, path)
+    val d = ChangeFeed.changesBetween(spark, path, v2, v3, "key")
+    assert(d.inputFiles.forall(_.contains("/cdc/")))
+    assert(asSet(d) == Set((20L, 200L)),
+      s"phantom delete for an already-vectored key: ${asSet(d)}")
+    // a COW delete of ONLY vectored keys is a logical no-op: no commit
+    VersionedStore.deleteCommit(spark, path, Seq(10L).toDF("key"), "key")
+    assert(VersionedStore.versions(spark, path).last == v3,
+      "a dv-only replay committed a spurious version")
+    // keyed re-upsert of the vectored key: the feed classifies INSERT
+    // (its pre-image is dv-erased, not a pre-image) and the key is
+    // READABLE again at the tip — the PurgeSinkSpec re-onboarding
+    // contract, carried to dv mode by the resurrection shrink
+    graft.streaming.UpsertSink.upsertBatch(
+      Seq((10L, 12345L)).toDF("key", "amount"), path, 1L, "key")
+    val v4 = VersionedStore.versions(spark, path).last
+    val u = ChangeFeed.changesBetween(spark, path, v3, v4, "key")
+    assert(u.select(col(ChangeFeed.ChangeType)).as[String].collect().toSet ==
+      Set("insert"))
+    assert(asSet(u) == Set((10L, 12345L)))
+    val tip = VersionedStore.readVersion(spark, path, v4)
+    assert(tip.filter(col("key") === 10L)
+      .select(col("amount")).as[Long].head() == 12345L,
+      "the re-upserted key stayed invisible behind the old vector")
+    // history is untouched: the key is still erased at v2/v3
+    assert(VersionedStore.readVersion(spark, path, v3)
+      .filter(col("key") === 10L).count() == 0)
+    // replay law holds across the whole mixed lineage
+    val replayed = applyStep(VersionedStore.readVersion(spark, path, v3), u)
+    assert(asSet(replayed) == asSet(tip))
+  }
+
+  test("pure-dv store: a re-upsert whose OLD row still physically " +
+      "exists feeds as INSERT, not an update pair") {
+    val path = buildStore("dvres")
+    VersionedStore.deleteCommitDv(spark, path, Seq(10L).toDF("key"), "key")
+    graft.streaming.UpsertSink.upsertBatch(
+      Seq((10L, 999L)).toDF("key", "amount"), path, 1L, "key")
+    val Seq(_, v2, v3) = VersionedStore.versions(spark, path)
+    val u = ChangeFeed.changesBetween(spark, path, v2, v3, "key")
+    val byType = u.groupBy(col(ChangeFeed.ChangeType)).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 1L),
+      s"dv-erased pre-image leaked into the classifier: $byType")
+    assert(asSet(u) == Set((10L, 999L)))
+    assert(VersionedStore.readVersion(spark, path, v3).count() == 800L)
+    assert(VersionedStore.readVersion(spark, path, v2).count() == 799L)
+  }
+
   test("a burned claim slot does not disable the cdc fast path") {
     val path = buildStore("burn")
     // a crashed writer's claim: slot 2 burns, the delete commits at 3
@@ -247,6 +309,11 @@ class ChangeFeedSpec extends AnyFunSuite {
       d3.select(col(ChangeFeed.ChangeType)).as[String].collect().toSet ==
         Set("delete"))
     ChangeFeedReader.commit(spark, ckpt, t3)
+    // superseded markers are swept: a long-lived consumer's checkpoint
+    // listing stays one file, not one per interval forever
+    val markers = new java.io.File(ckpt).list()
+      .count(_.endsWith(".marker"))
+    assert(markers == 1, s"commit left $markers markers behind")
     // a vacuumed watermark fails fast with the re-bootstrap contract
     VersionedStore.appendCommit(spark, path,
       Seq((901L, 901L)).toDF("key", "amount"), "key", 1)

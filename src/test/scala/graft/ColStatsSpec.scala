@@ -114,6 +114,22 @@ class ColStatsSpec extends AnyFunSuite {
       VersionedStore.versionFiles(spark, path, v3).length)
   }
 
+  test("readPruned never resurfaces deletion-vectored rows") {
+    val path = Files.createTempDirectory("graft_colstats_dv_").toString + "/store"
+    ColStats.configure(spark, path, Seq("amount"))
+    VersionedStore.appendCommit(spark, path,
+      (1L to 100L).map(k => (k, k)).toDF("key", "amount"), "key", 2)
+    VersionedStore.deleteCommitDv(spark, path, Seq(5L).toDF("key"), "key")
+    val v = VersionedStore.versions(spark, path).last
+    val pruned = ColStats.readPruned(spark, path, v, "amount")(
+      (mn, mx) => mn <= 50L)
+    assert(pruned.filter(col("key") === 5L).count() == 0,
+      "a dv-erased row resurfaced through the pruned read")
+    assert(pruned.filter(col("amount") <= 50L).count() ==
+      VersionedStore.readVersion(spark, path, v)
+        .filter(col("amount") <= 50L).count())
+  }
+
   test("a store with no stats relation reads unpruned (and correct)") {
     val path = Files.createTempDirectory("graft_colstats_none_").toString + "/store"
     val dp = VersionedStore.dataPath(path)
