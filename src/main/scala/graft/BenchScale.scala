@@ -109,7 +109,10 @@ object BenchScale {
     }
     // output name from arg 2 (default the historical name) so standing-
     // gate runs keep per-round artifacts instead of overwriting
-    val outName = args.drop(1).headOption.getOrElse("bench_sf1.json")
+    // default output is a scratch name: bench_sf1.json is a COMMITTED
+    // historical artifact the survey cites — a default run must never
+    // clobber it (it did once; the artifact had to be restored)
+    val outName = args.drop(1).headOption.getOrElse("bench_sf1_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       line.getBytes("UTF-8"))
     spark.stop()
