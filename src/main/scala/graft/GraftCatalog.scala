@@ -167,6 +167,13 @@ object GraftCatalog {
     *    behind one verb ([[sources.VersionedStore.refreshMv]]; round-14
     *    verdict #6). Registers the refreshed content as the
     *    `graft_store_mv` view and returns (path, from, to) versions.
+    *  - `CALL graft_store_export('versioned', '<path>', '<version>',
+    *    '<keyCol>', '<k1,k2,...>')` — the SUBJECT-ACCESS read (round
+    *    15): the erasure verb's twin — export the listed subjects' rows
+    *    from the given committed version through the band+bloom-pruned
+    *    multi-key point read ([[sources.VersionedStore.readKeys]]);
+    *    returns the rows and registers them as the
+    *    `graft_store_export` view.
     *  - `CALL graft_store_changes('versioned', '<path>', '<fromV>',
     *    '<toV>', '<keyCol>')` — the table_changes read (round 15):
     *    returns the row-level change feed of the committed interval
@@ -189,6 +196,7 @@ object GraftCatalog {
     val Upsert = s"(?i)\\s*CALL\\s+graft_store_upsert\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val RefreshMv = s"(?i)\\s*CALL\\s+graft_store_refresh_mv\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     val Changes = s"(?i)\\s*CALL\\s+graft_store_changes\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Export = s"(?i)\\s*CALL\\s+graft_store_export\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     def purge(family: String, path: String, keyCol: String,
         keyList: String, mode: String): DataFrame = {
       require(family == "versioned",
@@ -267,6 +275,21 @@ object GraftCatalog {
           intLit(fromV, "fromV"), intLit(toV, "toV"), unq(keyCol))
         df.createOrReplaceTempView("graft_store_changes")
         df
+      case Export(family, path, version, keyCol, keyList) =>
+        require(unq(family) == "versioned",
+          s"export supports the 'versioned' family, got '${unq(family)}'")
+        val v = unq(version).trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_store_export version must be an int literal, got " +
+              s"'${unq(version)}'"))
+        val ks = unq(keyList).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(k => k.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft_store_export keys must be long literals, got '$k'")))
+        val df = sources.VersionedStore.readKeys(s, unq(path), v,
+          ks.toSeq.toDF(unq(keyCol)), unq(keyCol))
+        df.createOrReplaceTempView("graft_store_export")
+        df
       case _ => throw new IllegalArgumentException(
         s"unrecognized CALL statement: $statement — expected " +
           "graft_store_build('<family>','<dir>') | graft_store_drop('<family>') | " +
@@ -274,7 +297,8 @@ object GraftCatalog {
           "graft_store_purge('versioned','<path>','<keyCol>','<k1,k2,...>'[,'<mode>']) | " +
           "graft_store_upsert('versioned','<path>','<keyCol>','<sourceView>','<batchId>') | " +
           "graft_store_refresh_mv('versioned','<path>','<groupCol>','<valueCol>','<keyCol>') | " +
-          "graft_store_changes('versioned','<path>','<fromV>','<toV>','<keyCol>')")
+          "graft_store_changes('versioned','<path>','<fromV>','<toV>','<keyCol>') | " +
+          "graft_store_export('versioned','<path>','<version>','<keyCol>','<k1,k2,...>')")
     }
   }
 

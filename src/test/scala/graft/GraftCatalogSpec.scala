@@ -342,4 +342,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("int literal"))
   }
+
+  test("CALL graft_store_export is the purge verb's subject-access twin") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_sar_").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 300L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    // export BEFORE the purge (the compliance order), from version 1
+    val out = GraftCatalog.call(spark,
+      s"CALL graft_store_export('versioned', '$path', '1', 'k', '10, 20')")
+    assert(out.select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((10L, 20L), (20L, 40L)))
+    // the registered view answers plain SQL
+    GraftCatalog.call(spark,
+      s"CALL graft_store_purge('versioned', '$path', 'k', '10,20', 'dv')")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_store_export").as[Long].head() == 2L)
+    // post-purge, the same export at the tip returns nothing
+    val tip = sources.VersionedStore.versions(spark, path).last
+    val after = GraftCatalog.call(spark,
+      s"CALL graft_store_export('versioned', '$path', '$tip', 'k', '10,20')")
+    assert(after.count() == 0L)
+  }
 }
