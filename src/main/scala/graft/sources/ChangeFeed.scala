@@ -84,9 +84,27 @@ object ChangeFeed extends QueryPack {
       s"end version $toV is not committed under $path " +
         s"(newest committed: ${committed.lastOption.getOrElse(-1)})")
     require(vs.size >= 2, s"no committed versions in ($fromV, $toV] under $path")
-    vs.sliding(2).collect { case Seq(va, vb) =>
+    val steps = vs.sliding(2).collect { case Seq(va, vb) =>
       stepBetween(s, path, va, vb, keyCol, adjacent = true)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.toSeq
+    // BOUNDED-PLAN union (round-15 advice): a deep lineage's feed must
+    // not build a thousands-way left-deep union on the driver. Steps
+    // union in fixed-fan-in chunks; past ChunkSize steps each chunk is
+    // eagerly localCheckpoint-ed (lineage truncated to its materialized
+    // blocks), so the final plan holds interval/ChunkSize leaves with
+    // bounded depth however many commits the interval spans.
+    unionBounded(steps)
+  }
+
+  /** Fixed fan-in per chunk of the multi-step feed union. */
+  private[graft] val ChunkSize = 32
+
+  private[graft] def unionBounded(steps: Seq[DataFrame]): DataFrame = {
+    def unionAll(dfs: Seq[DataFrame]) =
+      dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (steps.size <= ChunkSize) unionAll(steps)
+    else unionAll(steps.grouped(ChunkSize)
+      .map(chunk => unionAll(chunk).localCheckpoint(true)).toSeq)
   }
 
   /** One commit step's feed (also the unit [[graft.streaming.ChangeFeedReader]]
@@ -95,10 +113,18 @@ object ChangeFeed extends QueryPack {
     * retained snapshots (intermediate churn collapses), which is the
     * only well-defined answer once the middle manifests are gone. */
   def changesBetween(s: SparkSession, path: String, va: Int, vb: Int,
-      keyCol: String): DataFrame =
+      keyCol: String): DataFrame = {
+    // both endpoints must be COMMITTED (round-15 advice): an
+    // uncommitted vb whose slot holds a crashed pre-marker writer's
+    // orphaned artifacts must never be served as a feed endpoint
+    val committed = VersionedStore.versions(s, path)
+    require(committed.contains(va) && committed.contains(vb),
+      s"change feed endpoints must be committed/retained versions of " +
+        s"$path — got ($va, $vb), committed: ${committed.mkString(", ")}")
+    require(va < vb, s"change feed interval must run forward, got ($va, $vb)")
     stepBetween(s, path, va, vb, keyCol,
-      adjacent = !VersionedStore.versions(s, path)
-        .exists(w => w > va && w < vb))
+      adjacent = !committed.exists(w => w > va && w < vb))
+  }
 
   /** One pair's feed with the adjacency fact THREADED from the caller —
     * [[changes]] walks consecutive retained versions, so it passes
@@ -154,14 +180,29 @@ object ChangeFeed extends QueryPack {
     val dvDiff: Option[DataFrame] =
       if (shared.isEmpty) None
       else dvB.flatMap { n =>
+        // the dv relation's single column IS the store's dv key — a
+        // caller keying the feed by any other (even valid row-identity)
+        // column would fail mid-query with an opaque AnalysisException
+        // in the selects below; state the contract instead
+        val dvKey = n.columns.head
+        require(dvKey == keyCol,
+          s"change feed keyCol '$keyCol' does not match the store's " +
+            s"deletion-vector column '$dvKey' — a dv-bearing store's " +
+            "feed must be keyed by the column its deletion vectors carry")
         val diff = dvA.fold(n)(o => n.join(o, o.columns.toSeq, "left_anti"))
         // READ-only owning-file prune: bands+blooms when present, fail
-        // open to the shared set otherwise (a consumer must never write)
+        // open to the shared set otherwise (a consumer must never
+        // write). The shared restriction is a semi-join against a small
+        // frame, not an In-literal over tens of thousands of file names
+        // (round-15 advice).
         val owning: Seq[String] =
           VersionedStore.fileKeyStatsReadOnly(s, path, vb) match {
             case None => shared
-            case Some(st) => VersionedStore.owningFilesFor(diff,
-              st.filter(col("file").isin(shared: _*)), keyCol)
+            case Some(st) =>
+              import s.implicits._
+              VersionedStore.owningFilesFor(diff,
+                st.join(broadcast(shared.toDF("file")), Seq("file"),
+                  "left_semi"), keyCol)
           }
         if (owning.isEmpty) None
         else Some(s.read.parquet(owning.toIndexedSeq: _*)
@@ -173,9 +214,11 @@ object ChangeFeed extends QueryPack {
     val step = parts match {
       case Nil =>
         // metadata-only step (e.g. a replayed no-op): an empty feed with
-        // the store's schema
-        s.read.parquet(VersionedStore.versionFiles(s, path, vb).head)
-          .limit(0).withColumn(ChangeType, lit(""))
+        // the store's schema — carrier-resolved so a zero-file committed
+        // manifest (a purge that emptied the store) still types the
+        // empty result instead of throwing (round-15 advice)
+        VersionedStore.schemaCarrier(s, path, vb)
+          .withColumn(ChangeType, lit(""))
       case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     step.withColumn(CommitVersion, lit(vb.toLong))

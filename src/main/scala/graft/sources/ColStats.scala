@@ -54,13 +54,20 @@ object ColStats extends QueryPack {
       .coalesce(1).write.mode(SaveMode.Append).parquet(dir(path, colName))
   }
 
-  /** The column's stats relation, newest entry per file; None when the
-    * column has never been statted. */
+  /** The column's stats relation, one entry per file — resolved
+    * DETERMINISTICALLY as the WIDEST interval over any duplicate
+    * entries (min of mn, max of mx): the relation is append-only and a
+    * re-statted file appends a second row, so an arbitrary-pick
+    * (dropDuplicates) would resolve divergent duplicates
+    * nondeterministically (round-15 advice); the interval union is
+    * order-free and stays a correct over-approximation by construction.
+    * None when the column has never been statted. */
   def read(s: SparkSession, path: String, colName: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir(path, colName))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(s.read.parquet(dir(path, colName)).dropDuplicates("file"))
+    else Some(s.read.parquet(dir(path, colName)).groupBy(col("file"))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx")))
   }
 
   /** Read version `v` skipping files whose recorded (mn, mx) cannot
@@ -83,7 +90,11 @@ object ColStats extends QueryPack {
         files.toSeq.filter(f => keep(f) || !statted(f))
     }
     val base =
-      if (survivors.isEmpty) s.read.parquet(files.head).limit(0)
+      if (survivors.isEmpty)
+        // files may ALSO be empty (a purge-emptied committed manifest,
+        // round-15 advice) — the carrier resolves the schema from the
+        // newest retained version still listing a file
+        VersionedStore.schemaCarrier(s, path, v)
       else s.read.parquet(survivors: _*)
     // the version's deletion vector applies as on any read — a pruned
     // read must never resurface erasure-vectored rows
@@ -158,20 +169,50 @@ object ColStats extends QueryPack {
     val root = new org.apache.hadoop.fs.Path(path + "/colstats")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    // CRASH-RECOVERABLE swap (round-15 verdict nit (a)): the old
+    // delete-then-rename had a window in which the column's relation
+    // existed nowhere on disk. The discipline now matches the dv fold's
+    // staging rule, under SEPARATE roots (`colstats_gc` staging,
+    // `colstats_old` superseded — never suffixes of the column name,
+    // which a real column could collide with): HEAL first (a previous
+    // crash between the rename-out and rename-in left only the _old
+    // copy — restore it; any staging orphan is a dead attempt — drop
+    // it), then stage → rename live out → rename stage in → delete old.
+    // Every crash point leaves the relation recoverable by the next gc;
+    // the residual single-rename windows fail OPEN on read (no relation
+    // = no pruning), never wrong.
+    val gcRoot = new org.apache.hadoop.fs.Path(path + "/colstats_gc")
+    val oldRoot = new org.apache.hadoop.fs.Path(path + "/colstats_old")
+    fs.delete(gcRoot, true)
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).filter(_.isDirectory).foreach { o =>
+        val liveDir = new org.apache.hadoop.fs.Path(root, o.getPath.getName)
+        if (!fs.exists(liveDir)) fs.rename(o.getPath, liveDir)
+        else fs.delete(o.getPath, true)
+      }
+      fs.delete(oldRoot, true)
+    }
+    fs.mkdirs(gcRoot)
+    fs.mkdirs(oldRoot)
     fs.listStatus(root).filter(_.isDirectory).foreach { d =>
-      val st = s.read.parquet(d.getPath.toString).dropDuplicates("file")
+      val st = s.read.parquet(d.getPath.toString).groupBy(col("file"))
+        .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
       val keep = st.collect().filter(r => live(r.getString(0)))
       if (keep.isEmpty) fs.delete(d.getPath, true)
       else {
-        // stage-then-swap: the relation is tiny (file-count rows) and
-        // Overwrite into the dir being read is not safe
-        val tmp = new org.apache.hadoop.fs.Path(d.getPath.toString + "_gc")
+        val tmp = new org.apache.hadoop.fs.Path(gcRoot, d.getPath.getName)
+        val old = new org.apache.hadoop.fs.Path(oldRoot, d.getPath.getName)
         s.createDataFrame(keep.toSeq.asJava, st.schema)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(d.getPath, true)
-        fs.rename(tmp, d.getPath)
+        require(fs.rename(d.getPath, old),
+          s"colstats gc: rename-out failed for ${d.getPath}")
+        require(fs.rename(tmp, d.getPath),
+          s"colstats gc: rename-in failed for ${d.getPath}")
+        fs.delete(old, true)
       }
     }
+    fs.delete(gcRoot, true)
+    fs.delete(oldRoot, true)
   }
 
   private val (cut1, cut2) = ("1997-01-01", "1998-01-01")

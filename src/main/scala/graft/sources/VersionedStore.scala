@@ -134,9 +134,39 @@ object VersionedStore extends QueryPack {
     dvAt(s, path, v).fold(base)(dv => base.join(dv, dv.columns.toSeq, "left_anti"))
 
   /** Read the store as of version `v` — the manifest's member files
-    * minus the version's deletion vector (if any). */
-  def readVersion(s: SparkSession, path: String, v: Int): DataFrame =
-    applyDv(s, path, v, s.read.parquet(versionFiles(s, path, v): _*))
+    * minus the version's deletion vector (if any). A committed manifest
+    * can list ZERO files (a purge that emptied the store): that version
+    * reads as the empty store-typed frame. */
+  def readVersion(s: SparkSession, path: String, v: Int): DataFrame = {
+    val files = versionFiles(s, path, v)
+    if (files.isEmpty) schemaCarrier(s, path, v)
+    else applyDv(s, path, v, s.read.parquet(files.toIndexedSeq: _*))
+  }
+
+  /** A ZERO-ROW frame carrying the store's schema — the empty-result
+    * carrier for read paths whose pruned (or manifest-listed) file set
+    * is empty. A committed manifest can legitimately list zero files (a
+    * purge that emptied the store — the UpsertSink.readTouched case),
+    * so the carrier falls back to the newest RETAINED version that
+    * still lists a file; only a store that has never held a data file
+    * in any retained version fails, loudly (its row schema is
+    * physically undiscoverable — the Delta/Iceberg equivalent keeps
+    * schema in the log, which this layout does not). */
+  private[graft] def schemaCarrier(s: SparkSession, path: String,
+      v: Int): DataFrame = {
+    val own = versionFiles(s, path, v)
+    val src =
+      if (own.nonEmpty) Some(own.head)
+      else versions(s, path).reverseIterator
+        .map(w => versionFiles(s, path, w)).find(_.nonEmpty).map(_.head)
+    src match {
+      case Some(f) => s.read.parquet(f).limit(0)
+      case None => throw new IllegalStateException(
+        s"store at $path lists no data file in any retained version — " +
+          "its row schema is undiscoverable, so an empty read cannot be " +
+          "typed; vacuum retention dropped every non-empty ancestor")
+    }
+  }
 
   /** The copy-on-write custkey band for a store built over `orders`:
     * 10% of the key space, derived from the v2 frame's key extremes by
@@ -1144,7 +1174,12 @@ object VersionedStore extends QueryPack {
       v: Int): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(cdcPath(path, v))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None else Some(s.read.parquet(cdcPath(path, v)))
+    // committed-gated, like dvAt: a crashed pre-marker writer can leave
+    // an orphaned cdc/ dir at an uncommitted slot (vacuum reclaims it
+    // later) — serving those rows as the feed would replay a commit
+    // that never happened
+    if (!fs.exists(p) || !versions(s, path).contains(v)) None
+    else Some(s.read.parquet(cdcPath(path, v)))
   }
 
   /** Estimated on-disk bytes per full-width cdc row — the sizing input
@@ -1204,12 +1239,14 @@ object VersionedStore extends QueryPack {
       keyCol: String): DataFrame = {
     val files = versionFiles(s, path, v)
     requireIntegralKey(keys, keyCol)
-    val owning: Seq[String] = fileKeyStatsReadOnly(s, path, v) match {
-      case None => files.toSeq
-      case Some(st) => owningFilesFor(keys, st, keyCol)
-    }
+    val owning: Seq[String] =
+      if (files.isEmpty) Nil // a purge can empty a committed manifest
+      else fileKeyStatsReadOnly(s, path, v) match {
+        case None => files.toSeq
+        case Some(st) => owningFilesFor(keys, st, keyCol)
+      }
     val base =
-      if (owning.isEmpty) s.read.parquet(files.head).limit(0)
+      if (owning.isEmpty) schemaCarrier(s, path, v)
       else s.read.parquet(owning: _*)
     applyDv(s, path, v,
       base.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"))
@@ -1625,8 +1662,13 @@ object VersionedStore extends QueryPack {
       def dvDiffRows(newer: Option[DataFrame], older: Option[DataFrame])
           : Option[DataFrame] = newer.map { n =>
         val diff = older.fold(n)(o => n.join(o, o.columns.toSeq, "left_anti"))
+        // restrict to the SHARED files via a semi-join against a small
+        // frame, not an In-literal: at lake scale the shared set is tens
+        // of thousands of names and an In expression that long bloats
+        // the plan and driver memory (round-15 advice)
+        import s.implicits._
         val statsDf = fileKeyStatsBloomed(s, path, vb, keyCol)
-          .filter(col("file").isin(shared: _*))
+          .join(broadcast(shared.toDF("file")), Seq("file"), "left_semi")
         val owning = owningFilesFor(diff, statsDf, keyCol)
         if (owning.isEmpty) s.read.parquet(shared.head).limit(0)
         else s.read.parquet(owning.toIndexedSeq: _*)

@@ -324,6 +324,91 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("re-bootstrap"))
   }
 
+  test("zero-file committed manifest: a purge that empties the store " +
+      "still feeds, exports and prunes as EMPTY results, never throws") {
+    val path = buildStore("empty")
+    val vs0 = VersionedStore.versions(spark, path)
+    // purge EVERY key: the delete commit's rewrite holds zero rows, so
+    // the committed tip manifest can list zero files
+    val v = VersionedStore.deleteCommit(spark, path,
+      (1L to 800L).toDF("key"), "key")
+    assert(v > vs0.last)
+    assert(VersionedStore.readVersion(spark, path, v).count() == 0)
+    // subject-access read over the emptied tip: empty, store-typed
+    val ex = VersionedStore.readKeys(spark, path, v,
+      Seq(5L).toDF("key"), "key")
+    assert(ex.count() == 0)
+    assert(ex.columns.toSet == Set("key", "amount"))
+    // change feed across the emptying commit and a metadata-only pair
+    val step = ChangeFeed.changesBetween(spark, path, vs0.last, v, "key")
+    assert(step.filter(col(ChangeFeed.ChangeType) === "delete").count() == 800)
+    // stats-pruned read over the emptied tip: empty, never NoSuchElement
+    val pruned = sources.ColStats.readPruned(spark, path, v, "key")(
+      (mn, mx) => mx >= 0L && mn <= 1000L)
+    assert(pruned.count() == 0)
+    assert(pruned.columns.toSet == Set("key", "amount"))
+  }
+
+  test("endpoint validation: uncommitted endpoints and a mismatched dv " +
+      "key column fail with contract-stating messages") {
+    val path = buildStore("val")
+    VersionedStore.deleteCommitDv(spark, path, Seq(7L).toDF("key"), "key")
+    val vs = VersionedStore.versions(spark, path)
+    val e1 = intercept[IllegalArgumentException] {
+      ChangeFeed.changesBetween(spark, path, vs.head, vs.last + 3, "key")
+    }
+    assert(e1.getMessage.contains("committed"))
+    // the dv-term validation runs on the metadata-diff path — drop the
+    // dv commit's write-path cdc relation to model a non-cdc writer
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      VersionedStore.cdcPath(path, vs.last)), true)
+    val e2 = intercept[IllegalArgumentException] {
+      ChangeFeed.changesBetween(spark, path, vs.head, vs.last, "amount")
+    }
+    assert(e2.getMessage.contains("deletion-vector column"))
+  }
+
+  test("bounded-plan union: a deep lineage's feed stays correct and its " +
+      "plan holds chunk-count leaves, not one per commit") {
+    val path = Files.createTempDirectory("graft_cdf_deep").toString + "/store"
+    (0 until 40).foreach { i =>
+      VersionedStore.appendCommit(spark, path,
+        Seq((i.toLong, i.toLong * 10)).toDF("key", "amount"), "key", 1)
+    }
+    val vs = VersionedStore.versions(spark, path)
+    assert(vs.size == 40)
+    val all = ChangeFeed.changes(spark, path, vs.head, vs.last, "key")
+    assert(all.count() == 39) // one insert per post-base commit
+    assert(asSet(all.select(col("key"), col("amount"))) ==
+      (1L until 40L).map(k => (k, k * 10)).toSet)
+    // past ChunkSize steps, every chunk is a materialized checkpoint
+    // leaf: the analyzed plan holds ceil(steps/ChunkSize) leaves, never
+    // one scan per commit
+    val leaves = all.queryExecution.analyzed.collectLeaves().size
+    val chunks = (39 + ChangeFeed.ChunkSize - 1) / ChangeFeed.ChunkSize
+    assert(leaves == chunks, s"deep feed plan has $leaves leaves, want $chunks")
+  }
+
+  test("schemaCarrier: a zero-file manifest resolves its schema from the " +
+      "newest retained non-empty version; an always-empty store fails loudly") {
+    val path = Files.createTempDirectory("graft_cdf_sc").toString + "/store"
+    Seq((1L, "a")).toDF("key", "tag")
+      .write.mode(SaveMode.Overwrite).parquet(VersionedStore.dataPath(path))
+    val f1 = VersionedStore.hadoopLs(spark, VersionedStore.dataPath(path))
+    VersionedStore.writeManifest(spark, path, 1, f1)
+    VersionedStore.writeManifest(spark, path, 2, Nil)
+    val sc = VersionedStore.schemaCarrier(spark, path, 2)
+    assert(sc.count() == 0 && sc.columns.toSet == Set("key", "tag"))
+    val bare = Files.createTempDirectory("graft_cdf_sc2").toString + "/store"
+    VersionedStore.writeManifest(spark, bare, 1, Nil)
+    val ex = intercept[IllegalStateException] {
+      VersionedStore.schemaCarrier(spark, bare, 1)
+    }
+    assert(ex.getMessage.contains("undiscoverable"))
+  }
+
   test("q120 gate: the lineage feed is non-empty and delete-complete") {
     val df = ChangeFeed.q120ChangeFeed(spark, TestSpark.sf)
     val rows = df.as[(Long, String, Long, Long, Long)].collect()

@@ -130,6 +130,68 @@ class ColStatsSpec extends AnyFunSuite {
         .filter(col("amount") <= 50L).count())
   }
 
+  test("duplicate stats entries resolve deterministically to the WIDEST " +
+      "interval (the union over-approximation), never an arbitrary pick") {
+    val path = Files.createTempDirectory("graft_colstats_dup_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 100L).map(k => (k, k)).toDF("key", "amount")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dp)
+    val files = VersionedStore.hadoopLs(spark, dp).toSeq.sorted
+    VersionedStore.writeManifest(spark, path, 1, files)
+    // a legitimate re-stat appends a second row for the same file; a
+    // divergent duplicate (here: hand-written narrow and wide bands)
+    // must resolve to mn=min, mx=max regardless of read order
+    Seq((files.head, 40L, 60L), (files.head, 10L, 90L))
+      .toDF("file", "mn", "mx")
+      .write.mode(SaveMode.Append).parquet(ColStats.dir(path, "amount"))
+    val resolved = ColStats.read(spark, path, "amount").get
+      .as[(String, Long, Long)].collect()
+    assert(resolved.toSeq == Seq((files.head, 10L, 90L)),
+      s"duplicate resolution is not the interval union: ${resolved.toSeq}")
+    // the widened band keeps zero false negatives
+    val pruned = ColStats.readPruned(spark, path, 1, "amount")(
+      (mn, mx) => mx >= 15L && mn <= 15L)
+    assert(pruned.filter(col("amount") === 15L).count() == 1L)
+  }
+
+  test("gc swap is crash-recoverable: every injected crash point leaves " +
+      "the relation restorable by the next gc, never lost") {
+    val path = Files.createTempDirectory("graft_colstats_crash_").toString + "/store"
+    val dp = VersionedStore.dataPath(path)
+    (1L to 100L).map(k => (k, k)).toDF("key", "amount")
+      .repartitionByRange(2, col("key"))
+      .write.mode(SaveMode.Overwrite).parquet(dp)
+    val files = VersionedStore.hadoopLs(spark, dp).toSeq.sorted
+    VersionedStore.writeManifest(spark, path, 1, files)
+    ColStats.append(spark, path, files, "amount")
+    val before = ColStats.read(spark, path, "amount").get
+      .as[(String, Long, Long)].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = new org.apache.hadoop.fs.Path(ColStats.dir(path, "amount"))
+    val oldDir = new org.apache.hadoop.fs.Path(path + "/colstats_old/amount")
+    val gcDir = new org.apache.hadoop.fs.Path(path + "/colstats_gc/amount")
+    // crash point 1: staged copy written, live still in place — the
+    // orphaned staging must be dropped, the live relation kept
+    fs.mkdirs(gcDir.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, liveDir, fs, gcDir, false,
+      spark.sparkContext.hadoopConfiguration)
+    ColStats.gc(spark, path, files.toSet)
+    assert(!fs.exists(gcDir), "staging orphan survived gc")
+    assert(ColStats.read(spark, path, "amount").get
+      .as[(String, Long, Long)].collect().toSet == before)
+    // crash point 2: between rename-out and rename-in — live missing,
+    // _old holds the pre-gc copy; the next gc must HEAL it back
+    fs.mkdirs(oldDir.getParent)
+    require(fs.rename(liveDir, oldDir))
+    assert(ColStats.read(spark, path, "amount").isEmpty, "fail-open window")
+    ColStats.gc(spark, path, files.toSet)
+    assert(fs.exists(liveDir) && !fs.exists(oldDir))
+    assert(ColStats.read(spark, path, "amount").get
+      .as[(String, Long, Long)].collect().toSet == before,
+      "heal did not restore the pre-crash relation")
+  }
+
   test("a store with no stats relation reads unpruned (and correct)") {
     val path = Files.createTempDirectory("graft_colstats_none_").toString + "/store"
     val dp = VersionedStore.dataPath(path)
