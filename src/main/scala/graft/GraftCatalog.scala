@@ -141,11 +141,18 @@ object GraftCatalog {
     *    commit a compaction of the versioned store AT `path` (any
     *    store in the [[VersionedStore]] layout, including stream-built
     *    ones) clustered on `col`; returns the committed version.
-    *  - `CALL graft_store_purge('versioned', '<path>', '<keyCol>',
+    *  - `CALL graft_store_purge('<family>', '<path>', '<keyCol>',
     *    '<k1,k2,...>'[, '<mode>'])` — execute an erasure batch against
-    *    the store at `path` as a DELETE commit: mode 'cow' (default)
-    *    rewrites the owning files ([[VersionedStore.deleteCommit]]),
-    *    mode 'dv' commits an O(keys) deletion vector
+    *    the store at `path`. Family 'versioned' commits a DELETE: mode
+    *    'cow' (default) rewrites the owning files
+    *    ([[VersionedStore.deleteCommit]]), mode 'dv' commits an O(keys)
+    *    deletion vector. Families 'inverted_index' / 'ann_index' /
+    *    'knn_graph' (round-15 verdict #1) tombstone the keys in the
+    *    SERVING store — every probe excludes them immediately; mode
+    *    'logical' (their default) stops there, mode 'fold' also
+    *    executes the physical rewrite of the bloom-admitted files
+    *    ([[sources.IndexTombstones]]); returns (path, folded_files),
+    *    -1 for logical. Versioned mode 'dv' details:
     *    ([[VersionedStore.deleteCommitDv]], folded physical at
     *    optimize/vacuum); returns the committed version. History stays
     *    readable until vacuum.
@@ -199,20 +206,51 @@ object GraftCatalog {
     val Export = s"(?i)\\s*CALL\\s+graft_store_export\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     def purge(family: String, path: String, keyCol: String,
         keyList: String, mode: String): DataFrame = {
-      require(family == "versioned",
-        s"purge supports the 'versioned' family, got '$family'")
       val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty)
         .map(k => k.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"graft_store_purge keys must be long literals, got '$k'")))
-      val v = mode match {
-        case "cow" => VersionedStore.deleteCommit(s, path,
-          keys.toSeq.toDF(keyCol), keyCol)
-        case "dv" => VersionedStore.deleteCommitDv(s, path,
-          keys.toSeq.toDF(keyCol), keyCol)
-        case other => throw new IllegalArgumentException(
-          s"unknown purge mode '$other' (expected cow or dv)")
+      // per-family default mode: versioned → cow, serving stores → logical
+      val mode0 =
+        if (mode.nonEmpty) mode
+        else if (family == "versioned") "cow" else "logical"
+      // the SERVING families (round-15 verdict #1): tombstone-append
+      // purge, every probe excluding the keys immediately; mode 'fold'
+      // additionally executes the physical rewrite at the call
+      def indexPurge(doPurge: () => Unit, doFold: () => Int): DataFrame = {
+        doPurge()
+        val folded = mode0 match {
+          case "logical" => -1
+          case "fold" => doFold()
+          case other => throw new IllegalArgumentException(
+            s"unknown purge mode '$other' for the '$family' family " +
+              "(expected logical or fold)")
+        }
+        Seq((path, folded)).toDF("path", "folded_files")
       }
-      Seq((path, v)).toDF("path", "committed_version")
+      family match {
+        case "versioned" =>
+          val v = mode0 match {
+            case "cow" => VersionedStore.deleteCommit(s, path,
+              keys.toSeq.toDF(keyCol), keyCol)
+            case "dv" => VersionedStore.deleteCommitDv(s, path,
+              keys.toSeq.toDF(keyCol), keyCol)
+            case other => throw new IllegalArgumentException(
+              s"unknown purge mode '$other' (expected cow or dv)")
+          }
+          Seq((path, v)).toDF("path", "committed_version")
+        case "inverted_index" => indexPurge(
+          () => InvertedIndexStore.purge(s, path, keys.toSeq),
+          () => InvertedIndexStore.fold(s, path))
+        case "ann_index" => indexPurge(
+          () => AnnIndexStore.purge(s, path, keys.toSeq),
+          () => AnnIndexStore.fold(s, path))
+        case "knn_graph" => indexPurge(
+          () => sources.KnnGraphStore.purge(s, path, keys.toSeq),
+          () => sources.KnnGraphStore.fold(s, path))
+        case other => throw new IllegalArgumentException(
+          s"purge supports the versioned, inverted_index, ann_index and " +
+            s"knn_graph families, got '$other'")
+      }
     }
     statement match {
       case Build(family, dir) =>
@@ -239,7 +277,7 @@ object GraftCatalog {
           targetFileBytes = 64L << 20)
         Seq((unq(path), v)).toDF("path", "committed_version")
       case Purge(family, path, keyCol, keyList) =>
-        purge(unq(family), unq(path), unq(keyCol), unq(keyList), "cow")
+        purge(unq(family), unq(path), unq(keyCol), unq(keyList), "")
       case PurgeM(family, path, keyCol, keyList, mode) =>
         purge(unq(family), unq(path), unq(keyCol), unq(keyList), unq(mode))
       case Upsert(family, path, keyCol, sourceView, batchId) =>

@@ -918,6 +918,20 @@ object Similarity extends QueryPack {
       |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn2
       |  FROM qv)""".stripMargin
 
+  /** The q54 twin with an EXCLUSION predicate on the candidate set —
+    * the purged-ANN-store gate (q124): the store's codes stay quantized
+    * under the FULL corpus codebook (a purge removes rows, it never
+    * refits the affine map — the trained-map semantics every quantized
+    * index keeps), so only the final selection filters. */
+  private[graft] def q54OracleSqlExcluding(pred: String): String =
+    s"""WITH v AS ($vSql),
+       |$quantCtes,
+       |qq AS (SELECT q AS cq, qn2 AS cqn2 FROM qn WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  ${quantCosSql("q", "qn2", "cq", "cqn2")} AS qcos
+       |FROM qn CROSS JOIN qq WHERE vec_id <> 0 AND $pred
+       |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+
   /** Quantized cosine with the zero-guard — the SQL twin of [[quantCos]]. */
   private def quantCosSql(q: String, qn2: String, cq: String, cqn2: String): String =
     s"""CASE WHEN $qn2 = 0 OR $cqn2 = 0 THEN -2.0

@@ -752,14 +752,22 @@ object Text extends QueryPack {
 
   /** The q86 oracle SQL, shared with q86b (the index probe computes the
     * same answer from the persisted postings, so one twin gates both). */
-  private[graft] def bm25OracleSql: String = {
+  private[graft] def bm25OracleSql: String = bm25OracleSqlWhere("")
+
+  /** The BM25 twin over a RESTRICTED corpus — `where` filters the
+    * documents CTE (empty = full corpus), so the purged-index gate
+    * (q123) restates "BM25 over the surviving documents" with stats,
+    * df and candidates all survivor-derived, exactly like the
+    * tombstone-adjusted probe. */
+  private[graft] def bm25OracleSqlWhere(where: String): String = {
+      val pred = if (where.isEmpty) "" else s" WHERE $where"
       val terms = Bm25Query.map("'" + _ + "'").mkString(",")
       val pivots = Bm25Query.zipWithIndex.map { case (t, i) =>
         s"max(CASE WHEN term = '$t' THEN w END) AS w_$i"
       }.mkString(",\n         |    ")
       val score = Bm25Query.indices.map(i => s"coalesce(w_$i, 0.0)")
         .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents$pred),
          |stats AS (
          |  SELECT count(*) AS n_docs,
          |    CAST(sum(len(tk)) AS BIGINT) AS tot_tokens

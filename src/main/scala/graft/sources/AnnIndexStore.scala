@@ -148,6 +148,14 @@ object AnnIndexStore extends QueryPack {
       .sortWithinPartitions("cell", "vec_id")
       .write.mode(SaveMode.Overwrite).parquet(cellsPath(path))
     writeManifest(s, cellsPath(path), "cell")
+    // per-file vec_id blooms over every data relation — the erasure
+    // fold's prune input ([[IndexTombstones]]): codes/cells cluster on
+    // tc/cell, where a purged vector's rows scatter past any band
+    Seq(vectorsPath(path), codesPath(path), cellsPath(path), quantPath(path))
+      .foreach { rel =>
+        IndexTombstones.appendBlooms(s, rel,
+          VersionedStore.hadoopLs(s, rel).toSeq.sorted, "vec_id")
+      }
   }
 
   /** Per-JVM store cache (the store-family amortization contract). */
@@ -165,6 +173,51 @@ object AnnIndexStore extends QueryPack {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("n2", norm2(col("e")))
+
+  // ---- ERASURE (round-15 verdict #1): purge / fold ----
+
+  /** PURGE vector ids from every serving relation, logically and
+    * immediately: an O(keys) tombstone append; every probe (LSH, IVF,
+    * quantized scan, retrieval eval, the RRF fusion's vector leg)
+    * anti-joins its candidates from that moment. Idempotent (re-purged
+    * ids append nothing). Physical erasure is [[fold]]'s job. */
+  def purge(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    if (vecIds.isEmpty) return
+    import s.implicits._
+    IndexTombstones.append(s, path, vecIds.distinct.sorted.toDF("k"))
+  }
+
+  /** PHYSICAL erasure — rewrite exactly the vectors/codes/cells/quant
+    * files whose vec_id bloom admits a tombstoned id (order-preserving
+    * drop, manifests refreshed incrementally), then clear the relation:
+    * after this no file of any relation holds a purged vector's bytes
+    * or codes (the unrecoverability law). Centroids and the codebook
+    * stay — they are trained aggregates, not subject rows (the IVF/PQ
+    * convention every vector store keeps). Returns rewritten files. */
+  def fold(s: SparkSession, path: String): Int =
+    WriterLease.withLease(s, path, "annFold") {
+      val keys = IndexTombstones.keySet(s, path)
+      if (keys.isEmpty) 0
+      else {
+        val n = Seq(
+          (vectorsPath(path), "vec_id"),
+          (codesPath(path), "tc"),
+          (cellsPath(path), "cell"),
+          (quantPath(path), "vec_id"))
+          .map { case (rel, mfKey) =>
+            IndexTombstones.foldRelation(s, rel, manifestPath(rel),
+              "vec_id", mfKey, keys)
+          }.sum
+        IndexTombstones.clear(s, path)
+        n
+      }
+    }
+
+  /** Tombstone-aware candidate filter — every probe's first move after
+    * its pruned read (one existence probe on an unpurged store). */
+  private def minusTombs(s: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    IndexTombstones.minus(s, path, df, "vec_id")
 
   /** Files whose [mn, mx] range in any of `manifests` can contain one
     * of `keys` — the point-probe file skip, run as a distributed
@@ -242,8 +295,10 @@ object AnnIndexStore extends QueryPack {
     * tables × |Hamming ball| longs (948 at the default geometry), the
     * q86b query-terms contract. */
   private[graft] def knnLshIndex(s: SparkSession, dir: String,
+      radius: Int = 2): DataFrame = lshProbe(s, store(s, dir), radius)
+
+  private[graft] def lshProbe(s: SparkSession, path: String,
       radius: Int = 2): DataFrame = {
-    val path = store(s, dir)
     val bits = Similarity.LshBits
     val q = fetchVector(s, path, 0L)
       .select(col("e").as("qe"), col("n2").as("qn2"))
@@ -261,9 +316,9 @@ object AnnIndexStore extends QueryPack {
     // dedup — and unlike dropDuplicates over array payloads it plans
     // as a partial-aggregable HashAggregate (each task reduces its
     // bucket rows to one row per candidate before the only shuffle)
-    s.read.parquet(files: _*)
+    minusTombs(s, path, s.read.parquet(files: _*)
       .filter(col("tc").isin(probeKeys: _*))
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= 0))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos"))
@@ -315,8 +370,8 @@ object AnnIndexStore extends QueryPack {
     val files = filesForKeys(s, cellsPath(path), probed)
     require(files.nonEmpty, "manifest selected no cell files for the probe")
     val qn2 = qe.map(x => x * x).sum
-    val base = s.read.parquet(files: _*)
-      .filter(col("cell").isin(probed: _*))
+    val base = minusTombs(s, path, s.read.parquet(files: _*)
+      .filter(col("cell").isin(probed: _*)))
     excludeId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cell"),
         cosineFrom(dot(col("e"), array(qe.map(lit): _*)),
@@ -366,14 +421,16 @@ object AnnIndexStore extends QueryPack {
     * this tier is gated by the SAME DuckDB twin: an ORACLE-EXACT
     * store-served ANN row (the q86b property, which no probabilistic
     * LSH/IVF tier can offer). */
-  def q54bKnnQuantizedIndex(s: SparkSession, dir: String): DataFrame = {
-    val path = store(s, dir)
+  def q54bKnnQuantizedIndex(s: SparkSession, dir: String): DataFrame =
+    quantizedProbe(s, store(s, dir))
+
+  private[graft] def quantizedProbe(s: SparkSession, path: String): DataFrame = {
     val qFiles = filesForKeys(s, quantPath(path), Seq(0L))
     require(qFiles.nonEmpty, "query code not covered by any store file")
     val qq = s.read.parquet(qFiles: _*).filter(col("vec_id") === 0)
       .select(col("q").as("cq"), col("qn2").as("cqn2"))
-    s.read.parquet(quantPath(path))
-      .filter(col("vec_id") =!= 0)
+    minusTombs(s, path, s.read.parquet(quantPath(path))
+      .filter(col("vec_id") =!= 0))
       .crossJoin(broadcast(qq))
       .select(col("vec_id"),
         when(col("qn2") === 0 || col("cqn2") === 0, lit(-2.0))
@@ -413,7 +470,7 @@ object AnnIndexStore extends QueryPack {
       scored.groupBy(col("qid")).agg(topk(col("cos"), col("vec_id")).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.key").as("id"))
-    val v = s.read.parquet(vectorsPath(path))
+    val v = minusTombs(s, path, s.read.parquet(vectorsPath(path)))
     val samp = v.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("n2").as("qn2"))
     val truth = ranked(v.crossJoin(broadcast(samp))
@@ -422,7 +479,7 @@ object AnnIndexStore extends QueryPack {
         cosineFrom(dot(col("e"), col("qe")), col("n2"), col("qn2")).as("cos")))
     require(nprobe >= 1 && nprobe <= storeCellCount(s, dir))
     val probeDf = rankCellsDf(s, path, samp.select(col("qid"), col("qe")), nprobe)
-    val cells = s.read.parquet(cellsPath(path))
+    val cells = minusTombs(s, path, s.read.parquet(cellsPath(path)))
     val system = ranked(cells
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(samp), Seq("qid"))
@@ -481,12 +538,49 @@ object AnnIndexStore extends QueryPack {
       .limit(10)
   }
 
+  // ---- q124: the erasure loop closed over the vector store ----
+
+  /** The q107 subject-list rule on vector ids (vec 0 — the query-vector
+    * convention — is never a subject: 0 % 10 = 0). */
+  private[graft] def purgeVecIds(s: SparkSession, dir: String): Seq[Long] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % InvertedIndexStore.PurgeModulus ===
+        InvertedIndexStore.PurgeResidue)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+
+  private val builtPurged = scala.collection.mutable.Map.empty[String, String]
+
+  /** A SEPARATE per-JVM store with the subject vectors purged (logical
+    * tombstones; [[fold]]'s physical tier is spec-asserted) — the
+    * q51b/q92b/q54b gated stores stay unpurged. */
+  private[graft] def purgedStore(s: SparkSession, dir: String): String =
+    synchronized {
+      builtPurged.getOrElseUpdate(dir, {
+        val path = Engine.storePath("graft-ann-index-purged", dir)
+        build(decoded(s, dir), path)
+        purge(s, path, purgeVecIds(s, dir))
+        path
+      })
+    }
+
+  /** q124: the quantized scan against the PURGED vector store — the
+    * ORACLE-EXACT erasure gate for the ANN family (the q54b property:
+    * deterministic integer codes, so the surviving set hashes against
+    * SQL): every `vec_id % 10 = 7` vector is unservable; codes stay
+    * quantized under the full-corpus codebook (a purge removes rows,
+    * never refits the trained map). The probabilistic tiers' zero-
+    * purged laws (q51b/q92b shapes) are spec-asserted on the same
+    * store. */
+  def q124AnnPurge(s: SparkSession, dir: String): DataFrame =
+    quantizedProbe(s, purgedStore(s, dir))
+
   val queries: Map[String, Q] = Map(
     "q51b_knn_lsh_index" -> (q51bKnnLshIndex _),
     "q92b_ivf_index" -> (q92bIvfIndex _),
     "q54b_knn_quantized_index" -> (q54bKnnQuantizedIndex _),
     "q106b_retrieval_eval_ivf" -> (q106bRetrievalEvalIvf _),
-    "q104b_hybrid_rrf_index" -> (q104bHybridRrfIndex _))
+    "q104b_hybrid_rrf_index" -> (q104bHybridRrfIndex _),
+    "q124_ann_purge" -> (q124AnnPurge _))
 
   // q51b/q92b/q104b are rows-only by design (LSH planes and the KMeans
   // iteration are engine-internal — the q51/q92 precedent; laws in
@@ -494,5 +588,8 @@ object AnnIndexStore extends QueryPack {
   // math, so the persisted tier shares q54's exact DuckDB twin.
   val oracleSql: Map[String, String] = Map(
     "q54b_knn_quantized_index" ->
-      Similarity.oracleSql("q54_knn_quantized"))
+      Similarity.oracleSql("q54_knn_quantized"),
+    "q124_ann_purge" -> Similarity.q54OracleSqlExcluding(
+      s"vec_id % ${InvertedIndexStore.PurgeModulus} <> " +
+        s"${InvertedIndexStore.PurgeResidue}"))
 }

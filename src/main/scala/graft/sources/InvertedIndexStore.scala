@@ -55,6 +55,16 @@ object InvertedIndexStore extends QueryPack {
     * pruned exactly like the tf relation. */
   def posPath(storePath: String): String = storePath + ".pos"
   def posManifestPath(storePath: String): String = storePath + ".pos.manifest"
+  /** DOC LENGTHS as their own doc_id-clustered relation (+ manifest) —
+    * Lucene's norms/doc-values file: the erasure verb's point-read
+    * source. A purge must adjust the corpus stats by exactly the purged
+    * docs' lengths, and a doc's postings scatter across term-clustered
+    * files — this relation answers "dl of doc d" from the file subset
+    * whose doc_id range holds d, so purge cost tracks the BATCH, never
+    * the corpus. */
+  def doclensPath(storePath: String): String = storePath + ".doclens"
+  def doclensManifestPath(storePath: String): String =
+    storePath + ".doclens.manifest"
 
   /** The posting relation for `docs` — one row per (term, doc):
     * (term, doc_id, dl, tf). Shared by the batch build and the
@@ -103,18 +113,33 @@ object InvertedIndexStore extends QueryPack {
     * the only shuffles are the posting groupBys and the range partitions
     * on term. */
   def build(docs: DataFrame, path: String, files: Int): Unit = {
+    val s = docs.sparkSession
     postings(docs)
       .repartitionByRange(files, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(path)
-    writeManifest(docs.sparkSession, path, manifestPath(path))
+    writeManifest(s, path, manifestPath(path))
     statsAgg(docs)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(path))
     positionalPostings(docs)
       .repartitionByRange(files, col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(posPath(path))
-    writeManifest(docs.sparkSession, posPath(path), posManifestPath(path))
+    writeManifest(s, posPath(path), posManifestPath(path))
+    // the doc-length relation (doc_id-clustered + doc_id-range manifest)
+    // and per-file doc_id blooms over every relation: the erasure verb's
+    // point-read and fold-prune inputs, paid once at build
+    docs.select(col("doc_id"),
+        size(TextOps.toks(lower(col("text")))).cast("long").as("dl"))
+      .repartitionByRange(math.max(1, files / 2), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(doclensPath(path))
+    AnnIndexStore.writeKeyManifest(s, doclensPath(path), "doc_id",
+      doclensManifestPath(path))
+    Seq(path, posPath(path), doclensPath(path)).foreach { rel =>
+      IndexTombstones.appendBlooms(s, rel,
+        VersionedStore.hadoopLs(s, rel).toSeq.sorted, "doc_id")
+    }
   }
 
   /** Per-JVM store cache: dir → store path (the store-family
@@ -137,19 +162,95 @@ object InvertedIndexStore extends QueryPack {
     m.filter(terms.map(t => col("mn") <= t && col("mx") >= t).reduce(_ || _))
       .select(col("file")).collect().map(_.getString(0)).sorted
 
+  // ---- ERASURE (round-15 verdict #1): purge / fold / adjusted stats ----
+
+  /** PURGE doc ids from the index, logically and immediately: resolve
+    * each present id's dl through the doclens manifest (a point read of
+    * the owning file subset — cost tracks the batch, never the corpus),
+    * tombstone (doc_id, dl), and every probe excludes the docs from that
+    * moment (candidates anti-joined, corpus stats adjusted by exactly
+    * the purged lengths). Idempotent: already-tombstoned and absent ids
+    * append nothing, so stats never double-subtract. Physical erasure
+    * is [[fold]]'s job, at the store's maintenance point. */
+  def purge(s: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    if (docIds.isEmpty) return
+    val files = AnnIndexStore.filesForKeysIn(s,
+      Seq(doclensManifestPath(path)), docIds)
+    if (files.isEmpty) return // no file can hold any id: nothing present
+    val rows = s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id").as("k"), col("dl"))
+    IndexTombstones.append(s, path, rows)
+  }
+
+  /** Corpus stats minus the tombstoned docs' exact contributions — the
+    * one-row frame every BM25 probe normalizes by. Integer-exact, so a
+    * purged store's scores are BIT-IDENTICAL to a rebuild over the
+    * surviving corpus (spec-asserted). */
+  def effectiveStats(s: SparkSession, path: String): DataFrame = {
+    val base = s.read.parquet(statsPath(path))
+    IndexTombstones.read(s, path) match {
+      case None => base
+      case Some(t) =>
+        val adj = t.agg(count(lit(1)).as("t_docs"),
+          sum(col("dl")).as("t_tokens"))
+        base.crossJoin(broadcast(adj)).select(
+          (col("n_docs") - col("t_docs")).as("n_docs"),
+          (col("tot_tokens") - coalesce(col("t_tokens"), lit(0L)))
+            .as("tot_tokens"))
+    }
+  }
+
+  /** PHYSICAL erasure — the index's OPTIMIZE-point fold: rewrite exactly
+    * the posting/positional/doclens files whose doc_id bloom admits a
+    * tombstoned id (dropping those docs' rows, order-preserving),
+    * refresh manifests incrementally, materialize the adjusted corpus
+    * stats, then clear the tombstone relation LAST — after this no file
+    * of any relation holds a purged doc's rows (the unrecoverability
+    * law, spec-asserted), and probes return to zero-tombstone cost.
+    * Returns the rewritten-file count across relations. */
+  def fold(s: SparkSession, path: String): Int =
+    WriterLease.withLease(s, path, "indexFold") {
+      val keys = IndexTombstones.keySet(s, path)
+      if (keys.isEmpty) 0
+      else {
+        val n =
+          IndexTombstones.foldRelation(s, path, manifestPath(path),
+            "doc_id", "term", keys) +
+          IndexTombstones.foldRelation(s, posPath(path), posManifestPath(path),
+            "doc_id", "term", keys) +
+          IndexTombstones.foldRelation(s, doclensPath(path),
+            doclensManifestPath(path), "doc_id", "doc_id", keys)
+        // adjusted stats become the persisted stats (collected first:
+        // the write overwrites its own input dir)
+        val row = effectiveStats(s, path).head()
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1))).toDF("n_docs", "tot_tokens")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsPath(path))
+        IndexTombstones.clear(s, path)
+        n
+      }
+    }
+
   /** q86b: BM25 point query against the PERSISTED index — reads only
     * the query terms' postings (manifest file skip + term-sorted
     * row-group skip), never the corpus, and scores them through the
-    * exact q86 arithmetic. Oracle-exact against q86's own SQL twin. */
-  def q86bBm25Index(s: SparkSession, dir: String): DataFrame = {
+    * exact q86 arithmetic. Oracle-exact against q86's own SQL twin.
+    * Tombstone-aware: purged docs drop from the candidates and the
+    * corpus stats before scoring (an unpurged store pays one existence
+    * probe). */
+  def q86bBm25Index(s: SparkSession, dir: String): DataFrame =
+    bm25Probe(s, store(s, dir))
+
+  private[graft] def bm25Probe(s: SparkSession, path: String): DataFrame = {
     val terms = graft.operators.Text.Bm25Query
-    val path = store(s, dir)
     val selected = filesFor(s.read.parquet(manifestPath(path)), terms)
     require(selected.nonEmpty, s"manifest selected no posting files for $terms")
-    val tf = s.read.parquet(selected: _*)
-      .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    graft.operators.Text.bm25Score(tf, s.read.parquet(statsPath(path)))
+    val tf = IndexTombstones.minus(s, path,
+      s.read.parquet(selected: _*)
+        .filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("dl"), col("term"), col("tf")), "doc_id")
+    graft.operators.Text.bm25Score(tf, effectiveStats(s, path))
   }
 
   /** q86c: CONJUNCTIVE (AND) + PHRASE probe against the persisted
@@ -170,7 +271,8 @@ object InvertedIndexStore extends QueryPack {
     val path = store(s, dir)
     val selected = filesFor(s.read.parquet(posManifestPath(path)), terms)
     require(selected.nonEmpty, s"pos manifest selected no files for $terms")
-    booleanPhrase(s.read.parquet(selected: _*), terms)
+    booleanPhrase(IndexTombstones.minus(s, path,
+      s.read.parquet(selected: _*), "doc_id"), terms)
   }
 
   /** The AND + phrase scoring over a positional posting frame — shared
@@ -198,12 +300,52 @@ object InvertedIndexStore extends QueryPack {
       .limit(20)
   }
 
+  // ---- q123: the right-to-be-forgotten loop closed over the index ----
+
+  /** The deterministic purge-subject rule for the documents corpus —
+    * the q107 subject-list shape (`% 10 = 7`) applied to doc ids. */
+  private[graft] val PurgeModulus = 10
+  private[graft] val PurgeResidue = 7
+  private[graft] def purgeDocIds(s: SparkSession, dir: String): Seq[Long] =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % PurgeModulus === PurgeResidue)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+
+  /** A SEPARATE per-JVM store with the subject list purged (logical
+    * tombstones — the probe-side SLA; [[fold]]'s physical tier is
+    * spec-asserted): the q86b gated store stays unpurged. */
+  private val builtPurged = scala.collection.mutable.Map.empty[String, String]
+
+  private[graft] def purgedStore(s: SparkSession, dir: String): String =
+    synchronized {
+      builtPurged.getOrElseUpdate(dir, {
+        val path = Engine.storePath("graft-inverted-index-purged", dir)
+        build(Tables.documents(s, dir), path, files = 16)
+        purge(s, path, purgeDocIds(s, dir))
+        path
+      })
+    }
+
+  /** q123: the BM25 probe against the PURGED index — the erasure loop
+    * (q107 sizes → q107b/c executes on the primary store → THIS removes
+    * the subjects from the serving tier): every `doc_id % 10 = 7`
+    * document is unservable, candidates and corpus stats both
+    * survivor-exact. The oracle restates BM25 over `documents WHERE
+    * doc_id % 10 <> 7` — a probe that returns a purged doc, skips the
+    * stats adjustment, or double-subtracts on a replayed purge
+    * hash-fails. */
+  def q123SearchPurge(s: SparkSession, dir: String): DataFrame =
+    bm25Probe(s, purgedStore(s, dir))
+
   val queries: Map[String, Q] = Map(
     "q86b_bm25_index" -> (q86bBm25Index _),
-    "q86c_boolean_index" -> (q86cBooleanIndex _))
+    "q86c_boolean_index" -> (q86cBooleanIndex _),
+    "q123_search_purge" -> (q123SearchPurge _))
 
   val oracleSql: Map[String, String] = Map(
     "q86b_bm25_index" -> graft.operators.Text.bm25OracleSql,
+    "q123_search_purge" -> graft.operators.Text.bm25OracleSqlWhere(
+      s"doc_id % $PurgeModulus <> $PurgeResidue"),
     // both predicates restated from the raw text: AND = per-term
     // membership counts all positive; phrase = 1-based adjacency scan
     "q86c_boolean_index" -> {

@@ -116,6 +116,9 @@ object KnnGraphStore extends QueryPack {
             .write.mode(SaveMode.Overwrite).parquet(layerPath(path, l))
           AnnIndexStore.writeKeyManifest(s, layerPath(path, l), "src",
             manifestPath(layerPath(path, l)))
+          IndexTombstones.appendBloomsMulti(s, layerPath(path, l),
+            VersionedStore.hadoopLs(s, layerPath(path, l)).toSeq.sorted,
+            Seq("src", "dst"))
           top = l
           l += 1
         }
@@ -168,6 +171,8 @@ object KnnGraphStore extends QueryPack {
         .write.mode(SaveMode.Overwrite).parquet(entriesPath(path))
     } finally edges.unpersist(false)
     AnnIndexStore.writeKeyManifest(s, path, "src", manifestPath(path))
+    IndexTombstones.appendBloomsMulti(s, path,
+      VersionedStore.hadoopLs(s, path).toSeq.sorted, Seq("src", "dst"))
     // upper layers sample the ANN store's vectors relation — the probe
     // already scores through that store, so this adds no new dependency
     val annPath = AnnIndexStore.store(s, dir)
@@ -202,6 +207,8 @@ object KnnGraphStore extends QueryPack {
         .write.mode(SaveMode.Overwrite).parquet(entriesPath(path))
     } finally edges.unpersist(false)
     AnnIndexStore.writeKeyManifest(s, path, "src", manifestPath(path))
+    IndexTombstones.appendBloomsMulti(s, path,
+      VersionedStore.hadoopLs(s, path).toSeq.sorted, Seq("src", "dst"))
     buildLayers(s, path, vectors, targetFileBytes)
   }
 
@@ -219,6 +226,70 @@ object KnnGraphStore extends QueryPack {
     })
   }
 
+  // ---- ERASURE (round-15 verdict #1): purge / fold ----
+
+  /** PURGE node ids from the graph, logically and immediately: an
+    * O(keys) tombstone append; the walk drops tombstoned entries,
+    * frontier candidates and results, and the centrality read drops
+    * edges touching a purged node, from that moment. Idempotent.
+    * Physical erasure is [[fold]]'s job. */
+  def purge(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    if (vecIds.isEmpty) return
+    import s.implicits._
+    IndexTombstones.append(s, path, vecIds.distinct.sorted.toDF("k"))
+  }
+
+  /** PHYSICAL erasure: rewrite exactly the edge/layer files whose
+    * (src ∪ dst) bloom admits a tombstoned id — dropping every edge
+    * that TOUCHES a purged node and recomputing surviving sources'
+    * out-degrees per file (valid under src clustering: a src's rows
+    * live in one file) — refresh the entry points and layer metadata
+    * from the folded relations, then clear the tombstones. After this
+    * no file holds a purged node's id on either edge end. */
+  def fold(s: SparkSession, path: String): Int =
+    WriterLease.withLease(s, path, "graphFold") {
+      val keys = IndexTombstones.keySet(s, path)
+      if (keys.isEmpty) 0
+      else {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        val n0 = IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
+          Seq("src", "dst"), "src", keys,
+          finish = df => df.withColumn("deg", count(lit(1)).over(w))
+            .orderBy("src", "dst"))
+        val meta = s.read.parquet(layersMetaPath(path))
+          .select(col("maxLayer")).head().getInt(0)
+        val nL = (1 to meta).map { l =>
+          IndexTombstones.foldRelationMulti(s, layerPath(path, l),
+            manifestPath(layerPath(path, l)), Seq("src", "dst"), "src", keys)
+        }.sum
+        // entries and layer metadata re-derive from the folded relations
+        // (collected first: the writes overwrite their own inputs)
+        val entryRow = s.read.parquet(path).filter(col("src") =!= 0L)
+          .agg(percentile_approx(col("src"),
+            array(lit(0.0), lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+            .as("entries")).head()
+        val entries: Seq[Long] =
+          if (entryRow.isNullAt(0)) Nil else entryRow.getSeq[Long](0).distinct
+        Seq(Tuple1(entries)).toDF("entries").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(entriesPath(path))
+        val topEntries: Seq[Long] =
+          if (meta == 0) Nil
+          else {
+            val r = s.read.parquet(layerPath(path, meta))
+              .agg(percentile_approx(col("src"),
+                array(lit(0.0), lit(0.25), lit(0.5), lit(0.75)), lit(10000)))
+              .head()
+            if (r.isNullAt(0)) Nil else r.getSeq[Long](0).distinct
+          }
+        val newTop = if (meta > 0 && topEntries.isEmpty) 0 else meta
+        Seq((newTop, topEntries)).toDF("maxLayer", "entries").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(layersMetaPath(path))
+        IndexTombstones.clear(s, path)
+        n0 + nL
+      }
+    }
+
   /** Per-node graph read: `src`'s adjacency rows through the manifest —
     * opens ONLY the file subset whose src range holds the node (the
     * q99 point-lookup pattern on the edge relation; the pruning thesis
@@ -231,9 +302,26 @@ object KnnGraphStore extends QueryPack {
 
   /** q96c: graph centrality served from the persisted edge relation —
     * q96b's walk with the edge build amortized into the store. */
-  def q96cKnnCentralityIndex(s: SparkSession, dir: String): DataFrame = {
-    val edges = s.read.parquet(store(s, dir))
-    val vertices = Tables.embeddings(s, dir).select(col("vec_id"))
+  def q96cKnnCentralityIndex(s: SparkSession, dir: String): DataFrame =
+    centralityOn(s, store(s, dir),
+      Tables.embeddings(s, dir).select(col("vec_id")))
+
+  /** The centrality walk over a store path, tombstone-aware: drop edges
+    * touching a purged node and recompute out-degrees over the
+    * survivors (the stored deg counted purged neighbors); purged nodes
+    * leave the vertex set too. An unpurged store keeps the stored
+    * relation verbatim — the q96b bit-parity path. */
+  private[graft] def centralityOn(s: SparkSession, path: String,
+      vertices0: DataFrame): DataFrame = {
+    val raw = s.read.parquet(path)
+    val edges =
+      if (!IndexTombstones.exists(s, path)) raw
+      else {
+        val kept = IndexTombstones.minus(s, path,
+          IndexTombstones.minus(s, path, raw, "src"), "dst").drop("deg")
+        kept.join(kept.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      }
+    val vertices = IndexTombstones.minus(s, path, vertices0, "vec_id")
     graft.operators.Similarity.centralityFromEdges(vertices, edges)
   }
 
@@ -272,15 +360,18 @@ object KnnGraphStore extends QueryPack {
     * caps recall on a sparse graph). Returns (converged pool, hops). */
   private def beamSearch(s: SparkSession, man: Array[(String, Long, Long)],
       scoresOf: Seq[Long] => Seq[(Long, Double)], seeds: Seq[Long],
-      beam: Int, maxHops: Int, ef: Int): (Seq[(Long, Double)], Int) = {
+      beam: Int, maxHops: Int, ef: Int,
+      dead: Set[Long] = Set.empty): (Seq[(Long, Double)], Int) = {
     var pool = scoresOf(seeds).sortBy(t => (-t._2, t._1)).take(ef)
     var visited = seeds.toSet
     var frontier: Seq[Long] = seeds
     var hops = 0
     while (hops < maxHops && frontier.nonEmpty) {
       hops += 1
+      // tombstoned nodes are unservable mid-walk: dropped from every
+      // frontier expansion before scoring (the purge-probe contract)
       val nbrs = neighborsOf(s, man, frontier)
-        .filterNot(visited).filter(_ != 0L).toSeq
+        .filterNot(visited).filter(_ != 0L).filterNot(dead).toSeq
       if (nbrs.isEmpty) frontier = Nil
       else {
         visited ++= nbrs
@@ -327,10 +418,11 @@ object KnnGraphStore extends QueryPack {
   private[graft] def probeLayered(s: SparkSession, path: String,
       scoresOf: Seq[Long] => Seq[(Long, Double)],
       k: Int, beam: Int, maxHops: Int, ef: Int): (Seq[(Long, Double)], Int) = {
+    val dead = IndexTombstones.keySet(s, path)
     val meta = s.read.parquet(layersMetaPath(path))
       .select(col("maxLayer"), col("entries")).head()
     val maxLayer = meta.getInt(0)
-    var seeds: Seq[Long] = meta.getSeq[Long](1)
+    var seeds: Seq[Long] = meta.getSeq[Long](1).filterNot(dead)
     var hops = 0
     var l = maxLayer
     while (l >= 1) {
@@ -338,18 +430,31 @@ object KnnGraphStore extends QueryPack {
       // coarse search: tiny beam/ef — the layer only needs to LAND NEAR
       // the query, the refinement happens a level down
       val (pool, h) = beamSearch(s, man, scoresOf, seeds,
-        beam = 2, maxHops = maxHops, ef = 4)
+        beam = 2, maxHops = maxHops, ef = 4, dead = dead)
       hops += h
       if (pool.nonEmpty) seeds = pool.take(2).map(_._1)
       l -= 1
     }
     val seeds0 =
-      if (maxLayer == 0)
-        s.read.parquet(entriesPath(path)).head().getSeq[Long](0).distinct
+      if (maxLayer == 0) flatSeeds(s, path, dead)
       else seeds
     val man0 = loadManifest(s, manifestPath(path))
-    val (pool, h0) = beamSearch(s, man0, scoresOf, seeds0, beam, maxHops, ef)
+    val (pool, h0) = beamSearch(s, man0, scoresOf, seeds0, beam, maxHops, ef,
+      dead = dead)
     (pool.take(k), hops + h0)
+  }
+
+  /** The persisted entry points minus tombstoned nodes; a purge that
+    * killed EVERY entry is repaired by [[fold]] (which re-derives
+    * them), so fail with that contract instead of an empty walk. */
+  private def flatSeeds(s: SparkSession, path: String,
+      dead: Set[Long]): Seq[Long] = {
+    val seeds = s.read.parquet(entriesPath(path)).head().getSeq[Long](0)
+      .distinct.filterNot(dead)
+    require(seeds.nonEmpty,
+      s"every persisted entry point of $path is tombstoned — run " +
+        "KnnGraphStore.fold to re-derive entries from the surviving graph")
+    seeds
   }
 
   /** The manifest point-read scorer for a dir-backed store: exact
@@ -408,10 +513,11 @@ object KnnGraphStore extends QueryPack {
   private[graft] def probeFlat(s: SparkSession, path: String,
       scoresOf: Seq[Long] => Seq[(Long, Double)],
       k: Int, beam: Int, maxHops: Int, ef: Int): (Seq[(Long, Double)], Int) = {
-    val entries = s.read.parquet(entriesPath(path))
-      .head().getSeq[Long](0).distinct
+    val dead = IndexTombstones.keySet(s, path)
+    val entries = flatSeeds(s, path, dead)
     val man0 = loadManifest(s, manifestPath(path))
-    val (pool, hops) = beamSearch(s, man0, scoresOf, entries, beam, maxHops, ef)
+    val (pool, hops) = beamSearch(s, man0, scoresOf, entries, beam, maxHops,
+      ef, dead = dead)
     (pool.take(k), hops)
   }
 
