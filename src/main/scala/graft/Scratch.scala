@@ -20,11 +20,11 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
-    time("q123 purged bm25") {
-      val df = sources.InvertedIndexStore.q123SearchPurge(s, dir)
-      df.show(20, false)
-      val purged = df.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7).count()
-      println(s"[scratch] purged docs in result: $purged (want 0)")
+    time("q125 purge string") {
+      sources.VersionedStore.q125PurgeString(s, dir).show(10, false)
+    }
+    time("q126 export string") {
+      sources.VersionedStore.q126ExportString(s, dir).show(5, false)
     }
     s.stop()
   }

@@ -795,7 +795,7 @@ object VersionedStore extends QueryPack {
           val owningAll = retained.flatMap { rv =>
             val statsDf = fileKeyStats(s, path, rv, keyCol)
               .toSeq.toDF("file", "mn", "mx")
-            dv.select(col(keyCol).cast("long").as("k"))
+            dv.select(keyLong(dv, keyCol).as("k"))
               .join(broadcast(statsDf),
                 col("k") >= col("mn") && col("k") <= col("mx"))
               .select(col("file")).distinct().collect().map(_.getString(0))
@@ -996,19 +996,58 @@ object VersionedStore extends QueryPack {
         "the maintenance schedule"))
   }
 
-  /** The band prune (and the COW rewrite decision) compares key bands
-    * in LONG space, so the key column must be integral — a loud
-    * contract check instead of the all-null-cast NPE (or a silently
-    * no-op'd erasure) a string key would hit. Shared by the upsert sink
-    * and [[deleteCommit]] (round-13 advice: the SQL purge path reaches
-    * deleteCommit directly). */
-  private[graft] def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+  /** The band/bloom machinery compares keys in LONG space. Integral
+    * keys CAST (order-preserving — bands prune ranges); string and
+    * binary keys HASH through xxhash64 (round-15 verdict #2: real
+    * erasure batches carry string subject ids — emails, UUIDs). A
+    * hashed key space is membership-exact but order-free: a file's
+    * (mn, mx) over hashes is near-vacuous for pruning, so the per-file
+    * BLOOMS carry the point-probe prune for string-keyed stores —
+    * exactly the planning split the Parquet bloom-filter spec makes.
+    * Anything else (floats, structs, maps) fails loudly. */
+  private[graft] def keyAsLong(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(keyCol).dataType
-    require(dt == LongType || dt == IntegerType || dt == ShortType ||
-      dt == ByteType,
-      s"store key column '$keyCol' must be integral (byte/short/int/long) " +
-        s"— got $dt; the per-file key bands prune in long space")
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+      case StringType | BinaryType => xxhash64(c)
+      case other => throw new IllegalArgumentException(
+        s"unsupported store key type $other — keys must be integral " +
+          "(byte/short/int/long) or string/binary")
+    }
+  }
+
+  /** [[keyAsLong]] resolved against a frame's own schema. */
+  private[graft] def keyLong(df: DataFrame,
+      keyCol: String): org.apache.spark.sql.Column =
+    keyAsLong(col(keyCol), df.schema(keyCol).dataType)
+
+  /** Loud contract check shared by the upsert sink, the erasure commits
+    * and the point reads: the key column must be integral OR
+    * string/binary (hashed key space) — never the all-null-cast NPE or
+    * a silently no-op'd erasure an unsupported type would hit. */
+  private[graft] def requireSupportedKey(df: DataFrame, keyCol: String): Unit =
+    keyAsLong(col(keyCol), df.schema(keyCol).dataType)
+
+  /** The batch's key type must live in the SAME key space as the
+    * store's: integral-vs-integral (cast-compatible long images) or the
+    * EXACT string/binary type. Without this, a string batch probed
+    * against a long-keyed store hashes into a disjoint long space, the
+    * blooms admit nothing, and the erasure SILENTLY no-ops — worse than
+    * the old loud rejection (round-15 verdict #2's hazard). Costs one
+    * schema-carrier footer read, on planning paths that read manifests
+    * anyway. */
+  private[graft] def requireKeyClassMatch(s: SparkSession, path: String,
+      v: Int, keys: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val storeDt = schemaCarrier(s, path, v).schema(keyCol).dataType
+    val batchDt = keys.schema(keyCol).dataType
+    def integral(dt: DataType) = dt == LongType || dt == IntegerType ||
+      dt == ShortType || dt == ByteType
+    require((integral(storeDt) && integral(batchDt)) || storeDt == batchDt,
+      s"key batch type $batchDt does not match the store's '$keyCol' " +
+        s"type $storeDt — hashed key spaces are type-scoped, so a " +
+        "mismatched batch would silently match nothing")
   }
 
   /** Per-file key-range stats of version `v`: (file, mn, mx) in long
@@ -1038,10 +1077,11 @@ object VersionedStore extends QueryPack {
       val files = mf.select(col("file")).collect().map(_.getString(0))
       if (files.isEmpty) Array.empty
       else {
-        val rebuilt = s.read.parquet(files.toIndexedSeq: _*)
+        val data = s.read.parquet(files.toIndexedSeq: _*)
+        val rebuilt = data
           .groupBy(input_file_name().as("file"))
-          .agg(min(col(keyCol).cast("long")).as("mn"),
-            max(col(keyCol).cast("long")).as("mx"))
+          .agg(min(keyLong(data, keyCol)).as("mn"),
+            max(keyLong(data, keyCol)).as("mx"))
           .collect()
           .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
         import s.implicits._
@@ -1080,9 +1120,10 @@ object VersionedStore extends QueryPack {
       files: Seq[String], keyCol: String): Unit = {
     if (files.isEmpty) return
     import s.implicits._
-    val rows = s.read.parquet(files: _*)
+    val data = s.read.parquet(files: _*)
+    val rows = data
       .groupBy(input_file_name().as("file"))
-      .agg(KeyBloom.bloomAgg(col(keyCol).cast("long")).as("bloom"),
+      .agg(KeyBloom.bloomAgg(keyLong(data, keyCol)).as("bloom"),
         count(lit(1)).as("rows"))
       .collect().map(r =>
         (canon(r.getString(0)), r.getAs[Array[Byte]](1), r.getLong(2)))
@@ -1138,7 +1179,7 @@ object VersionedStore extends QueryPack {
     * Driver cost: one broadcast join over the k-row stats table. */
   private[graft] def owningFilesFor(keys: DataFrame, statsDf: DataFrame,
       keyCol: String): Seq[String] =
-    keys.select(col(keyCol).cast("long").as("k")).distinct()
+    keys.select(keyLong(keys, keyCol).as("k")).distinct()
       .join(broadcast(statsDf),
         col("k") >= col("mn") && col("k") <= col("mx") &&
           KeyBloom.mightContainCol(col("bloom"), col("k")))
@@ -1238,7 +1279,8 @@ object VersionedStore extends QueryPack {
   def readKeys(s: SparkSession, path: String, v: Int, keys: DataFrame,
       keyCol: String): DataFrame = {
     val files = versionFiles(s, path, v)
-    requireIntegralKey(keys, keyCol)
+    requireSupportedKey(keys, keyCol)
+    if (files.nonEmpty) requireKeyClassMatch(s, path, v, keys, keyCol)
     val owning: Seq[String] =
       if (files.isEmpty) Nil // a purge can empty a committed manifest
       else fileKeyStatsReadOnly(s, path, v) match {
@@ -1294,7 +1336,7 @@ object VersionedStore extends QueryPack {
   def deleteCommit(s: SparkSession, path: String, keys: DataFrame,
       keyCol: String, settleTimeoutMs: Long = 30000L): Int =
     WriterLease.withLease(s, path, "deleteCommit") {
-    requireIntegralKey(keys, keyCol)
+    requireSupportedKey(keys, keyCol)
     var attempts = 0
     var abandoned = Set.empty[Int]
     var done: Option[Int] = None
@@ -1303,6 +1345,7 @@ object VersionedStore extends QueryPack {
       val vs = versions(s, path)
       require(vs.nonEmpty, s"no committed versions under $path")
       val cur = vs.last
+      requireKeyClassMatch(s, path, cur, keys, keyCol)
       // planning stats with per-file blooms (heals the manifest if they
       // are missing — one bounded scan, then k-row reads forever after)
       val statsDf = fileKeyStatsBloomed(s, path, cur, keyCol)
@@ -1359,10 +1402,12 @@ object VersionedStore extends QueryPack {
           // in executor cache from the rewrite); shared files keep both
           val newStats =
             if (newFiles.isEmpty) Array.empty[(String, Long, Long)]
-            else s.read.parquet(newFiles.toIndexedSeq: _*)
-              .groupBy(input_file_name().as("file"))
-              .agg(min(col(keyCol).cast("long")).as("mn"),
-                max(col(keyCol).cast("long")).as("mx"))
+            else {
+              val nd = s.read.parquet(newFiles.toIndexedSeq: _*)
+              nd.groupBy(input_file_name().as("file"))
+                .agg(min(keyLong(nd, keyCol)).as("mn"),
+                  max(keyLong(nd, keyCol)).as("mx"))
+            }
               .collect()
               .map(r => (canon(r.getString(0)), r.getLong(1), r.getLong(2)))
           appendBlooms(s, path, newFiles.toSeq.sorted, keyCol)
@@ -1447,7 +1492,7 @@ object VersionedStore extends QueryPack {
       foldTargetFileBytes: Long = 128L << 20): Int = {
     var needFold = false
     val committed = WriterLease.withLease(s, path, "deleteCommit") {
-    requireIntegralKey(keys, keyCol)
+    requireSupportedKey(keys, keyCol)
     var attempts = 0
     var abandoned = Set.empty[Int]
     var done: Option[Int] = None
@@ -1456,6 +1501,7 @@ object VersionedStore extends QueryPack {
       val vs = versions(s, path)
       require(vs.nonEmpty, s"no committed versions under $path")
       val cur = vs.last
+      requireKeyClassMatch(s, path, cur, keys, keyCol)
       // band AND bloom pruning (round-14 verdict #3): dv mode exists for
       // SCATTERED batches, where bands alone admit every file and the
       // presence check degrades to a full key-column scan — the per-file
@@ -2230,6 +2276,61 @@ object VersionedStore extends QueryPack {
       .orderBy(col("priority"))
   }
 
+  // ---- STRING-KEYED store (round-15 verdict #2): the purge/subject-
+  // access family on the subject ids real erasure batches carry ----
+
+  /** The q107 subject rule, carried as NAMES — the string subject ids
+    * (emails, UUIDs) a real erasure batch holds. */
+  private def subjectNames(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") % 10 === 7)
+      .select(col("c_name"))
+
+  private val subjectSql =
+    "SELECT c_name FROM customer " +
+      "WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7"
+
+  /** A customer store KEYED BY c_name (unique string identity): v1 =
+    * the full slice via [[appendCommit]] (plain manifest — the first
+    * planning call heals hashed bands + blooms), v2 = the COW erasure
+    * of the subject names through [[deleteCommit]], exercising the
+    * whole key machinery in hashed-long space. Built once per JVM. */
+  private[graft] def strStore(s: SparkSession, dir: String): String =
+    synchronized {
+      built.getOrElseUpdate("str:" + dir, {
+        val path = Engine.storePath("graft-versioned-store-str", dir)
+        val cust = Tables.customer(s, dir)
+          .select(col("c_name"), col("c_custkey"),
+            Num.cents(col("c_acctbal")).as("acct_c"), col("c_mktsegment"))
+        appendCommit(s, path, cust, "c_name", 8)
+        deleteCommit(s, path, subjectNames(s, dir), "c_name")
+        path
+      })
+    }
+
+  /** q125: STRING-KEYED erasure execution — the q107b loop with the
+    * subject list as names: per-segment totals of the post-purge tip.
+    * The oracle restates the erasure over raw customer; a hashed band
+    * that misses an owning file leaves a subject's row behind and
+    * breaks a count, a broken rewrite loses innocents. */
+  def q125PurgeString(s: SparkSession, dir: String): DataFrame = {
+    val path = strStore(s, dir)
+    readVersion(s, path, versions(s, path).last)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("acct_c")).as("acct_c"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q126: STRING-KEYED subject-access read — q122 with name keys:
+    * export the subjects' rows from the PRE-purge version through the
+    * hashed band+bloom prune, summarized per subject name. */
+  def q126ExportString(s: SparkSession, dir: String): DataFrame = {
+    val path = strStore(s, dir)
+    readKeys(s, path, 1, subjectNames(s, dir), "c_name")
+      .select(col("c_name"), col("c_custkey"), col("acct_c"))
+      .orderBy(col("c_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_time_travel" -> (q109TimeTravel _),
     "q109b_time_travel_ts" -> (q109bTimeTravelTs _),
@@ -2240,7 +2341,9 @@ object VersionedStore extends QueryPack {
     "q107c_purge_execute_dv" -> (q107cPurgeExecuteDv _),
     "q110c_incremental_mv_delete" -> (q110cIncrementalMvDelete _),
     "q110d_incremental_mv_dv" -> (q110dIncrementalMvDv _),
-    "q122_subject_read" -> (q122SubjectRead _))
+    "q122_subject_read" -> (q122SubjectRead _),
+    "q125_purge_string" -> (q125PurgeString _),
+    "q126_export_string" -> (q126ExportString _))
 
   /** q122: SUBJECT ACCESS READ — export the q107 erasure subjects' rows
     * from the PRE-purge version (the compliance step that precedes
@@ -2369,6 +2472,22 @@ object VersionedStore extends QueryPack {
          |  SELECT c_custkey FROM customer
          |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7)
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the STRING-KEYED twins (round-15 verdict #2): erasure and
+    // subject-access by name keys, restated over raw customer — a
+    // hashed band/bloom false NEGATIVE leaves a subject behind (q125)
+    // or loses one from the export (q126)
+    "q125_purge_string" ->
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(${Num.sql.cents("c_acctbal")}) AS BIGINT) AS acct_c
+         |FROM customer
+         |WHERE c_name NOT IN ($subjectSql)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q126_export_string" ->
+      s"""SELECT c_name, c_custkey,
+         |  ${Num.sql.cents("c_acctbal")} AS acct_c
+         |FROM customer
+         |WHERE c_name IN ($subjectSql)
+         |ORDER BY c_name""".stripMargin,
     // the delete-IVM statement: retract-and-merge across the purge's
     // manifest diff (COW) or dv diff (DV) must equal the from-scratch
     // post-purge aggregate — shared verbatim by both physical modes

@@ -69,10 +69,12 @@ object UpsertSink {
       // commit, never steadily.
       val files = mf.select(col("file")).as[String].collect()
       if (files.isEmpty) Array.empty
-      else s.read.parquet(files.toIndexedSeq: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(keyCol).cast("long")).as("mn"),
-          max(col(keyCol).cast("long")).as("mx"))
+      else {
+        val data = s.read.parquet(files.toIndexedSeq: _*)
+        data.groupBy(input_file_name().as("file"))
+          .agg(min(VersionedStore.keyLong(data, keyCol)).as("mn"),
+            max(VersionedStore.keyLong(data, keyCol)).as("mx"))
+      }
         .collect()
         .map(r => FileStats(VersionedStore.canon(r.getString(0)),
           r.getLong(1), r.getLong(2)))
@@ -80,11 +82,11 @@ object UpsertSink {
   }
 
   /** The prune (and the COW rewrite decision) compares key bands in
-    * LONG space, so the key column must be integral — the shared store
-    * contract check ([[VersionedStore.requireIntegralKey]], also guarding
-    * the SQL/stream purge path into deleteCommit). */
-  private def requireIntegralKey(df: DataFrame, keyCol: String): Unit =
-    VersionedStore.requireIntegralKey(df, keyCol)
+    * LONG space: integral keys cast, string/binary keys hash — the
+    * shared store contract check ([[VersionedStore.requireSupportedKey]],
+    * also guarding the SQL/stream purge path into deleteCommit). */
+  private def requireSupportedKey(df: DataFrame, keyCol: String): Unit =
+    VersionedStore.requireSupportedKey(df, keyCol)
 
   private def writeManifest(s: SparkSession, path: String, v: Int,
       rows: Seq[FileStats]): Unit = {
@@ -103,7 +105,7 @@ object UpsertSink {
     val s = keys.sparkSession
     import s.implicits._
     val statsDf = parent.toSeq.toDF("file", "mn", "mx")
-    keys.select(col(keyCol).cast("long").as("k")).distinct()
+    keys.select(VersionedStore.keyLong(keys, keyCol).as("k")).distinct()
       .join(broadcast(statsDf), col("k") >= col("mn") && col("k") <= col("mx"))
       .select(col("file")).distinct().as[String].collect()
   }
@@ -116,7 +118,7 @@ object UpsertSink {
     * an empty (0-file) frame with the store schema. */
   def readTouched(s: SparkSession, path: String, keys: DataFrame,
       keyCol: String): Option[DataFrame] = {
-    requireIntegralKey(keys, keyCol)
+    requireSupportedKey(keys, keyCol)
     val vs = VersionedStore.versions(s, path)
     if (vs.isEmpty) return None
     val parent = statsManifest(s, path, vs.max, keyCol)
@@ -124,6 +126,7 @@ object UpsertSink {
     // the store): no prior rows, same contract as no-store-yet —
     // read.parquet over an empty path list would throw instead
     if (parent.isEmpty) return None
+    VersionedStore.requireKeyClassMatch(s, path, vs.max, keys, keyCol)
     val owning = owningFiles(keys, parent, keyCol)
     val files = if (owning.nonEmpty) owning
       else parent.map(_.file).take(1) // schema carrier, filtered empty
@@ -150,7 +153,7 @@ object UpsertSink {
       keyCol: String, initialPartitions: Int = 1,
       settleTimeoutMs: Long = 30000L): Option[Int] = {
     if (batch.isEmpty) return None
-    requireIntegralKey(batch, keyCol)
+    requireSupportedKey(batch, keyCol)
     val s = batch.sparkSession
     // lineage check: upserts resolve their parent through txn markers,
     // so a store carrying manifest-only (batch-built) versions above
@@ -176,6 +179,8 @@ object UpsertSink {
       // collecting only distinct FILE NAMES (file-count bounded).
       val parent: Array[FileStats] = latest
         .map(pv => statsManifest(s, path, pv, keyCol)).getOrElse(Array.empty)
+      if (parent.nonEmpty)
+        VersionedStore.requireKeyClassMatch(s, path, latest.get, batch, keyCol)
       val owning: Array[String] = owningFiles(batch, parent, keyCol)
 
       // Rewrite = touched files' survivors + the batch (keyed replace:
@@ -206,10 +211,11 @@ object UpsertSink {
         // Stats for the new files: a read-back of ONLY the files this
         // commit wrote (O(batch)), grouped by physical file.
         val newFiles = VersionedStore.hadoopLs(s, dataDir)
-        val newStats = s.read.parquet(newFiles.toIndexedSeq: _*)
+        val newData = s.read.parquet(newFiles.toIndexedSeq: _*)
+        val newStats = newData
           .groupBy(input_file_name().as("file"))
-          .agg(min(col(keyCol).cast("long")).as("mn"),
-            max(col(keyCol).cast("long")).as("mx"))
+          .agg(min(VersionedStore.keyLong(newData, keyCol)).as("mn"),
+            max(VersionedStore.keyLong(newData, keyCol)).as("mx"))
           .collect()
           .map(r => FileStats(VersionedStore.canon(r.getString(0)),
             r.getLong(1), r.getLong(2)))

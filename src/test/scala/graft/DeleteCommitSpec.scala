@@ -109,16 +109,23 @@ class DeleteCommitSpec extends AnyFunSuite {
     assert(fin(50L) == 999L && fin(101L) == 101L)
   }
 
-  test("deleteCommit rejects a non-integral key column loudly") {
-    // round-13 advice: the SQL purge path reaches deleteCommit directly;
-    // a string key would cast('long') to all-null bands and either NPE
-    // in planning or silently no-op the erasure
+  test("deleteCommit rejects a key batch whose type mismatches the " +
+      "store's key space loudly") {
+    // string keys are supported (round-15 verdict #2) — but a STRING
+    // batch against a LONG-keyed store hashes into a disjoint long
+    // space and would silently no-op the erasure; the key-class check
+    // fails it loudly instead, and unsupported types fail outright
     val path = buildStore()
     val e = intercept[IllegalArgumentException] {
       VersionedStore.deleteCommit(spark, path,
         Seq("101").toDF("key"), "key")
     }
-    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("does not match"))
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedStore.deleteCommit(spark, path,
+        Seq(1.5).toDF("key"), "key")
+    }
+    assert(e2.getMessage.contains("unsupported store key type"))
     assert(VersionedStore.versions(spark, path) == Seq(1),
       "a rejected erasure must commit nothing")
   }

@@ -157,12 +157,16 @@ class UpsertSinkSpec extends AnyFunSuite {
       UpsertSink.readStore(spark, store).inputFiles.length,
       "stats prune not restored after optimize + commit")
 
-    // non-integral key columns are a LOUD contract error, not an NPE
+    // string keys are supported (hashed key space, round-15 verdict
+    // #2); a genuinely unsupported type is a LOUD contract error
+    assert(UpsertSink.upsertBatch(Seq(("a@x", 1L)).toDF("email", "v"),
+      store + "_str", 0L, "email").contains(1))
     val err = intercept[IllegalArgumentException] {
-      UpsertSink.upsertBatch(Seq(("a@x", 1L)).toDF("email", "v"),
-        store + "_str", 0L, "email")
+      UpsertSink.upsertBatch(Seq((1.5, 1L)).toDF("fkey", "v"),
+        store + "_fkey", 0L, "fkey")
     }
-    assert(err.getMessage.contains("integral"), err.getMessage)
+    assert(err.getMessage.contains("unsupported store key type"),
+      err.getMessage)
   }
 
   test("search-doc sink resumes batch numbering after a checkpoint restart") {
