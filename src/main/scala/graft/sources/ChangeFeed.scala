@@ -270,10 +270,63 @@ object ChangeFeed extends QueryPack {
       .orderBy(col("version"), col("change_type"))
   }
 
+  /** q128: the change feed as a QUERYABLE RELATION (round-15 verdict
+    * #3): `CALL graft_store_changes` registers the q120 lineage's feed
+    * and a plain spark.sql statement JOINS it against the customer
+    * dimension — change rows enriched inline, the `table_changes(...)`
+    * consumption shape. The oracle restates each commit's logical rows
+    * (the q120 definitions) joined to customer segments: a feed row
+    * lost, double-counted or mis-keyed breaks a per-segment count or
+    * integer-cent sum. */
+  def q128ChangesJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = VersionedStore.purgedStore(s, dir)
+    graft.GraftCatalog.call(s,
+      s"CALL graft_store_changes('versioned', '$path', '1', '4', 'o_orderkey')")
+    graft.Tables.customer(s, dir).createOrReplaceTempView("graft_q128_customer")
+    s.sql(s"""SELECT ch.`$ChangeType` AS change_type,
+      c.c_mktsegment AS seg, count(*) AS n_rows,
+      sum(ch.amount_c) AS amount_c
+      FROM graft_store_changes ch
+      JOIN graft_q128_customer c ON ch.o_custkey = c.c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q120_change_feed" -> ((s, dir) => q120ChangeFeed(s, dir)))
+    "q120_change_feed" -> ((s, dir) => q120ChangeFeed(s, dir)),
+    "q128_changes_join" -> ((s, dir) => q128ChangesJoin(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    // the q120 commit definitions as a change-row union, joined to the
+    // customer dimension and rolled per (change type, segment)
+    "q128_changes_join" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    ${Num.sql.cents("o_totalprice")} AS a, o_orderdate
+         |  FROM orders),
+         |v2 AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+         |mm AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM v2),
+         |k AS (SELECT mn + ((mx - mn + 1) * 4) // 10 AS lo,
+         |  mn + ((mx - mn + 1) * 5) // 10 AS hi FROM mm),
+         |u AS (
+         |  SELECT 'insert' AS change_type, o_custkey, a FROM o
+         |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  UNION ALL
+         |  SELECT 'update_preimage', o_custkey, a
+         |  FROM v2, k WHERE o_custkey BETWEEN lo AND hi
+         |  UNION ALL
+         |  SELECT 'update_postimage', o_custkey, a + 100
+         |  FROM v2, k WHERE o_custkey BETWEEN lo AND hi
+         |  UNION ALL
+         |  SELECT 'delete', o_custkey,
+         |    a + CASE WHEN o_custkey BETWEEN lo AND hi THEN 100 ELSE 0 END
+         |  FROM v2, k WHERE o_custkey IN (
+         |    SELECT c_custkey FROM customer
+         |    WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 10 = 7))
+         |SELECT change_type, c.c_mktsegment AS seg,
+         |  count(*) AS n_rows, CAST(sum(a) AS BIGINT) AS amount_c
+         |FROM u JOIN customer c ON u.o_custkey = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // each commit's logical definition, restated: v2 = the 1997 append;
     // v3 = the +100¢ band update (pre and post images over the SAME
     // band rows); v4 = the q107 erasure list's rows at their v3 state

@@ -250,10 +250,35 @@ object ColStats extends QueryPack {
       .orderBy(col("mo"))
   }
 
+  /** q127: q121's date-range skip exercised THROUGH THE SQL SURFACE
+    * (round-15 verdict #3): `CALL graft_store_select` registers the
+    * stats-pruned range view and the aggregate is a plain spark.sql
+    * statement over it — a SQL analyst's date predicate now opens
+    * exactly the operator path's file subset (the subset equality is
+    * asserted in GraftCatalogSpec; this gate pins the answer to the
+    * same DuckDB twin as q121). */
+  def q127SqlStatsSkip(s: SparkSession, dir: String): DataFrame = {
+    val path = stattedStore(s, dir)
+    graft.GraftCatalog.call(s,
+      s"CALL graft_store_select('versioned', '$path', '2', " +
+        s"'o_orderdate', '$cut1', '$cut2')")
+    s.sql("""SELECT CAST(month(o_orderdate) AS INT) AS mo,
+      count(*) AS n_rows, sum(amount_c) AS amount_c
+      FROM graft_store_select GROUP BY 1 ORDER BY mo""")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q121_stats_skip" -> ((s, dir) => q121StatsSkip(s, dir)))
+    "q121_stats_skip" -> ((s, dir) => q121StatsSkip(s, dir)),
+    "q127_sql_stats_skip" -> ((s, dir) => q127SqlStatsSkip(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
+    "q127_sql_stats_skip" ->
+      s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS mo,
+         |  count(*) AS n_rows,
+         |  CAST(sum(${Num.sql.cents("o_totalprice")}) AS BIGINT) AS amount_c
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$cut1' AND o_orderdate < TIMESTAMP '$cut2'
+         |GROUP BY 1 ORDER BY mo""".stripMargin,
     "q121_stats_skip" ->
       s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS mo,
          |  count(*) AS n_rows,

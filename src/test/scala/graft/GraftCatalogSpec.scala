@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Text
 import graft.sources.InvertedIndexStore
+import org.apache.spark.sql.functions.{col, count, lit, sum, to_timestamp}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SQL surface contract: an analyst typing plain SQL against the
@@ -364,5 +365,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     val after = GraftCatalog.call(spark,
       s"CALL graft_store_export('versioned', '$path', '$tip', 'k', '10,20')")
     assert(after.count() == 0L)
+  }
+
+  test("CALL graft_store_select's pruned view opens exactly the q121 " +
+      "file subset and matches the unpruned SQL read") {
+    import spark.implicits._
+    val path = sources.ColStats.stattedStore(spark, sf)
+    GraftCatalog.call(spark,
+      s"CALL graft_store_select('versioned', '$path', '2', " +
+        "'o_orderdate', '1997-01-01', '1998-01-01')")
+    val view = spark.table("graft_store_select")
+    val f1 = sources.VersionedStore.versionFiles(spark, path, 1).toSet
+    val f2 = sources.VersionedStore.versionFiles(spark, path, 2).toSet
+    val opened = view.inputFiles.map(sources.VersionedStore.canon).toSet
+    assert(opened == f2 -- f1,
+      s"SQL range view opened ${opened.size} files, " +
+        s"want exactly the v2 delta (${(f2 -- f1).size})")
+    // the baked row filter makes the view's rows the range's rows
+    val want = spark.read.parquet(f2.toSeq: _*)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .agg(count(lit(1)), sum(col("amount_c"))).as[(Long, Long)].head()
+    val got = spark.sql(
+      "SELECT count(*), sum(amount_c) FROM graft_store_select")
+      .as[(Long, Long)].head()
+    assert(got == want, "pruned SQL view changed the range's answer")
+  }
+
+  test("CALL graft_store_changes registers a relation plain SQL can " +
+      "join and filter inline") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_chj_").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    GraftCatalog.call(spark,
+      s"CALL graft_store_purge('versioned', '$path', 'k', '5,6,7')")
+    val vs = sources.VersionedStore.versions(spark, path)
+    GraftCatalog.call(spark,
+      s"CALL graft_store_changes('versioned', '$path', " +
+        s"'${vs.head}', '${vs.last}', 'k')")
+    Seq((5L, "a"), (6L, "b"), (99L, "z")).toDF("k", "tag")
+      .createOrReplaceTempView("graft_chj_dim")
+    val got = spark.sql(
+      """SELECT d.tag, count(*) AS n FROM graft_store_changes ch
+        |JOIN graft_chj_dim d ON ch.k = d.k
+        |WHERE ch._change_type = 'delete'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L), ("b", 1L)),
+      s"feed-consuming SQL join diverged: $got")
   }
 }
