@@ -187,7 +187,7 @@ object ColStats extends QueryPack {
     if (fs.exists(oldRoot)) {
       fs.listStatus(oldRoot).filter(_.isDirectory).foreach { o =>
         val liveDir = new org.apache.hadoop.fs.Path(root, o.getPath.getName)
-        if (!fs.exists(liveDir)) fs.rename(o.getPath, liveDir)
+        if (!fs.exists(liveDir)) StoreIo.ops.rename(fs, o.getPath, liveDir)
         else fs.delete(o.getPath, true)
       }
       fs.delete(oldRoot, true)
@@ -204,9 +204,9 @@ object ColStats extends QueryPack {
         val old = new org.apache.hadoop.fs.Path(oldRoot, d.getPath.getName)
         s.createDataFrame(keep.toSeq.asJava, st.schema)
           .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        require(fs.rename(d.getPath, old),
+        require(StoreIo.ops.rename(fs, d.getPath, old),
           s"colstats gc: rename-out failed for ${d.getPath}")
-        require(fs.rename(tmp, d.getPath),
+        require(StoreIo.ops.rename(fs, tmp, d.getPath),
           s"colstats gc: rename-in failed for ${d.getPath}")
         fs.delete(old, true)
       }

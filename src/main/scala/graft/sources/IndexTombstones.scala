@@ -196,8 +196,16 @@ object IndexTombstones {
       }
     }.sorted
     if (affected.isEmpty) return 0
+    // attempt uniqueness must survive COMPLETED folds, whose stage dirs
+    // are gone but whose fold_a<N>_<i>.parquet outputs persist in the
+    // relation: resolve against both the live stage dirs and the fold
+    // file names already present
+    val FoldName = """fold_a(\d+)_\d+\.parquet""".r
+    val usedByFiles = VersionedStore.hadoopLs(s, rel)
+      .map(f => f.substring(f.lastIndexOf('/') + 1))
+      .collect { case FoldName(a) => a.toInt }
     val attempt = {
-      var a = 0
+      var a = if (usedByFiles.isEmpty) 0 else usedByFiles.max + 1
       while (fs.exists(new org.apache.hadoop.fs.Path(s"$rel/.fold_a$a"))) a += 1
       a
     }
@@ -216,7 +224,8 @@ object IndexTombstones {
       else {
         val target = new org.apache.hadoop.fs.Path(
           s"$rel/fold_a${attempt}_$i.parquet")
-        require(fs.rename(new org.apache.hadoop.fs.Path(part.head), target),
+        require(StoreIo.ops.rename(fs,
+          new org.apache.hadoop.fs.Path(part.head), target),
           s"fold rename failed: ${part.head} -> $target")
         Some(VersionedStore.canon(target.toString))
       }

@@ -289,24 +289,12 @@ object VersionedStore extends QueryPack {
     val dir = new org.apache.hadoop.fs.Path(claimsDir(path))
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    // Hadoop's local create(p, overwrite=false) is exists-then-create —
-    // NOT atomic; the claim needs O_CREAT|O_EXCL semantics, so the file
-    // scheme goes through java.io (atomic createNewFile). HDFS/object
-    // stores with conditional puts make create-no-overwrite itself
-    // atomic (the same foundation the commit markers stand on).
+    // the claim is the protocol's create-no-overwrite primitive —
+    // routed through [[StoreIo]] (round-15 verdict #6: the injectable
+    // seam a cloud deployment swaps for a conditional-put/catalog
+    // implementation without touching this committer)
     val atomicCreate: org.apache.hadoop.fs.Path => Boolean =
-      if (fs.getUri.getScheme == "file")
-        p => new java.io.File(p.toUri.getPath).createNewFile()
-      else
-        p => try { fs.create(p, false).close(); true }
-          catch {
-            // only "the slot is taken" means probe upward; a persistent
-            // failure (permissions, network, auth) re-read as "taken"
-            // would spin forever burning an unbounded run of claim files
-            // (round-13 advice)
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-            case e: java.io.IOException => if (fs.exists(p)) false else throw e
-          }
+      p => StoreIo.ops.createNoOverwrite(fs, p)
     var v = math.max(1, from)
     var probes = 0
     while (!atomicCreate(claimFile(path, v))) {
@@ -513,7 +501,8 @@ object VersionedStore extends QueryPack {
         .map { case (ver, bid, ts) => s"$ver,$bid,$ts" }
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(checkpointDir(path) + s"/v$v"))
+      StoreIo.ops.rename(fs, tmp,
+        new org.apache.hadoop.fs.Path(checkpointDir(path) + s"/v$v"))
     }
 
   /** Versions whose txn record carries its commit marker — ONE txn-dir
@@ -1438,8 +1427,8 @@ object VersionedStore extends QueryPack {
       Seq((-v.toLong, System.currentTimeMillis()))
         .toDF("batch_id", "commit_ts")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+      StoreIo.ops.createMarker(fs, new org.apache.hadoop.fs.Path(
+        s"${txnPath(path, v)}/batch_${-v}.marker"))
       maybeCheckpoint(s, path, v)
     }
   }
@@ -2149,8 +2138,8 @@ object VersionedStore extends QueryPack {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"${txnPath(path, v)}/batch_${-v}.marker"), true).close()
+    StoreIo.ops.createMarker(fs, new org.apache.hadoop.fs.Path(
+      s"${txnPath(path, v)}/batch_${-v}.marker"))
     maybeCheckpoint(s, path, v)
     // post-commit lineage check — the streaming sinks' settle-gap
     // detection (round-13 advice) applied to the batch appender too

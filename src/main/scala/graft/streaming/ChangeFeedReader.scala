@@ -79,8 +79,8 @@ object ChangeFeedReader {
     val p = dir(ckpt)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
-    fs.create(new org.apache.hadoop.fs.Path(p,
-      s"consumed_v$toV.marker"), true).close()
+    graft.sources.StoreIo.ops.createMarker(fs,
+      new org.apache.hadoop.fs.Path(p, s"consumed_v$toV.marker"))
     fs.listStatus(p).toSeq.map(_.getPath)
       .filter { q =>
         val n = q.getName

@@ -118,7 +118,7 @@ object Segments {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     val target = new Path(s"$path/$seg")
     f.delete(target, true) // a crash-between-rename-and-commit leftover
-    require(f.rename(new Path(tmp), target),
+    require(graft.sources.StoreIo.ops.rename(f, new Path(tmp), target),
       s"merge staging rename failed: $tmp -> $target")
     commitArtifacts(seg, live)
     Some(seg)

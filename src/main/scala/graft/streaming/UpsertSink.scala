@@ -268,8 +268,8 @@ object UpsertSink {
           .parquet(VersionedCommitSink.txnPath(path, v))
         val fs = new Path(VersionedCommitSink.txnDir(path))
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.create(new Path(
-          s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"), true).close()
+        graft.sources.StoreIo.ops.createMarker(fs, new Path(
+          s"${VersionedCommitSink.txnPath(path, v)}/batch_$batchId.marker"))
         VersionedStore.maybeCheckpoint(s, path, v)
         // POST-COMMIT LINEAGE CHECK (round-13 advice): a slow lower-slot
         // writer that outlived settleBelow's timeout and then committed

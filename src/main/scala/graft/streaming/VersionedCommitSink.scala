@@ -194,7 +194,8 @@ object VersionedCommitSink {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.create(new Path(batchMarker(path, v, batchId)), true).close()
+    graft.sources.StoreIo.ops.createMarker(fs,
+      new Path(batchMarker(path, v, batchId)))
     // every Nth commit consolidates the metadata history so commit-time
     // and replay resolution stay O(interval) in store age
     VersionedStore.maybeCheckpoint(s, path, v)

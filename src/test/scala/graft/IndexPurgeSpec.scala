@@ -102,6 +102,12 @@ class IndexPurgeSpec extends AnyFunSuite {
     }
     // a second fold with nothing tombstoned is a no-op
     assert(InvertedIndexStore.fold(spark, path) == 0)
+    // a LATER purge folds again — completed folds' output names must
+    // not collide with the new attempt (the attempt counter survives
+    // stage-dir cleanup)
+    InvertedIndexStore.purge(spark, path, Seq(12L))
+    assert(InvertedIndexStore.fold(spark, path) > 0)
+    assert(spark.read.parquet(path).filter(col("doc_id") === 12L).count() == 0)
   }
 
   // deterministic unit-ish vectors, vec 0 = the query
