@@ -82,8 +82,12 @@ object IndexTombstones {
       case Some(have) =>
         rows.join(broadcast(have.select(col("k"))), Seq("k"), "left_anti")
     }
-    val out = fresh.orderBy(col("k")).coalesce(1)
-    out.write.mode(SaveMode.Append).parquet(dir(storePath))
+    // an all-absent / all-replayed batch appends NOTHING — it must not
+    // create (or grow) the relation, or a replayed purge on a folded
+    // store would leave a phantom tombstone dir behind
+    if (!fresh.isEmpty)
+      fresh.orderBy(col("k")).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(dir(storePath))
   }
 
   /** Drop the relation — the fold's last step, once no data file holds

@@ -96,8 +96,11 @@ object AnnRefreshSink {
       live.map(sg => s"${manifestPath(path)}/${sg.name}"), probed)
     require(files.nonEmpty, "manifest selected no cell files")
     val qn2 = qe.map(x => x * x).sum
-    s.read.parquet(files: _*)
-      .filter(col("cell").isin(probed: _*))
+    // tombstone-aware: purged vectors are unservable the moment the
+    // sink-level purge lands (an unpurged store pays one existence probe)
+    graft.sources.IndexTombstones.minus(s, path,
+      s.read.parquet(files: _*).filter(col("cell").isin(probed: _*)),
+      "vec_id")
       .select(col("vec_id"), col("cell"),
         cosineFrom(dot(col("e"), array(qe.map(lit): _*)),
           col("n2"), lit(qn2)).as("cos"))
@@ -105,17 +108,41 @@ object AnnRefreshSink {
       .limit(k)
   }
 
+  /** PURGE vector ids from the STREAMED index (round-15 verdict #1's
+    * "extend s17 replay safety" clause): an O(keys) tombstone append —
+    * the probe excludes them immediately; the next [[mergeSegments]]
+    * makes the erasure physical. Idempotent. */
+  def purge(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    if (vecIds.isEmpty) return
+    import s.implicits._
+    graft.sources.IndexTombstones.append(s, path,
+      vecIds.distinct.sorted.toDF("k"))
+  }
+
   /** OPTIMIZE: fold the live segments into one. Cell assignments ride
     * the rows, so a merge is pure re-clustering — one cell-range
     * shuffle sized from the folded segments' listing, manifest
     * re-derived and written LAST (the commit). */
   def mergeSegments(s: SparkSession, path: String,
-      targetFileBytes: Long = 4L << 20): Option[String] =
-    Segments.mergeSegments(s, path, commitDir(path), targetFileBytes)(
-      recluster = (df, n) => df.repartitionByRange(n, col("cell"))
+      targetFileBytes: Long = 4L << 20): Option[String] = {
+    // the merge is the streamed store's erasure FOLD point: tombstoned
+    // vectors drop from the folded segment for free; tombstones clear
+    // only after the merge's commit artifact lands
+    val tombs = graft.sources.IndexTombstones.read(s, path)
+    def minusVecs(df: DataFrame): DataFrame = tombs.fold(df)(t =>
+      df.join(org.apache.spark.sql.functions.broadcast(
+        t.select(col("k").as("vec_id"))), Seq("vec_id"), "left_anti"))
+    val merged = Segments.mergeSegments(s, path, commitDir(path),
+      targetFileBytes)(
+      recluster = (df, n) => minusVecs(df)
+        .repartitionByRange(n, col("cell"))
         .sortWithinPartitions("cell", "vec_id"),
       commitArtifacts = (seg, _) =>
         writeCellManifest(s, s"$path/$seg", s"${manifestPath(path)}/$seg"))
+    if (merged.nonEmpty && tombs.nonEmpty)
+      graft.sources.IndexTombstones.clear(s, path)
+    merged
+  }
 
   /** Reclaim folded segments (the coverage rule already hides them). */
   def vacuum(s: SparkSession, path: String): Unit =

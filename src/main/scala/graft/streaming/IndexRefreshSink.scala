@@ -78,8 +78,10 @@ object IndexRefreshSink {
     * clustered on term into `segFiles` files (so the manifest can skip
     * at FILE level inside every segment, not just row-group level —
     * one file per segment would span the whole alphabet and never
-    * prune), its manifest, and its stats row — all under the batch's
-    * own directories, Overwrite for replay idempotence. */
+    * prune), its manifest, its doc-length rows (the erasure verb's
+    * point-read source — the batch store's doclens tier, per segment),
+    * and its stats row — all under the batch's own directories,
+    * Overwrite for replay idempotence. */
   def appendBatch(batch: DataFrame, path: String, batchId: Long,
       segFiles: Int = 4): Unit = {
     // an empty micro-batch must not land a part-file-less segment dir:
@@ -110,6 +112,19 @@ object IndexRefreshSink {
     InvertedIndexStore.writeManifest(batch.sparkSession,
       s"${InvertedIndexStore.posPath(path)}/$seg",
       s"${InvertedIndexStore.posManifestPath(path)}/$seg")
+    // per-segment doc lengths + doc_id manifest (before the stats row,
+    // so the one commit marker covers them): purge resolves purged
+    // docs' lengths by point read across live segments
+    batch.select(col("doc_id"),
+        size(graft.functions.TextOps.toks(lower(col("text"))))
+          .cast("long").as("dl"))
+      .repartitionByRange(math.max(1, segFiles / 2), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${InvertedIndexStore.doclensPath(path)}/$seg")
+    graft.sources.AnnIndexStore.writeKeyManifest(batch.sparkSession,
+      s"${InvertedIndexStore.doclensPath(path)}/$seg", "doc_id",
+      s"${InvertedIndexStore.doclensManifestPath(path)}/$seg")
     InvertedIndexStore.statsAgg(batch)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${InvertedIndexStore.statsPath(path)}/$seg")
@@ -140,9 +155,22 @@ object IndexRefreshSink {
     * knob). Returns the merged segment name, or None when fewer than
     * two segments are live. */
   def mergeSegments(s: SparkSession, path: String,
-      targetFileBytes: Long = 4L << 20): Option[String] =
-    Segments.mergeSegments(s, path, commitDir(path), targetFileBytes)(
-      recluster = (df, n) => df.repartitionByRange(n, col("term"))
+      targetFileBytes: Long = 4L << 20): Option[String] = {
+    // the merge is ALSO the segment store's erasure FOLD point (the
+    // batch store's fold rides optimize; here every merge rewrites the
+    // whole live set anyway, so tombstoned docs drop for free): filter
+    // every folded relation, subtract the purged docs' exact (count,
+    // dl) from the merged stats row, and clear the tombstones AFTER
+    // the merge's commit artifact lands — a crash mid-merge keeps
+    // logical erasure in force
+    val tombs = graft.sources.IndexTombstones.read(s, path)
+    def minusDocs(df: DataFrame): DataFrame = tombs.fold(df)(t =>
+      df.join(org.apache.spark.sql.functions.broadcast(
+        t.select(col("k").as("doc_id"))), Seq("doc_id"), "left_anti"))
+    val merged = Segments.mergeSegments(s, path, commitDir(path),
+      targetFileBytes)(
+      recluster = (df, n) => minusDocs(df)
+        .repartitionByRange(n, col("term"))
         .sortWithinPartitions("term", "doc_id"),
       commitArtifacts = (seg, live) => {
         InvertedIndexStore.writeManifest(s, s"$path/$seg",
@@ -151,20 +179,49 @@ object IndexRefreshSink {
         // exactly one segment, so the union IS the merged relation) —
         // before the stats commit, so the marker covers the pos merge
         val posDir = s"${InvertedIndexStore.posPath(path)}/$seg"
-        s.read.parquet(live.map(sg =>
-            s"${InvertedIndexStore.posPath(path)}/${sg.name}"): _*)
+        minusDocs(s.read.parquet(live.map(sg =>
+            s"${InvertedIndexStore.posPath(path)}/${sg.name}"): _*))
           .repartitionByRange(math.max(1, live.size / 2), col("term"))
           .sortWithinPartitions("term", "doc_id")
           .write.mode(SaveMode.Overwrite).parquet(posDir)
         InvertedIndexStore.writeManifest(s, posDir,
           s"${InvertedIndexStore.posManifestPath(path)}/$seg")
-        s.read.parquet(live.map(sg =>
+        // fold the doclens segments (skip pre-doclens legacy segments:
+        // their docs fail open in purge resolution, never break reads)
+        val f = Segments.fs(s, path)
+        val dlDirs = live.map(sg =>
+            s"${InvertedIndexStore.doclensPath(path)}/${sg.name}")
+          .filter(d => f.exists(new org.apache.hadoop.fs.Path(d)))
+        if (dlDirs.nonEmpty) {
+          val dlDir = s"${InvertedIndexStore.doclensPath(path)}/$seg"
+          minusDocs(s.read.parquet(dlDirs: _*))
+            .repartitionByRange(math.max(1, live.size / 2), col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode(SaveMode.Overwrite).parquet(dlDir)
+          graft.sources.AnnIndexStore.writeKeyManifest(s, dlDir, "doc_id",
+            s"${InvertedIndexStore.doclensManifestPath(path)}/$seg")
+        }
+        val statsSum = s.read.parquet(live.map(sg =>
             s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("tot_tokens")).as("tot_tokens"))
-          .write.mode(SaveMode.Overwrite)
+        val stats = tombs.fold(statsSum) { t =>
+          val adj = t.agg(count(org.apache.spark.sql.functions.lit(1))
+            .as("t_docs"), sum(col("dl")).as("t_tokens"))
+          statsSum.crossJoin(org.apache.spark.sql.functions.broadcast(adj))
+            .select((col("n_docs") - col("t_docs")).as("n_docs"),
+              (col("tot_tokens") - org.apache.spark.sql.functions
+                .coalesce(col("t_tokens"),
+                  org.apache.spark.sql.functions.lit(0L)))
+                .as("tot_tokens"))
+        }
+        stats.write.mode(SaveMode.Overwrite)
           .parquet(s"${InvertedIndexStore.statsPath(path)}/$seg")
       })
+    if (merged.nonEmpty && tombs.nonEmpty)
+      graft.sources.IndexTombstones.clear(s, path)
+    merged
+  }
 
   /** Physically delete segments folded into a committed merged segment
     * (the coverage rule already hides them from every reader, so this
@@ -175,7 +232,33 @@ object IndexRefreshSink {
       s"${InvertedIndexStore.manifestPath(path)}/$seg",
       s"${InvertedIndexStore.posPath(path)}/$seg",
       s"${InvertedIndexStore.posManifestPath(path)}/$seg",
+      s"${InvertedIndexStore.doclensPath(path)}/$seg",
+      s"${InvertedIndexStore.doclensManifestPath(path)}/$seg",
       s"${InvertedIndexStore.statsPath(path)}/$seg"))
+
+  /** PURGE doc ids from the STREAMED index (round-15 verdict #1's
+    * "extend s14 replay safety" clause): resolve each present id's dl
+    * through the live segments' doclens manifests (point read),
+    * tombstone (doc_id, dl) at the store path — both probes exclude
+    * the docs and adjust stats from that moment; the next
+    * [[mergeSegments]] makes it physical. Idempotent; replay-safe
+    * across merges (post-merge the ids resolve to nothing). */
+  def purge(s: SparkSession, path: String, docIds: Seq[Long]): Unit = {
+    if (docIds.isEmpty) return
+    val live = liveSegments(s, path)
+    if (live.isEmpty) return
+    val f = Segments.fs(s, path)
+    val mans = live.map(sg =>
+        s"${InvertedIndexStore.doclensManifestPath(path)}/${sg.name}")
+      .filter(m => f.exists(new org.apache.hadoop.fs.Path(m)))
+    if (mans.isEmpty) return
+    val files = graft.sources.AnnIndexStore.filesForKeysIn(s, mans, docIds)
+    if (files.isEmpty) return
+    val rows = s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id").as("k"), col("dl"))
+    graft.sources.IndexTombstones.append(s, path, rows)
+  }
 
   /** BM25 point query over the segmented index — the q86b probe shape
     * against the union of LIVE segments' manifests: only files whose
@@ -191,13 +274,25 @@ object IndexRefreshSink {
       s"${InvertedIndexStore.manifestPath(path)}/${sg.name}"): _*)
     val selected = InvertedIndexStore.filesFor(m, terms)
     require(selected.nonEmpty, s"no posting files can contain $terms")
-    val tf = s.read.parquet(selected: _*)
-      .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val stats = s.read.parquet(live.map(sg =>
+    // tombstone-aware (an unpurged store pays one existence probe):
+    // candidates anti-joined, summed stats adjusted by the purged docs'
+    // exact (count, dl) — the batch store's effectiveStats, on segments
+    val tf = graft.sources.IndexTombstones.minus(s, path,
+      s.read.parquet(selected: _*)
+        .filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("dl"), col("term"), col("tf")), "doc_id")
+    val statsSum = s.read.parquet(live.map(sg =>
         s"${InvertedIndexStore.statsPath(path)}/${sg.name}"): _*)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("tot_tokens")).as("tot_tokens"))
+    val stats = graft.sources.IndexTombstones.read(s, path).fold(statsSum) {
+      t =>
+        val adj = t.agg(count(lit(1)).as("t_docs"), sum(col("dl")).as("t_tokens"))
+        statsSum.crossJoin(broadcast(adj))
+          .select((col("n_docs") - col("t_docs")).as("n_docs"),
+            (col("tot_tokens") - coalesce(col("t_tokens"), lit(0L)))
+              .as("tot_tokens"))
+    }
     graft.operators.Text.bm25Score(tf, stats)
   }
 
@@ -215,6 +310,7 @@ object IndexRefreshSink {
       s"${InvertedIndexStore.posManifestPath(path)}/${sg.name}"): _*)
     val selected = InvertedIndexStore.filesFor(m, terms)
     require(selected.nonEmpty, s"no positional files can contain $terms")
-    InvertedIndexStore.booleanPhrase(s.read.parquet(selected: _*), terms)
+    InvertedIndexStore.booleanPhrase(graft.sources.IndexTombstones.minus(
+      s, path, s.read.parquet(selected: _*), "doc_id"), terms)
   }
 }
