@@ -377,14 +377,23 @@ object GraftCatalog {
     * exactly the operator path's file subset (spec-asserted against
     * q121's delta). Bounds parse as `colName`'s own type. */
   def registerPrunedView(s: SparkSession, name: String, path: String,
-      v: Int, colName: String, lo: String, hi: String): Unit = {
+      v: Int, colName: String, lo: String, hi: String): Unit =
+    prunedRange(s, path, v, colName, lo, hi).createOrReplaceTempView(name)
+
+  /** The stats-pruned range frame behind [[registerPrunedView]] and the
+    * `graft_select(...)` TVF ([[GraftExtensions]]): version `v`'s rows
+    * with `colName` in [lo, hi), file set pruned by the column's stats
+    * relation, row filter baked in, bounds parsed as the column's own
+    * type. */
+  private[graft] def prunedRange(s: SparkSession, path: String, v: Int,
+      colName: String, lo: String, hi: String)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val dt = VersionedStore.schemaCarrier(s, path, v).schema(colName).dataType
     val (loC, hiC) = (lit(lo).cast(dt), lit(hi).cast(dt))
     sources.ColStats.readPruned(s, path, v, colName)(
       (mn, mx) => mx >= loC && mn < hiC)
       .filter(col(colName) >= loC && col(colName) < hiC)
-      .createOrReplaceTempView(name)
   }
 
   /** Register `name` as a PRUNED view of the inverted index: only the

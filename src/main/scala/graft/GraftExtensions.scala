@@ -27,11 +27,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    coordinates ([[graft.functions.Morton]]; the z-store layout key,
   *    so SQL jobs can write the same clustering)
   *
+  * and the store TABLE-VALUED functions (round-16, verdict #3: the
+  * change feed and the stats-pruned range read as relations SQL can
+  * FROM/join/filter inline, not just CALL-registered views):
+  *
+  *  - `graft_changes('<path>', fromV, toV, '<keyCol>')` — the
+  *    row-level change feed of the committed interval (fromV, toV]
+  *    ([[sources.ChangeFeed.changes]]): the Delta `table_changes(...)`
+  *    shape, usable directly in a FROM clause;
+  *  - `graft_select('<path>', version, '<column>', '<lo>', '<hi>')` —
+  *    the version's rows with `column` in [lo, hi), opening only the
+  *    files whose recorded (mn, mx) can overlap the range (the q121
+  *    skip, inline). Bounds parse as the column's own type.
+  *
+  * Both resolve their plan at ANALYSIS time from literal arguments
+  * (the TVF contract — the interval/range is part of the query text,
+  * exactly like Delta's table_changes), so Catalyst sees an ordinary
+  * logical plan: pushdown, pruning and join planning all apply.
+  *
   * Install via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — done by
   * [[Engine.session]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litStr(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a string literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+  }
 
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
@@ -108,6 +135,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val rnd = new scala.util.Random(seed)
         val planes = Array.fill(tables * bits)(Array.fill(64)(rnd.nextGaussian()))
         HyperplaneCodes(children.head, planes, bits)
+      }))
+    // store TVFs: the builder runs at analysis time with literal
+    // arguments and returns the built DataFrame's logical plan — the
+    // outer query then optimizes it like any relation. The metadata
+    // work (manifest listings, the chunked walk) runs once, at
+    // planning, the same point the CALL verbs pay it.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_changes takes ('<path>', fromV, toV, '<keyCol>')")
+        val s = org.apache.spark.sql.SparkSession.active
+        sources.ChangeFeed.changes(s, litStr(args(0), "path"),
+          litInt(args(1), "fromV"), litInt(args(2), "toV"),
+          litStr(args(3), "keyCol")).queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_select"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_select"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "graft_select takes ('<path>', version, '<column>', '<lo>', '<hi>')")
+        val s = org.apache.spark.sql.SparkSession.active
+        GraftCatalog.prunedRange(s, litStr(args(0), "path"),
+          litInt(args(1), "version"), litStr(args(2), "column"),
+          litStr(args(3), "lo"), litStr(args(4), "hi"))
+          .queryExecution.logical
       }))
   }
 }

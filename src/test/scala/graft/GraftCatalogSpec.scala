@@ -392,6 +392,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == want, "pruned SQL view changed the range's answer")
   }
 
+  test("the graft_changes and graft_select TVFs serve the feed and the " +
+      "pruned range inline in a FROM clause") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_tvf_").toString + "/store"
+    graft.streaming.VersionedCommitSink.appendBatch(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), path, 0L)
+    GraftCatalog.call(spark,
+      s"CALL graft_store_purge('versioned', '$path', 'k', '5,6,7')")
+    val vs = sources.VersionedStore.versions(spark, path)
+    // the feed as a genuine table-valued function: FROM + WHERE + agg
+    val del = spark.sql(
+      s"""SELECT count(*) AS n, sum(v) AS sv
+         |FROM graft_changes('$path', ${vs.head}, ${vs.last}, 'k')
+         |WHERE _change_type = 'delete'""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(del == ((3L, (5L + 6L + 7L) * 2)), s"TVF feed diverged: $del")
+    // joins work inline too
+    Seq((5L, "a"), (99L, "z")).toDF("k", "tag")
+      .createOrReplaceTempView("graft_tvf_dim")
+    val j = spark.sql(
+      s"""SELECT d.tag FROM graft_changes('$path', ${vs.head}, ${vs.last}, 'k') ch
+         |JOIN graft_tvf_dim d ON ch.k = d.k
+         |WHERE ch._change_type = 'delete'""".stripMargin)
+      .as[String].collect().toSeq
+    assert(j == Seq("a"))
+    // graft_select: the q121 store's date range, inline — opens exactly
+    // the operator path's file subset
+    val sp = sources.ColStats.stattedStore(spark, sf)
+    val sel = spark.sql(
+      s"""SELECT count(*) AS n FROM
+         |graft_select('$sp', 2, 'o_orderdate', '1997-01-01', '1998-01-01')"""
+        .stripMargin)
+    val f1 = sources.VersionedStore.versionFiles(spark, sp, 1).toSet
+    val f2 = sources.VersionedStore.versionFiles(spark, sp, 2).toSet
+    assert(sel.inputFiles.map(sources.VersionedStore.canon).toSet == f2 -- f1,
+      "TVF range read opened more than the stats-pruned subset")
+    val want = spark.read.parquet(f2.toSeq: _*)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01"))).count()
+    assert(sel.as[Long].head() == want)
+  }
+
   test("CALL graft_store_changes registers a relation plain SQL can " +
       "join and filter inline") {
     import spark.implicits._
