@@ -126,7 +126,12 @@ object Bench {
       () => render(fmt(2), allErrs = false),
       () => render(fmt(1), allErrs = false)) ++
       (if (shortKeysUnique)
-        Seq(() => render(fmt(2), allErrs = false, shortKeys = true))
+        Seq(() => render(fmt(2), allErrs = false, shortKeys = true),
+          // decisecond short keys: the last per-query tier before
+          // totals-only — at 153 queries the centisecond short map sits
+          // ~100 chars under the budget, so the next handful of rows
+          // would otherwise drop the whole map
+          () => render(fmt(1), allErrs = false, shortKeys = true))
       else Nil)
     val compact = tiers.view.map(_.apply()).find(_.length <= 1900)
       .getOrElse {
