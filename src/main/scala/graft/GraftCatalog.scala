@@ -338,12 +338,8 @@ object GraftCatalog {
           throw new IllegalArgumentException(
             s"graft_store_export version must be an int literal, got " +
               s"'${unq(version)}'"))
-        val ks = unq(keyList).split(",").map(_.trim).filter(_.nonEmpty)
-          .map(k => k.toLongOption.getOrElse(
-            throw new IllegalArgumentException(
-              s"graft_store_export keys must be long literals, got '$k'")))
-        val df = sources.VersionedStore.readKeys(s, unq(path), v,
-          ks.toSeq.toDF(unq(keyCol)), unq(keyCol))
+        // keys parse in the STORE's key type — string subject ids work
+        val df = exportKeys(s, unq(path), v, unq(keyCol), unq(keyList))
         df.createOrReplaceTempView("graft_store_export")
         df
       case _ => throw new IllegalArgumentException(
@@ -379,6 +375,32 @@ object GraftCatalog {
   def registerPrunedView(s: SparkSession, name: String, path: String,
       v: Int, colName: String, lo: String, hi: String): Unit =
     prunedRange(s, path, v, colName, lo, hi).createOrReplaceTempView(name)
+
+  /** The subject-access export frame behind `CALL graft_store_export`
+    * and the `graft_export(...)` TVF: version `v`'s rows whose
+    * `keyCol` is in the comma-separated `keyList`, through the
+    * band+bloom-pruned point read ([[VersionedStore.readKeys]]). Keys
+    * parse in the STORE's own key type (round-16: string subject ids —
+    * emails, UUIDs — work here too; a long-keyed store rejects
+    * non-numeric items loudly). */
+  private[graft] def exportKeys(s: SparkSession, path: String, v: Int,
+      keyCol: String, keyList: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val items = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dt = VersionedStore.schemaCarrier(s, path, v).schema(keyCol).dataType
+    val keysDf = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        items.map(k => k.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"export keys for the long-keyed column '$keyCol' must be " +
+              s"numeric literals, got '$k'"))).toDF(keyCol)
+      case StringType => items.toDF(keyCol)
+      case other => throw new IllegalArgumentException(
+        s"export supports integral and string key columns, '$keyCol' is $other")
+    }
+    VersionedStore.readKeys(s, path, v, keysDf, keyCol)
+  }
 
   /** The stats-pruned range frame behind [[registerPrunedView]] and the
     * `graft_select(...)` TVF ([[GraftExtensions]]): version `v`'s rows

@@ -39,6 +39,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    the version's rows with `column` in [lo, hi), opening only the
   *    files whose recorded (mn, mx) can overlap the range (the q121
   *    skip, inline). Bounds parse as the column's own type.
+  *  - `graft_export('<path>', version, '<keyCol>', '<k1,k2,...>')` —
+  *    the subject-access point read ([[sources.VersionedStore.readKeys]])
+  *    inline; keys parse in the store's own key type (string subject
+  *    ids included).
   *
   * Both resolve their plan at ANALYSIS time from literal arguments
   * (the TVF contract — the interval/range is part of the query text,
@@ -151,6 +155,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         sources.ChangeFeed.changes(s, litStr(args(0), "path"),
           litInt(args(1), "fromV"), litInt(args(2), "toV"),
           litStr(args(3), "keyCol")).queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_export"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_export"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "graft_export takes ('<path>', version, '<keyCol>', '<k1,k2,...>')")
+        val s = org.apache.spark.sql.SparkSession.active
+        GraftCatalog.exportKeys(s, litStr(args(0), "path"),
+          litInt(args(1), "version"), litStr(args(2), "keyCol"),
+          litStr(args(3), "keys")).queryExecution.logical
       }))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_select"),

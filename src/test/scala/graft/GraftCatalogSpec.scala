@@ -435,6 +435,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sel.as[Long].head() == want)
   }
 
+  test("graft_export TVF and CALL export parse keys in the store's own " +
+      "key type — string subject ids included") {
+    import spark.implicits._
+    // string-keyed store: the round-16 erasure-batch reality
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cat_exps_").toString + "/store"
+    sources.VersionedStore.appendCommit(spark, path,
+      (1 to 50).map(i => (f"user-$i%03d", i.toLong)).toDF("email", "uid"),
+      "email", 2)
+    val tvf = spark.sql(
+      s"""SELECT uid FROM graft_export('$path', 1, 'email',
+         |'user-007, user-033') ORDER BY uid""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(tvf == Seq(7L, 33L), s"string-keyed TVF export diverged: $tvf")
+    val call = GraftCatalog.call(spark,
+      s"CALL graft_store_export('versioned', '$path', '1', 'email', " +
+        "'user-007,user-033')")
+    assert(call.select("uid").as[Long].collect().toSeq.sorted == Seq(7L, 33L))
+    // a long-keyed store still rejects non-numeric items loudly
+    val lpath = java.nio.file.Files
+      .createTempDirectory("graft_cat_expl_").toString + "/store"
+    sources.VersionedStore.appendCommit(spark, lpath,
+      (1L to 20L).map(k => (k, k * 2)).toDF("k", "v"), "k", 1)
+    val ex = intercept[IllegalArgumentException] {
+      GraftCatalog.call(spark,
+        s"CALL graft_store_export('versioned', '$lpath', '1', 'k', 'abc')")
+    }
+    assert(ex.getMessage.contains("numeric"))
+  }
+
   test("CALL graft_store_changes registers a relation plain SQL can " +
       "join and filter inline") {
     import spark.implicits._
