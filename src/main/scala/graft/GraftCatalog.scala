@@ -260,7 +260,48 @@ object GraftCatalog {
       }
     }
     val Select = s"(?i)\\s*CALL\\s+graft_store_select\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Hist = s"(?i)\\s*CALL\\s+graft_store_history\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Tag = s"(?i)\\s*CALL\\s+graft_store_tag\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Untag = s"(?i)\\s*CALL\\s+graft_store_untag\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Clone = s"(?i)\\s*CALL\\s+graft_store_clone\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    def intOf(v: String, what: String): Int =
+      v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"$what must be an int literal, got '$v'"))
+    val Expect = s"(?i)\\s*CALL\\s+graft_store_expect\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
     statement match {
+      case Expect(family, path, name, predicate) =>
+        require(unq(family) == "versioned",
+          s"expect supports the 'versioned' family, got '${unq(family)}'")
+        val prior = sources.Expectations.declared(s, unq(path))
+          .filterNot(_._1 == unq(name))
+        sources.Expectations.declare(s, unq(path),
+          prior :+ (unq(name), unq(predicate)))
+        Seq((unq(path), unq(name), unq(predicate)))
+          .toDF("path", "expectation", "predicate")
+      case Hist(family, path) =>
+        require(unq(family) == "versioned",
+          s"history supports the 'versioned' family, got '${unq(family)}'")
+        val df = sources.StoreLineage.history(s, unq(path))
+        df.createOrReplaceTempView("graft_store_history")
+        df
+      case Tag(family, path, name, version) =>
+        require(unq(family) == "versioned",
+          s"tag supports the 'versioned' family, got '${unq(family)}'")
+        sources.StoreLineage.tag(s, unq(path), unq(name),
+          intOf(unq(version), "graft_store_tag version"))
+        Seq((unq(path), unq(name),
+          intOf(unq(version), "v"))).toDF("path", "tag", "version")
+      case Untag(family, path, name) =>
+        require(unq(family) == "versioned",
+          s"untag supports the 'versioned' family, got '${unq(family)}'")
+        sources.StoreLineage.dropTag(s, unq(path), unq(name))
+        Seq((unq(path), unq(name))).toDF("path", "dropped_tag")
+      case Clone(family, srcPath, srcV, dstPath) =>
+        require(unq(family) == "versioned",
+          s"clone supports the 'versioned' family, got '${unq(family)}'")
+        val v = sources.StoreLineage.cloneFrom(s, unq(srcPath),
+          intOf(unq(srcV), "graft_store_clone srcV"), unq(dstPath))
+        Seq((unq(dstPath), v)).toDF("path", "committed_version")
       case Select(family, path, version, colName, lo, hi) =>
         require(unq(family) == "versioned",
           s"select supports the 'versioned' family, got '${unq(family)}'")
@@ -351,7 +392,11 @@ object GraftCatalog {
           "graft_store_refresh_mv('versioned','<path>','<groupCol>','<valueCol>','<keyCol>') | " +
           "graft_store_select('versioned','<path>','<version>','<column>','<lo>','<hi>') | " +
           "graft_store_changes('versioned','<path>','<fromV>','<toV>','<keyCol>') | " +
-          "graft_store_export('versioned','<path>','<version>','<keyCol>','<k1,k2,...>')")
+          "graft_store_export('versioned','<path>','<version>','<keyCol>','<k1,k2,...>') | " +
+          "graft_store_history('versioned','<path>') | " +
+          "graft_store_tag('versioned','<path>','<name>','<version>') | " +
+          "graft_store_untag('versioned','<path>','<name>') | " +
+          "graft_store_clone('versioned','<srcPath>','<srcV>','<dstPath>')")
     }
   }
 

@@ -168,6 +168,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(args(3), "keys")).queryExecution.logical
       }))
     ext.injectTableFunction((
+      new FunctionIdentifier("graft_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_history takes ('<path>')")
+        val s = org.apache.spark.sql.SparkSession.active
+        sources.StoreLineage.history(s, litStr(args(0), "path"))
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_snapshot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_snapshot takes ('<path>', version | '<tag>')")
+        val s = org.apache.spark.sql.SparkSession.active
+        val path = litStr(args(0), "path")
+        // an int literal reads VERSION AS OF; a string literal reads by
+        // TAG (numeric tag names fall to the version reading — tags
+        // exclude dots, versions exclude names, so the grammar is
+        // total and unambiguous for any valid argument)
+        require(args(1).foldable, "graft_snapshot version/tag must be a literal")
+        val v = args(1).eval() match {
+          case i: Int => i
+          case l: Long => java.lang.Math.toIntExact(l)
+          case u: org.apache.spark.unsafe.types.UTF8String =>
+            u.toString.toIntOption.getOrElse(
+              sources.StoreLineage.resolveTag(s, path, u.toString))
+          case other => throw new IllegalArgumentException(
+            s"graft_snapshot second argument must be a version or tag " +
+              s"literal, got $other")
+        }
+        sources.VersionedStore.readVersion(s, path, v)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_quarantine"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_quarantine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_quarantine takes ('<path>', version)")
+        val s = org.apache.spark.sql.SparkSession.active
+        sources.Expectations.quarantine(s, litStr(args(0), "path"),
+          litInt(args(1), "version")).queryExecution.logical
+      }))
+    ext.injectTableFunction((
       new FunctionIdentifier("graft_select"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_select"),
       (args: Seq[Expression]) => {

@@ -11,7 +11,8 @@ object SparkEntry {
     operators.Audit,
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
     sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore,
-    sources.VersionedStore, sources.ChangeFeed, sources.ColStats,
+    sources.VersionedStore, sources.StoreLineage, sources.Expectations,
+    sources.ChangeFeed, sources.ColStats,
     sources.AnnIndexStore, sources.Scd2Store, sources.KnnGraphStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -642,8 +642,16 @@ object VersionedStore extends QueryPack {
     WriterLease.withLease(s, path, "vacuum") {
     require(keepVersions >= 1, s"must retain at least one version")
     val vs = versions(s, path)
-    val drop = vs.dropRight(keepVersions)
-    val keep = vs.takeRight(keepVersions)
+    // TAG PINS (StoreLineage): a tagged version is retained past the
+    // count-based window — the Iceberg tag-retention rule, so a named
+    // training snapshot stays reproducible however many commits land
+    // after it. NOTE the erasure interplay: a tag pinning a PRE-purge
+    // version legitimately keeps subject rows readable (exactly like
+    // COW's retained history); completing an erasure SLA means dropping
+    // such tags first — StoreLineage.tags makes them auditable.
+    val pinned = StoreLineage.taggedVersions(s, path).filter(vs.toSet)
+    val keep = (vs.takeRight(keepVersions) ++ pinned).distinct.sorted
+    val drop = vs.filterNot(keep.toSet)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     var deleted = 0
@@ -671,6 +679,8 @@ object VersionedStore extends QueryPack {
       drop.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), true)
         fs.delete(new org.apache.hadoop.fs.Path(txnPath(path, v)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          Expectations.quarantinePath(path, v)), true)
       }
     }
     deleted += reapTombstones(s, path, fileGraceMs, nowMs())
@@ -738,6 +748,8 @@ object VersionedStore extends QueryPack {
           fs.delete(new org.apache.hadoop.fs.Path(dataPath(path) + d), true))
         fs.delete(new org.apache.hadoop.fs.Path(dvPath(path, v)), true)
         fs.delete(new org.apache.hadoop.fs.Path(cdcPath(path, v)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          Expectations.quarantinePath(path, v)), true)
         fs.delete(claimFile(path, v), false)
       }
     claims.filter(v => committed.contains(v) && v < tip)
@@ -972,7 +984,7 @@ object VersionedStore extends QueryPack {
             .write.mode(SaveMode.Overwrite).parquet(dvPath(path, v)))
           // a stream-built store commits through its txn-marker rule;
           // the pseudo id is negative so replay checks never match
-          writeMaintenanceTxn(s, path, v)
+          writeMaintenanceTxn(s, path, v, "optimize")
           requireNoLineageGap(s, path, cur, v)
           done = Some(v)
         }
@@ -1405,7 +1417,7 @@ object VersionedStore extends QueryPack {
             .toSeq.toDF("file", "mn", "mx")
             .coalesce(1).write.mode(SaveMode.Overwrite)
             .parquet(manifestPath(path, v))
-          writeMaintenanceTxn(s, path, v)
+          writeMaintenanceTxn(s, path, v, "delete")
           requireNoLineageGap(s, path, cur, v)
           done = Some(v)
         }
@@ -1418,14 +1430,18 @@ object VersionedStore extends QueryPack {
 
   /** Maintenance-commit txn record — the negative pseudo batch id +
     * marker a stream-built store's commit rule requires (compaction,
-    * delete commits); a no-op on batch-built (manifest-only) stores. */
-  private def writeMaintenanceTxn(s: SparkSession, path: String, v: Int): Unit = {
+    * delete commits); a no-op on batch-built (manifest-only) stores.
+    * `op` is the commit's INTENT stamp ([[StoreLineage.history]]'s
+    * `operation` column — the Delta commitInfo idea): what the writer
+    * meant, beside what the manifest diff shows it did. */
+  private def writeMaintenanceTxn(s: SparkSession, path: String, v: Int,
+      op: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(txnDir(path)))) {
       import s.implicits._
-      Seq((-v.toLong, System.currentTimeMillis()))
-        .toDF("batch_id", "commit_ts")
+      Seq((-v.toLong, System.currentTimeMillis(), op))
+        .toDF("batch_id", "commit_ts", "operation")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
       StoreIo.ops.createMarker(fs, new org.apache.hadoop.fs.Path(
         s"${txnPath(path, v)}/batch_${-v}.marker"))
@@ -1550,7 +1566,7 @@ object VersionedStore extends QueryPack {
             s.read.parquet(manifestPath(path, cur))
               .coalesce(1).write.mode(SaveMode.Overwrite)
               .parquet(manifestPath(path, v))
-            writeMaintenanceTxn(s, path, v)
+            writeMaintenanceTxn(s, path, v, "delete_dv")
             requireNoLineageGap(s, path, cur, v)
             done = Some(v)
           }
@@ -2119,7 +2135,8 @@ object VersionedStore extends QueryPack {
     * stream replay checks can never mistake a backfill for a replayed
     * trigger. */
   def appendCommit(s: SparkSession, path: String, batch: DataFrame,
-      clusterCol: String, parts: Int): Int = {
+      clusterCol: String, parts: Int,
+      beforeMarker: Int => Unit = _ => ()): Int = {
     val latest = committedTip(s, path)
     val v = claimVersion(s, path, latest.getOrElse(0) + 1)
     val dataDir = dataPath(path) + s"/v$v"
@@ -2132,9 +2149,14 @@ object VersionedStore extends QueryPack {
       .getOrElse(Set.empty[String])
     writeManifest(s, path, v, parent ++ newFiles)
     ColStats.onCommit(s, path, newFiles.toSeq.sorted)
+    // side relations ride the version's atomicity: written INSIDE the
+    // claimed slot, before the marker that commits it (a crash leaves
+    // them invisible leftovers vacuum reclaims with the slot) — the
+    // Expectations quarantine hook
+    beforeMarker(v)
     import s.implicits._
-    Seq((-v.toLong, System.currentTimeMillis()))
-      .toDF("batch_id", "commit_ts")
+    Seq((-v.toLong, System.currentTimeMillis(), "append"))
+      .toDF("batch_id", "commit_ts", "operation")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -262,8 +262,8 @@ object UpsertSink {
         // the commit, its name carries the batch id for the replay check
         // (the VersionedCommitSink.appendBatch discipline).
         import s.implicits._
-        Seq((batchId, System.currentTimeMillis()))
-          .toDF("batch_id", "commit_ts")
+        Seq((batchId, System.currentTimeMillis(), "upsert"))
+          .toDF("batch_id", "commit_ts", "operation")
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(VersionedCommitSink.txnPath(path, v))
         val fs = new Path(VersionedCommitSink.txnDir(path))

@@ -189,8 +189,8 @@ object VersionedCommitSink {
     // timestamp-based time travel resolves against
     // (VersionedStore.readAsOf).
     import s.implicits._
-    Seq((batchId, System.currentTimeMillis()))
-      .toDF("batch_id", "commit_ts")
+    Seq((batchId, System.currentTimeMillis(), "append"))
+      .toDF("batch_id", "commit_ts", "operation")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(txnPath(path, v))
     val fs = new Path(txnDir(path))
       .getFileSystem(s.sparkContext.hadoopConfiguration)
