@@ -111,6 +111,84 @@ object Expectations extends QueryPack {
       .map(quarantine(s, path, _)).reduce(_.unionByName(_))
 
   // ---------------------------------------------------------------
+  // STREAMING tier (s23): expectations on the keyed upsert path
+  // ---------------------------------------------------------------
+
+  def quarantineBatchPath(path: String, batchId: Long): String =
+    quarantineDir(path) + s"/batch_$batchId"
+
+  /** [[graft.streaming.UpsertSink.upsertBatch]] under the store's
+    * expectations — the streaming tier of [[guardedAppend]]: each
+    * micro-batch splits in the same single predicate pass; rejects land
+    * in the BATCH's own quarantine directory (Overwrite — the s15
+    * changelog discipline: a checkpoint replay regenerates the same
+    * relation rather than duplicating it, and the store commit itself
+    * is skipped by the batch-id replay check), written BEFORE the
+    * upsert so an all-reject batch still records WHY nothing landed.
+    * Per-trigger cost ∝ the batch, never the store. */
+  def guardedUpsertBatch(batch: DataFrame, path: String, batchId: Long,
+      keyCol: String, initialPartitions: Int = 1): Option[Int] = {
+    val s = batch.sparkSession
+    val rules = declared(s, path)
+    if (rules.isEmpty)
+      return graft.streaming.UpsertSink.upsertBatch(
+        batch, path, batchId, keyCol, initialPartitions)
+    val tagged = batch.withColumn("_violated", violatedCol(rules))
+    tagged.filter(col("_violated").isNotNull)
+      .withColumnRenamed("_violated", "violated")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(quarantineBatchPath(path, batchId))
+    graft.streaming.UpsertSink.upsertBatch(
+      tagged.filter(col("_violated").isNull).drop("_violated"),
+      path, batchId, keyCol, initialPartitions)
+  }
+
+  /** All streamed batches' rejects, with their batch id. Empty frame
+    * (schema-carried) when no batch quarantined anything yet. */
+  def quarantineBatches(s: SparkSession, path: String): DataFrame = {
+    val qd = new org.apache.hadoop.fs.Path(quarantineDir(path))
+    val fs = qd.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(qd)) Seq.empty[String]
+      else fs.listStatus(qd).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+        .map(_.getPath.toString)
+    if (dirs.isEmpty) {
+      val vs = VersionedStore.versions(s, path)
+      require(vs.nonEmpty, s"no committed versions and no batch " +
+        s"quarantine under $path")
+      VersionedStore.schemaCarrier(s, path, vs.last)
+        .withColumn("violated", lit(null).cast("string"))
+        .withColumn("batch_id", lit(null).cast("long")).limit(0)
+    } else
+      s.read.parquet(dirs: _*)
+        .withColumn("batch_id", regexp_extract(input_file_name(),
+          "/batch_(\\d+)/", 1).cast("long"))
+  }
+
+  /** Retention for the streamed quarantine (the data-quality relation
+    * outlives no audit window forever): keep the newest `keepBatches`
+    * batch directories, delete the rest. Returns the reclaimed count.
+    * Explicit — store vacuum governs VERSION quarantine (it rides the
+    * version lifecycle); batch quarantine has its own horizon because
+    * an all-reject batch commits no version to expire with. */
+  def vacuumBatchQuarantine(s: SparkSession, path: String,
+      keepBatches: Int): Int = {
+    require(keepBatches >= 0, "keepBatches must be non-negative")
+    val qd = new org.apache.hadoop.fs.Path(quarantineDir(path))
+    val fs = qd.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(qd)) return 0
+    val batches = fs.listStatus(qd).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+      .flatMap(st => st.getPath.getName.stripPrefix("batch_").toLongOption
+        .map(_ -> st.getPath))
+      .sortBy(_._1)
+    val drop = batches.dropRight(keepBatches)
+    drop.foreach { case (_, p) => fs.delete(p, true) }
+    drop.size
+  }
+
+  // ---------------------------------------------------------------
   // gated harness: a customer store guarded by a REAL-data rule —
   // TPC-H account balances go negative, so `acct_nonneg` quarantines
   // a genuine slice while `has_segment` passes everything.

@@ -657,7 +657,13 @@ object VersionedStore extends QueryPack {
     var deleted = 0
     if (drop.nonEmpty) {
       val retained = keep.flatMap(v => versionFiles(s, path, v)).toSet
-      val deletable = drop.flatMap(v => versionFiles(s, path, v)).toSet -- retained
+      // OWNERSHIP RULE (shallow clones): a store physically deletes only
+      // files under ITS OWN data root. A clone's manifests reference the
+      // SOURCE's files (StoreLineage.cloneFrom) — expiring a clone
+      // version drops the references but must never reap bytes the
+      // source still owns; the source's own vacuum governs those.
+      val deletable = (drop.flatMap(v => versionFiles(s, path, v)).toSet
+        -- retained).filter(_.startsWith(dataPath(path)))
       // READER GRACE (round-14 verdict #5, the Delta
       // deletedFileRetentionDuration idea): an in-flight reader of a
       // just-expired version holds file paths, not locks — deleting the
@@ -862,10 +868,14 @@ object VersionedStore extends QueryPack {
             }
           }
           // the superseded originals hold the only remaining purged
-          // bytes: no retained manifest references them anymore
-          owningAll.foreach(f =>
+          // bytes: no retained manifest references them anymore. The
+          // ownership rule applies here too — a clone's fold rewrites
+          // its VIEW clean but must not delete borrowed source files
+          // (the source's own erasure lifecycle governs those bytes).
+          val owned = owningAll.filter(_.startsWith(dataPath(path)))
+          owned.foreach(f =>
             fs.delete(new org.apache.hadoop.fs.Path(f), false))
-          deleted += owningAll.size
+          deleted += owned.size
         }
         fs.delete(new org.apache.hadoop.fs.Path(dvDir(path)), true)
       } else {

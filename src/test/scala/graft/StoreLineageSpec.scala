@@ -164,6 +164,36 @@ class StoreLineageSpec extends AnyFunSuite {
     }
   }
 
+  test("clone vacuum obeys the ownership rule: borrowed source bytes survive") {
+    val src = Engine.storePath("graft-lineage-ownsrc", dir)
+    val dst = Engine.storePath("graft-lineage-owndst", dir)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    VersionedStore.appendCommit(spark, src, ordersSlice(2), "o_custkey", 2)
+    StoreLineage.cloneFrom(spark, src, 1, dst)
+    val borrowed = VersionedStore.versionFiles(spark, dst, 1).toSet
+    // diverge: append, then compact so v1 stops being referenced by the
+    // clone's tip, then expire it — without the ownership rule this
+    // vacuum would physically delete the SOURCE's data files
+    VersionedStore.appendCommit(spark, dst,
+      ordersSlice(2, even = true), "o_custkey", 1)
+    VersionedStore.compactCommit(spark, dst, "o_custkey", 32L << 20)
+    StoreLineage.releaseClone(spark, dst) // drop the pin; not the point here
+    VersionedStore.vacuum(spark, dst, keepVersions = 1)
+    assert(VersionedStore.versions(spark, dst) == Seq(3))
+    assert(borrowed.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "clone vacuum deleted source-owned files")
+    // the source is untouched and fully readable
+    assert(VersionedStore.readVersion(spark, src, 1).count() ==
+      ordersSlice(2).count())
+    // and the clone's own compacted tip reads clean
+    assert(VersionedStore.readVersion(spark, dst, 3).count() ==
+      ordersSlice(2).count() + ordersSlice(2, even = true).count())
+  }
+
   test("a pinned source vacuum keeps the clone readable; release frees it") {
     // disposable source + clone so the gated cloneDemo is untouched
     val src = Engine.storePath("graft-lineage-clonesrc", dir)
