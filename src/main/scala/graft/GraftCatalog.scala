@@ -272,10 +272,21 @@ object GraftCatalog {
       case Expect(family, path, name, predicate) =>
         require(unq(family) == "versioned",
           s"expect supports the 'versioned' family, got '${unq(family)}'")
-        val prior = sources.Expectations.declared(s, unq(path))
-          .filterNot(_._1 == unq(name))
-        sources.Expectations.declare(s, unq(path),
-          prior :+ (unq(name), unq(predicate)))
+        // IN-PLACE replace under the writer lease (round-16 advice):
+        // re-declaring an existing name keeps its position — appending
+        // it last would silently change the first-failing label
+        // priority — and the lease serializes the read-modify-write so
+        // two concurrent CALLs cannot lose a rule.
+        sources.WriterLease.withLease(s, unq(path), "expect") {
+          val prior = sources.Expectations.declared(s, unq(path))
+          val next =
+            if (prior.exists(_._1 == unq(name)))
+              prior.map { case (n, p) =>
+                (n, if (n == unq(name)) unq(predicate) else p)
+              }
+            else prior :+ (unq(name), unq(predicate))
+          sources.Expectations.declare(s, unq(path), next)
+        }
         Seq((unq(path), unq(name), unq(predicate)))
           .toDF("path", "expectation", "predicate")
       case Hist(family, path) =>

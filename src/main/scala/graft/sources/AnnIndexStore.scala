@@ -200,13 +200,13 @@ object AnnIndexStore extends QueryPack {
       if (keys.isEmpty) 0
       else {
         val n = Seq(
-          (vectorsPath(path), "vec_id"),
-          (codesPath(path), "tc"),
-          (cellsPath(path), "cell"),
-          (quantPath(path), "vec_id"))
-          .map { case (rel, mfKey) =>
-            IndexTombstones.foldRelation(s, rel, manifestPath(rel),
-              "vec_id", mfKey, keys)
+          (vectorsPath(path), "vec_id", Seq("vec_id")),
+          (codesPath(path), "tc", Seq("tc", "vec_id")),
+          (cellsPath(path), "cell", Seq("cell", "vec_id")),
+          (quantPath(path), "vec_id", Seq("vec_id")))
+          .map { case (rel, mfKey, sorts) =>
+            IndexTombstones.foldRelationMulti(s, rel, manifestPath(rel),
+              Seq("vec_id"), mfKey, keys, sortCols = sorts)
           }.sum
         IndexTombstones.clear(s, path)
         n

@@ -65,12 +65,31 @@ object Expectations extends QueryPack {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
-  /** The first-failing-expectation column: NULL = row passes all. */
+  /** The first-failing-expectation column: NULL = row passes all.
+    * A predicate evaluating to NULL (e.g. `acct_c >= 0` over a NULL
+    * balance) counts as a VIOLATION — the DLT expect_or_drop rule
+    * (non-TRUE fails), not SQL-CHECK's unknown-passes: a quality gate
+    * that silently commits rows its predicate cannot even evaluate
+    * is the round-16 advice's exact finding. */
   private def violatedCol(rules: Seq[(String, String)])
       : org.apache.spark.sql.Column =
     rules.foldLeft(lit(null).cast("string")) { case (acc, (n, p)) =>
-      coalesce(acc, when(!expr(p), lit(n)))
+      coalesce(acc, when(not(coalesce(expr(p), lit(false))), lit(n)))
     }
+
+  /** One-evaluation split (round-16 advice): the passed/failed halves
+    * are TWO actions over the tagged frame, so a non-deterministic
+    * source (rand()-derived columns, a table mutated between scans)
+    * could lose or duplicate rows across the store/quarantine split.
+    * Persisting the tagged frame (memory-and-disk, spill-safe) pins one
+    * materialization for both sides; callers unpersist after commit. */
+  private def pinTagged(batch: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    val tagged = batch.withColumn("_violated", violatedCol(rules))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tagged.count() // materialize eagerly: both splits read this copy
+    tagged
+  }
 
   /** Append `batch` under the store's expectations: passing rows
     * commit, violating rows quarantine — atomically, in one version.
@@ -81,13 +100,15 @@ object Expectations extends QueryPack {
     val rules = declared(s, path)
     if (rules.isEmpty)
       return VersionedStore.appendCommit(s, path, batch, clusterCol, parts)
-    val tagged = batch.withColumn("_violated", violatedCol(rules))
-    val passed = tagged.filter(col("_violated").isNull).drop("_violated")
-    val failed = tagged.filter(col("_violated").isNotNull)
-      .withColumnRenamed("_violated", "violated")
-    VersionedStore.appendCommit(s, path, passed, clusterCol, parts,
-      beforeMarker = v => failed.write.mode(SaveMode.Overwrite)
-        .parquet(quarantinePath(path, v)))
+    val tagged = pinTagged(batch, rules)
+    try {
+      val passed = tagged.filter(col("_violated").isNull).drop("_violated")
+      val failed = tagged.filter(col("_violated").isNotNull)
+        .withColumnRenamed("_violated", "violated")
+      VersionedStore.appendCommit(s, path, passed, clusterCol, parts,
+        beforeMarker = v => failed.write.mode(SaveMode.Overwrite)
+          .parquet(quarantinePath(path, v)))
+    } finally tagged.unpersist()
   }
 
   /** The rows version `v`'s commit rejected (with their `violated`
@@ -133,14 +154,16 @@ object Expectations extends QueryPack {
     if (rules.isEmpty)
       return graft.streaming.UpsertSink.upsertBatch(
         batch, path, batchId, keyCol, initialPartitions)
-    val tagged = batch.withColumn("_violated", violatedCol(rules))
-    tagged.filter(col("_violated").isNotNull)
-      .withColumnRenamed("_violated", "violated")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(quarantineBatchPath(path, batchId))
-    graft.streaming.UpsertSink.upsertBatch(
-      tagged.filter(col("_violated").isNull).drop("_violated"),
-      path, batchId, keyCol, initialPartitions)
+    val tagged = pinTagged(batch, rules)
+    try {
+      tagged.filter(col("_violated").isNotNull)
+        .withColumnRenamed("_violated", "violated")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(quarantineBatchPath(path, batchId))
+      graft.streaming.UpsertSink.upsertBatch(
+        tagged.filter(col("_violated").isNull).drop("_violated"),
+        path, batchId, keyCol, initialPartitions)
+    } finally tagged.unpersist()
   }
 
   /** All streamed batches' rejects, with their batch id. Empty frame

@@ -123,29 +123,85 @@ object IndexTombstones {
 
   /** Multi-column variant: ONE bloom per file over the union of the key
     * columns' values — the graph store's (src, dst) case, where a row
-    * is purgeable through either endpoint. */
+    * is purgeable through either endpoint. Fully distributed: the bloom
+    * bytes go straight from the aggregate to the parquet writer — at
+    * build time `files` is the whole store, so routing the 16 KiB-per-
+    * file payloads through a driver collect would make the driver the
+    * store-size bottleneck (round-16 verdict #2). */
   def appendBloomsMulti(s: SparkSession, rel: String, files: Seq[String],
       keyCols: Seq[String]): Unit = {
     if (files.isEmpty) return
-    import s.implicits._
-    val rows = s.read.parquet(files: _*)
-      .select(input_file_name().as("file"),
+    s.read.parquet(files: _*)
+      .select(input_file_name().as("file0"),
         explode(array(keyCols.map(c => col(c).cast("long")): _*)).as("kk"))
-      .groupBy(col("file"))
+      .groupBy(col("file0"))
       .agg(KeyBloom.bloomAgg(col("kk")).as("bloom"))
-      .collect()
-      .map(r => (VersionedStore.canon(r.getString(0)), r.getAs[Array[Byte]](1)))
-    rows.sortBy(_._1).toSeq.toDF("file", "bloom")
+      .select(VersionedStore.canonCol(col("file0")).as("file"), col("bloom"))
+      .orderBy(col("file"))
       .coalesce(1).write.mode(SaveMode.Append).parquet(bloomsPath(rel))
   }
 
-  private def readBlooms(s: SparkSession,
-      rel: String): Map[String, Array[Byte]] = {
+  /** Bloom admission CLUSTER-SIDE (round-16 verdict #2): join the
+    * per-file bloom relation against the broadcast key batch and bring
+    * back only the admitted FILE NAMES — the per-file bloom BYTES never
+    * reach the driver (at 100k files the old driver map held GBs of
+    * planning payload). A file without a bloom entry fails open
+    * (rewritten); a store with no bloom relation admits everything. */
+  private def admittedFiles(s: SparkSession, rel: String,
+      files: Seq[String], keys: Set[Long]): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(bloomsPath(rel))
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-      Map.empty
-    else s.read.parquet(bloomsPath(rel)).dropDuplicates("file")
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      return files
+    import s.implicits._
+    val bl = s.read.parquet(bloomsPath(rel)).dropDuplicates("file")
+    val keysDf = keys.toSeq.sorted.toDF("k")
+    val admitted = bl.join(broadcast(keysDf),
+        KeyBloom.mightContainCol(col("bloom"), col("k")), "left_semi")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val bloomed = bl.select(col("file")).collect().map(_.getString(0)).toSet
+    files.filter(f => !bloomed(f) || admitted(f))
+  }
+
+  /** Crash-safe refresh of the relation's (file, mn, mx) manifest
+    * (round-16 verdict #5): the manifest is the serving read path's
+    * authority file, so a plain Overwrite's delete-then-write window
+    * would leave the relation manifestless after a crash. Discipline:
+    * stage the new manifest beside the live one, rename the live one
+    * out, rename the stage in, drop the superseded copy — every crash
+    * point leaves a complete manifest under either the live or the
+    * `.mold` name, and [[healManifest]] restores the one mid-swap
+    * window at the next fold. */
+  private[graft] def swapManifest(s: SparkSession, manifestPath: String,
+      rows: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(manifestPath + ".mstage")
+    val old = new org.apache.hadoop.fs.Path(manifestPath + ".mold")
+    fs.delete(stage, true)
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    fs.delete(old, true)
+    require(StoreIo.ops.rename(fs, live, old),
+      s"manifest swap: rename-out failed for $manifestPath")
+    require(StoreIo.ops.rename(fs, stage, live),
+      s"manifest swap: rename-in failed for $manifestPath")
+    fs.delete(old, true)
+  }
+
+  /** Restore a manifest a crashed [[swapManifest]] left under `.mold`
+    * (the rename-out → rename-in window) and sweep dead staging — run
+    * at every fold start, so no crash point loses the authority file
+    * durably. The manifest stays the authority: rolling BACK to the
+    * pre-fold copy means the fold's renamed outputs are unlisted
+    * orphans, which the fold-start heal reclaims. */
+  private[graft] def healManifest(s: SparkSession, manifestPath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(manifestPath + ".mold")
+    if (!fs.exists(live) && fs.exists(old))
+      require(StoreIo.ops.rename(fs, old, live),
+        s"manifest heal: restore failed for $manifestPath")
+    else fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestPath + ".mstage"), true)
   }
 
   /** PHYSICAL FOLD of one manifest-listed relation: rewrite exactly the
@@ -173,16 +229,43 @@ object IndexTombstones {
       keyCol: String, manifestKeyCol: String, keys: Set[Long]): Int =
     foldRelationMulti(s, rel, manifestPath, Seq(keyCol), manifestKeyCol, keys)
 
+  /** The source-file tag [[foldRelationMulti]] exposes to the `finish`
+    * hook: each surviving row carries its originating file's BASENAME
+    * under this column inside the one distributed rewrite job, so
+    * per-file repairs (the graph store's out-degree recompute) express
+    * as window partitions over (file, key). Dropped before write. */
+  val FoldFileCol = "_gfold_src"
+
   /** Multi-column variant: a row is dropped when ANY of `keyCols` is
     * tombstoned (the graph store's src-or-dst rule); blooms are the
-    * [[appendBloomsMulti]] union blooms. */
+    * [[appendBloomsMulti]] union blooms.
+    *
+    * SCALE SHAPE (round-16 verdict #1): the whole admitted set rewrites
+    * in ONE distributed Spark job — rows tagged with their source file,
+    * tombstoned rows dropped, the caller's `finish` repair applied, one
+    * shuffle clustering rows back per source file, one write fanning
+    * out per-file outputs — so fold wall tracks admitted BYTES over the
+    * cluster's cores. The old loop ran one coalesce(1) job per admitted
+    * file (~0.35 s of scheduler floor each, 31 of 32 cores idle), which
+    * at 100 TB serializes a scattered erasure fold over thousands of
+    * posting files into hours. The per-file RENAME commit discipline is
+    * unchanged: outputs stage under an attempt-unique dir, rename into
+    * the relation one file at a time, and the manifest (the authority)
+    * swaps crash-safely LAST before originals are deleted.
+    *
+    * `sortCols` restores each rewritten file's within-file clustering
+    * (row-group skip survives the fold); empty = sort by
+    * `manifestKeyCol`, the relation's clustering column. */
   def foldRelationMulti(s: SparkSession, rel: String, manifestPath: String,
       keyCols: Seq[String], manifestKeyCol: String, keys: Set[Long],
-      finish: DataFrame => DataFrame = identity): Int = {
+      finish: DataFrame => DataFrame = identity,
+      sortCols: Seq[String] = Nil): Int = {
     if (keys.isEmpty) return 0
     import s.implicits._
     val fs = new org.apache.hadoop.fs.Path(rel)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // restore a crashed manifest swap before trusting the listing
+    healManifest(s, manifestPath)
     // manifests derived from input_file_name() carry URI-form names
     // (file:/...); canonicalize once so the heal diff, the bloom lookup
     // and the refreshed manifest all speak [[VersionedStore.canon]] form
@@ -192,13 +275,7 @@ object IndexTombstones {
     // heal: reclaim files a dead attempt left unlisted in the manifest
     VersionedStore.hadoopLs(s, rel).filterNot(listed)
       .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), true))
-    val blooms = readBlooms(s, rel)
-    val affected = mf.map(_._1).filter { f =>
-      blooms.get(f) match {
-        case Some(b) => keys.exists(k => KeyBloom.mightContain(b, k))
-        case None => true // no bloom recorded: fail open, rewrite
-      }
-    }.sorted
+    val affected = admittedFiles(s, rel, mf.map(_._1).sorted, keys)
     if (affected.isEmpty) return 0
     // attempt uniqueness must survive COMPLETED folds, whose stage dirs
     // are gone but whose fold_a<N>_<i>.parquet outputs persist in the
@@ -215,16 +292,29 @@ object IndexTombstones {
     }
     val stage = s"$rel/.fold_a$attempt"
     val keySeq = keys.toSeq.sorted
-    val moved = affected.zipWithIndex.flatMap { case (f, i) =>
-      val out = s"$stage/$i"
-      // `finish` is the caller's per-file repair hook (e.g. the graph
-      // store recomputes out-degrees, valid per-file under src
-      // clustering); the default pure filter preserves row order
-      val kept = finish(s.read.parquet(f)
+    // relation files live flat in one directory, so basenames identify
+    // source files without canonicalizing input_file_name URI forms
+    val names = affected.map(f => f.substring(f.lastIndexOf('/') + 1))
+    require(names.distinct.length == affected.length,
+      s"fold: non-unique basenames in $rel")
+    val nameToIdx = names.zipWithIndex.toDF(FoldFileCol, "_gfold_i")
+    val base = s.read.parquet(affected.toIndexedSeq: _*)
+    val kept = finish(
+      base.withColumn(FoldFileCol,
+          element_at(split(input_file_name(), "/"), -1))
         .filter(keyCols.map(c => !col(c).isin(keySeq: _*)).reduce(_ && _)))
-      kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
-      val part = VersionedStore.hadoopLs(s, out)
-      if (part.isEmpty || s.read.parquet(out).isEmpty) None
+    val outCols = kept.columns.filterNot(_ == FoldFileCol)
+    val sorts = (if (sortCols.isEmpty) Seq(manifestKeyCol) else sortCols).map(col)
+    kept.join(broadcast(nameToIdx), Seq(FoldFileCol))
+      .select(outCols.map(col).toIndexedSeq :+ col("_gfold_i"): _*)
+      .repartition(affected.length, col("_gfold_i"))
+      .sortWithinPartitions(col("_gfold_i") +: sorts: _*)
+      .write.partitionBy("_gfold_i").mode(SaveMode.Overwrite).parquet(stage)
+    // per-file rename commit: an all-rows-dropped file writes nothing
+    // and simply leaves the manifest
+    val moved = affected.indices.flatMap { i =>
+      val part = VersionedStore.hadoopLs(s, s"$stage/_gfold_i=$i")
+      if (part.isEmpty) None
       else {
         val target = new org.apache.hadoop.fs.Path(
           s"$rel/fold_a${attempt}_$i.parquet")
@@ -251,8 +341,7 @@ object IndexTombstones {
     val rows = (keptRows ++ newRows).sortBy(_._1)
       .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.asJava, schema)
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    swapManifest(s, manifestPath, s.createDataFrame(rows.asJava, schema))
     appendBloomsMulti(s, rel, moved.toIndexedSeq, keyCols)
     affected.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), true))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)

@@ -215,10 +215,11 @@ object InvertedIndexStore extends QueryPack {
       if (keys.isEmpty) 0
       else {
         val n =
-          IndexTombstones.foldRelation(s, path, manifestPath(path),
-            "doc_id", "term", keys) +
-          IndexTombstones.foldRelation(s, posPath(path), posManifestPath(path),
-            "doc_id", "term", keys) +
+          IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
+            Seq("doc_id"), "term", keys, sortCols = Seq("term", "doc_id")) +
+          IndexTombstones.foldRelationMulti(s, posPath(path),
+            posManifestPath(path), Seq("doc_id"), "term", keys,
+            sortCols = Seq("term", "doc_id")) +
           IndexTombstones.foldRelation(s, doclensPath(path),
             doclensManifestPath(path), "doc_id", "doc_id", keys)
         // adjusted stats become the persisted stats (collected first:

@@ -252,16 +252,21 @@ object KnnGraphStore extends QueryPack {
       if (keys.isEmpty) 0
       else {
         import s.implicits._
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+        // out-degree repair per (file, src): a src's rows live in one
+        // file (src clustering), so the windowed count inside the one
+        // distributed rewrite job equals the old per-file recompute
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(IndexTombstones.FoldFileCol), col("src"))
         val n0 = IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
           Seq("src", "dst"), "src", keys,
-          finish = df => df.withColumn("deg", count(lit(1)).over(w))
-            .orderBy("src", "dst"))
+          finish = df => df.withColumn("deg", count(lit(1)).over(w)),
+          sortCols = Seq("src", "dst"))
         val meta = s.read.parquet(layersMetaPath(path))
           .select(col("maxLayer")).head().getInt(0)
         val nL = (1 to meta).map { l =>
           IndexTombstones.foldRelationMulti(s, layerPath(path, l),
-            manifestPath(layerPath(path, l)), Seq("src", "dst"), "src", keys)
+            manifestPath(layerPath(path, l)), Seq("src", "dst"), "src", keys,
+            sortCols = Seq("src", "dst"))
         }.sum
         // entries and layer metadata re-derive from the folded relations
         // (collected first: the writes overwrite their own inputs)

@@ -59,6 +59,12 @@ object VersionedStore extends QueryPack {
   private[graft] def canon(f: String): String =
     if (f.contains(":/")) new java.net.URI(f).getPath else f
 
+  /** [[canon]] as a Column expression — lets bloom/stats writers emit
+    * canonical file names straight from `input_file_name()` without a
+    * driver round-trip (the side relations stay fully distributed). */
+  private[graft] def canonCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "")
+
   private[graft] def hadoopLs(s: SparkSession, dir: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -636,11 +642,28 @@ object VersionedStore extends QueryPack {
     reaped
   }
 
+  /** Restore any manifest a crashed [[IndexTombstones.swapManifest]]
+    * left mid-swap (`v<N>.mold` present, `v<N>` missing) and sweep dead
+    * staging — run at vacuum entry, BEFORE the version listing is
+    * trusted: a half-swapped manifest would otherwise make its version
+    * vanish from [[versions]] and be mis-planned as expired. */
+  private def healManifests(s: SparkSession, path: String): Unit = {
+    val mdir = new org.apache.hadoop.fs.Path(path + "/manifest")
+    val fs = mdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return
+    fs.listStatus(mdir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.endsWith(".mold") || n.endsWith(".mstage"))
+      .map(_.replaceAll("\\.(mold|mstage)$", "")).distinct
+      .foreach(v =>
+        IndexTombstones.healManifest(s, path + s"/manifest/$v"))
+  }
+
   def vacuum(s: SparkSession, path: String, keepVersions: Int,
       claimGraceMs: Long = 600000L, fileGraceMs: Long = 0L,
       nowMs: () => Long = () => System.currentTimeMillis()): (Int, Int) =
     WriterLease.withLease(s, path, "vacuum") {
     require(keepVersions >= 1, s"must retain at least one version")
+    healManifests(s, path)
     val vs = versions(s, path)
     // TAG PINS (StoreLineage): a tagged version is retained past the
     // count-based window — the Iceberg tag-retention rule, so a named
@@ -794,7 +817,17 @@ object VersionedStore extends QueryPack {
     if (dvs.nonEmpty) {
       val retained = versions(s, path)
       val newestDv = dvs.last
-      if (retained.nonEmpty && newestDv <= retained.head) {
+      // CLONE PIN defers the physical fold (round-16 advice, medium):
+      // a shallow clone's manifest is a VERBATIM COPY of the pinned
+      // source version's — the fold below swaps entries in the source's
+      // own retained manifests and deletes the superseded originals,
+      // which the clone's copy would still reference (dangling clone).
+      // While any clone pin lives, fall to the keep-dv regime — the
+      // same deferral a pre-purge tag imposes on COW erasure; dropping
+      // the pin (releaseClone) re-arms the fold at the next vacuum.
+      val clonePinned = StoreLineage.tags(s, path)
+        .exists(_._1.startsWith("clone_"))
+      if (retained.nonEmpty && newestDv <= retained.head && !clonePinned) {
         val dv = s.read.parquet(dvPath(path, newestDv))
         val keyCol = dv.columns.head
         if (dv.limit(1).count() > 0) {
@@ -820,7 +853,7 @@ object VersionedStore extends QueryPack {
           // attempt dir makes the re-fold genuinely idempotent: prior
           // fold files are read, rewritten clean elsewhere, then deleted
           // as superseded originals like any other owning file.
-          val foldBase = {
+          val (foldBase, foldAttempt) = {
             val dp = new org.apache.hadoop.fs.Path(dataPath(path))
             val taken =
               if (!fs.exists(dp)) Set.empty[String]
@@ -828,15 +861,50 @@ object VersionedStore extends QueryPack {
                 .filter(_.startsWith(s"fold_v${tip}_a")).toSet
             var a = 0
             while (taken.contains(s"fold_v${tip}_a$a")) a += 1
-            dataPath(path) + s"/fold_v${tip}_a$a"
+            (dataPath(path) + s"/fold_v${tip}_a$a", a)
           }
+          // ONE distributed rewrite job over the whole owning set
+          // (round-16 verdict #1): rows tagged with their source file's
+          // basename, dv keys anti-joined out once, one shuffle
+          // clustering rows back per file, one write fanning out
+          // per-file outputs — fold wall tracks owning BYTES over the
+          // cores, not files x a per-job scheduler floor. Basenames
+          // identify files because data-file names carry writer UUIDs
+          // and fold outputs carry (tip, attempt) — both unique; the
+          // require guards the invariant. Per-file outputs then rename
+          // to stable names so the manifest swap below stays the
+          // all-or-nothing commit point.
+          val owningNames =
+            owningAll.map(f => f.substring(f.lastIndexOf('/') + 1))
+          require(owningNames.distinct.length == owningAll.length,
+            s"dv fold: non-unique data-file basenames under $path")
+          val nameToIdx = owningNames.zipWithIndex.toSeq
+            .toDF("_gfold_src", "_gfold_i")
+          val owningData = s.read.parquet(owningAll.toIndexedSeq: _*)
+          val foldStage = foldBase + "/.stage"
+          owningData
+            .withColumn("_gfold_src",
+              element_at(split(input_file_name(), "/"), -1))
+            .join(dv.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .join(broadcast(nameToIdx), Seq("_gfold_src"))
+            .select(owningData.columns.map(col).toIndexedSeq :+
+              col("_gfold_i"): _*)
+            .repartition(owningAll.length, col("_gfold_i"))
+            .sortWithinPartitions(col("_gfold_i"), keyLong(owningData, keyCol))
+            .write.partitionBy("_gfold_i").mode(SaveMode.Overwrite)
+            .parquet(foldStage)
           val mapping: Map[String, Option[String]] =
             owningAll.zipWithIndex.map { case (f, i) =>
-              val out = foldBase + s"/$i"
-              s.read.parquet(f).join(dv, Seq(keyCol), "left_anti")
-                .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
-              f -> hadoopLs(s, out).headOption
+              f -> hadoopLs(s, foldStage + s"/_gfold_i=$i").headOption.map { p =>
+                val target = new org.apache.hadoop.fs.Path(
+                  foldBase + s"/fold_v${tip}_a${foldAttempt}_$i.parquet")
+                require(StoreIo.ops.rename(fs,
+                  new org.apache.hadoop.fs.Path(p), target),
+                  s"dv fold rename failed: $p -> $target")
+                canon(target.toString)
+              }
             }.toMap
+          fs.delete(new org.apache.hadoop.fs.Path(foldStage), true)
           // fold files get fresh side-relation entries (bloom + exact
           // rows) — one scan of the just-written, still-cached files;
           // inheriting the original's bloom would be a correct
@@ -846,6 +914,9 @@ object VersionedStore extends QueryPack {
             appendBlooms(s, path, foldFiles, keyCol)
           }
           retained.foreach { rv =>
+            // stage -> rename swap (round-16 verdict #5): the manifest
+            // is the version's authority file; an in-place Overwrite
+            // would have a crash window with no manifest on disk
             val mf = s.read.parquet(manifestPath(path, rv))
             if (mf.columns.contains("mn")) {
               val rows = mf.select(col("file"), col("mn"), col("mx")).collect()
@@ -856,15 +927,16 @@ object VersionedStore extends QueryPack {
                     case Some(nf) => nf.map((_, r.getLong(1), r.getLong(2)))
                   }
                 }
-              rows.sortBy(_._1).toSeq.toDF("file", "mn", "mx").coalesce(1)
-                .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, rv))
+              IndexTombstones.swapManifest(s, manifestPath(path, rv),
+                rows.sortBy(_._1).toSeq.toDF("file", "mn", "mx"))
             } else {
               val rows = mf.select(col("file")).collect().map(_.getString(0))
                 .flatMap(f => mapping.get(f) match {
                   case None => Some(f)
                   case Some(nf) => nf
                 })
-              writeManifest(s, path, rv, rows.toSeq)
+              IndexTombstones.swapManifest(s, manifestPath(path, rv),
+                rows.toSeq.sorted.toDF("file"))
             }
           }
           // the superseded originals hold the only remaining purged
@@ -893,15 +965,19 @@ object VersionedStore extends QueryPack {
     // bloom side-relation GC: keep only entries whose file some retained
     // manifest still lists — a bounded metadata rewrite (the relation is
     // file-count sized); an empty survivor set drops the dir entirely
+    // distributed left-semi against the live file names (round-16
+    // verdict #2): the bloom BYTES never reach the driver; only the
+    // k-row name list broadcasts. Stage -> swap keeps the rewrite from
+    // reading its own input dir; a crash window leaves no relation =
+    // fail open (less pruning, never wrong).
     readBlooms(s, path).foreach { bl =>
       import s.implicits._
-      val keep = bl.select(col("file"), col("bloom"), col("rows")).collect()
-        .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
-        .filter(t => live(t._1))
+      val liveDf = live.toSeq.sorted.toDF("file")
+      val keep = bl.join(broadcast(liveDf), Seq("file"), "left_semi")
       if (keep.isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(bloomsDir(path)), true)
-      else keep.sortBy(_._1).toSeq.toDF("file", "bloom", "rows")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(bloomsDir(path))
+      else IndexTombstones.swapManifest(s, bloomsDir(path),
+        keep.orderBy(col("file")))
     }
     // per-column stats side relations GC: same rule as the blooms
     ColStats.gc(s, path, live)
@@ -1130,15 +1206,16 @@ object VersionedStore extends QueryPack {
   private[graft] def appendBlooms(s: SparkSession, path: String,
       files: Seq[String], keyCol: String): Unit = {
     if (files.isEmpty) return
-    import s.implicits._
+    // fully distributed (round-16 verdict #2): at heal time `files` can
+    // be the whole store, so the bloom bytes go straight from the
+    // aggregate to the writer — never through a driver collect
     val data = s.read.parquet(files: _*)
-    val rows = data
-      .groupBy(input_file_name().as("file"))
+    data
+      .groupBy(input_file_name().as("file0"))
       .agg(KeyBloom.bloomAgg(keyLong(data, keyCol)).as("bloom"),
         count(lit(1)).as("rows"))
-      .collect().map(r =>
-        (canon(r.getString(0)), r.getAs[Array[Byte]](1), r.getLong(2)))
-    rows.sortBy(_._1).toSeq.toDF("file", "bloom", "rows")
+      .select(canonCol(col("file0")).as("file"), col("bloom"), col("rows"))
+      .orderBy(col("file"))
       .coalesce(1).write.mode(SaveMode.Append).parquet(bloomsDir(path))
   }
 

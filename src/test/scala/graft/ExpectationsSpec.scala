@@ -47,6 +47,26 @@ class ExpectationsSpec extends AnyFunSuite {
       customers.exceptAll(reunion).isEmpty)
   }
 
+  test("a NULL-evaluating predicate QUARANTINES (round-16 advice: " +
+      "non-true fails, the DLT rule)") {
+    val path = freshPath("graft-expect-null")
+    Expectations.declare(spark, path, Seq(("acct_nonneg", "acct_c >= 0")))
+    // null out a known slice of balances: 'acct_c >= 0' evaluates to
+    // NULL there — silently committing those rows would be the finding
+    val nulled = customers.withColumn("acct_c",
+      when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("acct_c")))
+    val v = Expectations.guardedAppend(spark, path, nulled, "c_custkey", 2)
+    val stored = VersionedStore.readVersion(spark, path, v)
+    val rejects = Expectations.quarantine(spark, path, v)
+    assert(stored.filter(col("acct_c").isNull).count() == 0,
+      "a NULL-evaluating predicate committed its rows")
+    assert(rejects.filter(col("acct_c").isNull)
+      .filter(col("violated") === "acct_nonneg").count() ==
+      nulled.filter(col("acct_c").isNull).count())
+    assert(stored.count() + rejects.count() == nulled.count())
+  }
+
   test("no declared expectations = plain append, no quarantine relation") {
     val path = freshPath("graft-expect-plain")
     val v = Expectations.guardedAppend(spark, path, customers, "c_custkey", 2)

@@ -254,6 +254,76 @@ class IndexPurgeSpec extends AnyFunSuite {
     assert(badDeg == 0, s"$badDeg nodes carry a stale post-fold degree")
   }
 
+  test("cluster-side bloom admission folds exactly the driver-recomputed " +
+      "admitted set (round-16 verdict #2)") {
+    val path = tmp("inv_admit")
+    InvertedIndexStore.build(docs(60), path, files = 8)
+    val one = Set(37L)
+    // the admitted set, recomputed DRIVER-SIDE from the raw bloom
+    // relations — the reference semantics the cluster-side probe join
+    // must reproduce exactly (bloom-less files fail open)
+    def admitted(rel: String, mf: String): Set[String] = {
+      val listed = spark.read.parquet(mf).select("file").as[String]
+        .collect().map(VersionedStore.canon).toSet
+      val blooms = spark.read.parquet(IndexTombstones.bloomsPath(rel))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      listed.filter(f => blooms.get(f) match {
+        case Some(b) => one.exists(k => sources.KeyBloom.mightContain(b, k))
+        case None => true
+      })
+    }
+    val rels = Seq(
+      path -> InvertedIndexStore.manifestPath(path),
+      InvertedIndexStore.posPath(path) ->
+        InvertedIndexStore.posManifestPath(path),
+      InvertedIndexStore.doclensPath(path) ->
+        InvertedIndexStore.doclensManifestPath(path))
+    val want = rels.map { case (rel, mf) => admitted(rel, mf) }
+    val gone = want.flatten.toSet
+    InvertedIndexStore.purge(spark, path, one.toSeq)
+    val rewritten = InvertedIndexStore.fold(spark, path)
+    assert(rewritten == want.map(_.size).sum,
+      s"fold rewrote $rewritten files, driver-side admission says " +
+        s"${want.map(_.size).sum}")
+    // every admitted original was deleted; every survivor kept
+    rels.foreach { case (rel, _) =>
+      val now = VersionedStore.hadoopLs(spark, rel)
+      assert(now.intersect(gone).isEmpty,
+        s"an admitted original survived the fold under $rel")
+    }
+  }
+
+  test("a crashed manifest swap heals at the next fold " +
+      "(round-16 verdict #5)") {
+    val path = tmp("inv_crash")
+    InvertedIndexStore.build(docs(60), path, files = 8)
+    InvertedIndexStore.purge(spark, path, Seq(37L))
+    assert(InvertedIndexStore.fold(spark, path) > 0)
+    // inject the WORST swap window on the postings manifest: live copy
+    // renamed out (.mold), a dead staging orphan beside it — the state
+    // a crash between rename-out and rename-in leaves behind
+    val mf = InvertedIndexStore.manifestPath(path)
+    val p = new org.apache.hadoop.fs.Path(mf)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(mf + ".mold")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(mf + ".mstage"))
+    // the next fold heals first, then folds the new batch
+    InvertedIndexStore.purge(spark, path, Seq(12L))
+    assert(InvertedIndexStore.fold(spark, path) > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mf + ".mold")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mf + ".mstage")))
+    // post-heal probe is bit-identical to a rebuild over the survivors
+    val rebuilt = tmp("inv_crash_b")
+    InvertedIndexStore.build(
+      docs(60).filter(!col("doc_id").isin(37L, 12L)), rebuilt, files = 8)
+    assert(bm25Rows(InvertedIndexStore.bm25Probe(spark, path))
+      == bm25Rows(InvertedIndexStore.bm25Probe(spark, rebuilt)),
+      "post-heal probe diverged from the survivor rebuild")
+    assert(spark.read.parquet(mf).select("file").as[String].collect().toSet
+      == VersionedStore.hadoopLs(spark, path),
+      "healed manifest diverged from the directory")
+  }
+
   test("SQL surface: CALL graft_store_purge tombstones and folds the " +
       "serving families") {
     val path = tmp("call")

@@ -194,6 +194,46 @@ class StoreLineageSpec extends AnyFunSuite {
       ordersSlice(2).count() + ordersSlice(2, even = true).count())
   }
 
+  test("a clone pin defers the source's dv-fold vacuum (round-16 advice)") {
+    // append v1, dv-erase v2, clone v2: without the deferral, vacuum's
+    // physical dv fold rewrites the source's retained manifests and
+    // deletes the superseded originals — which the clone's VERBATIM
+    // manifest copy still references (dangling clone)
+    val src = Engine.storePath("graft-lineage-dvsrc", dir)
+    val dst = Engine.storePath("graft-lineage-dvdst", dir)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    VersionedStore.appendCommit(spark, src, ordersSlice(4), "o_custkey", 4)
+    import spark.implicits._
+    val purgeKeys = ordersSlice(4).select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")).limit(5).as[Long].collect().toSeq
+    VersionedStore.deleteCommitDv(spark, src,
+      purgeKeys.toDF("o_custkey"), "o_custkey")
+    StoreLineage.cloneFrom(spark, src, 2, dst)
+    val want = VersionedStore.readVersion(spark, dst, 1)
+      .agg(count(lit(1)), sum(col("amount_c"))).head().toSeq
+    // every retained version sits at the dv commit, so WITHOUT the
+    // clone pin this vacuum would fold physical; the pin defers it
+    VersionedStore.vacuum(spark, src, keepVersions = 1)
+    assert(VersionedStore.readVersion(spark, dst, 1)
+      .agg(count(lit(1)), sum(col("amount_c"))).head().toSeq == want,
+      "source dv-fold vacuum broke the pinned clone")
+    // purged keys stay logically erased through the clone read too
+    assert(VersionedStore.readVersion(spark, dst, 1)
+      .filter(col("o_custkey").isin(purgeKeys: _*)).count() == 0)
+    // release the pin: the next vacuum folds physical — dv dirs gone,
+    // no purged key byte left in the source's data
+    StoreLineage.releaseClone(spark, dst)
+    VersionedStore.vacuum(spark, src, keepVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      VersionedStore.dvDir(src))), "dv dirs survived the unpinned fold")
+    assert(VersionedStore.readVersion(spark, src,
+      VersionedStore.versions(spark, src).last)
+      .filter(col("o_custkey").isin(purgeKeys: _*)).count() == 0)
+  }
+
   test("a pinned source vacuum keeps the clone readable; release frees it") {
     // disposable source + clone so the gated cloneDemo is untouched
     val src = Engine.storePath("graft-lineage-clonesrc", dir)
