@@ -166,6 +166,14 @@ object GraftCatalog {
     *    `batchId` is the statement's idempotence key: re-CALLing with a
     *    committed id returns a NULL version and commits nothing — the
     *    exactly-once replay rule, surfaced to SQL.
+    *  - `CALL graft_store_merge('versioned', '<path>', '<sourceView>',
+    *    '<keyCol>', '<whenMatched>', '<whenNotMatched>'[, '<cond>'],
+    *    '<batchId>')` — the full MERGE statement (round-16 verdict #4):
+    *    whenMatched ∈ update|delete|ignore, whenNotMatched ∈
+    *    insert|ignore, optional `cond` = a Spark SQL boolean over the
+    *    source row narrowing the matched action (`WHEN MATCHED AND
+    *    cond`). One atomic COW commit ([[sources.StoreMerge.merge]]);
+    *    NULL version = nothing changed or batch id replayed.
     *  - `CALL graft_store_refresh_mv('versioned', '<path>', '<groupCol>',
     *    '<valueCol>', '<keyCol>')` — create-or-refresh the maintained
     *    additive aggregate (count + sum(valueCol) BY groupCol) at
@@ -268,6 +276,22 @@ object GraftCatalog {
       v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"$what must be an int literal, got '$v'"))
     val Expect = s"(?i)\\s*CALL\\s+graft_store_expect\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val Merge = s"(?i)\\s*CALL\\s+graft_store_merge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    val MergeC = s"(?i)\\s*CALL\\s+graft_store_merge\\s*\\(\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*,\\s*$Lit\\s*\\)\\s*".r
+    def runMerge(family: String, path: String, sourceView: String,
+        keyCol: String, wm: String, wnm: String, cond: Option[String],
+        batchId: String): org.apache.spark.sql.DataFrame = {
+      require(family == "versioned",
+        s"merge supports the 'versioned' family, got '$family'")
+      val bid = batchId.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"graft_store_merge batchId must be a long literal, got '$batchId'"))
+      val v = sources.StoreMerge.merge(s, path, s.table(sourceView), keyCol,
+        wm, wnm, cond, bid)
+      // NULL committed_version = the statement changed nothing (empty
+      // effective merge) or the batch id replayed (exactly-once)
+      Seq((path, v.map(_.toLong))).toDF("path", "committed_version")
+    }
     statement match {
       case Expect(family, path, name, predicate) =>
         require(unq(family) == "versioned",
@@ -289,6 +313,12 @@ object GraftCatalog {
         }
         Seq((unq(path), unq(name), unq(predicate)))
           .toDF("path", "expectation", "predicate")
+      case Merge(family, path, sourceView, keyCol, wm, wnm, batchId) =>
+        runMerge(unq(family), unq(path), unq(sourceView), unq(keyCol),
+          unq(wm), unq(wnm), None, unq(batchId))
+      case MergeC(family, path, sourceView, keyCol, wm, wnm, cond, batchId) =>
+        runMerge(unq(family), unq(path), unq(sourceView), unq(keyCol),
+          unq(wm), unq(wnm), Some(unq(cond)), unq(batchId))
       case Hist(family, path) =>
         require(unq(family) == "versioned",
           s"history supports the 'versioned' family, got '${unq(family)}'")

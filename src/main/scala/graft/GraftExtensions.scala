@@ -181,23 +181,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_snapshot"),
       (args: Seq[Expression]) => {
         require(args.length == 2,
-          "graft_snapshot takes ('<path>', version | '<tag>')")
+          "graft_snapshot takes ('<path>', version | '<tag>' | '<timestamp>')")
         val s = org.apache.spark.sql.SparkSession.active
         val path = litStr(args(0), "path")
         // an int literal reads VERSION AS OF; a string literal reads by
-        // TAG (numeric tag names fall to the version reading — tags
-        // exclude dots, versions exclude names, so the grammar is
-        // total and unambiguous for any valid argument)
+        // TAG, or — when no such tag exists and the string parses as a
+        // timestamp — TIMESTAMP AS OF (round-16 verdict #7: the SQL
+        // surface now matches readAsOf's operator surface). Resolution
+        // order version -> existing tag -> timestamp is total: tag
+        // names exclude ':' and ' ', so a full timestamp literal can
+        // never collide; a date-shaped tag name ('2024-01-01') shadows
+        // the same-text date probe BY DESIGN (drop the tag to as-of).
         require(args(1).foldable, "graft_snapshot version/tag must be a literal")
         val v = args(1).eval() match {
           case i: Int => i
           case l: Long => java.lang.Math.toIntExact(l)
           case u: org.apache.spark.unsafe.types.UTF8String =>
-            u.toString.toIntOption.getOrElse(
-              sources.StoreLineage.resolveTag(s, path, u.toString))
+            val str = u.toString
+            str.toIntOption.getOrElse {
+              if (sources.StoreLineage.tags(s, path).exists(_._1 == str))
+                sources.StoreLineage.resolveTag(s, path, str)
+              else scala.util.Try(java.sql.Timestamp.valueOf(
+                  if (str.contains(" ") || str.contains("T"))
+                    str.replace("T", " ")
+                  else str + " 00:00:00").getTime).toOption match {
+                case Some(ms) =>
+                  sources.VersionedStore.versionAsOf(s, path, ms)
+                case None =>
+                  sources.StoreLineage.resolveTag(s, path, str) // loud
+              }
+            }
           case other => throw new IllegalArgumentException(
-            s"graft_snapshot second argument must be a version or tag " +
-              s"literal, got $other")
+            s"graft_snapshot second argument must be a version, tag or " +
+              s"timestamp literal, got $other")
         }
         sources.VersionedStore.readVersion(s, path, v)
           .queryExecution.logical

@@ -12,6 +12,7 @@ object SparkEntry {
     sources.BucketedStore, sources.ZOrderStore, sources.ManifestStore,
     sources.CompactStore, sources.InvertedIndexStore, sources.KeyedStore,
     sources.VersionedStore, sources.StoreLineage, sources.Expectations,
+    sources.StoreMerge,
     sources.ChangeFeed, sources.ColStats,
     sources.AnnIndexStore, sources.Scd2Store, sources.KnnGraphStore)
 

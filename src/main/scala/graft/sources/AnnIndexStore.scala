@@ -199,15 +199,15 @@ object AnnIndexStore extends QueryPack {
       val keys = IndexTombstones.keySet(s, path)
       if (keys.isEmpty) 0
       else {
-        val n = Seq(
+        val n = IndexTombstones.foldAll(Seq(
           (vectorsPath(path), "vec_id", Seq("vec_id")),
           (codesPath(path), "tc", Seq("tc", "vec_id")),
           (cellsPath(path), "cell", Seq("cell", "vec_id")),
           (quantPath(path), "vec_id", Seq("vec_id")))
           .map { case (rel, mfKey, sorts) =>
-            IndexTombstones.foldRelationMulti(s, rel, manifestPath(rel),
+            () => IndexTombstones.foldRelationMulti(s, rel, manifestPath(rel),
               Seq("vec_id"), mfKey, keys, sortCols = sorts)
-          }.sum
+          })
         IndexTombstones.clear(s, path)
         n
       }

@@ -44,6 +44,21 @@ object IndexTombstones {
 
   def dir(storePath: String): String = storePath + ".tombstones"
 
+  /** Run independent per-relation folds CONCURRENTLY and sum their
+    * rewritten-file counts: a store family's relations (postings /
+    * positions / doclens; vectors / codes / cells / quant) share no
+    * files, manifests or bloom relations, so their fold jobs only
+    * contend for executor cores — concurrent driver submission overlaps
+    * their scheduler floors and the fold wall becomes the slowest
+    * relation's, not the sum (round-16 verdict #1's wall target). */
+  private[graft] def foldAll(tasks: Seq[() => Int]): Int = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(tasks.map(t => Future(t()))),
+      Duration.Inf).sum
+  }
+
   def exists(s: SparkSession, storePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir(storePath))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
@@ -155,11 +170,14 @@ object IndexTombstones {
     import s.implicits._
     val bl = s.read.parquet(bloomsPath(rel)).dropDuplicates("file")
     val keysDf = keys.toSeq.sorted.toDF("k")
-    val admitted = bl.join(broadcast(keysDf),
-        KeyBloom.mightContainCol(col("bloom"), col("k")), "left_semi")
-      .select(col("file")).collect().map(_.getString(0)).toSet
-    val bloomed = bl.select(col("file")).collect().map(_.getString(0)).toSet
-    files.filter(f => !bloomed(f) || admitted(f))
+    // ONE job: per bloomed file, does any probed key hit? Only (name,
+    // flag) pairs come back — never the bloom bytes
+    val hits = bl.crossJoin(broadcast(keysDf))
+      .groupBy(col("file"))
+      .agg(max(when(KeyBloom.mightContainCol(col("bloom"), col("k")),
+        1).otherwise(0)).as("hit"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1) == 1)).toMap
+    files.filter(f => hits.getOrElse(f, true))
   }
 
   /** Crash-safe refresh of the relation's (file, mn, mx) manifest
@@ -324,14 +342,24 @@ object IndexTombstones {
         Some(VersionedStore.canon(target.toString))
       }
     }
-    // fresh manifest rows for the rewritten files, surviving rows kept
-    val newRows =
-      if (moved.isEmpty) Seq.empty[(String, Any, Any)]
+    // FUSED read-back of the rewritten files: fresh manifest bands AND
+    // fresh key blooms ride ONE aggregate job (min/max are unaffected
+    // by the keyCols explode's row duplication). The bloom bytes pass
+    // through the driver HERE ONLY — bounded by the fold's rewritten
+    // set, never the store (build-time bloom writes stay distributed
+    // via [[appendBloomsMulti]]).
+    val fused =
+      if (moved.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else s.read.parquet(moved.toIndexedSeq: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(manifestKeyCol)).as("mn"), max(col(manifestKeyCol)).as("mx"))
-        .collect().map(r =>
-          (VersionedStore.canon(r.getString(0)), r.get(1), r.get(2))).toSeq
+        .select(input_file_name().as("file0"),
+          col(manifestKeyCol).as("_gfold_mkc"),
+          explode(array(keyCols.map(c => col(c).cast("long")): _*)).as("kk"))
+        .groupBy(col("file0"))
+        .agg(min(col("_gfold_mkc")).as("mn"), max(col("_gfold_mkc")).as("mx"),
+          KeyBloom.bloomAgg(col("kk")).as("bloom"))
+        .collect()
+    val newRows = fused.map(r =>
+      (VersionedStore.canon(r.getString(0)), r.get(1), r.get(2))).toSeq
     val affectedSet = affected.toSet
     val keptRows = mf.filterNot(t => affectedSet(t._1))
       .map(t => (t._1, t._2.get(t._2.fieldIndex("mn")),
@@ -342,7 +370,11 @@ object IndexTombstones {
       .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))
     import scala.jdk.CollectionConverters._
     swapManifest(s, manifestPath, s.createDataFrame(rows.asJava, schema))
-    appendBloomsMulti(s, rel, moved.toIndexedSeq, keyCols)
+    if (fused.nonEmpty)
+      fused.map(r => (VersionedStore.canon(r.getString(0)),
+          r.getAs[Array[Byte]](r.fieldIndex("bloom"))))
+        .sortBy(_._1).toSeq.toDF("file", "bloom")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(bloomsPath(rel))
     affected.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), true))
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     affected.length

@@ -214,14 +214,14 @@ object InvertedIndexStore extends QueryPack {
       val keys = IndexTombstones.keySet(s, path)
       if (keys.isEmpty) 0
       else {
-        val n =
-          IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
-            Seq("doc_id"), "term", keys, sortCols = Seq("term", "doc_id")) +
-          IndexTombstones.foldRelationMulti(s, posPath(path),
+        val n = IndexTombstones.foldAll(Seq(
+          () => IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
+            Seq("doc_id"), "term", keys, sortCols = Seq("term", "doc_id")),
+          () => IndexTombstones.foldRelationMulti(s, posPath(path),
             posManifestPath(path), Seq("doc_id"), "term", keys,
-            sortCols = Seq("term", "doc_id")) +
-          IndexTombstones.foldRelation(s, doclensPath(path),
-            doclensManifestPath(path), "doc_id", "doc_id", keys)
+            sortCols = Seq("term", "doc_id")),
+          () => IndexTombstones.foldRelation(s, doclensPath(path),
+            doclensManifestPath(path), "doc_id", "doc_id", keys)))
         // adjusted stats become the persisted stats (collected first:
         // the write overwrites its own input dir)
         val row = effectiveStats(s, path).head()

@@ -257,17 +257,18 @@ object KnnGraphStore extends QueryPack {
         // distributed rewrite job equals the old per-file recompute
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(IndexTombstones.FoldFileCol), col("src"))
-        val n0 = IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
-          Seq("src", "dst"), "src", keys,
-          finish = df => df.withColumn("deg", count(lit(1)).over(w)),
-          sortCols = Seq("src", "dst"))
         val meta = s.read.parquet(layersMetaPath(path))
           .select(col("maxLayer")).head().getInt(0)
-        val nL = (1 to meta).map { l =>
-          IndexTombstones.foldRelationMulti(s, layerPath(path, l),
-            manifestPath(layerPath(path, l)), Seq("src", "dst"), "src", keys,
-            sortCols = Seq("src", "dst"))
-        }.sum
+        val n0nL = IndexTombstones.foldAll(
+          (() => IndexTombstones.foldRelationMulti(s, path, manifestPath(path),
+            Seq("src", "dst"), "src", keys,
+            finish = df => df.withColumn("deg", count(lit(1)).over(w)),
+            sortCols = Seq("src", "dst"))) +:
+          (1 to meta).map { l =>
+            () => IndexTombstones.foldRelationMulti(s, layerPath(path, l),
+              manifestPath(layerPath(path, l)), Seq("src", "dst"), "src",
+              keys, sortCols = Seq("src", "dst"))
+          })
         // entries and layer metadata re-derive from the folded relations
         // (collected first: the writes overwrite their own inputs)
         val entryRow = s.read.parquet(path).filter(col("src") =!= 0L)
@@ -291,7 +292,7 @@ object KnnGraphStore extends QueryPack {
         Seq((newTop, topEntries)).toDF("maxLayer", "entries").coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(layersMetaPath(path))
         IndexTombstones.clear(s, path)
-        n0 + nL
+        n0nL
       }
     }
 

@@ -45,7 +45,11 @@ object StoreLineage extends QueryPack {
 
   /** The commit log of `path` as a small DataFrame — one row per
     * COMMITTED version: (version, operation, batch_id, commit_ts,
-    * n_files, files_added, files_removed).
+    * n_files, files_added, files_removed, rows_added, rows_removed).
+    * The row metrics (the Delta operationMetrics column users grep
+    * first) read O(metadata) from the bloom side relation's per-file
+    * counts — NULL when a member file has no recorded count (pre-heal
+    * store), 0/dv-delta for deletion-vector commits.
     *
     *   - `operation` is the writer's stamp when the txn record carries
     *     one ("append" / "upsert" / "delete" / "delete_dv" /
@@ -69,9 +73,11 @@ object StoreLineage extends QueryPack {
     import s.implicits._
     val vs = versions(s, path)
     if (vs.isEmpty)
-      return Seq.empty[(Int, String, Option[Long], Long, Int, Int, Int)]
+      return Seq.empty[(Int, String, Option[Long], Long, Int, Int, Int,
+          Option[Long], Option[Long])]
         .toDF("version", "operation", "batch_id", "commit_ts",
-          "n_files", "files_added", "files_removed")
+          "n_files", "files_added", "files_removed",
+          "rows_added", "rows_removed")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -79,15 +85,36 @@ object StoreLineage extends QueryPack {
     // manifests make a file's member versions a contiguous [fv, lv]
     // range (files land once and leave once — immutability), so the
     // (fv, lv) histogram reconstructs every count exactly.
-    val spanHist: Array[(Int, Int, Long)] = {
+    // operationMetrics (round-16 verdict #8): per-file ROW COUNTS ride
+    // the bloom side relation ([[VersionedStore.appendBlooms]] writes
+    // them at erasure-planning/heal time), joined DISTRIBUTED onto the
+    // span aggregation — rows_added/rows_removed cost O(histogram),
+    // never a data scan. Files without a recorded count make their
+    // commit's metric NULL (unknown), never a guess.
+    val bloomsP = VersionedStore.bloomsDir(path)
+    val haveBlooms = fs.exists(new org.apache.hadoop.fs.Path(bloomsP))
+    // (fv, lv, files, rowsSum, missingCount)
+    val spanHist: Array[(Int, Int, Long, Long, Long)] = {
       val dirs = vs.map(v => manifestPath(path, v))
-      s.read.option("mergeSchema", "true").parquet(dirs: _*)
+      val spans = s.read.option("mergeSchema", "true").parquet(dirs: _*)
         .select(regexp_extract(input_file_name(), "/manifest/v(\\d+)/", 1)
           .cast("int").as("mv"), col("file"))
         .groupBy(col("file"))
         .agg(min(col("mv")).as("fv"), max(col("mv")).as("lv"))
-        .groupBy(col("fv"), col("lv")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val withRows =
+        if (!haveBlooms) spans.withColumn("rows", lit(null).cast("long"))
+        else {
+          val br = s.read.parquet(bloomsP).dropDuplicates("file")
+          val rcol =
+            if (br.columns.contains("rows")) br.select(col("file"), col("rows"))
+            else br.select(col("file"), lit(null).cast("long").as("rows"))
+          spans.join(rcol, Seq("file"), "left_outer")
+        }
+      withRows.groupBy(col("fv"), col("lv"))
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("rows"), lit(0L))).as("rs"),
+          sum(when(col("rows").isNull, 1L).otherwise(0L)).as("miss"))
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     }
     val nextOf: Map[Int, Int] = vs.zip(vs.drop(1)).toMap
     def nFiles(v: Int) =
@@ -95,6 +122,17 @@ object StoreLineage extends QueryPack {
     def added(v: Int) = spanHist.filter(_._1 == v).map(_._3).sum
     def removed(v: Int) = // files whose LAST version directly precedes v
       spanHist.filter(t => nextOf.get(t._2).contains(v)).map(_._3).sum
+    def rowsOf(sel: ((Int, Int, Long, Long, Long)) => Boolean): Option[Long] = {
+      val hit = spanHist.filter(sel)
+      if (hit.exists(_._5 > 0)) None else Some(hit.map(_._4).sum)
+    }
+    def rowsAdded(v: Int) = rowsOf(_._1 == v)
+    def rowsRemoved(v: Int) = rowsOf(t => nextOf.get(t._2).contains(v))
+    // a dv commit's manifest diff is empty — its removed rows are the
+    // newly vectored keys, read O(dv rows) from the (small) dv deltas
+    lazy val dvSizes: Map[Int, Long] =
+      VersionedStore.dvVersions(s, path).map(v =>
+        v -> s.read.parquet(VersionedStore.dvPath(path, v)).count()).toMap
 
     // txn metadata, one merged read over every version's record files
     // (explicit .parquet lists — the record dirs also hold the commit
@@ -138,9 +176,17 @@ object StoreLineage extends QueryPack {
         (v, op, meta.map(_._1), ts) :: acc
     }.reverse
     rows.map { case (v, op, bid, ts) =>
-      (v, op, bid, ts, nFiles(v).toInt, added(v).toInt, removed(v).toInt)
+      val isDv = dvs.contains(v) && added(v) == 0 && removed(v) == 0
+      val (ra, rr) =
+        if (isDv)
+          (Some(0L), dvSizes.get(v).map(n =>
+            n - dvSizes.filter(_._1 < v).values.maxOption.getOrElse(0L)))
+        else (rowsAdded(v), rowsRemoved(v))
+      (v, op, bid, ts, nFiles(v).toInt, added(v).toInt, removed(v).toInt,
+        ra, rr)
     }.toDF("version", "operation", "batch_id", "commit_ts",
-      "n_files", "files_added", "files_removed")
+      "n_files", "files_added", "files_removed",
+      "rows_added", "rows_removed")
   }
 
   // ---------------------------------------------------------------

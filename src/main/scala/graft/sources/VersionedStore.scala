@@ -1871,14 +1871,21 @@ object VersionedStore extends QueryPack {
     * probe. A probe at a commit's exact stamp reads THAT commit
     * (inclusive boundary, the Delta semantics); a probe before the
     * first commit is an error (the store did not exist yet). */
-  def readAsOf(s: SparkSession, path: String, tsMillis: Long): DataFrame = {
+  /** The newest committed version at or before `tsMillis` — the
+    * TIMESTAMP AS OF resolver (inclusive boundary; pre-first-commit
+    * probes fail loudly). Shared by [[readAsOf]] and the
+    * `graft_snapshot('<path>', '<timestamp>')` TVF form. */
+  def versionAsOf(s: SparkSession, path: String, tsMillis: Long): Int = {
     val times = commitTimes(s, path)
     require(times.nonEmpty, s"no committed versions under $path")
     val at = times.filter(_._2 <= tsMillis)
     require(at.nonEmpty,
       s"timestamp $tsMillis precedes the first commit (${times.head._2}) of $path")
-    readVersion(s, path, at.last._1)
+    at.last._1
   }
+
+  def readAsOf(s: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(s, path, versionAsOf(s, path, tsMillis))
 
   /** The append delta between two versions, straight from the manifest
     * diff — the file set an incremental consumer scans INSTEAD of the

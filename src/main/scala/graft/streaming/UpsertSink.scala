@@ -151,10 +151,28 @@ object UpsertSink {
     * correctness over wasted work, bounded attempts. */
   def upsertBatch(batch: DataFrame, path: String, batchId: Long,
       keyCol: String, initialPartitions: Int = 1,
-      settleTimeoutMs: Long = 30000L): Option[Int] = {
-    if (batch.isEmpty) return None
+      settleTimeoutMs: Long = 30000L): Option[Int] =
+    upsertBatch(batch, path, batchId, keyCol, initialPartitions,
+      settleTimeoutMs, None, "upsert")
+
+  /** Generalized COW keyed commit — the MERGE compiler's target
+    * ([[graft.sources.StoreMerge]]): `dropKeys` keys REMOVE their store
+    * rows without replacement (the WHEN MATCHED DELETE action riding
+    * the same single rewrite the upsert pays), and `operation` stamps
+    * the txn record's intent. Owning files, the survivors' anti-join
+    * and the CDC pre-image set all plan over batch ∪ drop keys, so the
+    * change feed classifies merge deletes as `delete` rows for free. */
+  private[graft] def upsertBatch(batch: DataFrame, path: String,
+      batchId: Long, keyCol: String, initialPartitions: Int,
+      settleTimeoutMs: Long, dropKeys: Option[DataFrame],
+      operation: String): Option[Int] = {
+    if (batch.isEmpty && dropKeys.forall(_.isEmpty)) return None
     requireSupportedKey(batch, keyCol)
     val s = batch.sparkSession
+    val allKeys = dropKeys
+      .map(dk => batch.select(col(keyCol)).unionByName(dk.select(col(keyCol))))
+      .getOrElse(batch.select(col(keyCol)))
+      .distinct()
     // lineage check: upserts resolve their parent through txn markers,
     // so a store carrying manifest-only (batch-built) versions above
     // the txn tip would make every settle disagree with `latest`
@@ -181,14 +199,15 @@ object UpsertSink {
         .map(pv => statsManifest(s, path, pv, keyCol)).getOrElse(Array.empty)
       if (parent.nonEmpty)
         VersionedStore.requireKeyClassMatch(s, path, latest.get, batch, keyCol)
-      val owning: Array[String] = owningFiles(batch, parent, keyCol)
+      val owning: Array[String] = owningFiles(allKeys, parent, keyCol)
 
       // Rewrite = touched files' survivors + the batch (keyed replace:
-      // the stream emits full merged entities, newest state wins).
+      // the stream emits full merged entities, newest state wins; drop
+      // keys contribute to the anti-join but no replacement rows).
       val rewritten =
         if (owning.isEmpty) batch
         else s.read.parquet(owning.toIndexedSeq: _*)
-          .join(batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .join(allKeys, Seq(keyCol), "left_anti")
           .unionByName(batch)
       val parts = math.max(1, if (owning.isEmpty) initialPartitions else owning.length)
       // per-VERSION data dir: versions allocate fresh above the committed
@@ -210,15 +229,18 @@ object UpsertSink {
       if (settled == latest) {
         // Stats for the new files: a read-back of ONLY the files this
         // commit wrote (O(batch)), grouped by physical file.
+        // a merge whose every touched row was deleted writes no files
         val newFiles = VersionedStore.hadoopLs(s, dataDir)
-        val newData = s.read.parquet(newFiles.toIndexedSeq: _*)
-        val newStats = newData
-          .groupBy(input_file_name().as("file"))
-          .agg(min(VersionedStore.keyLong(newData, keyCol)).as("mn"),
-            max(VersionedStore.keyLong(newData, keyCol)).as("mx"))
-          .collect()
-          .map(r => FileStats(VersionedStore.canon(r.getString(0)),
-            r.getLong(1), r.getLong(2)))
+        val newStats = if (newFiles.isEmpty) Array.empty[FileStats] else {
+          val newData = s.read.parquet(newFiles.toIndexedSeq: _*)
+          newData
+            .groupBy(input_file_name().as("file"))
+            .agg(min(VersionedStore.keyLong(newData, keyCol)).as("mn"),
+              max(VersionedStore.keyLong(newData, keyCol)).as("mx"))
+            .collect()
+            .map(r => FileStats(VersionedStore.canon(r.getString(0)),
+              r.getLong(1), r.getLong(2)))
+        }
 
         val ownSet = owning.toSet
         writeManifest(s, path, v,
@@ -238,8 +260,7 @@ object UpsertSink {
             batch.withColumn("_change_type", lit("insert"))
           else {
             val preRaw = s.read.parquet(owning.toIndexedSeq: _*)
-              .join(batch.select(col(keyCol)).distinct(), Seq(keyCol),
-                "left_semi")
+              .join(allKeys, Seq(keyCol), "left_semi")
             val pre = parentDv.fold(preRaw)(dv =>
               preRaw.join(broadcast(dv), dv.columns.toSeq, "left_anti"))
             graft.sources.ChangeFeed.keyedDiff(pre, batch.toDF(), keyCol)
@@ -262,7 +283,7 @@ object UpsertSink {
         // the commit, its name carries the batch id for the replay check
         // (the VersionedCommitSink.appendBatch discipline).
         import s.implicits._
-        Seq((batchId, System.currentTimeMillis(), "upsert"))
+        Seq((batchId, System.currentTimeMillis(), operation))
           .toDF("batch_id", "commit_ts", "operation")
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(VersionedCommitSink.txnPath(path, v))

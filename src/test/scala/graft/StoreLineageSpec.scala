@@ -39,6 +39,24 @@ class StoreLineageSpec extends AnyFunSuite {
     assert(h.forall(r => r.getLong(2) < 0))
     val ts = h.map(_.getLong(3))
     assert(ts.zip(ts.drop(1)).forall { case (a, b) => a < b })
+    // operationMetrics (round-16 verdict #8): per-commit row deltas
+    // from the bloom side relation's counts. The delete commit's
+    // planning statted v1/v2 files and its own rewrites, so versions
+    // 1-3 carry exact metrics; the optimize's fresh files are unstatted
+    // -> rows_added NULL (unknown, never a guess), while its removals
+    // (the fully-statted v3 member set) stay exact.
+    def vCount(v: Int) = VersionedStore.readVersion(spark, path, v).count()
+    val ra = h.map(r => if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    val rr = h.map(r => if (r.isNullAt(8)) None else Some(r.getLong(8)))
+    assert(ra(0).contains(vCount(1)) && rr(0).contains(0L))
+    assert(ra(1).contains(vCount(2) - vCount(1)) && rr(1).contains(0L))
+    // the erasure commit's net row delta equals the version delta
+    assert(ra(2).isDefined && rr(2).isDefined &&
+      rr(2).get - ra(2).get == vCount(2) - vCount(3),
+      s"delete metrics ${ra(2)}/${rr(2)} vs ${vCount(2) - vCount(3)}")
+    assert(ra(3).isEmpty, "optimize's unstatted files must read NULL")
+    assert(rr(3).contains(vCount(3)),
+      "optimize removes the fully-statted v3 member set")
   }
 
   test("history derives labels on stamp-less stores (manifest-only + dv)") {
@@ -56,6 +74,9 @@ class StoreLineageSpec extends AnyFunSuite {
     assert(h2.map(_.getString(1)).toSeq == Seq("append", "delete_dv"))
     assert(h2(1).getInt(5) == 0 && h2(1).getInt(6) == 0,
       "a dv commit must not touch the manifest")
+    // dv operationMetrics: zero rows added, removed = the vector delta
+    assert(h2(1).getLong(7) == 0L && h2(1).getLong(8) > 0L,
+      "dv commit metrics must read 0 added / vector-delta removed")
   }
 
   test("tags: resolve, idempotent re-pin, immutability, drop") {
