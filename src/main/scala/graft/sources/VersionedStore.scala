@@ -2231,6 +2231,15 @@ object VersionedStore extends QueryPack {
   def appendCommit(s: SparkSession, path: String, batch: DataFrame,
       clusterCol: String, parts: Int,
       beforeMarker: Int => Unit = _ => ()): Int = {
+    // STORE-BIRTH race guard: this committer writes txn records, so
+    // commit detection must be MARKER-GATED from the first claim — a
+    // missing txn dir makes committedTip fall back to the manifest
+    // listing, where a concurrent writer's in-flight manifest reads as
+    // a committed version (caught by ConcurrentCommitSpec's 4-appender
+    // case: settle landed on a half-written manifest at store birth)
+    val bfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    bfs.mkdirs(new org.apache.hadoop.fs.Path(txnDir(path)))
     val latest = committedTip(s, path)
     val v = claimVersion(s, path, latest.getOrElse(0) + 1)
     val dataDir = dataPath(path) + s"/v$v"

@@ -169,6 +169,12 @@ object UpsertSink {
     if (batch.isEmpty && dropKeys.forall(_.isEmpty)) return None
     requireSupportedKey(batch, keyCol)
     val s = batch.sparkSession
+    // marker-gate commit detection from store birth (the appendCommit
+    // race guard): this committer writes txn records, so the txn dir
+    // must exist before any claim/settle consults committedTip
+    new Path(VersionedCommitSink.txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .mkdirs(new Path(VersionedCommitSink.txnDir(path)))
     val allKeys = dropKeys
       .map(dk => batch.select(col(keyCol)).unionByName(dk.select(col(keyCol))))
       .getOrElse(batch.select(col(keyCol)))

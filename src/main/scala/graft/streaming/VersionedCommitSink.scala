@@ -168,6 +168,11 @@ object VersionedCommitSink {
       settleTimeoutMs: Long = 30000L): Option[Int] = {
     if (batch.isEmpty) return None
     val s = batch.sparkSession
+    // marker-gate commit detection from store birth (the appendCommit
+    // race guard) — see VersionedStore.appendCommit
+    new Path(txnDir(path))
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .mkdirs(new Path(txnDir(path)))
     val latest = latestCommitted(s, path)
     if (alreadyCommitted(s, path, latest, batchId)) return None
     val v = VersionedStore.claimVersion(s, path, latest.getOrElse(0) + 1)

@@ -69,6 +69,31 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("4 appenders x 5 commits: gapless lineage, zero burned slots, " +
+      "no row lost (round-16 verdict #6)") {
+    val path = Files.createTempDirectory("graft_cc4x5_").toString + "/store"
+    runRace(4) { w =>
+      (0 until 5).foreach { i =>
+        val base = (w * 5 + i) * 100L
+        VersionedStore.appendCommit(spark, path,
+          (base until base + 10L).map(k => (k, w.toLong)).toDF("k", "v"),
+          "k", 1)
+      }
+    }
+    val vs = VersionedStore.versions(spark, path)
+    assert(vs == (1 to 20), s"lineage gaps under 4 appenders: $vs")
+    assert(VersionedStore.readVersion(spark, path, 20).count() == 200L,
+      "tip lost rows under concurrent appends")
+    // appends never replan: every claimed slot committed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claimed = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path + "/claims"))
+      .map(_.getPath.getName).flatMap(_.stripPrefix("v").toIntOption).toSet
+    assert((claimed -- vs.toSet).isEmpty,
+      s"append burned slots: ${claimed -- vs.toSet}")
+  }
+
   test("two concurrent COW upsert committers: loser retries, both batches land") {
     val path = Files.createTempDirectory("graft_cupsert_").toString + "/store"
     UpsertSink.upsertBatch(

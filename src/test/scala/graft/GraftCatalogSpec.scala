@@ -489,4 +489,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L), ("b", 1L)),
       s"feed-consuming SQL join diverged: $got")
   }
+
+  test("CALL graft_store_merge runs the full MERGE statement from SQL") {
+    import spark.implicits._
+    val path = Engine.storePath("graft-catalog-merge",
+      "/root/testdata/sf0.001")
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(path), true)
+    sources.VersionedStore.appendCommit(spark,
+      path, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), "k", 1)
+    Seq((2L, 200L), (9L, 900L)).toDF("k", "v")
+      .createOrReplaceTempView("graft_merge_src")
+    val r = GraftCatalog.call(spark,
+      s"CALL graft_store_merge('versioned', '$path', 'graft_merge_src', " +
+        "'k', 'update', 'insert', '77')")
+    assert(r.columns.toSeq == Seq("path", "committed_version"))
+    assert(r.head().getLong(1) == 2L)
+    val tip = sources.VersionedStore.readVersion(spark, path, 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(tip == Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 9L -> 900L))
+    // replayed batch id: NULL version, nothing commits
+    assert(GraftCatalog.call(spark,
+      s"CALL graft_store_merge('versioned', '$path', 'graft_merge_src', " +
+        "'k', 'update', 'insert', '77')").head().isNullAt(1))
+    // conditional delete: only the qualifying matched row leaves
+    Seq((1L, 0L), (3L, 5L)).toDF("k", "v")
+      .createOrReplaceTempView("graft_merge_del")
+    GraftCatalog.call(spark,
+      s"CALL graft_store_merge('versioned', '$path', 'graft_merge_del', " +
+        "'k', 'delete', 'ignore', 'v > 0', '78')")
+    assert(sources.VersionedStore.readVersion(spark, path, 3)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 9L))
+  }
 }

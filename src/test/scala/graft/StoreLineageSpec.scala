@@ -183,6 +183,29 @@ class StoreLineageSpec extends AnyFunSuite {
     intercept[NoSuchElementException] {
       spark.sql(s"SELECT * FROM graft_snapshot('$esc', 'sql_pin')")
     }
+    // TIMESTAMP AS OF through the TVF (round-16 verdict #7): a string
+    // that is no tag but parses as a timestamp resolves via
+    // versionAsOf — probe between v1 and v2 reads exactly v1
+    val ts2 = VersionedStore.tsStore(spark, dir)
+    val esc2 = ts2.replace("'", "''")
+    val times = VersionedStore.commitTimes(spark, ts2)
+    val mid = new java.sql.Timestamp(
+      times.head._2 + (times.last._2 - times.head._2) / 2).toString
+    val asOf = spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$esc2', '$mid')")
+      .head().getLong(0)
+    assert(asOf == VersionedStore.readVersion(spark, ts2, 1).count(),
+      "timestamp probe between the commits must read exactly v1")
+    val atTip = new java.sql.Timestamp(times.last._2).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_snapshot('$esc2', '$atTip')")
+      .head().getLong(0) ==
+      VersionedStore.readVersion(spark, ts2, 2).count(),
+      "inclusive boundary: a probe at v2's own stamp reads v2")
+    // an unparseable non-tag string stays a loud tag error
+    intercept[NoSuchElementException] {
+      spark.sql(s"SELECT * FROM graft_snapshot('$esc2', 'no_such_tag')")
+    }
   }
 
   test("clone vacuum obeys the ownership rule: borrowed source bytes survive") {
