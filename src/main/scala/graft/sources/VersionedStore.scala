@@ -360,13 +360,45 @@ object VersionedStore extends QueryPack {
     val deadline = System.currentTimeMillis() + timeoutMs
     var tip = committedTip(s, path)
     // slots in `skip` are this writer's OWN abandoned claims (a COW
-    // retry) — known-resolved, they must not stall their own retrier
-    def unresolved = ((tip.getOrElse(0) + 1) until v).exists(!skip.contains(_))
+    // retry) — known-resolved, they must not stall their own retrier.
+    // OTHER writers' losses surface through their ABANDON markers
+    // ([[abandonSlot]], round-16 verdict #6): without them every loser
+    // in an N-writer race stalls every settler for the full timeout,
+    // and a slot that then commits late trips the lineage guard —
+    // marked slots are resolved fact, polled fresh each pass.
+    def unresolved = {
+      val resolved = skip ++ abandonedSlots(s, path)
+      ((tip.getOrElse(0) + 1) until v).exists(!resolved.contains(_))
+    }
     while (unresolved && System.currentTimeMillis() < deadline) {
       Thread.sleep(50L)
       tip = committedTip(s, path)
     }
     tip
+  }
+
+  /** Mark a claimed-but-never-committed slot as ABANDONED — one atomic
+    * marker create beside the claim. A loser that re-plans (the COW
+    * burn-and-loop) marks its burned slot so concurrent settlers skip
+    * it immediately instead of waiting out their timeout; the slot
+    * number stays claimed (never reused), and vacuum reclaims the
+    * marker with the claim. Abandon-then-commit cannot happen: only
+    * the slot's own claimer may mark it, and it marks only after
+    * walking away for good. */
+  private[graft] def abandonSlot(s: SparkSession, path: String, v: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(claimsDir(path) + s"/v$v.abandoned")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    StoreIo.ops.createMarker(fs, p)
+  }
+
+  private def abandonedSlots(s: SparkSession, path: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(claimsDir(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".abandoned"))
+      .flatMap(_.stripPrefix("v").stripSuffix(".abandoned").toIntOption)
+      .toSet
   }
 
   /** Committed versions STRICTLY inside (lo, hi) — bounded marker
@@ -780,9 +812,15 @@ object VersionedStore extends QueryPack {
         fs.delete(new org.apache.hadoop.fs.Path(
           Expectations.quarantinePath(path, v)), true)
         fs.delete(claimFile(path, v), false)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          claimsDir(path) + s"/v$v.abandoned"), false)
       }
     claims.filter(v => committed.contains(v) && v < tip)
-      .foreach(v => fs.delete(claimFile(path, v), false))
+      .foreach { v =>
+        fs.delete(claimFile(path, v), false)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          claimsDir(path) + s"/v$v.abandoned"), false)
+      }
     // superseded metadata checkpoints: only the newest serves readers
     locally {
       val cd = new org.apache.hadoop.fs.Path(checkpointDir(path))
@@ -1075,7 +1113,7 @@ object VersionedStore extends QueryPack {
           done = Some(v)
         }
       }
-      if (done.isEmpty) abandoned += v // tip moved: re-plan against it
+      if (done.isEmpty) { abandoned += v; abandonSlot(s, path, v) } // tip moved: re-plan
     }
     done.getOrElse(throw new IllegalStateException(
       s"compactCommit on $path lost the commit race 3 times — a writer " +
@@ -1479,7 +1517,7 @@ object VersionedStore extends QueryPack {
         // slot (vacuum reclaims the staging) and the erasure re-plans
         // against the new tip instead of demanding a quiesced stream
         val settled = settleBelow(s, path, v, abandoned, settleTimeoutMs)
-        if (!settled.contains(cur)) abandoned += v
+        if (!settled.contains(cur)) { abandoned += v; abandonSlot(s, path, v) }
         else {
           val newFiles = hadoopLs(s, outDir)
           val ownSet = owning.toSet
@@ -1620,7 +1658,7 @@ object VersionedStore extends QueryPack {
           // commit landing meanwhile abandons this slot and the erasure
           // re-plans against the new tip — no quiesce required
           val settled = settleBelow(s, path, v, abandoned, settleTimeoutMs)
-          if (!settled.contains(cur)) abandoned += v
+          if (!settled.contains(cur)) { abandoned += v; abandonSlot(s, path, v) }
           else {
             // the cumulative dv: parent's live set ∪ this batch —
             // O(unfolded deletions) bytes, the commit's ONLY data write,

@@ -179,6 +179,12 @@ object UpsertSink {
       .map(dk => batch.select(col(keyCol)).unionByName(dk.select(col(keyCol))))
       .getOrElse(batch.select(col(keyCol)))
       .distinct()
+    // the batch's key band in long space — the disjoint-conflict fast
+    // path's overlap probe (one tiny aggregate, paid once per batch)
+    val keyBoundsRow = allKeys.agg(
+      min(VersionedStore.keyLong(allKeys, keyCol)).as("lo"),
+      max(VersionedStore.keyLong(allKeys, keyCol)).as("hi")).head()
+    val (keyLo, keyHi) = (keyBoundsRow.getLong(0), keyBoundsRow.getLong(1))
     // lineage check: upserts resolve their parent through txn markers,
     // so a store carrying manifest-only (batch-built) versions above
     // the txn tip would make every settle disagree with `latest`
@@ -190,8 +196,16 @@ object UpsertSink {
         "through upsertBatch/appendBatch/appendCommit)")
     var attempts = 0
     var abandoned = Set.empty[Int]
-    while (attempts < 5) {
+    // 10 attempts with jittered linear backoff: under sustained N-way
+    // contention every loser re-plans against the new tip, so equal-
+    // speed writers can trade losses for several rounds — the backoff
+    // de-phases them (the Delta ConcurrentModification retry shape)
+    // while the bound still fails loudly on a genuinely livelocked
+    // store instead of spinning forever
+    while (attempts < 10) {
       attempts += 1
+      if (attempts > 1)
+        Thread.sleep(100L * (attempts - 1) + (System.nanoTime() % 97))
       val latest = VersionedCommitSink.latestCommitted(s, path)
       if (VersionedCommitSink.alreadyCommitted(s, path, latest, batchId)) return None
       val v = VersionedStore.claimVersion(s, path, latest.getOrElse(0) + 1)
@@ -229,10 +243,32 @@ object UpsertSink {
 
       // the COW validity check: the rewrite above is only a correct
       // next version if the tip is STILL the parent it was computed
-      // against — otherwise abandon this slot and retry on the new tip
+      // against — or if the interleaved commits are provably DISJOINT
       val settled = VersionedStore.settleBelow(s, path, v, abandoned,
         settleTimeoutMs)
-      if (settled == latest) {
+      // DISJOINT-CONFLICT fast path (the Delta conflict-detection rule,
+      // round-16 verdict #6): when the tip moved, this rewrite is still
+      // a valid next version provided (a) every owning file it
+      // supersedes survived the interleaved commits untouched, and
+      // (b) no interleaved commit added a file whose key band can
+      // overlap this batch's keys (bands over-approximate, so a false
+      // overlap costs a replan, never a wrong tip). The commit then
+      // carries the SETTLED manifest minus the owning files — nothing
+      // re-planned. Without this, N equal-speed writers admit exactly
+      // one winner per round and a chronic loser burns all attempts.
+      val commitParent: Option[Array[FileStats]] =
+        if (settled == latest) Some(parent)
+        else settled.flatMap { sv =>
+          val sParent = statsManifest(s, path, sv, keyCol)
+          val sSet = sParent.map(_.file).toSet
+          val latestSet = parent.map(_.file).toSet
+          val ownSurvived = owning.forall(sSet.contains)
+          val addedOverlap = sParent.exists(f =>
+            !latestSet(f.file) && !(f.mx < keyLo || f.mn > keyHi))
+          if (ownSurvived && !addedOverlap) Some(sParent) else None
+        }
+      if (commitParent.isDefined) {
+        val parentStats = commitParent.get
         // Stats for the new files: a read-back of ONLY the files this
         // commit wrote (O(batch)), grouped by physical file.
         // a merge whose every touched row was deleted writes no files
@@ -250,7 +286,7 @@ object UpsertSink {
 
         val ownSet = owning.toSet
         writeManifest(s, path, v,
-          parent.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
+          parentStats.filterNot(fs => ownSet(fs.file)).toSeq ++ newStats)
         graft.sources.ColStats.onCommit(s, path, newFiles.toSeq.sorted)
         // write-path CDC (round 15): classify the batch against the
         // pre-images it replaced — MINUS the parent's deletion vector
@@ -304,15 +340,17 @@ object UpsertSink {
         // silently missing from the tip lineage — detect and fail loudly
         // (VersionedStore.requireNoLineageGap) instead of returning
         // success.
-        VersionedStore.requireNoLineageGap(s, path, latest.getOrElse(0), v)
+        VersionedStore.requireNoLineageGap(s, path, settled.getOrElse(0), v)
         return Some(v)
       }
       // tip moved while rewriting: leave the claimed slot burned (the
-      // uncommitted data dir is invisible; vacuum reclaims it) and loop
+      // uncommitted data dir is invisible; vacuum reclaims it), MARK it
+      // abandoned so concurrent settlers skip it at once, and loop
       abandoned += v
+      VersionedStore.abandonSlot(s, path, v)
     }
     throw new IllegalStateException(
-      s"upsertBatch on $path lost the commit race 5 times — a writer is " +
+      s"upsertBatch on $path lost the commit race 10 times — a writer is " +
         "committing continuously; back off and retry")
   }
 
