@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Keep shuffle parallelism on small inputs (scale-neutral floor;
+      // rationale + measurements on Engine.aqeMinPartitionSize)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        Engine.aqeMinPartitionSize)
       .config("spark.ui.enabled", "false")
     val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()

@@ -137,6 +137,21 @@ object Engine {
   val RocksDbStateStoreProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** AQE partition-coalescing floor (spark.sql.adaptive.coalescePartitions
+    * .minPartitionSize). Spark's default (1m) is sized for cluster-scale
+    * shuffles; with `parallelismFirst` (default true) the coalescer
+    * targets max(bytes/parallelism, minPartitionSize), so on small
+    * inputs the 1m floor collapses every exchange to a handful of
+    * partitions and leaves the other cores idle — measured at sf0.1:
+    * q81 5→52 tasks = 1.23→0.75 s, q69 5.3→2.0 s, q77 4.5→2.6 s. The
+    * floor is only binding when bytes/parallelism < floor, i.e. it is a
+    * SMALL-INPUT knob: at production shuffle sizes bytes/parallelism
+    * dominates and the value is inert, so lowering it is scale-neutral
+    * (SPARK_GRAFT_MIN_PARTITION_SIZE overrides; a cluster wanting fewer,
+    * larger partitions for many-small-blocks reasons raises it). */
+  def aqeMinPartitionSize: String =
+    sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64kb")
+
   def session(master: String = "local[*]", shufflePartitions: Int = 32,
       rocksDbStateStore: Boolean =
         sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1")): SparkSession = {
@@ -147,6 +162,8 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        aqeMinPartitionSize)
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet carries TIMESTAMP(NANOS); read as long ns
       // (DuckDB truncates the same column to micros, so derived values agree)

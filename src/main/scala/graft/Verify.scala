@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Bench-session parity (scale-neutral; see Engine.aqeMinPartitionSize)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        Engine.aqeMinPartitionSize)
       .config("spark.ui.enabled", "false")
     val spark = localDir.fold(builder)(d => builder.config("spark.local.dir", d))
       .getOrCreate()

@@ -423,7 +423,13 @@ object Dedup extends QueryPack {
     // threshold predicate. Degenerate on real corpora (no zero-norm
     // embeddings in testdata); the guard is for the contract, not rows.
     val v = embVecs(s, dir).filter(col("n2") > 0)
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // Streamed side spread over the cluster parallelism (one tiny
+    // exchange) — the cached single-file scan would otherwise run the
+    // whole O(n²) pair loop in ONE task; build side pinned broadcast.
+    // Result-identical: pair set and downstream sort don't depend on
+    // partitioning.
+    v.repartition(s.sparkContext.defaultParallelism)
+      .as("a").join(broadcast(v.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         VectorOps.cosineFrom(
           VectorOps.dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos"))
@@ -517,8 +523,14 @@ object Dedup extends QueryPack {
     val vals = tagged.filter(col("split") === "val")
     val cosExpr = VectorOps.cosineFrom(
       VectorOps.dot(col("v.e"), col("t.e")), col("v.n2"), col("t.n2"))
-    val pairs = vals.filter(col("n2") > 0).as("v")
-      .join(train.as("t"), cosExpr >= 0.4)
+    // Stream the (bigger) train side spread over the cluster
+    // parallelism and broadcast the val side: the theta join would
+    // otherwise stream a cached single-partition scan through one task
+    // (and broadcast whichever side sized smaller). Result-identical:
+    // the aggregate is order-independent.
+    val pairs = train.repartition(
+        train.sparkSession.sparkContext.defaultParallelism).as("t")
+      .join(broadcast(vals.filter(col("n2") > 0).as("v")), cosExpr >= 0.4)
       .select(col("v.vec_id").as("vec_id"), cosExpr.as("cos"))
     vals.select(col("vec_id"))
       .join(pairs, Seq("vec_id"), "left_outer")

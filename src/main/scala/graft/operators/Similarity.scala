@@ -406,7 +406,17 @@ object Similarity extends QueryPack {
     * node-keyed shuffle — never a per-node sort of all n-1 candidates. */
   def q73KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
-    knnGraphTail(v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    // The streamed side inherits the cached frame's scan partitioning
+    // (ONE partition on a single-file input), serializing the O(n²)
+    // rescore loop on one core; spreading it across the cluster's
+    // parallelism costs one tiny exchange of the vector rows and buys
+    // the whole join stage. Result-identical: the bounded top-3 tail is
+    // an order-independent aggregate with a total (score desc, id)
+    // order. The build side is hinted broadcast (it already was — this
+    // pins the choice so the repartition can't flip it).
+    val a = v.repartition(s.sparkContext.defaultParallelism)
+    knnGraphTail(a.as("a").join(broadcast(v.as("b")),
+        col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
         cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos")))
   }
@@ -696,16 +706,58 @@ object Similarity extends QueryPack {
 
   private def pageRankOn(vertices: DataFrame, edgesWithDeg: DataFrame,
       iters: Int): DataFrame = {
-    var r = vertices.select(col("vec_id"), lit(1000000000000L).as("pr"))
-    for (_ <- 1 to iters) {
-      val contrib = edgesWithDeg.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
+    require(iters >= 1, s"pageRankOn needs iters >= 1, got $iters")
+    // Decomposed walk — same longs, fewer shuffles. A vertex with no
+    // in-edge never receives rank: it holds 10¹² before round 1 and the
+    // bare seed 0.15·10¹² after EVERY round, so (a) round 1 needs no
+    // rank join at all (every source is at the uniform 10¹²), (b) from
+    // round 2 on, constant-rank sources contribute a FIXED long per dst,
+    // precomputed once (`base`), and the per-round join touches only
+    // edges whose source can change (`dynEdges`). This removes the old
+    // per-round join against the full vertex relation — an O(V) shuffle
+    // per round at scale — and shrinks each round to one rank-vector
+    // shuffle plus one partial-aggregable sum. Exactness: every in-sum
+    // remains a sum of the SAME longs (order-independent), and the
+    // restriction of edges to the vertex universe up front is exactly
+    // the old behaviour (rank only ever lived on `vertices`, so edges
+    // with a foreign endpoint never moved rank). The side relations are
+    // eagerly localCheckpoint'ed: they are read every round, and
+    // truncating their lineage keeps the 5-round plan small (the q96b
+    // edge build otherwise inlines a ~1 MB logical plan per round) —
+    // driver-replan cost, not data loss, is what's at stake (rank stays
+    // a distributed O(V) frame throughout; nothing collects).
+    val vs = vertices.select(col("vec_id"))
+    val eV = edgesWithDeg
+      .join(vs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
+      .join(vs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+      .localCheckpoint()
+    val dsts = eV.select(col("dst")).distinct().localCheckpoint()
+    val dynEdges = eV
+      .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_semi")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val base = eV
+      .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_anti")
+      .select(col("dst"), expr("150000000000 div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+    // Round 1: every source holds 10¹².
+    var r = eV.select(col("dst"), expr("1000000000000 div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      .select(col("dst").as("vec_id"),
+        (lit(150000000000L) + expr("(85 * in_sum) div 100")).as("pr"))
+    for (_ <- 2 to iters) {
+      r = dynEdges.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst"), expr("pr div deg").as("c"))
+        .unionAll(base.select(col("dst"), col("c")))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      r = vertices.join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(150000000000L) + expr("(85 * coalesce(in_sum, 0)) div 100")).as("pr"))
+        .select(col("dst").as("vec_id"),
+          (lit(150000000000L) + expr("(85 * in_sum) div 100")).as("pr"))
     }
-    r
+    // Vertices that never receive: the bare seed, appended once.
+    r.unionAll(vs.join(dsts.withColumnRenamed("dst", "vec_id"),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(150000000000L).as("pr")))
   }
 
   /** Shared q96/q96b presentation: top-50 by final rank, full order. */
