@@ -727,10 +727,13 @@ object Similarity extends QueryPack {
     // driver-replan cost, not data loss, is what's at stake (rank stays
     // a distributed O(V) frame throughout; nothing collects).
     val vs = vertices.select(col("vec_id"))
+    // eV is consumed once by each derived checkpoint below plus round 1
+    // — all reading the caller's (usually persisted) edge frame — so it
+    // stays lazy: its two broadcast semi-joins ride the consumers' jobs
+    // instead of paying a fourth materialization barrier of O(E) bytes.
     val eV = edgesWithDeg
       .join(vs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-      .localCheckpoint()
     val dsts = eV.select(col("dst")).distinct().localCheckpoint()
     val dynEdges = eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_semi")
