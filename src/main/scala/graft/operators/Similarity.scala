@@ -900,7 +900,13 @@ object Similarity extends QueryPack {
     val v = vecs(s, dir)
     val sample = v.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("qid"), col("e").as("sqe"), col("n2").as("sqn2"))
-    val truth = ranked(v.crossJoin(broadcast(sample))
+    // Both scans spread the streamed corpus over the cluster parallelism
+    // before the broadcast sample attaches: the cached single-file scan
+    // would otherwise run the whole O(n·|sample|) scoring loop in one
+    // task (the q73/q44/q87 fix — result-identical, the bounded top-k
+    // tail is an order-independent aggregate).
+    val par = s.sparkContext.defaultParallelism
+    val truth = ranked(v.repartition(par).crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosineFrom(dot(col("e"), col("sqe")), col("n2"), col("sqn2")).as("cos")),
@@ -908,7 +914,7 @@ object Similarity extends QueryPack {
     val qv = quantizedVecs(s, dir)
     val qsample = qv.filter(col("vec_id") % modulus === 0)
       .select(col("vec_id").as("qid"), col("q").as("cq"), col("qn2").as("cqn2"))
-    val system = ranked(qv.crossJoin(broadcast(qsample))
+    val system = ranked(qv.repartition(par).crossJoin(broadcast(qsample))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         quantCos(col("q"), col("qn2"), col("cq"), col("cqn2")).as("qcos")),
