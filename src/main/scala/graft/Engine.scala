@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session factory for the graft engine.
   *
@@ -151,6 +151,34 @@ object Engine {
     * larger partitions for many-small-blocks reasons raises it). */
   def aqeMinPartitionSize: String =
     sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64kb")
+
+  /** Right-size a MATERIALIZED cached frame for repeated cheap aggregate
+    * passes: ceil(cachedBytes / target) partitions, never more than the
+    * frame already has. The iterative trainers (q63's level histograms,
+    * q90's 20 gradient rounds) launch one job per pass over a small
+    * cached projection; featurization wants every core, but afterwards a
+    * few-MB frame spread over defaultParallelism partitions pays
+    * cores × task-launch per pass for sub-millisecond per-task compute
+    * (guide §1.2/§2: partition count follows bytes, not cores).
+    * `coalesce` on a cached frame merges cached partitions without a
+    * shuffle. Scale-adaptive by construction — it only ever REDUCES
+    * partition count, so a big frame (≥ target bytes/partition already)
+    * is untouched and the coalesce is a no-op; the target is
+    * env-overridable (SPARK_GRAFT_PASS_TARGET_BYTES, default 8 MiB —
+    * measured optimum for the CPU-dense trainer passes: per-task compute
+    * of a few tens of ms against ~5 ms task overhead; the A/B at sf0.1
+    * had q63 = 3.7-4.0 s uncoalesced, 3.6 s at one partition, 2.7 s at
+    * 8 MiB, q90 flat-to-better at 8 MiB — guide §1.2, task sizing from
+    * measurement). Call only after the cache is materialized, so stats
+    * reflect actual cached bytes. */
+  def rightSizedForPasses(df: DataFrame): DataFrame = {
+    val target = sys.env.get("SPARK_GRAFT_PASS_TARGET_BYTES")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(8L << 20)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val k = ((bytes + target - 1) / target).max(1)
+    val cur = df.rdd.getNumPartitions
+    if (k < cur) df.coalesce(k.toInt) else df
+  }
 
   def session(master: String = "local[*]", shufflePartitions: Int = 32,
       rocksDbStateStore: Boolean =

@@ -31,9 +31,12 @@ object Scratch {
     // Ad-hoc conf overrides for A/B runs: SCRATCH_SET="key=value;key=value"
     sys.env.get("SCRATCH_SET").foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        s.conf.set(k, v)
-        println(s"[scratch] set $k=$v")
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            s.conf.set(k, v)
+            println(s"[scratch] set $k=$v")
+          case _ => println(s"[scratch] skipping malformed SCRATCH_SET entry: $kv")
+        }
       })
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskNs = new AtomicLong

@@ -152,18 +152,34 @@ object DecisionTree {
   def pruneReducedError(nodes: Seq[Node], df: DataFrame,
       label: Column, z: Double = 2.0): Seq[Node] = {
     if (nodes.isEmpty) return nodes
-    val byId = nodes.map(n => n.id -> n).toMap
-    def leafExpr(id: Int): Column = {
-      val nd = byId(id)
-      if (nd.leftId < 0) lit(nd.id)
-      else when(col(nd.feature) <= nd.threshold, leafExpr(nd.leftId))
-        .otherwise(leafExpr(nd.rightId))
-    }
-    val hist = df.select(leafExpr(0).as("leaf"), label.as("y"))
+    val hist = df.select(leafIdExpr(nodes).as("leaf"), label.as("y"))
       .groupBy(col("leaf"), col("y"))
       .agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pruneFromHist(nodes, hist, z)
+  }
+
+  /** Leaf-id routing expression for a trained tree — every row maps to
+    * the id of the leaf it falls in. Exposed so a caller can fuse the
+    * prune histogram with OTHER per-leaf tallies in one pass (q63's
+    * combined prune + accuracy aggregate). */
+  def leafIdExpr(nodes: Seq[Node]): Column = {
+    val byId = nodes.map(n => n.id -> n).toMap
+    def build(id: Int): Column = {
+      val nd = byId(id)
+      if (nd.leftId < 0) lit(nd.id)
+      else when(col(nd.feature) <= nd.threshold, build(nd.leftId))
+        .otherwise(build(nd.rightId))
+    }
+    build(0)
+  }
+
+  /** The pruning arithmetic off an already-collected per-(leaf, label)
+    * prune-set histogram — O(#nodes) driver work, no Spark job. */
+  private[graft] def pruneFromHist(nodes: Seq[Node],
+      hist: Map[(Int, Long), Long], z: Double): Seq[Node] = {
+    if (nodes.isEmpty) return nodes
     // bottom-up: per-node class counts = sum over its leaves
     val classCnt = scala.collection.mutable.Map.empty[Int, (Long, Long)]
     val subtreeCorrect = scala.collection.mutable.Map.empty[Int, Long]
@@ -200,6 +216,24 @@ object DecisionTree {
       if (collapsed.contains(n.id)) n.copy(feature = null,
         threshold = Double.NaN, leftId = -1, rightId = -1)
       else n
+    }
+  }
+
+  /** Prediction of the PRUNED tree as a function of a row's GROWN leaf:
+    * pruning only merges leaves, so every grown leaf's rows share one
+    * pruned-tree prediction — the deepest surviving pruned LEAF on the
+    * grown leaf's root path. Lets a per-grown-leaf histogram grade the
+    * pruned tree without another pass (the same counts predictExpr
+    * would re-tally row by row). */
+  def prunedLeafPrediction(grown: Seq[Node], pruned: Seq[Node]): Int => Int = {
+    val prunedLeaves = pruned.filter(_.leftId < 0)
+      .map(n => n.id -> n.prediction).toMap
+    val parentOf: Map[Int, Int] = grown.flatMap(n =>
+      Seq(n.leftId -> n.id, n.rightId -> n.id)).filter(_._1 >= 0).toMap
+    (leaf: Int) => {
+      var id = leaf
+      while (!prunedLeaves.contains(id)) id = parentOf(id)
+      prunedLeaves(id)
     }
   }
 

@@ -179,36 +179,52 @@ object MlStats extends QueryPack {
   def q63DecisionTree(s: SparkSession, dir: String): DataFrame = {
     import graft.ml.DecisionTree
     val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val df = graft.FrameCache.persisted(s, s"q63train:$dir") {
+    val cached = graft.FrameCache.persisted(s, s"q63train:$dir") {
       q63TrainFrame(s, dir)
     }
+    // materialize on all cores, then run the sequential trainer passes
+    // on a BYTES-sized view of the cache: each pass is one tiny
+    // partial-aggregable job over a few-MB projection, so its partition
+    // count follows cached bytes, not cores (Engine.rightSizedForPasses)
+    cached.count()
+    val df = graft.Engine.rightSizedForPasses(cached)
     val grown = DecisionTree.fit(df.filter(col("is_grow")), feats, col("y"),
       maxDepth = 5)
-    val nodes = DecisionTree.pruneReducedError(grown,
-      df.filter(col("is_train") && !col("is_grow")), col("y"))
-    // one pass over the persisted frame scores BOTH splits: every metric
-    // is a conditional sum gated on is_train (partial-aggregable)
-    val correct = when(DecisionTree.predictExpr(nodes) === col("y"), 1L)
-      .otherwise(0L)
-    def side(train: Boolean)(e: Column): Column =
-      sum(when(col("is_train") === train, e).otherwise(0L))
-    val acc = df.agg(
-      (side(train = true)(correct)
-        / side(train = true)(lit(1L)).cast("double")).as("train_acc"),
-      (side(train = false)(correct)
-        / side(train = false)(lit(1L)).cast("double")).as("test_acc"),
-      // train-majority class, graded on the held-out rows
-      (when(side(train = true)(col("y")) * 2 >= side(train = true)(lit(1L)),
-          side(train = false)(col("y")))
-        .otherwise(side(train = false)(lit(1L)) - side(train = false)(col("y")))
-        / side(train = false)(lit(1L)).cast("double")).as("baseline"))
-      .collect().head
-    df.unpersist()
+    // ONE fused pass grades pruning AND both accuracy splits: every row
+    // routes to its GROWN leaf tagged (is_train, is_grow, y) — the
+    // prune histogram is the (is_train && !is_grow) slice, and the
+    // train/test accuracies + majority baseline are exact sums over the
+    // same counts, because a row's pruned-tree prediction is a function
+    // of its grown leaf (pruning only merges leaves). Replaces the
+    // separate prune-set pass and the whole-frame accuracy pass with
+    // identical longs summed / identical doubles divided.
+    val cnt = df.groupBy(DecisionTree.leafIdExpr(grown).as("leaf"),
+        col("is_train"), col("is_grow"), col("y"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val pruneHist = cnt.filter(r => r.getBoolean(1) && !r.getBoolean(2))
+      .map(r => (r.getInt(0), r.getLong(3)) -> r.getLong(4)).toMap
+    val nodes = DecisionTree.pruneFromHist(grown, pruneHist, z = 2.0)
+    val predOf = DecisionTree.prunedLeafPrediction(grown, nodes)
+    var (trainN, trainPos, trainOk) = (0L, 0L, 0L)
+    var (testN, testPos, testOk) = (0L, 0L, 0L)
+    cnt.foreach { r =>
+      val (leaf, isTrain) = (r.getInt(0), r.getBoolean(1))
+      val (y, n) = (r.getLong(3), r.getLong(4))
+      val ok = if (predOf(leaf).toLong == y) n else 0L
+      if (isTrain) { trainN += n; if (y == 1L) trainPos += n; trainOk += ok }
+      else { testN += n; if (y == 1L) testPos += n; testOk += ok }
+    }
+    val trainAcc = trainOk.toDouble / trainN
+    val testAcc = testOk.toDouble / testN
+    val baseline = (if (2 * trainPos >= trainN) testPos else testN - testPos)
+      .toDouble / testN
+    cached.unpersist()
     import s.implicits._
     nodes.map(nd => (nd.id.toLong, nd.depth.toLong, Option(nd.feature),
         nd.threshold, nd.n, nd.gini, nd.prediction.toLong,
         nd.leftId.toLong, nd.rightId.toLong,
-        acc.getDouble(0), acc.getDouble(1), acc.getDouble(2)))
+        trainAcc, testAcc, baseline))
       .toDF("node_id", "depth", "feature", "threshold", "n", "gini",
         "prediction", "left_id", "right_id", "train_acc", "test_acc",
         "majority_baseline")
@@ -267,9 +283,17 @@ object MlStats extends QueryPack {
             concat(lit("clf-salt-"), col("doc_id").cast("string"))), lit(100L)) < 80,
             "train").otherwise("val").as("split"): _*)
     }
+    // materialize the cache first (featurization — the expensive
+    // row-local step — runs once, on all cores), then run the 20
+    // sequential gradient passes on a BYTES-sized view of it: a few-MB
+    // cached projection spread over defaultParallelism partitions pays
+    // cores × task-launch per pass for sub-millisecond per-task compute
+    // (Engine.rightSizedForPasses; scale-adaptive, a 100 TB frame keeps
+    // its bytes/target partitions)
+    base.count()
     val (w, _) = graft.ml.Logistic.fit(
-      base.filter(col("split") === "train"), feats, col("label"),
-      iters = 20, lr = 0.5)
+      graft.Engine.rightSizedForPasses(base).filter(col("split") === "train"),
+      feats, col("label"), iters = 20, lr = 0.5)
     base
       .select(col("doc_id"), col("split"), col("label").cast("boolean").as("label"),
         graft.ml.Logistic.scoreExpr(feats, w).as("score"))

@@ -375,18 +375,29 @@ object Similarity extends QueryPack {
     * the in-memory q54/q106 tier and the persisted store build
     * ([[graft.sources.AnnIndexStore]]), so the two tiers fold the
     * identical integer codes and stay gated by the same oracle. */
-  private[graft] def quantizeCorpus(v: DataFrame): DataFrame = {
-    def quant(e: Column, mn: Column, mx: Column): Column =
-      transform(e, (x, i) => {
-        val lo = element_at(mn, i + 1)
-        val hi = element_at(mx, i + 1)
-        when(hi > lo, round((x - lo) * 255.0 / (hi - lo)).cast("long"))
-          .otherwise(lit(0L))
-      })
+  private def quantExpr(e: Column, mn: Column, mx: Column): Column =
+    transform(e, (x, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi > lo, round((x - lo) * 255.0 / (hi - lo)).cast("long"))
+        .otherwise(lit(0L))
+    })
+
+  private[graft] def quantizeCorpus(v: DataFrame): DataFrame =
     v.crossJoin(broadcast(corpusCodebook(v)))
-      .select(col("vec_id"), quant(col("e"), col("mn"), col("mx")).as("q"))
+      .select(col("vec_id"), quantExpr(col("e"), col("mn"), col("mx")).as("q"))
       .withColumn("qn2", intDot(col("q"), col("q")))
-  }
+
+  /** The decoded frame with its quantized codes ALONGSIDE the exact
+    * vectors — (vec_id, e, n2, q, qn2), the same affine map as
+    * [[quantizeCorpus]] (identical expressions against the identical
+    * codebook, so the codes cannot drift from q54's tier). Lets q106
+    * score both retrievers off ONE corpus scan. */
+  private def withQuantized(v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(corpusCodebook(v)))
+      .select(col("vec_id"), col("e"), col("n2"),
+        quantExpr(col("e"), col("mn"), col("mx")).as("q"))
+      .withColumn("qn2", intDot(col("q"), col("q")))
 
   /** Integer dot as a column function for the store probe (the native
     * codegen'd LongDot behind q54's arithmetic). */
@@ -421,17 +432,39 @@ object Similarity extends QueryPack {
         cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos")))
   }
 
-  /** Shared q73/q73b tail: per-node bounded top-3 + rank unpack. */
-  private def knnGraphTail(scored: DataFrame): DataFrame = {
+  /** Per-node bounded top-3 lists (vec_id, top) — the pre-unpack form of
+    * [[knnGraphTail]], exposed separately so graph CONSUMERS that only
+    * need (src, dst, deg) can read deg = size(top) off the aggregate
+    * instead of re-counting exploded rows with a self-join (q96b /
+    * KnnGraphStore — guide §2.4, remove shuffles outright). */
+  private def knnGraphTop(scored: DataFrame): DataFrame = {
     val topk = udaf(new TopKByScore(3))
     scored
       .groupBy(col("vec_id"))
       .agg(topk(col("cos"), col("nbr")).as("top"))
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+  }
+
+  /** Ranked unpack of a (vec_id, top) list frame — the q73/q73b
+    * presentation (rk from list position, full order). */
+  private def unpackKnnTop(top: DataFrame): DataFrame =
+    top.select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
         col("t.key").as("nbr_id"), col("t.score").as("cos"))
       .orderBy(col("vec_id"), col("rk"))
-  }
+
+  /** (src, dst, deg) edge relation off a (vec_id, top) list frame — ONE
+    * projection: deg = size(top) is EXACTLY the per-src row count the
+    * old `e.join(e.groupBy("src").count)` self-join recomputed (each
+    * exploded row is one list element), and the walk never needs the
+    * ranked unpack's global sort. */
+  private def edgesWithDegFromTop(top: DataFrame): DataFrame =
+    top.select(col("vec_id").as("src"),
+        size(col("top")).cast("long").as("deg"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.key").as("dst"), col("deg"))
+
+  /** Shared q73/q73b tail: per-node bounded top-3 + rank unpack. */
+  private def knnGraphTail(scored: DataFrame): DataFrame =
+    unpackKnnTop(knnGraphTop(scored))
 
   /** Approximate kNN graph — the 100×-scale path q73's contract points
     * at, now executable: candidate edges from [[lshCandidatePairs]]
@@ -462,29 +495,45 @@ object Similarity extends QueryPack {
   def q73bKnnGraphLsh(s: SparkSession, dir: String): DataFrame =
     approxKnnGraph(vecs(s, dir), cacheKey = s"q73b:$dir")
 
-  private[graft] def approxKnnGraph(v: DataFrame, cacheKey: String = ""): DataFrame = {
+  /** The q73b LSH kNN graph as a (src, dst, deg) edge relation in one
+    * pass — the form the centrality walk and the persisted graph store
+    * consume. Bit-identical to deriving it from [[q73bKnnGraphLsh]] plus
+    * a degree self-join (deg = bounded-list size = per-src row count),
+    * minus that join and the ranked unpack's global sort. */
+  private[graft] def q73bEdgesWithDeg(s: SparkSession, dir: String): DataFrame =
+    edgesWithDegFromTop(approxKnnTop(vecs(s, dir), cacheKey = s"q73b:$dir"))
+
+  private[graft] def approxKnnGraph(v: DataFrame, cacheKey: String = ""): DataFrame =
+    unpackKnnTop(approxKnnTop(v, cacheKey))
+
+  /** The approximate-graph pipeline up to the per-node bounded lists
+    * (vec_id, top) — shared by the ranked q73b presentation and the
+    * edge-relation consumers. */
+  private def approxKnnTop(v: DataFrame, cacheKey: String = ""): DataFrame = {
     val groupsStd = contentGroups(v, cacheKey)
     val vReps = groupReps(v, groupsStd)
     val groups = groupsStd.withColumnRenamed("doc_id", "m_id")
-    // NOTE the symmetrizing self-union below duplicates this subtree
-    // (union branches are separate plans to Spark, so the candidate
-    // join + rescore run twice per build). Deliberately NOT persisted:
-    // the branches are independent stage chains that run CONCURRENTLY
-    // on otherwise-idle cores, while a persist serializes
-    // materialize-then-read (same-noise-window A/B at sf0.1 measured no
-    // wall win, with the persist side trending slower). On a SATURATED
-    // cluster the trade flips — duplicate work costs real throughput —
-    // and the answer there is the persisted-graph tier (KnnGraphStore /
-    // q96c), which pays this pipeline once at store-build time.
     val scored = rescorePairs(lshCandidatePairs(vReps, Nil, radius = 1), vReps)
     // bound the rep-level lists BEFORE member expansion: the expansion
     // multiplies rows by group sizes, so it must ride on <= 3 rows per
-    // rep, never the full candidate set
+    // rep, never the full candidate set.
+    //
+    // Symmetrization is a per-row EXPLODE of both directions, not the
+    // earlier self-union: union branches are separate plans to Spark,
+    // so the candidate join + rescore ran TWICE per build (~13k-node
+    // plan, 2x the LSH bucket join's exchanges — guide §2.4/§7.2,
+    // duplicated subtrees). The exploded rows are the identical
+    // multiset (each scored pair contributes exactly its two directed
+    // rows), and the bounded top-k aggregate is order-independent, so
+    // the lists — and every downstream tier — are unchanged.
     val topk = udaf(new TopKByScore(3))
     val repTop = scored
-      .select(col("id_a").as("rep"), col("id_b").as("nbr_rep"), col("cos"))
-      .unionAll(scored.select(col("id_b").as("rep"),
-        col("id_a").as("nbr_rep"), col("cos")))
+      .select(explode(array(
+        struct(col("id_a").as("rep"), col("id_b").as("nbr_rep"), col("cos")),
+        struct(col("id_b").as("rep"), col("id_a").as("nbr_rep"), col("cos"))))
+        .as("p"))
+      .select(col("p.rep").as("rep"), col("p.nbr_rep").as("nbr_rep"),
+        col("p.cos").as("cos"))
       .groupBy(col("rep"))
       .agg(topk(col("cos"), col("nbr_rep")).as("top"))
       .select(col("rep"), explode(col("top")).as("t"))
@@ -498,7 +547,7 @@ object Similarity extends QueryPack {
       .join(groups.select(col("rep_id").as("nbr_rep"), col("m_id").as("nbr")),
         "nbr_rep")
       .select(col("vec_id"), col("nbr"), col("cos"))
-    knnGraphTail(coEdges.unionAll(expEdges))
+    knnGraphTop(coEdges.unionAll(expEdges))
   }
 
   // JL projection 64 -> 16 dims: fixed Gaussian planes (seed 11), rows
@@ -704,6 +753,23 @@ object Similarity extends QueryPack {
       edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"),
       iters)
 
+  /** Lineage truncation for the walk's per-round side relations.
+    * Default: `localCheckpoint` — blocks live on executors, fine on a
+    * single host but NON-RECOVERABLE on executor loss (a lost block
+    * fails the walk instead of recomputing; guide §5). Setting
+    * `SPARK_GRAFT_CHECKPOINT_DIR` switches to a RELIABLE checkpoint in
+    * that directory (HDFS/object store at cluster scale), trading one
+    * write per side relation for mid-walk fault tolerance — the r17
+    * verdict/ADVICE robustness item. Local default unchanged. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty) match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   private def pageRankOn(vertices: DataFrame, edgesWithDeg: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"pageRankOn needs iters >= 1, got $iters")
@@ -734,16 +800,14 @@ object Similarity extends QueryPack {
     val eV = edgesWithDeg
       .join(vs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
-    val dsts = eV.select(col("dst")).distinct().localCheckpoint()
-    val dynEdges = eV
+    val dsts = truncateLineage(eV.select(col("dst")).distinct())
+    val dynEdges = truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_semi")
-      .repartition(col("src"))
-      .localCheckpoint()
-    val base = eV
+      .repartition(col("src")))
+    val base = truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_anti")
       .select(col("dst"), expr("150000000000 div deg").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      .localCheckpoint()
+      .groupBy(col("dst")).agg(sum(col("c")).as("c")))
     // Round 1: every source holds 10¹².
     var r = eV.select(col("dst"), expr("1000000000000 div deg").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
@@ -811,11 +875,11 @@ object Similarity extends QueryPack {
   def q96bKnnCentralityLsh(s: SparkSession, dir: String): DataFrame = {
     // persist the edge frame WITH degrees attached: all 5 rounds (and a
     // repeated run) read the bounded (src, dst, deg) relation from cache
-    // instead of re-running the LSH graph build or the degree aggregate
+    // instead of re-running the LSH graph build — degrees come off the
+    // bounded top lists in the same pass (no degree self-join, no
+    // ranked-unpack sort; see q73bEdgesWithDeg)
     val edges = graft.FrameCache.persisted(s, s"q96bedges:$dir") {
-      val e = q73bKnnGraphLsh(s, dir)
-        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      q73bEdgesWithDeg(s, dir)
     }
     val vertices = vecs(s, dir).select(col("vec_id"))
     centralityTail(pageRankOn(vertices, edges, iters = 5))
@@ -892,53 +956,49 @@ object Similarity extends QueryPack {
       modulus: Int): DataFrame = {
     val k = 10
     val topk = udaf(new TopKByScore(k))
-    def ranked(scored: DataFrame, score: String): DataFrame =
-      scored.groupBy(col("qid")).agg(topk(col(score), col("vec_id")).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
-          col("t.key").as("id"))
-    val v = vecs(s, dir)
-    val sample = v.filter(col("vec_id") % modulus === 0)
-      .select(col("vec_id").as("qid"), col("e").as("sqe"), col("n2").as("sqn2"))
-    // Both scans spread the streamed corpus over the cluster parallelism
-    // before the broadcast sample attaches: the cached single-file scan
-    // would otherwise run the whole O(n·|sample|) scoring loop in one
-    // task (the q73/q44/q87 fix — result-identical, the bounded top-k
-    // tail is an order-independent aggregate).
+    // ONE corpus pass scores BOTH retrievers (r17 verdict item 2): the
+    // quantized codes ride the exact scan's rows via [[withQuantized]],
+    // so the parallelism spread, the broadcast sample attach, the
+    // O(n·|sample|) scoring loop and the bounded top-k shuffle are paid
+    // once instead of once per system — and the two ranked lists land in
+    // the SAME aggregate row, collapsing the old hits/truth-size/nn-rank
+    // joins into row-local array arithmetic on two ≤k-element lists.
+    // Result-identical: the pair set, both score expressions and the
+    // bounded top-k tie order are unchanged; n_hits = |truth ∩ system|
+    // (ids are unique per list), nt = |truth list|, nn_rank =
+    // 1-based position of the truth top-1 in the system list with 0 for
+    // absent — exactly the old join semantics. The corpus scan spreads
+    // over the cluster parallelism before the broadcast sample attaches
+    // (the q73/q44/q87 fix), as before.
+    val vq = withQuantized(vecs(s, dir))
+    val sample = vq.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("qid"), col("e").as("sqe"), col("n2").as("sqn2"),
+        col("q").as("cq"), col("qn2").as("cqn2"))
     val par = s.sparkContext.defaultParallelism
-    val truth = ranked(v.repartition(par).crossJoin(broadcast(sample))
+    val lists = vq.repartition(par).crossJoin(broadcast(sample))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosineFrom(dot(col("e"), col("sqe")), col("n2"), col("sqn2")).as("cos")),
-      "cos")
-    val qv = quantizedVecs(s, dir)
-    val qsample = qv.filter(col("vec_id") % modulus === 0)
-      .select(col("vec_id").as("qid"), col("q").as("cq"), col("qn2").as("cqn2"))
-    val system = ranked(qv.repartition(par).crossJoin(broadcast(qsample))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        quantCos(col("q"), col("qn2"), col("cq"), col("cqn2")).as("qcos")),
-      "qcos")
-    val hits = truth.select(col("qid"), col("id"))
-      .join(system.select(col("qid"), col("id")), Seq("qid", "id"))
-      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        cosineFrom(dot(col("e"), col("sqe")), col("n2"), col("sqn2")).as("cos"),
+        quantCos(col("q"), col("qn2"), col("cq"), col("cqn2")).as("qcos"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("vec_id")).as("ttop"),
+        topk(col("qcos"), col("vec_id")).as("stop"))
+    val tids = transform(col("ttop"), t => t.getField("key"))
+    val sids = transform(col("stop"), t => t.getField("key"))
     // recall normalizes by the ACTUAL truth-list size (≤ k when the
     // corpus holds fewer than k non-self vectors or the modulus is
     // aggressive) — a 100%-recall query must report 1000000 ppm even
     // when its truth list is short, not a silently deflated n_hits/k
-    val tsz = truth.groupBy(col("qid")).agg(count(lit(1)).as("nt"))
-    val nn = truth.filter(col("rk") === 1).select(col("qid"), col("id"))
-      .join(system.select(col("qid"), col("id"), col("rk")),
-        Seq("qid", "id"), "left_outer")
-      .select(col("qid"), coalesce(col("rk"), lit(0L)).as("nn_rank"))
+    val metrics = lists.select(col("qid"),
+      size(array_intersect(tids, sids)).cast("long").as("h"),
+      size(tids).cast("long").as("nt"),
+      array_position(sids, element_at(tids, 1)).cast("long").as("nnr"))
     sample.select(col("qid"))
-      .join(hits, Seq("qid"), "left_outer")
-      .join(tsz, Seq("qid"), "left_outer")
-      .join(nn, Seq("qid"), "left_outer")
+      .join(metrics, Seq("qid"), "left_outer")
       .select(col("qid"),
         coalesce(col("h"), lit(0L)).as("n_hits"),
         coalesce(col("nt"), lit(0L)).as("nt"),
-        coalesce(col("nn_rank"), lit(0L)).as("nn_rank"))
+        coalesce(col("nnr"), lit(0L)).as("nn_rank"))
       .withColumn("recall_ppm",
         expr("if(nt = 0, 0L, (n_hits * 1000000) div nt)"))
       .drop("nt")

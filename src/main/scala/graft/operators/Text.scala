@@ -407,19 +407,30 @@ object Text extends QueryPack {
     * (doc_id, bigram), no skew hot spot beyond stopword pairs, which
     * salting or AQE skew-split absorbs. */
   def q93LmFluency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = docTokens(s, dir)
     val docBig = base.select(col("doc_id"), explode_outer(bigrams).as("bg"))
       .filter(col("bg").isNotNull)
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
-    val corpusBig = docBig.groupBy(col("bg")).agg(sum(col("m")).as("c_ab"))
+    // corpus bigram counts as a WINDOW over the per-doc counts: the old
+    // separate `docBig.groupBy(bg)` branch re-ran the bigram explode +
+    // (doc_id, bg) aggregate a second time just to join the totals back
+    // on bg (plan-duplication, guide §7.2); sum(m) over (partition by
+    // bg) attaches the identical c_ab for one bg-keyed exchange instead
+    // of a second corpus pass + join. Same trick for the unigram side:
+    // the vocab size rides the unigram aggregate as an unpartitioned
+    // count window over the vocab-BOUNDED frame (never corpus rows)
+    // instead of a second run of the token explode.
+    val withCab = docBig.withColumn("c_ab",
+      sum(col("m")).over(Window.partitionBy(col("bg"))))
     val uni = base.select(explode_outer(col("tk")).as("tok"))
       .filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("c_a"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val perDoc = docBig
-      .join(corpusBig, "bg")
+      .withColumn("v", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val perDoc = withCab
       .join(uni, split_part(col("bg"), lit(" "), lit(1)) === col("tok"))
-      .crossJoin(broadcast(vocab))
       .withColumn("p_ppm", expr("((c_ab + 1) * 1000000) div (c_a + v)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("nb"), sum(col("m") * col("p_ppm")).as("fs"))

@@ -70,9 +70,11 @@ object KnnGraphStore extends QueryPack {
   def layerPath(p: String, l: Int): String = p + s".layer$l"
   def layersMetaPath(p: String): String = p + ".layers"
 
-  /** Exact within-layer top-k edges — bounded [[graft.operators.TopKByScore]]
-    * per node, the q73 tail over a layer's members. */
-  private def exactKnnEdges(v: DataFrame, k: Int): DataFrame = {
+  /** Exact within-layer bounded top-k lists (vec_id, top) — the q73
+    * aggregate over a layer's members; consumers project edges (and,
+    * for layer 0, deg = size(top) — identical to the per-src row count
+    * a degree self-join would recompute) off the lists in one pass. */
+  private def exactKnnTop(v: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.operators.TopKByScore(k))
     v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"),
@@ -81,9 +83,18 @@ object KnnGraphStore extends QueryPack {
         col("b.vec_id").as("nbr"))
       .groupBy(col("vec_id"))
       .agg(topk(col("cos"), col("nbr")).as("top"))
+  }
+
+  private def exactKnnEdges(v: DataFrame, k: Int): DataFrame =
+    exactKnnTop(v, k)
       .select(col("vec_id").as("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.key").as("dst"))
-  }
+
+  private def exactKnnEdgesWithDeg(v: DataFrame, k: Int): DataFrame =
+    exactKnnTop(v, k)
+      .select(col("vec_id").as("src"),
+        size(col("top")).cast("long").as("deg"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.key").as("dst"), col("deg"))
 
   /** Build the sampled upper layers over `vectors` (vec_id, e, n2) and
     * the one-row layers metadata (max layer + the TOP layer's
@@ -144,9 +155,9 @@ object KnnGraphStore extends QueryPack {
     * once. */
   def build(s: SparkSession, dir: String, path: String,
       targetFileBytes: Long): Unit = {
-    val e = graft.operators.Similarity.q73bKnnGraphLsh(s, dir)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    val edges = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    // degrees ride the bounded top lists (deg = list size) — one pass,
+    // no degree self-join over the exploded edges
+    val edges = graft.operators.Similarity.q73bEdgesWithDeg(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = math.max(1L,
@@ -189,8 +200,7 @@ object KnnGraphStore extends QueryPack {
   private[graft] def buildFromVectors(s: SparkSession, vectors: DataFrame,
       path: String, targetFileBytes: Long): Unit = {
     val v = vectors.filter(col("vec_id") =!= 0L)
-    val e = exactKnnEdges(v, 3)
-    val edges = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    val edges = exactKnnEdgesWithDeg(v, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = math.max(1L,
