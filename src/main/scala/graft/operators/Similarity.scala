@@ -801,13 +801,24 @@ object Similarity extends QueryPack {
       .join(vs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
     val dsts = truncateLineage(eV.select(col("dst")).distinct())
-    val dynEdges = truncateLineage(eV
+    // dynEdges and base are independent given dsts — their checkpoint
+    // materializations are submitted from two driver threads so the
+    // second job back-fills executors the first leaves idle (guide
+    // §2.6, overlap independent jobs) instead of paying two sequential
+    // barriers. Determinism is untouched: each materializes the same
+    // frame it did sequentially.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dynF = Future(truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_semi")
-      .repartition(col("src")))
-    val base = truncateLineage(eV
+      .repartition(col("src"))))
+    val baseF = Future(truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_anti")
       .select(col("dst"), expr("150000000000 div deg").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("c")))
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))))
+    val dynEdges = Await.result(dynF, Duration.Inf)
+    val base = Await.result(baseF, Duration.Inf)
     // Round 1: every source holds 10¹².
     var r = eV.select(col("dst"), expr("1000000000000 div deg").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
