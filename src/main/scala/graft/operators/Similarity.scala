@@ -807,18 +807,13 @@ object Similarity extends QueryPack {
     // §2.6, overlap independent jobs) instead of paying two sequential
     // barriers. Determinism is untouched: each materializes the same
     // frame it did sequentially.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val dynF = Future(truncateLineage(eV
+    val dynEdges = truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_semi")
-      .repartition(col("src"))))
-    val baseF = Future(truncateLineage(eV
+      .repartition(col("src")))
+    val base = truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_anti")
       .select(col("dst"), expr("150000000000 div deg").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("c"))))
-    val dynEdges = Await.result(dynF, Duration.Inf)
-    val base = Await.result(baseF, Duration.Inf)
+      .groupBy(col("dst")).agg(sum(col("c")).as("c")))
     // Round 1: every source holds 10¹².
     var r = eV.select(col("dst"), expr("1000000000000 div deg").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
