@@ -415,7 +415,11 @@ object Similarity extends QueryPack {
     * Per-node top-3 through the bounded [[TopKByScore]] aggregate: each
     * map task reduces its pair block to ≤3 rows per node before the
     * node-keyed shuffle — never a per-node sort of all n-1 candidates. */
-  def q73KnnGraph(s: SparkSession, dir: String): DataFrame = {
+  def q73KnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphTail(q73Scored(s, dir))
+
+  /** The exact all-pairs scored frame feeding q73's bounded top-3. */
+  private def q73Scored(s: SparkSession, dir: String): DataFrame = {
     val v = vecs(s, dir)
     // The streamed side inherits the cached frame's scan partitioning
     // (ONE partition on a single-file input), serializing the O(n²)
@@ -426,11 +430,21 @@ object Similarity extends QueryPack {
     // order. The build side is hinted broadcast (it already was — this
     // pins the choice so the repartition can't flip it).
     val a = v.repartition(s.sparkContext.defaultParallelism)
-    knnGraphTail(a.as("a").join(broadcast(v.as("b")),
+    a.as("a").join(broadcast(v.as("b")),
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
-        cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos")))
+        cosineFrom(dot(col("a.e"), col("b.e")), col("a.n2"), col("b.n2")).as("cos"))
   }
+
+  /** q73's exact graph as a bare (src, dst) edge relation — the q96
+    * walk's input, read straight off the bounded top-3 lists: same edge
+    * SET as `q73KnnGraph.select(vec_id, nbr_id)`, minus the ranked
+    * unpack's global sort and rank projection the walk never consumes
+    * (the q73bEdgesWithDeg move, applied to the exact tier). */
+  private[graft] def q73Edges(s: SparkSession, dir: String): DataFrame =
+    knnGraphTop(q73Scored(s, dir))
+      .select(col("vec_id").as("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.key").as("dst"))
 
   /** Per-node bounded top-3 lists (vec_id, top) — the pre-unpack form of
     * [[knnGraphTail]], exposed separately so graph CONSUMERS that only
@@ -778,7 +792,7 @@ object Similarity extends QueryPack {
     // bare seed 0.15·10¹² after EVERY round, so (a) round 1 needs no
     // rank join at all (every source is at the uniform 10¹²), (b) from
     // round 2 on, constant-rank sources contribute a FIXED long per dst,
-    // precomputed once (`base`), and the per-round join touches only
+    // precomputed once (`perDst.c`), and the per-round join touches only
     // edges whose source can change (`dynEdges`). This removes the old
     // per-round join against the full vertex relation — an O(V) shuffle
     // per round at scale — and shrinks each round to one rank-vector
@@ -793,36 +807,49 @@ object Similarity extends QueryPack {
     // driver-replan cost, not data loss, is what's at stake (rank stays
     // a distributed O(V) frame throughout; nothing collects).
     val vs = vertices.select(col("vec_id"))
-    // eV is consumed once by each derived checkpoint below plus round 1
-    // — all reading the caller's (usually persisted) edge frame — so it
-    // stays lazy: its two broadcast semi-joins ride the consumers' jobs
-    // instead of paying a fourth materialization barrier of O(E) bytes.
+    // eV stays lazy: its two broadcast semi-joins ride the two
+    // materialization jobs below instead of paying their own barrier.
     val eV = edgesWithDeg
       .join(vs.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+    // The dsts checkpoint goes FIRST and it alone decides when the
+    // caller's (usually persisted) edge frame materializes: it scans eV
+    // exactly once, so the expensive edge build populates the cache in
+    // one pass. (Folding the membership test into the later jobs as a
+    // lazy subtree was tried and measured SLOWER: the join's probe and
+    // broadcast-build sides are independent root stages, AQE submits
+    // them concurrently, and on a cold cache both race to materialize
+    // the same edge build — task time doubled on the q96 exact tier.)
     val dsts = truncateLineage(eV.select(col("dst")).distinct())
-    // dynEdges and base are independent given dsts — their checkpoint
-    // materializations are submitted from two driver threads so the
-    // second job back-fills executors the first leaves idle (guide
-    // §2.6, overlap independent jobs) instead of paying two sequential
-    // barriers. Determinism is untouched: each materializes the same
-    // frame it did sequentially.
     val dynEdges = truncateLineage(eV
       .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_semi")
       .repartition(col("src")))
-    val base = truncateLineage(eV
-      .join(dsts.withColumnRenamed("dst", "src"), Seq("src"), "left_anti")
-      .select(col("dst"), expr("150000000000 div deg").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("c")))
-    // Round 1: every source holds 10¹².
-    var r = eV.select(col("dst"), expr("1000000000000 div deg").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      .select(col("dst").as("vec_id"),
-        (lit(150000000000L) + expr("(85 * in_sum) div 100")).as("pr"))
+    // perDst fuses the old `base` aggregate with round 1's in-sum
+    // (guide §2.4): one groupBy(dst) pass over the cache-hot eV emits
+    // BOTH the constant-source contribution `c` (0 for dsts with none —
+    // an additive identity the per-round sum cannot observe) and round
+    // 1's full in-sum, so the walk's final job starts from this tiny
+    // relation instead of paying a fourth eV evaluation + aggregate.
+    // Exactness: `dsts` is distinct, so the membership left join tags
+    // without duplicating rows; every sum remains a sum of the SAME
+    // longs per dst (order-independent, zero terms inert), so the
+    // trajectory — and the oracle-exact q96 top-50 — is bit-identical.
+    val perDst = truncateLineage(eV
+      .join(dsts.withColumnRenamed("dst", "src").withColumn("is_dyn", lit(true)),
+        Seq("src"), "left")
+      .select(col("dst"),
+        when(col("is_dyn").isNull, expr("150000000000 div deg"))
+          .otherwise(lit(0L)).as("cc"),
+        expr("1000000000000 div deg").as("c1"))
+      .groupBy(col("dst"))
+      .agg(sum(col("cc")).as("c"), sum(col("c1")).as("in1")))
+    // Round 1: every source holds 10¹² — the in-sum came with perDst.
+    var r = perDst.select(col("dst").as("vec_id"),
+      (lit(150000000000L) + expr("(85 * in1) div 100")).as("pr"))
     for (_ <- 2 to iters) {
       r = dynEdges.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst"), expr("pr div deg").as("c"))
-        .unionAll(base.select(col("dst"), col("c")))
+        .unionAll(perDst.select(col("dst"), col("c")))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
         .select(col("dst").as("vec_id"),
           (lit(150000000000L) + expr("(85 * in_sum) div 100")).as("pr"))
@@ -852,7 +879,7 @@ object Similarity extends QueryPack {
     * rounds as chained CTEs to the same bits. */
   def q96KnnCentrality(s: SparkSession, dir: String): DataFrame = {
     val edges = graft.FrameCache.persisted(s, s"q96edges:$dir") {
-      q73KnnGraph(s, dir).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      q73Edges(s, dir)
     }
     val vertices = vecs(s, dir).select(col("vec_id"))
     centralityTail(pageRank(vertices, edges, outDeg = 3, iters = 5))
