@@ -356,6 +356,32 @@ object KnnGraphStore extends QueryPack {
     man.filter(t => ids.exists(k => k >= t._2 && k <= t._3))
       .map(_._1).toIndexedSeq
 
+  /** Bounded memo of file-set relations for the serving loop: a beam
+    * walk issues tens of tiny pruned reads per probe, and building a
+    * fresh parquet relation per hop (file listing + footer schema
+    * inference, all driver-side) costs as much as the point read
+    * itself. The memo holds PLANS, not data — every action still reads
+    * the files — so repeated hops over the same pruned file subset skip
+    * only the relation construction. Keyed per session; evicted LRU. */
+  private val relCache =
+    new java.util.LinkedHashMap[(SparkSession, Seq[String]), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Seq[String]), DataFrame]): Boolean =
+        size() > 256
+    }
+
+  private def readCached(s: SparkSession, files: Seq[String]): DataFrame =
+    relCache.synchronized {
+      val key = (s, files)
+      val hit = relCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = s.read.parquet(files: _*)
+        relCache.put(key, df)
+        df
+      }
+    }
+
   /** Per-hop adjacency of a FRONTIER set — the multi-node [[neighbors]]:
     * one pruned read per hop (driver-side manifest prune), bounded by
     * the frontier's owning files, never the edge relation. */
@@ -363,7 +389,7 @@ object KnnGraphStore extends QueryPack {
       man: Array[(String, Long, Long)], srcs: Seq[Long]): Array[Long] = {
     val files = filesFor(man, srcs)
     if (files.isEmpty) Array.empty
-    else s.read.parquet(files: _*)
+    else readCached(s, files)
       .filter(col("src").isin(srcs: _*))
       .select(col("dst")).distinct()
       .collect().map(_.getLong(0))
@@ -490,7 +516,7 @@ object KnnGraphStore extends QueryPack {
       val files = if (ids.isEmpty) Nil else filesFor(vecMan, ids)
       if (files.isEmpty) Nil // ids empty OR outside every vec band
       else {
-        s.read.parquet(files: _*)
+        readCached(s, files)
           .filter(col("vec_id").isin(ids: _*))
           .select(col("vec_id"),
             cosineFrom(dot(col("e"), array(qe.map(lit): _*)),
