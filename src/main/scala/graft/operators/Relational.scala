@@ -259,13 +259,27 @@ object Relational extends QueryPack {
     * cents + two final /100.0 divisions: oracle-exact. */
   def q80Resample(s: SparkSession, dir: String): DataFrame = {
     val hourUs = 3600L * 1000000L
-    val b = Tables.eventsTs(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts_us"),
-        cents(col("value")).as("vc"))
-      .withColumn("hour", expr(s"ts_us div $hourUs"))
-      .groupBy(col("user_id"), col("hour"))
-      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
-        max_by(col("vc"), struct(col("ts_us"), col("event_id"))).as("last_vc"))
+    // The bucket relation is consumed twice (span aggregate + join
+    // side); unpersisted, the optimizer column-prunes the two consumers
+    // into DIFFERENT subtrees and the events scan + bucket aggregate run
+    // twice. Persisted and user-repartitioned, the scan/aggregate run
+    // once and the ONE user-keyed exchange serves every downstream op:
+    // the span aggregate, BOTH join sides (user is a join-key subset, so
+    // the co-partitioned join needs no exchange) and the carry-forward
+    // window all require clustering by user_id — without it each
+    // re-shuffled separately (guide §2.4, share one exchange). The
+    // bucket aggregate keeps its own (user, hour) exchange so map-side
+    // combine still compresses raw events before any wide transfer.
+    val b = graft.FrameCache.persisted(s, s"q80buckets:$dir") {
+      Tables.eventsTs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          cents(col("value")).as("vc"))
+        .withColumn("hour", expr(s"ts_us div $hourUs"))
+        .groupBy(col("user_id"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
+          max_by(col("vc"), struct(col("ts_us"), col("event_id"))).as("last_vc"))
+        .repartition(col("user_id"))
+    }
     val hours = b.groupBy(col("user_id"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
