@@ -574,21 +574,24 @@ object Dedup extends QueryPack {
     // tag stays with the MEMBER
     val groups = Similarity.contentGroups(tagged, cacheKey)
     val vReps = Similarity.groupReps(tagged.filter(col("n2") > 0), groups)
-    // Which splits does each content GROUP touch? A rep pair can only
-    // ever contribute if some member pair crosses the split, i.e. one
-    // group touches train and the other touches val (or one group
-    // touches both, for the within tier). The two flags are joined onto
-    // the REP frame (one n-row join) and then ride the LSH code tables
-    // through the bucket join (`carry`), so candidates are pruned to
-    // split-crossable pairs BEFORE the exact rescore pays the vector
-    // joins — dropping the train x train bulk (~64% of candidate pairs
-    // at an 80/20 split) with identical output (those pairs die in the
-    // orientation filter below anyway), at zero extra pair-table joins.
-    def buildFlags = tagged.select(col("vec_id").as("doc_id"), col("split"))
+    // Per-group split stats in ONE aggregate: the crossable flags (they
+    // ride the LSH code tables through the bucket join, pruning
+    // candidates to split-crossable pairs BEFORE the rescore — the r17
+    // move) plus n_train (the group's member TRAIN count) and the
+    // group's shared norm gn2 (members of a content group are IDENTICAL
+    // vectors, so one n2 value is the group's). n_train/gn2 are what
+    // let the report aggregate at GROUP level below instead of
+    // exploding member pairs (guide §2.3, aggregate before you
+    // shuffle): a val member's contribution set is fully determined by
+    // its group's stats and its group's rep pairs.
+    def buildFlags = tagged
+      .select(col("vec_id").as("doc_id"), col("split"), col("n2"))
       .join(groups, "doc_id")
       .groupBy(col("rep_id"))
       .agg(max(when(col("split") === "train", true).otherwise(false)).as("has_train"),
-        max(when(col("split") === "val", true).otherwise(false)).as("has_val"))
+        max(when(col("split") === "val", true).otherwise(false)).as("has_val"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        max(col("n2")).as("gn2"))
     val groupFlags =
       if (cacheKey.nonEmpty)
         graft.FrameCache.persisted(tagged.sparkSession, s"groupFlags:$cacheKey")(buildFlags)
@@ -604,31 +607,40 @@ object Dedup extends QueryPack {
     val repPairs = Similarity.rescorePairs(crossable, vReps)
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
-    // member expansion: cross-group pairs inherit the rep cosine;
-    // within-group pairs are exact copies at the exact tier's float
-    // cosine (nonzero norm only — zero-norm copies have NaN exact
-    // cosine, excluded), and only groups touching BOTH splits can
-    // produce a crossing copy pair
-    val bothSplits = groupFlags.filter(col("has_train") && col("has_val"))
-      .select(col("rep_id").as("bs_rep"))
-    val memberPairs = expandPairs(repPairs, groups, Seq("cos"),
-      Seq(withinCos),
-      withinNonZero(tagged).andThen(
-        _.join(bothSplits, col("rep_id") === col("bs_rep"), "left_semi")))
-    // orient: a member pair contributes to the report iff it crosses the
-    // split — the val-side member collects the cosine
-    val splits = tagged.select(col("vec_id"), col("split"))
-    val contrib = memberPairs
-      .join(splits.select(col("vec_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
-      .join(splits.select(col("vec_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
-      .filter(col("sa") =!= col("sb"))
-      .select(when(col("sa") === "val", col("id_a")).otherwise(col("id_b"))
-        .as("vec_id"), col("cos"))
+    // GROUP-LEVEL report aggregation — replaces the old member-pair
+    // explosion (expandPairs to all member pairs, split-orient, re-
+    // aggregate by val member): a rep pair (A, B, cos) contributes to
+    // every val member of A exactly n_train(B) near-train hits at that
+    // one cosine (all of B's members are the identical vector), and the
+    // within-group term contributes n_train(own group) hits at the
+    // exact tier's float cosine — nonzero-norm groups only (a zero-norm
+    // copy's exact cosine is NaN, excluded, the old withinNonZero
+    // guard). Identical output: the per-val count is the same sum of
+    // the same longs, and max_cos maxes over the same candidate set —
+    // while the shuffled volume drops from Σ |A|·|B| member pairs to
+    // one row per (group, paired group), the at-scale point (a
+    // replay-heavy corpus multiplies member pairs by R² per side).
+    // Spec-asserted: planted near/exact leaks, subset-of-exact
+    // precision, and the replicated-group count law in DedupSpec.
+    val perGroupCross = repPairs
+      .select(explode(array(
+        struct(col("id_a").as("g"), col("id_b").as("o"), col("cos")),
+        struct(col("id_b").as("g"), col("id_a").as("o"), col("cos")))).as("p"))
+      .select(col("p.g").as("g"), col("p.o").as("o"), col("p.cos").as("cos"))
+      .join(groupFlags.select(col("rep_id").as("o"), col("n_train").as("n_train_o")), "o")
+      .groupBy(col("g"))
+      .agg(sum(col("n_train_o")).as("n_cross"),
+        max(when(col("n_train_o") > 0, col("cos"))).as("max_cross"))
+    val withinC = VectorOps.cosineFrom(col("gn2"), col("gn2"), col("gn2"))
     tagged.filter(col("split") === "val").select(col("vec_id"))
-      .join(contrib, Seq("vec_id"), "left_outer")
-      .groupBy(col("vec_id"))
-      .agg(count(col("cos")).as("n_near_train"),
-        coalesce(max(col("cos")), lit(-2.0)).as("max_cos"))
+      .join(groups.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .join(groupFlags, "rep_id")
+      .join(perGroupCross.withColumnRenamed("g", "rep_id"), Seq("rep_id"), "left_outer")
+      .select(col("vec_id"),
+        (coalesce(col("n_cross"), lit(0L)) +
+          when(col("gn2") > 0, col("n_train")).otherwise(lit(0L))).as("n_near_train"),
+        coalesce(greatest(col("max_cross"),
+          when(col("gn2") > 0 && col("n_train") > 0, withinC)), lit(-2.0)).as("max_cos"))
       .withColumn("contaminated", col("n_near_train") > 0)
       .orderBy(col("vec_id"))
   }

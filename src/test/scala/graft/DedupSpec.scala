@@ -271,6 +271,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q87b group-level aggregation: replicated groups count every member pair") {
+    // The r18 rewrite aggregates the report at GROUP level (n_train per
+    // group) instead of exploding member pairs. This pins the count law
+    // it must preserve on a corpus with REPLICATED content groups:
+    // group G1 = 3 train + 2 val exact copies, group G2 = 2 train exact
+    // copies of a near-dup of G1's vector. Every G1 val member must
+    // count 3 within-group train copies + 2 cross-group train copies,
+    // with max_cos = the exact tier's value for the same corpus.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val near = base.map(x => x + rnd.nextGaussian() * 0.01)
+    val g1 = Seq((1L, "train"), (2L, "train"), (3L, "train"), (10L, "val"),
+      (11L, "val")).map { case (id, sp) => (id, base.clone(), sp) }
+    val g2 = Seq((20L, "train"), (21L, "train")).map { case (id, sp) =>
+      (id, near.clone(), sp) }
+    // background noise so the LSH tables have something to bucket
+    val noise = (100 until 130).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()),
+        if (i % 2 == 0) "train" else "val"))
+    val tagged = (g1 ++ g2 ++ noise).toDF("vec_id", "e", "split")
+      .withColumn("n2", functions.VectorOps.norm2(col("e")))
+    val got = operators.Dedup.semanticDecontamLsh(tagged).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val exact = operators.Dedup.semanticDecontamTagged(tagged).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    Seq(10L, 11L).foreach { id =>
+      assert(got(id)._1 == 5L,
+        s"val $id: expected 3 within + 2 cross train hits, got ${got(id)._1}")
+      assert(got(id) == exact(id),
+        s"val $id diverged from exact tier: lsh ${got(id)} vs ${exact(id)}")
+    }
+    // subset-of-exact still holds corpus-wide
+    got.foreach { case (id, (n, mc, flagged)) =>
+      assert(n <= exact(id)._1, s"val $id: LSH counted $n > exact ${exact(id)._1}")
+      if (flagged) assert(mc <= exact(id)._2)
+    }
+  }
+
   test("q44b LSH embedding near-dup retrieves planted near-dups with exact precision") {
     // the scale tier's contract (the q52b regime): true near-dups
     // (cos ~1) surface through the bucketed candidate join w.p. ~1, and
